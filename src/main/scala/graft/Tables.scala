@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the harness testdata (TESTDATA.md).
+  *
+  * Mirrors the reference's columnar analytical store: Parquet + explicit
+  * schema + Catalyst column pruning (reference: feeder_hadoop.py:19,87 writes
+  * the analytical parquet; the notebook reads column-pruned CSV,
+  * 001_….ipynb cell 17 `usecols=`). At 100 TB the same call reads a
+  * partitioned table; filters/projections push to the scan automatically.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read the physical INT64
+    * nanos with an explicit schema — SURVEY §1.3: always declare schemas,
+    * never infer — and rebuild a session-TZ TimestampType at microsecond
+    * precision (`ts div 1000` keeps the math in exact integer space). */
+  private val eventsRawSchema =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+}

@@ -1,0 +1,103 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §7.1 step 7 — beyond reference parity).
+  *
+  * All operators are pure DataFrame pipelines: shuffles only on
+  * content-derived keys (hash / band signature / shingle), never a
+  * driver-side collect, so each scales linearly with executors. Hashes are
+  * md5-based so results are engine-independent (oracle-exact in DuckDB)
+  * and stable across Spark versions — hot paths could swap in xxhash64
+  * (also a Catalyst built-in) where cross-engine equality is not needed.
+  */
+object Dedup {
+
+  private def tokensOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * One shuffle on the 128-bit content hash; at 100 TB the md5 keys
+    * distribute uniformly so no skew handling is needed. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(lower(coalesce(col("text"), lit(""))).cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+
+  /** MinHash + LSH banded candidate pairs.
+    *
+    * signature_j(doc) = min over tokens of md5(j ":" token); `numHashes`
+    * signatures split into bands of `rowsPerBand`; docs sharing any band
+    * signature become a candidate pair. The self-join runs on
+    * (band, band_key) buckets — the classic LSH trick that replaces the
+    * O(n²) all-pairs comparison with a shuffle on bucket keys. */
+  def minHashLsh(documents: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val toks = tokensOf(documents)
+    val sigs = toks
+      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("tok")).cast("binary")))
+      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+    val buckets = sigs
+      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(sort_array(collect_list(struct(col("seed"), col("mh")))).as("sm"))
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws("|", col("sm.mh")).cast("binary")).as("bkey"))
+    buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash fingerprint per document: per-bit vote over the first
+    * 16 bits of each distinct token's md5. Narrow ops + one aggregation —
+    * tokens never leave their partitions until the per-doc combine. */
+  def simHash(documents: DataFrame): DataFrame = {
+    val toks = tokensOf(documents)
+      .withColumn("h4", substring(md5(col("tok").cast("binary")), 1, 4))
+    val bits = toks
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("nib", expr("CAST(conv(substr(h4, CAST(floor(b / 4) AS INT) + 1, 1), 16, 10) AS INT)"))
+      .withColumn("contrib", expr("(shiftright(nib, CAST(b % 4 AS INT)) % 2) * 2 - 1"))
+    bits.groupBy("doc_id", "b").agg(sum("contrib").as("s"))
+      .withColumn("outbit", when(col("s") > 0, 1L).otherwise(0L))
+      .withColumn("weighted", expr("outbit * shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+      .groupBy("doc_id").agg(sum("weighted").as("simhash"))
+  }
+
+  /** Word-3-gram shingles per doc (distinct). */
+  def shingles(documents: DataFrame, n: Int = 3): DataFrame =
+    documents.select(col("doc_id"),
+        explode(expr(
+          s"""CASE WHEN size(split(text, ' ')) >= $n
+              THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+                             i -> concat_ws(' ', slice(split(text, ' '), i, $n)))
+              ELSE array() END""")).as("s"))
+      .distinct()
+
+  /** N-gram Jaccard near-dup pairs via an inverted shingle index: candidate
+    * pairs must share a shingle (equi-join on the shingle — no cross
+    * product), then |∩| / |∪| is computed from group counts. */
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val sh = shingles(documents)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac", col("i") * 1.0 / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+  }
+}

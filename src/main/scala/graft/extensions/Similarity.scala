@@ -1,0 +1,80 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]) —
+  * SURVEY.md §7.1 step 7.
+  *
+  * Dot products use the codegen'd higher-order functions (zip_with +
+  * aggregate) over double-cast arrays: deterministic left-to-right double
+  * summation, no UDF, stays inside whole-stage codegen. Norms are computed
+  * once per row, not per pair.
+  *
+  * Scale path: brute force is O(n·q) — fine for one query vector over any
+  * n (a broadcast of the query + one scan). For all-pairs near-dup at
+  * 100 TB, [[Dedup.minHashLsh]]-style banding applies; here we exploit the
+  * testdata's pre-clustered `label` as the IVF cell: pairs are only scored
+  * within a cell, turning the cross join into a per-cell equi-join. */
+object Similarity {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Embeddings with a precomputed L2 norm. */
+  def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
+  /** Brute-force cosine top-k against the vector with id `queryId`.
+    * The 1-row query side is broadcast; one scan, one TakeOrdered. */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_r", round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4))
+      .select("vec_id", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-cell variant: restrict the search to the query's cell (`label`).
+    * Same result shape; scans only 1/cells of the data — the 100 TB path
+    * where cells are partition keys and partition pruning kicks in. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("label").as("qlabel"), col("e").as("qe"), col("nrm").as("qn"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("label") === col("qlabel"))
+      .withColumn("cos_r", round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4))
+      .select("vec_id", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Top near-duplicate candidate pairs, blocked by cell: per-cell
+    * self-join (never the full cross product), cosine on double-cast
+    * vectors, global top-`k` by rounded cosine with (a, b) tiebreak. */
+  def blockedCosinePairs(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val a = e.select(col("vec_id").as("a"), col("label").as("la"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("label").as("lb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("la") === col("lb") && col("a") < col("b"))
+      .withColumn("cos_r", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .select("a", "b", "cos_r")
+      .orderBy(col("cos_r").desc, col("a"), col("b"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §7.1
+  * step 7): language ID, quality scoring, token counting, fingerprinting.
+  * All row-local (narrow) except languageId's small broadcast join —
+  * embarrassingly parallel at any scale. */
+object TextAnalysis {
+
+  /** (marker token, language) profile used by [[languageId]]. */
+  val MarkerProfile: Seq[(String, String)] = Seq(
+    ("the", "en"), ("a", "en"), ("data", "de"), ("table", "de"),
+    ("query", "es"), ("row", "es"), ("join", "fr"), ("merge", "fr"),
+    ("spark", "zh"), ("batch", "zh"))
+
+  /** N-gram/stopword-profile language ID: score each language by marker
+    * hits, pick the arg-max (ties broken by language code); docs with no
+    * marker hit get "und". The marker dim is broadcast. */
+  def languageId(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dim = MarkerProfile.toDF("tok", "cand")
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val scored = toks.join(broadcast(dim), "tok")
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("cand"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    documents.select("doc_id")
+      .join(best.select("doc_id", "cand"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cand"), lit("und")).as("pred"))
+  }
+
+  /** Quality metrics: token count, mean token length, stopword ratio —
+    * the length/punct/stopword heuristics of C4/Gopher-style filters. */
+  def qualityScore(documents: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val arr = split(coalesce(col("text"), lit("")), " ")
+    val nTok = size(arr).cast("long")
+    val sumLen = aggregate(transform(arr, t => length(t)), lit(0), (acc, x) => acc + x)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(arr, t => array_contains(stopArr, t))).cast("long")
+    documents.select(col("doc_id"),
+      nTok.as("n_tok"),
+      col("n_chars"),
+      round(sumLen * lit(1.0) / nTok, 4).as("avg_tok_len"),
+      round(nStop * lit(1.0) / nTok, 4).as("stop_ratio"))
+  }
+
+  /** Whitespace token count + BPE-ish regex token count
+    * (letters / digit runs / other symbols). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"))
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive, whitespace-normalization-insensitive. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      md5(concat_ws(" ",
+        array_sort(array_distinct(
+          filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= ""))))
+        .cast("binary")).as("fp"))
+}

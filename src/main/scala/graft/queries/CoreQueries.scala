@@ -1,0 +1,555 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.table
+import graft.analytics.TermFrequency
+import graft.merge.ScdMerge
+
+/** Reference-parity operator inventory (SURVEY.md §2) expressed over the
+  * harness testdata. Each query is idiomatic declarative Spark — Catalyst
+  * handles pushdown/pruning/broadcast; the comments call out the intended
+  * physical shape at scale. */
+object CoreQueries {
+
+  // ---- 2.1 scans / sources -------------------------------------------------
+
+  /** S1: pruned columnar scan (ref ipynb cell 17 `usecols=`). The filter and
+    * the 3-column projection both reach the parquet reader. */
+  private val scanPrune = Q("q_scan_prune",
+    (s, dir) => table(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber"""))
+
+  /** S2: early-limit preview (ref ipynb cell 7 chunksize+head) —
+    * TakeOrderedAndProject, the scan stops early. */
+  private val limitPreview = Q("q_limit_preview",
+    (s, dir) => table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey").limit(100),
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 100"""))
+
+  /** S6: incremental dated-dir discovery above a high-water mark
+    * (feeder_postgres.py:226-231) — partition-pruning-shaped predicate. */
+  private val incrDiscovery = Q("q_incr_discovery",
+    (s, dir) => table(s, dir, "orders")
+      .filter(col("o_orderdate") > lit("1999-01-01").cast("timestamp"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("snapshot_date"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("snapshot_date"),
+    Some("""SELECT strftime(o_orderdate, '%Y-%m-%d') AS snapshot_date,
+                   count(*) AS n_rows
+            FROM orders WHERE o_orderdate > TIMESTAMP '1999-01-01'
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** S7/A5: freshness high-water mark = greatest of per-table max dates
+    * (feeder_postgres.py:200-209; metrics_exporter.py:72-80). Two scalar
+    * aggregates + cross join of 1×1 rows — no data shuffle. */
+  private val hwmMax = Q("q_hwm_max",
+    (s, dir) => table(s, dir, "orders").agg(max("o_orderdate").as("mo"))
+      .crossJoin(table(s, dir, "lineitem").agg(max("l_shipdate").as("ml")))
+      .select(date_format(greatest(col("mo"), col("ml")), "yyyy-MM-dd HH:mm:ss").as("hwm")),
+    Some("""SELECT strftime(greatest(
+              (SELECT max(o_orderdate) FROM orders),
+              (SELECT max(l_shipdate) FROM lineitem)), '%Y-%m-%d %H:%M:%S') AS hwm"""))
+
+  // ---- 2.2 projection / filtering -----------------------------------------
+
+  /** P1: projection (ref ipynb cell 22 usecols / drop). */
+  private val project = Q("q_project",
+    (s, dir) => table(s, dir, "customer")
+      .select("c_custkey", "c_name").orderBy("c_custkey"),
+    Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"))
+
+  /** P2: boolean-flag filter (`archived == deleted`,
+    * feeder_postgres.py:131-134). */
+  private val filterFlag = Q("q_filter_flag",
+    (s, dir) => table(s, dir, "orders")
+      .filter(!(col("o_orderstatus") === "F"))
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE NOT (o_orderstatus = 'F') ORDER BY o_orderkey"""))
+
+  /** P3: token-membership predicate (ref ipynb:940 `use_prof in r` — we pin
+    * exact-token semantics, SURVEY §7.4). */
+  private val filterMember = Q("q_filter_member",
+    (s, dir) => table(s, dir, "documents")
+      .filter(array_contains(split(col("text"), " "), "spark"))
+      .select("doc_id").orderBy("doc_id"),
+    Some("""SELECT doc_id FROM documents
+            WHERE list_contains(string_split(text, ' '), 'spark')
+            ORDER BY doc_id"""))
+
+  /** P4: dropna (ref ipynb:939,941). Testdata has no nulls, so nulls are
+    * manufactured first (lang='en' → NULL), then dropped. */
+  private val dropna = Q("q_dropna",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", lit(null)).otherwise(col("lang")).as("lang2"),
+        col("source"))
+      .na.drop()
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang2, source FROM
+              (SELECT doc_id, nullif(lang, 'en') AS lang2, source FROM documents)
+            WHERE lang2 IS NOT NULL ORDER BY doc_id"""))
+
+  /** P5: fillna (ref ipynb:749 fillna('')). */
+  private val fillna = Q("q_fillna",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", lit(null)).otherwise(col("lang")).as("lang2"))
+      .na.fill("none", Seq("lang2"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, coalesce(nullif(lang, 'en'), 'none') AS lang2
+            FROM documents ORDER BY doc_id"""))
+
+  /** P6: empty-string → NULL normalization (feeder_postgres.py:127-129). */
+  private val emptyToNull = Q("q_empty_to_null",
+    (s, dir) => {
+      val raw = when(col("lang") === "en", lit("")).otherwise(col("lang"))
+      val norm = when(length(trim(raw)) === 0, lit(null)).otherwise(raw)
+      table(s, dir, "documents")
+        .groupBy(norm.as("lang2")).agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("lang2"))
+    },
+    Some("""SELECT lang2, count(*) AS n FROM
+              (SELECT CASE WHEN length(trim(CASE WHEN lang = 'en' THEN '' ELSE lang END)) = 0
+                      THEN NULL
+                      ELSE lang END AS lang2 FROM documents)
+            GROUP BY 1 ORDER BY 1 NULLS FIRST"""))
+
+  /** P7: exists() higher-order predicate over a tokenized column
+    * (get_hist_vacancies.py:109-112 IT-specialization test). */
+  private val filterExists = Q("q_filter_exists",
+    (s, dir) => table(s, dir, "part")
+      .filter(exists(split(col("p_type"), " "), t => t.startsWith("S")))
+      .select("p_partkey", "p_type")
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_type FROM part
+            WHERE p_type LIKE 'S%' OR p_type LIKE '% S%'
+            ORDER BY p_partkey"""))
+
+  /** P8: date-sanity predicate (periodic_run.py:31-33 skip future dirs). */
+  private val filterDate = Q("q_filter_date",
+    (s, dir) => table(s, dir, "orders")
+      .filter(col("o_orderdate") <= lit("2000-01-01").cast("timestamp"))
+      .agg(count(lit(1)).as("n")),
+    Some("SELECT count(*) AS n FROM orders WHERE o_orderdate <= TIMESTAMP '2000-01-01'"))
+
+  /** P9/F3: ingest type coercion (feeder_postgres.py:123-131) —
+    * numeric cast + case-normalized boolean parse. */
+  private val coerce = Q("q_coerce",
+    (s, dir) => table(s, dir, "events")
+      .select(col("event_id"),
+        floor(col("value")).cast("long").as("value_int"),
+        (lower(col("event_type")) === "click").as("is_click"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(floor(value) AS BIGINT) AS value_int,
+                   (lower(event_type) = 'click') AS is_click
+            FROM events ORDER BY event_id"""))
+
+  // ---- 2.3 joins -----------------------------------------------------------
+
+  /** J1: snapshot×state equi-join (feeder_postgres.py:138 point lookup →
+    * one hash join; broadcast-able when the dim side is small). */
+  private val joinLeft = Q("q_join_left",
+    (s, dir) => table(s, dir, "orders")
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left_outer")
+      .select("o_orderkey", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, c_name, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey"""))
+
+  /** J2/U2: anti-join removal detection (feeder_postgres.py:181-192). */
+  private val joinAnti = Q("q_join_anti",
+    (s, dir) => table(s, dir, "customer")
+      .join(table(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderstatus = 'P' AND o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** J3: the pd.concat(axis=1) n-way outer alignment (ipynb:801) as a
+    * pivot — one aggregate instead of n-1 joins. */
+  private val joinPivot = Q("q_join_pivot",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+                   count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** J4: broadcast dimension join (synonym canonicalization,
+    * ipynb:946-952) — explicit broadcast() pins BroadcastHashJoin. */
+  private val joinBroadcast = Q("q_join_broadcast",
+    (s, dir) => table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand"),
+    Some("""SELECT p_brand, count(*) AS cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** J5/U3: semi-join vocabulary intersection (ipynb cell 26). */
+  private val joinSemi = Q("q_join_semi",
+    (s, dir) => table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  // ---- 2.4 aggregations ----------------------------------------------------
+
+  /** A1 flagship core: tokenize → explode → count (ipynb:749-754).
+    * One shuffle; map-side partial aggregation absorbs the token blowup. */
+  private val countTokens = Q("q_count_tokens",
+    (s, dir) => {
+      val toks = TermFrequency.tokenize(table(s, dir, "documents"), "text", " ", Seq())
+      TermFrequency.counts(toks, Seq())
+        .orderBy(col("cnt").desc, col("token"))
+    },
+    Some("""SELECT token, count(*) AS cnt FROM
+              (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents)
+            WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token"""))
+
+  /** A2: filter → tokenize → broadcast synonym-canonicalize → count
+    * (ipynb:939-957). Unmatched tokens drop (ref filter≠0, ipynb:952). */
+  private val countFiltered = Q("q_count_filtered",
+    (s, dir) => {
+      import s.implicits._
+      val syn = Seq(
+        ("spark", "engine"), ("fast", "quick"), ("slow", "sluggish"),
+        ("table", "relation"), ("row", "record"), ("data", "data"),
+        ("query", "query")).toDF("token", "canon")
+      val toks = TermFrequency.tokenize(
+        table(s, dir, "documents").filter(col("lang") === "en"), "text", " ", Seq())
+      toks.join(broadcast(syn), "token")
+        .groupBy("canon").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("canon"))
+    },
+    Some("""SELECT canon, count(*) AS cnt
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+                  FROM documents WHERE lang = 'en') t
+            JOIN (VALUES ('spark','engine'),('fast','quick'),('slow','sluggish'),
+                         ('table','relation'),('row','record'),('data','data'),
+                         ('query','query')) AS syn(token, canon)
+              ON t.token = syn.token
+            GROUP BY canon ORDER BY cnt DESC, canon"""))
+
+  /** A3: grand totals per group (ipynb:772 df.sum(axis=0)). Money summed as
+    * DECIMAL so the result is order-independent and oracle-exact. */
+  private val totalPerYear = Q("q_total_per_year",
+    (s, dir) => table(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy("yr"),
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** A4: ratio-to-report window (ipynb:772-774) — pct of the year's total
+    * without a second scan. */
+  private val pctWindow = Q("q_pct_window",
+    (s, dir) => {
+      val base = table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("cnt"))
+      base.withColumn("pct",
+          round(col("cnt") * 100.0 / sum("cnt").over(Window.partitionBy("yr")), 4))
+        .orderBy("yr", "pri")
+    },
+    Some("""WITH b AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                              o_orderpriority AS pri, count(*) AS cnt
+                       FROM orders GROUP BY 1, 2)
+            SELECT yr, pri, cnt,
+                   round(cnt * 100.0 / sum(cnt) OVER (PARTITION BY yr), 4) AS pct
+            FROM b ORDER BY yr, pri"""))
+
+  /** A6: distinct-by-key dedup (get_vacancies.py:67-72 id set). */
+  private val dedup = Q("q_dedup",
+    (s, dir) => table(s, dir, "events")
+      .select("user_id").dropDuplicates("user_id")
+      .orderBy("user_id"),
+    Some("SELECT DISTINCT user_id FROM events ORDER BY user_id"))
+
+  /** A7: merge change-stats (feeder_postgres.py:115-117,194) via the real
+    * ScdMerge classifier over two dated snapshots of `orders`. */
+  private def snapA(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey").as("id"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def snapB(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey").as("id"), col("o_orderstatus"), col("o_totalprice"))
+
+  private val trackCols = Seq("o_orderstatus", "o_totalprice")
+
+  private val mergeStats = Q("q_merge_stats",
+    (s, dir) => {
+      val st1 = ScdMerge.applySnapshot(
+        ScdMerge.emptyState(snapA(s, dir)), snapA(s, dir), "1998-01-01", "id", trackCols)
+      ScdMerge.classify(st1, snapB(s, dir), "1998-06-01", "id", trackCols)
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+        .orderBy("change_type")
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS id FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                 b AS (SELECT o_orderkey AS id FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+            SELECT CASE WHEN a.id IS NULL THEN 'added'
+                        WHEN b.id IS NULL THEN 'removed'
+                        ELSE 'unchanged' END AS change_type, count(*) AS n
+            FROM a FULL OUTER JOIN b ON a.id = b.id
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** The SCD merge itself (feeder_postgres.py:111-194): empty state + two
+    * snapshots; lifecycle dates verified cell-by-cell against the oracle. */
+  private val mergeScd = Q("q_merge_scd",
+    (s, dir) => {
+      val st1 = ScdMerge.applySnapshot(
+        ScdMerge.emptyState(snapA(s, dir)), snapA(s, dir), "1998-01-01", "id", trackCols)
+      val st2 = ScdMerge.applySnapshot(st1, snapB(s, dir), "1998-06-01", "id", trackCols)
+      st2.select(col("id"),
+          date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
+          date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
+          date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
+        .orderBy("id")
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS id FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                 b AS (SELECT o_orderkey AS id FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+            SELECT coalesce(a.id, b.id) AS id,
+                   CASE WHEN a.id IS NOT NULL THEN '1998-01-01' ELSE '1998-06-01' END AS added_at,
+                   CASE WHEN a.id IS NOT NULL THEN '1998-01-01' ELSE '1998-06-01' END AS updated_at,
+                   CASE WHEN b.id IS NULL THEN '1998-06-01' ELSE NULL END AS removed_at
+            FROM a FULL OUTER JOIN b ON a.id = b.id
+            ORDER BY id"""))
+
+  // ---- 2.5 sort / top-k, 2.6 set ops --------------------------------------
+
+  /** T1: sort by count desc with deterministic tiebreak (ipynb:752). */
+  private val sortDesc = Q("q_sort_desc",
+    (s, dir) => table(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type")),
+    Some("""SELECT event_type, count(*) AS cnt FROM events
+            GROUP BY 1 ORDER BY cnt DESC, event_type"""))
+
+  /** T2: per-group top-k via row_number (ipynb:777 df_per[:N]) — distributed
+    * top-k, never a global sort of the full set. */
+  private val topk = Q("q_topk",
+    (s, dir) => {
+      val base = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("rf").orderBy(col("cnt").desc, col("pk"))
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy("rf", "pk")
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS rf, l_partkey AS pk, count(*) AS cnt
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT rf, pk, cnt FROM
+              (SELECT rf, pk, cnt,
+                      row_number() OVER (PARTITION BY rf ORDER BY cnt DESC, pk) AS rn
+               FROM b)
+            WHERE rn <= 3 ORDER BY rf, pk"""))
+
+  /** 2.8: rank window (per-year priority ranking). */
+  private val rankWindow = Q("q_rank_window",
+    (s, dir) => {
+      val base = table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("yr").orderBy(col("cnt").desc, col("pri"))
+      base.withColumn("rnk", rank().over(w)).orderBy("yr", "rnk", "pri")
+    },
+    Some("""WITH b AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                              o_orderpriority AS pri, count(*) AS cnt
+                       FROM orders GROUP BY 1, 2)
+            SELECT yr, pri, cnt,
+                   rank() OVER (PARTITION BY yr ORDER BY cnt DESC, pri) AS rnk
+            FROM b ORDER BY yr, rnk, pri"""))
+
+  /** U1: union of year partitions (the multi-year scan, ipynb:800-806).
+    * unionByName is plan-level — no extra pass over either side. */
+  private val unionYears = Q("q_union_years",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val early = o.filter(year(col("o_orderdate")) <= 1997)
+      val late = o.filter(year(col("o_orderdate")) > 1997)
+      early.unionByName(late)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n FROM
+              (SELECT * FROM orders WHERE year(o_orderdate) <= 1997
+               UNION ALL
+               SELECT * FROM orders WHERE year(o_orderdate) > 1997)
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ---- 2.7 scalar functions ------------------------------------------------
+
+  /** F1: string split + element access (ipynb:749; get_hist_vacancies.py:109). */
+  private val strSplit = Q("q_str_split",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        element_at(split(col("text"), " "), 1).as("first_tok"),
+        element_at(split(col("text"), " "), 2).as("second_tok"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, string_split(text, ' ')[1] AS first_tok,
+                   string_split(text, ' ')[2] AS second_tok
+            FROM documents ORDER BY doc_id"""))
+
+  /** F2: string join (get_vacancies.py:169 "\n".join). */
+  private val strJoin = Q("q_str_join",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("|", col("lang"), col("source"), col("n_chars").cast("string")).as("joined"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, concat_ws('|', lang, source, CAST(n_chars AS VARCHAR)) AS joined
+            FROM documents ORDER BY doc_id"""))
+
+  /** F4: cut_text truncate-with-ellipsis (feeder_postgres.py:105-109). */
+  private val strTrunc = Q("q_str_trunc",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(length(col("text")) >= 80,
+          concat(substring(col("text"), 1, 80), lit("...")))
+          .otherwise(col("text")).as("t"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CASE WHEN length(text) >= 80
+                                THEN substr(text, 1, 80) || '...'
+                                ELSE text END AS t
+            FROM documents ORDER BY doc_id"""))
+
+  /** F5: regex full-match + extract (feeder_postgres.py:213,226; ipynb cell 4). */
+  private val regex = Q("q_regex",
+    (s, dir) => table(s, dir, "documents")
+      .filter(col("source").rlike("^src[0-9]+$"))
+      .select(col("doc_id"),
+        regexp_extract(col("source"), "[0-9]+", 0).cast("int").as("src_num"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(regexp_extract(source, '[0-9]+', 0) AS INTEGER) AS src_num
+            FROM documents WHERE regexp_matches(source, '^src[0-9]+$')
+            ORDER BY doc_id"""))
+
+  /** F6: date parse/format (feeder_postgres.py:124-125,229). */
+  private val dateParse = Q("q_date_parse",
+    (s, dir) => table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   CAST(month(o_orderdate) AS INTEGER) AS mon
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** F7: date arithmetic (periodic_run.py:35-38 +7 days;
+    * metrics_exporter.py:123-127 day deltas). */
+  private val dateArith = Q("q_date_arith",
+    (s, dir) => table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 7), "yyyy-MM-dd").as("plus7"),
+        datediff(to_date(lit("2002-01-01")), col("o_orderdate")).as("days_left"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+                   CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_left
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** F9: array higher-order functions (ipynb:750,945 flatten/map/filter). */
+  private val arrayHof = Q("q_array_hof",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 4)).cast("long").as("n_long"),
+        array_max(transform(split(col("text"), " "), t => length(t))).cast("long").as("max_len"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), tok -> length(tok) > 4)) AS BIGINT) AS n_long,
+                   CAST(list_max(list_transform(string_split(text, ' '), tok -> length(tok))) AS BIGINT) AS max_len
+            FROM documents ORDER BY doc_id"""))
+
+  /** F11: JSON path access with null-safe flatten (get_vacancies.py:151-221). */
+  private val jsonFlatten = Q("q_json_flatten",
+    (s, dir) => table(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+            FROM events ORDER BY event_id"""))
+
+  /** 2.9 streaming semantics in batch form: 7-day tumbling-window counts
+    * (the reference's weekly snapshot cadence, periodic_run.py:12,35).
+    * Same groupBy(window(...)) works unchanged under readStream. */
+  private val windowTumbling = Q("q_window_tumbling",
+    (s, dir) => table(s, dir, "events")
+      .groupBy(window(col("ts"), "7 days").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"), col("n"))
+      .orderBy("wstart"),
+    Some("""SELECT strftime(time_bucket(INTERVAL 7 DAY, ts, TIMESTAMP '1970-01-01'),
+                            '%Y-%m-%d') AS wstart, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Flagship (SURVEY §3.2/§7.2): per-language top-10 tokens with
+    * pct-of-total — scan → explode → hash agg → two windows sharing one
+    * partitioning. Replaces the reference's 86 s per-year pandas loop. */
+  private val flagship = Q("q_flagship",
+    (s, dir) => {
+      val toks = TermFrequency.tokenize(table(s, dir, "documents"), "text", " ", Seq("lang"))
+      val counted = TermFrequency.counts(toks, Seq("lang"))
+      val pct = TermFrequency.withPct(counted, Seq("lang"))
+      TermFrequency.topK(pct, Seq("lang"), 10)
+        .select("lang", "token", "cnt", "pct", "rn")
+        .orderBy("lang", "rn")
+    },
+    Some("""WITH c AS (SELECT lang, token, count(*) AS cnt FROM
+                         (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS token
+                          FROM documents)
+                       WHERE token <> '' GROUP BY lang, token),
+                 p AS (SELECT lang, token, cnt,
+                              round(cnt * 100.0 / sum(cnt) OVER (PARTITION BY lang), 4) AS pct,
+                              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+                       FROM c)
+            SELECT lang, token, cnt, pct, rn FROM p WHERE rn <= 10
+            ORDER BY lang, rn"""))
+
+  val all: Seq[Q] = Seq(
+    scanPrune, limitPreview, incrDiscovery, hwmMax,
+    project, filterFlag, filterMember, dropna, fillna, emptyToNull,
+    filterExists, filterDate, coerce,
+    joinLeft, joinAnti, joinPivot, joinBroadcast, joinSemi,
+    countTokens, countFiltered, totalPerYear, pctWindow,
+    dedup, mergeStats, mergeScd,
+    sortDesc, topk, rankWindow, unionYears,
+    strSplit, strJoin, strTrunc, regex, dateParse, dateArith,
+    arrayHof, jsonFlatten, windowTumbling, flagship)
+}

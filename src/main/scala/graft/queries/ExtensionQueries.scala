@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.extensions.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data-pipeline operators (SURVEY.md §7.1 step 7) as
+  * driver-verifiable queries over `documents` / `embeddings`. Hashing is
+  * md5-based and arithmetic is double-exact so every query has a bitwise
+  * DuckDB oracle. */
+object ExtensionQueries {
+
+  private val dedupExact = Q("q_dedup_exact",
+    (s, dir) => Dedup.exact(table(s, dir, "documents")).orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
+            GROUP BY md5(lower(coalesce(text, ''))) ORDER BY keep_id"""))
+
+  private val dedupMinhash = Q("q_dedup_minhash",
+    (s, dir) => Dedup.minHashLsh(table(s, dir, "documents")).orderBy("a", "b"),
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+                            (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                             FROM documents)
+                          WHERE tok <> ''),
+                 sigs AS (SELECT doc_id, s.seed,
+                                 min(md5(CAST(s.seed AS VARCHAR) || ':' || tok)) AS mh
+                          FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+                          GROUP BY 1, 2),
+                 buckets AS (SELECT doc_id, CAST(floor(seed / 2) AS INTEGER) AS band,
+                                    md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+                             FROM sigs GROUP BY 1, 2)
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+            ORDER BY a, b"""))
+
+  private val dedupSimhash = Q("q_dedup_simhash",
+    (s, dir) => Dedup.simHash(table(s, dir, "documents")).orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+                            (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                             FROM documents)
+                          WHERE tok <> ''),
+                 bt AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM toks),
+                 bits AS (SELECT doc_id, bb.b,
+                                 (CASE substr(h4, CAST(floor(bb.b / 4) AS INTEGER) + 1, 1)
+                                    WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3
+                                    WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7
+                                    WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
+                                    WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
+                                  END) AS nib
+                          FROM bt CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+                 votes AS (SELECT doc_id, b,
+                                  sum(((nib >> CAST(b % 4 AS INTEGER)) & 1) * 2 - 1) AS s
+                           FROM bits GROUP BY 1, 2)
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+            FROM votes GROUP BY 1 ORDER BY doc_id"""))
+
+  private val dedupNgram = Q("q_dedup_ngram",
+    (s, dir) => Dedup.ngramJaccard(table(s, dir, "documents"), 0.3).orderBy("a", "b"),
+    Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM documents)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2)
+            SELECT inter.a, inter.b, round(i * 1.0 / (na.n + nb.n - i), 4) AS jac
+            FROM inter
+            JOIN sz na ON na.doc_id = inter.a
+            JOIN sz nb ON nb.doc_id = inter.b
+            WHERE i * 1.0 / (na.n + nb.n - i) >= 0.3
+            ORDER BY a, b"""))
+
+  /** Shared DuckDB scaffolding: embeddings with double-cast vectors and
+    * precomputed norms; dot products as ordered double folds to mirror
+    * Spark's aggregate() exactly. */
+  private val duckNorm =
+    """ne AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+       nn AS (SELECT vec_id, label, e,
+                     sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+              FROM ne)"""
+
+  private val dedupEmbcos = Q("q_dedup_embcos",
+    (s, dir) => Similarity.blockedCosinePairs(table(s, dir, "embeddings"), 20),
+    Some(s"""WITH $duckNorm
+             SELECT a.vec_id AS a, b.vec_id AS b,
+                    round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                                  i -> a.e[i] * b.e[i]))
+                          / (a.nrm * b.nrm), 4) AS cos_r
+             FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+             ORDER BY cos_r DESC, a, b LIMIT 20"""))
+
+  private val annCosine = Q("q_ann_cosine",
+    (s, dir) => Similarity.bruteForceTopK(table(s, dir, "embeddings"), 0L, 10),
+    Some(s"""WITH $duckNorm,
+             q AS (SELECT e AS qe, nrm AS qn FROM nn WHERE vec_id = 0)
+             SELECT vec_id,
+                    round(list_sum(list_transform(range(1, len(e) + 1),
+                                                  i -> e[i] * qe[i]))
+                          / (nrm * qn), 4) AS cos_r
+             FROM nn, q WHERE vec_id <> 0
+             ORDER BY cos_r DESC, vec_id LIMIT 10"""))
+
+  private val annIvf = Q("q_ann_ivf",
+    (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"), 0L, 10),
+    Some(s"""WITH $duckNorm,
+             q AS (SELECT label AS qlabel, e AS qe, nrm AS qn FROM nn WHERE vec_id = 0)
+             SELECT vec_id,
+                    round(list_sum(list_transform(range(1, len(e) + 1),
+                                                  i -> e[i] * qe[i]))
+                          / (nrm * qn), 4) AS cos_r
+             FROM nn, q WHERE vec_id <> 0 AND label = qlabel
+             ORDER BY cos_r DESC, vec_id LIMIT 10"""))
+
+  private val langId = Q("q_lang_id",
+    (s, dir) => TextAnalysis.languageId(table(s, dir, "documents")).orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                          FROM documents),
+                 m AS (SELECT doc_id, d.cand, count(*) AS cnt
+                       FROM toks JOIN (VALUES ('the','en'),('a','en'),('data','de'),('table','de'),
+                                              ('query','es'),('row','es'),('join','fr'),('merge','fr'),
+                                              ('spark','zh'),('batch','zh')) AS d(tok, cand)
+                         ON toks.tok = d.tok
+                       GROUP BY 1, 2),
+                 p AS (SELECT doc_id, cand,
+                              row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cand) AS rn
+                       FROM m)
+            SELECT doc.doc_id, coalesce(p.cand, 'und') AS pred
+            FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id AND p.rn = 1
+            ORDER BY doc.doc_id"""))
+
+  private val quality = Q("q_quality",
+    (s, dir) => TextAnalysis.qualityScore(table(s, dir, "documents")).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok,
+                   n_chars,
+                   round(list_sum(list_transform(string_split(coalesce(text, ''), ' '),
+                                                 t -> length(t))) * 1.0
+                         / len(string_split(coalesce(text, ''), ' ')), 4) AS avg_tok_len,
+                   round(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                         t -> t IN ('the', 'a'))) * 1.0
+                         / len(string_split(coalesce(text, ''), ' ')), 4) AS stop_ratio
+            FROM documents ORDER BY doc_id"""))
+
+  private val tokenCount = Q("q_token_count",
+    (s, dir) => TextAnalysis.tokenCounts(table(s, dir, "documents")).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS re_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  private val fingerprint = Q("q_fingerprint",
+    (s, dir) => TextAnalysis.fingerprint(table(s, dir, "documents")).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                         list_filter(string_split(lower(coalesce(text, '')), ' '), t -> t <> ''))), ' ')) AS fp
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbcos,
+    annCosine, annIvf,
+    langId, quality, tokenCount, fingerprint)
+}
