@@ -30,18 +30,21 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
 
-  /** MinHash + LSH banded candidate pairs.
+  /** MinHash + LSH banded candidate pairs over word-3-gram shingles.
     *
-    * signature_j(doc) = min over tokens of md5(j ":" token); `numHashes`
-    * signatures split into bands of `rowsPerBand`; docs sharing any band
-    * signature become a candidate pair. The self-join runs on
-    * (band, band_key) buckets — the classic LSH trick that replaces the
-    * O(n²) all-pairs comparison with a shuffle on bucket keys. */
-  def minHashLsh(documents: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val toks = tokensOf(documents)
-    val sigs = toks
+    * signature_j(doc) = min over shingles of md5(j ":" shingle);
+    * `numHashes` signatures split into bands of `rowsPerBand`; docs
+    * sharing any band signature become a candidate pair. The self-join
+    * runs on (band, band_key) buckets — the classic LSH trick that
+    * replaces the O(n²) all-pairs comparison with a shuffle on bucket
+    * keys. Shingles (not unigrams) keep the element universe large so
+    * only genuinely similar docs collide: with a small vocabulary,
+    * unigram token SETS are near-identical across documents and banding
+    * degenerates to all-pairs. */
+  def minHashLsh(documents: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = shingles(documents)
       .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("tok")).cast("binary")))
+      .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("s")).cast("binary")))
       .groupBy("doc_id", "seed").agg(min("h").as("mh"))
     val buckets = sigs
       .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))

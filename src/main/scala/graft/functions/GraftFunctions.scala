@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration surface for graft's native expressions.
+  *
+  * Two paths:
+  *  - [[GraftExtensions]] for session construction
+  *    (`.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`) — the
+  *    idiomatic cluster deployment;
+  *  - [[GraftFunctions.register]] for an already-built session (the
+  *    harness driver owns the SparkSession), after which
+  *    `call_function("synonym_lookup", ...)` / SQL `synonym_lookup(...)`
+  *    resolve.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "synonym_lookup" -> (args => SynonymLookup(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.SynonymLookup", name),
+        builder))
+    }
+}

@@ -506,6 +506,51 @@ object CoreQueries {
     Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
             FROM events ORDER BY event_id"""))
 
+  /** 2.10: synonym canonicalization via the native Catalyst expression
+    * [[graft.functions.SynonymLookup]] (codegen'd hash probe) instead of a
+    * broadcast join — same semantics as q_count_filtered, demonstrating
+    * the Expression surface inside the verified suite. */
+  private val synExpr = Q("q_syn_expr",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dict = typedlit(Map(
+        "spark" -> "engine", "fast" -> "quick", "slow" -> "sluggish",
+        "table" -> "relation", "row" -> "record", "data" -> "data",
+        "query" -> "query"))
+      val toks = TermFrequency.tokenize(
+        table(s, dir, "documents").filter(col("lang") === "en"), "text", " ", Seq())
+      toks.select(call_function("synonym_lookup", col("token"), dict).as("canon"))
+        .filter(col("canon").isNotNull)
+        .groupBy("canon").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("canon"))
+    },
+    Some("""SELECT canon, count(*) AS cnt
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+                  FROM documents WHERE lang = 'en') t
+            JOIN (VALUES ('spark','engine'),('fast','quick'),('slow','sluggish'),
+                         ('table','relation'),('row','record'),('data','data'),
+                         ('query','query')) AS syn(token, canon)
+              ON t.token = syn.token
+            GROUP BY canon ORDER BY cnt DESC, canon"""))
+
+  /** 2.10: distributed top-k via the typed Aggregator
+    * [[graft.functions.TopKByCount]] — the reference's Counter+sorted+slice
+    * (ipynb:751-754) with bounded per-task state. */
+  private val topkAgg = Q("q_topk_agg",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TermFrequency.tokenize(table(s, dir, "documents"), "text", " ", Seq())
+      val counted = TermFrequency.counts(toks, Seq())
+        .select(col("token"), col("cnt")).as[(String, Long)]
+      counted.select(new graft.functions.TopKByCount(10).toColumn)
+        .flatMap(identity)
+        .toDF("token", "cnt")
+        .orderBy(col("cnt").desc, col("token"))
+    },
+    Some("""SELECT token, count(*) AS cnt FROM
+              (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents)
+            WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 10"""))
+
   /** 2.9 streaming semantics in batch form: 7-day tumbling-window counts
     * (the reference's weekly snapshot cadence, periodic_run.py:12,35).
     * Same groupBy(window(...)) works unchanged under readStream. */
@@ -551,5 +596,5 @@ object CoreQueries {
     dedup, mergeStats, mergeScd,
     sortDesc, topk, rankWindow, unionYears,
     strSplit, strJoin, strTrunc, regex, dateParse, dateArith,
-    arrayHof, jsonFlatten, windowTumbling, flagship)
+    arrayHof, jsonFlatten, synExpr, topkAgg, windowTumbling, flagship)
 }

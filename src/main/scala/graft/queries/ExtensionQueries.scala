@@ -18,15 +18,17 @@ object ExtensionQueries {
 
   private val dedupMinhash = Q("q_dedup_minhash",
     (s, dir) => Dedup.minHashLsh(table(s, dir, "documents")).orderBy("a", "b"),
-    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
-                            (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
-                             FROM documents)
-                          WHERE tok <> ''),
-                 sigs AS (SELECT doc_id, s.seed,
-                                 min(md5(CAST(s.seed AS VARCHAR) || ':' || tok)) AS mh
-                          FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+    Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM documents)),
+                 sigs AS (SELECT doc_id, sd.seed,
+                                 min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
+                          FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
                           GROUP BY 1, 2),
-                 buckets AS (SELECT doc_id, CAST(floor(seed / 2) AS INTEGER) AS band,
+                 buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
                                     md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
                              FROM sigs GROUP BY 1, 2)
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
