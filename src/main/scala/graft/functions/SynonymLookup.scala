@@ -26,13 +26,13 @@ case class SynonymLookup(token: Expression, dict: Expression)
   override def children: Seq[Expression] = Seq(token, dict)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (token.dataType == StringType &&
-        dict.dataType == MapType(StringType, StringType) && dict.foldable) {
-      TypeCheckResult.TypeCheckSuccess
-    } else {
-      TypeCheckResult.TypeCheckFailure(
-        s"synonym_lookup expects (string, literal map<string,string>), got " +
-          s"(${token.dataType.simpleString}, ${dict.dataType.simpleString})")
+    (token.dataType, dict.dataType) match {
+      case (StringType, MapType(StringType, StringType, _)) if dict.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"synonym_lookup expects (string, literal map<string,string>), got " +
+            s"(${token.dataType.simpleString}, ${dict.dataType.simpleString}, foldable=${dict.foldable})")
     }
 
   override def dataType: DataType = StringType

@@ -38,14 +38,20 @@ object Normalize {
 
   /** Full normalization of an all-strings snapshot frame
     * ([[VacancySchema.csv]]) into the typed [[VacancySchema.raw]] shape:
-    * blank→NULL on every column, then per-type coercion. */
+    * blank→NULL on every column, then per-type coercion.
+    *
+    * The PK `id` casts STRICTLY (a malformed id must fail loudly, like the
+    * reference's `int(csv_row["id"])`, feeder_postgres.py:123); every other
+    * numeric uses try_cast so one malformed cell in 100 TB degrades to
+    * NULL instead of killing the job. */
   def normalizeSnapshot(csvFrame: DataFrame): DataFrame = {
     val cols = VacancySchema.raw.map { f =>
       val cleaned = emptyToNull(col(f.name))
       val typed = f.dataType match {
         case BooleanType => parseBool(cleaned)
         case TimestampType => parseTsStripTz(cleaned)
-        case LongType | IntegerType | DoubleType => cleaned.cast(f.dataType)
+        case LongType if f.name == "id" => cleaned.cast(LongType)
+        case LongType | IntegerType | DoubleType => cleaned.try_cast(f.dataType)
         case _ => cleaned
       }
       typed.as(f.name)

@@ -1,0 +1,116 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different text about spark engines here"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact: dup group keeps min id, counts members") {
+    val m = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 2L)       // docs 1+2 in one group keyed by keeper 1
+    assert(!m.contains(2L))
+    assert(m(3L) == 1L)
+  }
+
+  test("minhash LSH finds the identical pair, not unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs share fingerprint; unrelated differ") {
+    val m = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(4L))
+  }
+
+  test("ngram jaccard: identical pair scores 1.0; near pair in (0,1)") {
+    val m = Dedup.ngramJaccard(docs, 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) == 1.0)
+    val near = m((1L, 3L))
+    assert(near > 0.1 && near < 1.0)
+    assert(!m.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f), 0),
+    (1L, Array(1f, 0f, 0f), 0),     // identical to query
+    (2L, Array(0.9f, 0.1f, 0f), 0), // close
+    (3L, Array(0f, 1f, 0f), 0),     // orthogonal
+    (4L, Array(1f, 0f, 0f), 1)      // identical but other cell
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute force: identical vector ranks first with cos 1.0; query excluded") {
+    val top = Similarity.bruteForceTopK(vecs, 0L, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(top.head == ((1L, 1.0)))
+    assert(top.map(_._1).contains(4L))
+    assert(!top.map(_._1).contains(0L))
+    assert(top.map(_._1).indexOf(3L) == -1 || top.last._2 < 0.2)
+  }
+
+  test("ivf restricts to the query's cell") {
+    val ids = Similarity.ivfTopK(vecs, 0L, 10).as[(Long, Double)].collect().map(_._1)
+    assert(!ids.contains(4L)) // other label, even though identical
+    assert(ids.toSet == Set(1L, 2L, 3L))
+  }
+
+  test("blocked pairs: within-cell only, ordered by cosine desc") {
+    val pairs = Similarity.blockedCosinePairs(vecs, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.head._3 == 1.0)
+    assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(0L, 1L, 2L, 3L)) })
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the the the data table", "en", "s", 22L),
+    (2L, "query row query row query", "en", "s", 25L),
+    (3L, "zzz yyy xxx", "en", "s", 11L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("languageId: marker argmax with 'und' fallback") {
+    val m = TextAnalysis.languageId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en")  // 'the'×3 beats 'data'+'table' (de×2)
+    assert(m(2L) == "es")  // query+row are es markers
+    assert(m(3L) == "und")
+  }
+
+  test("qualityScore: hand-checked ratios") {
+    val r = TextAnalysis.qualityScore(docs).filter($"doc_id" === 1).head()
+    assert(r.getAs[Long]("n_tok") == 5L)
+    assert(r.getAs[Double]("stop_ratio") == 0.6)
+    assert(r.getAs[Double]("avg_tok_len") == 3.6) // (3+3+3+4+5)/5
+  }
+
+  test("tokenCounts: regex tokenizer splits punctuation-free text like whitespace") {
+    val r = TextAnalysis.tokenCounts(docs).filter($"doc_id" === 3).head()
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    assert(r.getAs[Long]("re_tokens") == 3L)
+  }
+
+  test("fingerprint is word-order and duplication insensitive") {
+    val two = Seq((1L, "b a c"), (2L, "a b c c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(two).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("extractFeatures: deterministic per payload, schema stable") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    def run() = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+      .map(f => (f.media_id, f.kind, f.n_bytes, f.checksum, f.feature.toSeq))
+    val f1raw = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(run().toSeq == run().toSeq)
+    val f1 = f1raw
+    assert(f1.forall(_.feature.length == 8))
+    assert(f1.forall(f => f.n_bytes >= 64 && f.n_bytes < 128))
+    // checksum is the byte histogram total weighted — equal payload bytes sum
+    assert(f1.forall(f => f.feature.sum == f.n_bytes.toFloat))
+  }
+
+  test("null payload yields zeroed features, not a crash") {
+    import spark.implicits._
+    val rows = Seq(Multimodal.MediaRow(99L, "image", null,
+      Multimodal.MediaMeta(None, None, None, None))).toDS()
+    val f = Multimodal.extractFeatures(rows).head()
+    assert(f.n_bytes == 0L && f.checksum == 0L && f.feature.forall(_ == 0f))
+  }
+
+  test("sampleFrames: only video rows, bounded frame count") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, 4)
+    val byId = frames.collect().groupBy(_.getLong(0))
+    assert(byId.keySet.forall(_ % 3 == 2)) // kind(video) = ids ≡ 2 mod 3
+    assert(byId.values.forall(_.length == 4))
+  }
+
+  test("media parquet roundtrip preserves payload bytes and metadata struct") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
+    val media = Multimodal.syntheticMedia(spark, 10).toDF()
+    Multimodal.writeMedia(media, dir, targetRecordsPerFile = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10)
+    import spark.implicits._
+    val orig = media.as[Multimodal.MediaRow].collect().sortBy(_.media_id)
+    val rt = back.as[Multimodal.MediaRow].collect().sortBy(_.media_id)
+    assert(orig.zip(rt).forall { case (a, b) =>
+      java.util.Arrays.equals(a.payload, b.payload) && a.meta == b.meta })
+  }
+}

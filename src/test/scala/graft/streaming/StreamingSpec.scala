@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.merge.ScdMerge
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("StatefulMerge tracks lifecycle per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulMerge.KeyObs]
+    val out = StatefulMerge(input.toDS())
+    val q = out.writeStream.format("memory").queryName("lifecycle")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StatefulMerge.KeyObs(1L, "2021-01-01", 100L),
+        StatefulMerge.KeyObs(2L, "2021-01-01", 200L))
+      q.processAllAvailable()
+      input.addData(
+        StatefulMerge.KeyObs(1L, "2021-01-08", 100L), // unchanged
+        StatefulMerge.KeyObs(2L, "2021-01-08", 201L)) // changed
+      q.processAllAvailable()
+      val rows = spark.table("lifecycle")
+        .as[StatefulMerge.KeyLifecycle].collect()
+        .groupBy(_.id).map { case (k, v) => k -> v.sortBy(_.updatedAt).last }
+      assert(rows(1L) == StatefulMerge.KeyLifecycle(1L, "2021-01-01", "2021-01-01", changed = false))
+      assert(rows(2L) == StatefulMerge.KeyLifecycle(2L, "2021-01-01", "2021-01-08", changed = true))
+    } finally q.stop()
+  }
+
+  test("file-source snapshot stream merges dated dirs through foreachBatch") {
+    val root = Files.createTempDirectory("snapstream").toFile.getAbsolutePath
+    val stateDir = Files.createTempDirectory("snapstate").toFile.getAbsolutePath
+
+    def writeSnapshot(date: String, rows: Seq[(Long, String)]): Unit = {
+      val dir = new java.io.File(s"$root/$date")
+      dir.mkdirs()
+      val f = new java.io.PrintWriter(s"$root/$date/result.csv")
+      f.println("id,name")
+      rows.foreach { case (id, n) => f.println(s"$id,$n") }
+      f.close()
+    }
+
+    writeSnapshot("2021-01-01", Seq(1L -> "a", 2L -> "b"))
+    writeSnapshot("2021-01-08", Seq(1L -> "a2"))
+
+    var state: DataFrame = ScdMerge.emptyState(
+      Seq.empty[(Long, String)].toDF("id", "name"))
+
+    val stream = SnapshotStream.readSnapshots(
+      spark, root, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+
+    val q = SnapshotStream.mergeSink(
+      stream.writeStream, "id", Seq("name"),
+      () => state, m => { state = m.cache(); m.count() }
+    ).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val m = state.select(col("id"), col("name"),
+        date_format(col("added_at"), "yyyy-MM-dd"),
+        date_format(col("updated_at"), "yyyy-MM-dd"),
+        date_format(col("removed_at"), "yyyy-MM-dd"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(m(1L) == (("a2", "2021-01-01", "2021-01-08", null)))
+    assert(m(2L) == (("b", "2021-01-01", "2021-01-01", "2021-01-08")))
+  }
+
+  test("weeklyCounts groups a watermarked stream into 7-day windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = input.toDF().toDF("ts", "v")
+    val counts = SnapshotStream.weeklyCounts(stream, "ts")
+    val q = counts.writeStream.format("memory").queryName("weekly")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2021-01-01 10:00:00"), 1L),
+        (java.sql.Timestamp.valueOf("2021-01-02 10:00:00"), 2L),
+        (java.sql.Timestamp.valueOf("2021-01-09 10:00:00"), 3L))
+      q.processAllAvailable()
+      // push watermark far forward to close the first windows
+      input.addData((java.sql.Timestamp.valueOf("2021-03-01 10:00:00"), 4L))
+      q.processAllAvailable()
+      val rows = spark.table("weekly")
+        .select(date_format(col("wstart"), "yyyy-MM-dd"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(rows("2020-12-31") == 2L)
+      assert(rows("2021-01-07") == 1L)
+    } finally q.stop()
+  }
+}
