@@ -76,13 +76,17 @@ object Dedup {
       .groupBy("doc_id").agg(sum("weighted").as("simhash"))
   }
 
-  /** Word-3-gram shingles per doc (distinct). */
+  /** Word-3-gram shingles per doc (distinct). The token array is
+    * materialized once per row before the positional transform (the
+    * repeated-`split` form defeats common-subexpression elimination
+    * inside lambda scopes). */
   def shingles(documents: DataFrame, n: Int = 3): DataFrame =
-    documents.select(col("doc_id"),
+    documents.select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"),
         explode(expr(
-          s"""CASE WHEN size(split(text, ' ')) >= $n
-              THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-                             i -> concat_ws(' ', slice(split(text, ' '), i, $n)))
+          s"""CASE WHEN size(arr) >= $n
+              THEN transform(sequence(1, size(arr) - ${n - 1}),
+                             i -> concat_ws(' ', slice(arr, i, $n)))
               ELSE array() END""")).as("s"))
       .distinct()
 
