@@ -30,11 +30,13 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.SynonymLookup", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.FuseExplodeCount)
+  }
 }

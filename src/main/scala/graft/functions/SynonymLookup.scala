@@ -39,6 +39,10 @@ case class SynonymLookup(token: Expression, dict: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "synonym_lookup"
 
+  /** A literal token folds at plan time (Catalyst ConstantFolding calls
+    * eval once and inlines the result). */
+  override def foldable: Boolean = token.foldable && dict.foldable
+
   @transient private lazy val table: java.util.HashMap[UTF8String, UTF8String] = {
     require(dict.foldable, "synonym_lookup dictionary must be a literal map")
     val m = new java.util.HashMap[UTF8String, UTF8String]()

@@ -40,6 +40,16 @@ class SynonymLookupSpec extends SparkSpec {
     assert(codegen.toSeq == Seq("python", null))
   }
 
+  test("literal token constant-folds at plan time") {
+    GraftFunctions.register(spark)
+    val df = spark.range(1)
+      .select(call_function("synonym_lookup", lit("py"), dict).as("c"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[SynonymLookup])),
+      optimized.toString) // folded to Literal("python")
+    assert(df.as[String].head() == "python")
+  }
+
   test("non-foldable dictionary is rejected at analysis") {
     GraftFunctions.register(spark)
     intercept[Exception] {
