@@ -76,6 +76,31 @@ object Dedup {
       .groupBy("doc_id").agg(sum("weighted").as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs: band the 16-bit fingerprint into
+    * two 8-bit buckets (a pair within hamming distance ≤ 8 must agree on
+    * at least one band), bucket-join the bands, then filter candidates by
+    * exact hamming distance. Same LSH shape as [[minHashLsh]]: the
+    * all-pairs comparison never materializes. */
+  def simHashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(documents)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("i"), (col("simhash").bitwiseAND(255)).as("bv")),
+          struct(lit(1).as("i"), expr("shiftright(simhash, 8)").as("bv")))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.i"), col("band.bv"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   /** Word-3-gram shingles per doc (distinct). The token array is
     * materialized once per row before the positional transform (the
     * repeated-`split` form defeats common-subexpression elimination

@@ -62,6 +62,18 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-cell centroids, element-wise: posexplode → per-(cell, position)
+    * mean → the IVF "train" step. One shuffle on (label, pos); the
+    * re-assembly into vectors (collect_list sorted by pos) stays inside
+    * the same partitioning. */
+  def centroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      // + 0.0 normalizes IEEE signed zero (-0.0 → 0.0) so the rounded
+      // value stringifies identically everywhere
+      .agg((round(avg(col("col")), 3) + 0.0).as("c"))
+
   /** Top near-duplicate candidate pairs, blocked by cell: per-cell
     * self-join (never the full cross product), cosine on double-cast
     * vectors, global top-`k` by rounded cosine with (a, b) tiebreak. */

@@ -36,27 +36,47 @@ object ExtensionQueries {
               ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
             ORDER BY a, b"""))
 
+  /** Shared DuckDB CTE chain computing the 16-bit simhash per doc. */
+  private val simhashCtes =
+    """toks AS (SELECT DISTINCT doc_id, tok FROM
+                  (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                   FROM documents)
+                WHERE tok <> ''),
+       bt AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM toks),
+       bits AS (SELECT doc_id, bb.b,
+                       (CASE substr(h4, CAST(floor(bb.b / 4) AS INTEGER) + 1, 1)
+                          WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3
+                          WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7
+                          WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
+                          WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
+                        END) AS nib
+                FROM bt CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+       votes AS (SELECT doc_id, b,
+                        sum(((nib >> CAST(b % 4 AS INTEGER)) & 1) * 2 - 1) AS s
+                 FROM bits GROUP BY 1, 2),
+       sh AS (SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+              FROM votes GROUP BY 1)"""
+
   private val dedupSimhash = Q("q_dedup_simhash",
     (s, dir) => Dedup.simHash(table(s, dir, "documents")).orderBy("doc_id"),
-    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
-                            (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
-                             FROM documents)
-                          WHERE tok <> ''),
-                 bt AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM toks),
-                 bits AS (SELECT doc_id, bb.b,
-                                 (CASE substr(h4, CAST(floor(bb.b / 4) AS INTEGER) + 1, 1)
-                                    WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3
-                                    WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7
-                                    WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
-                                    WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
-                                  END) AS nib
-                          FROM bt CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
-                 votes AS (SELECT doc_id, b,
-                                  sum(((nib >> CAST(b % 4 AS INTEGER)) & 1) * 2 - 1) AS s
-                           FROM bits GROUP BY 1, 2)
-            SELECT doc_id,
-                   sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
-            FROM votes GROUP BY 1 ORDER BY doc_id"""))
+    Some(s"WITH $simhashCtes SELECT doc_id, simhash FROM sh ORDER BY doc_id"))
+
+  /** SimHash LSH: 8-bit band buckets then exact hamming filter. */
+  private val dedupSimhashPairs = Q("q_dedup_simhash_pairs",
+    (s, dir) => Dedup.simHashPairs(table(s, dir, "documents")).orderBy("a", "b"),
+    Some(s"""WITH $simhashCtes,
+             bands AS (SELECT doc_id, simhash, bi.i,
+                              CASE WHEN bi.i = 0 THEN simhash & 255
+                                   ELSE simhash >> 8 END AS bv
+                       FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS i) bi),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                             x.simhash AS ha, y.simhash AS hb
+                      FROM bands x JOIN bands y
+                        ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
+             SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+             ORDER BY a, b"""))
 
   private val dedupNgram = Q("q_dedup_ngram",
     (s, dir) => Dedup.ngramJaccard(table(s, dir, "documents"), 0.3).orderBy("a", "b"),
@@ -120,6 +140,37 @@ object ExtensionQueries {
              FROM nn, q WHERE vec_id <> 0 AND label = qlabel
              ORDER BY cos_r DESC, vec_id LIMIT 10"""))
 
+  /** IVF training step: per-cell element-wise centroids. */
+  private val centroidsQ = Q("q_centroids",
+    (s, dir) => Similarity.centroids(table(s, dir, "embeddings"))
+      .orderBy("label", "pos"),
+    Some("""SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 3) + 0.0 AS c FROM
+              (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS pos FROM embeddings)
+            GROUP BY 1, 2 ORDER BY label, pos"""))
+
+  /** As-of join (SURVEY §7.4 extension): each purchase matched to the
+    * user's latest view at-or-before it — [[graft.operators.AsOfJoin]]'s
+    * union-and-carry-forward plan vs DuckDB's native ASOF JOIN. */
+  private val asofJoin = Q("q_asof_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_eid"))
+      graft.operators.AsOfJoin.leftAsOf(
+          probe, build, Seq("user_id"), "ts", "ts",
+          Map("view_eid" -> "last_view_id"))
+        .select("event_id", "last_view_id")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, v.event_id AS last_view_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
+            ORDER BY p.event_id"""))
+
   private val langId = Q("q_lang_id",
     (s, dir) => TextAnalysis.languageId(table(s, dir, "documents")).orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
@@ -165,7 +216,7 @@ object ExtensionQueries {
             FROM documents ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbcos,
-    annCosine, annIvf,
+    dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
+    dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
     langId, quality, tokenCount, fingerprint)
 }
