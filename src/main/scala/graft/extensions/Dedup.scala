@@ -42,16 +42,26 @@ object Dedup {
     * unigram token SETS are near-identical across documents and banding
     * degenerates to all-pairs. */
   def minHashLsh(documents: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    // ONE shuffle: shingle sets collapse to a per-doc row, then the whole
+    // signature (numHashes mins) and every band key are computed in a
+    // single narrow projection via higher-order functions — no
+    // per-(doc, seed) or per-(doc, band) aggregations.
     val sigs = shingles(documents)
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("s")).cast("binary")))
-      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
-    val buckets = sigs
-      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(sort_array(collect_list(struct(col("seed"), col("mh")))).as("sm"))
-      .select(col("doc_id"), col("band"),
-        md5(concat_ws("|", col("sm.mh")).cast("binary")).as("bkey"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("sh"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+                      seed -> array_min(transform(sh, s -> md5(CAST(concat(CAST(seed AS STRING), ':', s) AS BINARY)))))""")
+        .as("sig"))
+    val buckets = sigs.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${numBands - 1}),
+                        b -> named_struct(
+                          'band', CAST(b AS INT),
+                          'bkey', md5(CAST(concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS BINARY))))"""))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
     buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
