@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath
+    def write(date: String, rows: Seq[String]): Unit = {
+      new java.io.File(s"$r/$date").mkdirs()
+      val w = new java.io.PrintWriter(s"$r/$date/result.csv")
+      w.println("id,name,archived")
+      rows.foreach(w.println)
+      w.close()
+    }
+    write("2021-01-01", Seq("1,a,False", "2,b,False"))
+    write("2021-01-08", Seq("1,a2,False"))
+    write("2021-01-15", Seq("3,,True"))
+    new java.io.File(s"$r/not-a-date").mkdirs()
+    r
+  }
+
+  private def load() =
+    spark.read.format("graft.sources.SnapshotSource")
+      .option("path", root).load()
+
+  test("schema inference: CSV header columns + snapshot_date") {
+    assert(load().schema.fieldNames.toSeq ==
+      Seq("id", "name", "archived", "snapshot_date"))
+    assert(load().schema("snapshot_date").dataType.typeName == "date")
+  }
+
+  test("reads all snapshots with dir-derived dates; empty cells → null") {
+    val rows = load()
+      .select($"id", $"name", date_format($"snapshot_date", "yyyy-MM-dd"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("1", "a", "2021-01-01"), ("2", "b", "2021-01-01"),
+      ("1", "a2", "2021-01-08"), ("3", null, "2021-01-15")))
+  }
+
+  test("snapshot_date predicate prunes directories at planning time") {
+    val df = load().filter($"snapshot_date" > lit("2021-01-01").cast("date"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.partitions.size == 2) // 01-08 and 01-15; 01-01 never opened
+    assert(df.count() == 2)
+
+    val one = load().filter($"snapshot_date" === lit("2021-01-08").cast("date"))
+    val scan1 = one.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan1.partitions.size == 1)
+    assert(one.select("name").as[String].head() == "a2")
+  }
+
+  test("column pruning reaches the reader") {
+    val df = load().select("name")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("name"))
+    assert(df.as[String].collect().toSet == Set("a", "a2", "b", null))
+  }
+
+  test("feeds the normal ingest path (filter + normalize downstream)") {
+    val live = load().filter(lower($"archived") =!= "true")
+    assert(live.count() == 3)
+  }
+}
