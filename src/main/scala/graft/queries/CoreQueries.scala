@@ -455,6 +455,56 @@ object CoreQueries {
                    rank() OVER (PARTITION BY yr ORDER BY cnt DESC, pri) AS rnk
             FROM b ORDER BY yr, rnk, pri"""))
 
+  /** §2.8 extension: sliding-frame moving average (rowsBetween) — the
+    * trend-smoothing variant of the reference's weekly series. */
+  private val movingAvg = Q("q_moving_avg",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily.withColumn("ma7", round(avg("cnt").over(w), 4)).orderBy("day")
+    },
+    Some("""WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS cnt
+                       FROM orders GROUP BY 1)
+            SELECT day, cnt,
+                   round(avg(cnt) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+            FROM d ORDER BY day"""))
+
+  /** §2.8 extension: lag/lead — day-over-day delta of the daily series. */
+  private val lagLead = Q("q_lag_lead",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day")
+      daily
+        .withColumn("delta", col("cnt") - lag("cnt", 1).over(w))
+        .withColumn("next_cnt", lead("cnt", 1).over(w))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS cnt
+                       FROM orders GROUP BY 1)
+            SELECT day, cnt,
+                   cnt - lag(cnt, 1) OVER (ORDER BY day) AS delta,
+                   lead(cnt, 1) OVER (ORDER BY day) AS next_cnt
+            FROM d ORDER BY day"""))
+
+  /** §7.4 extension: exact interpolated percentiles per group (the
+    * approx_percentile sketch is the 100 TB variant; the exact form is
+    * oracle-comparable). */
+  private val percentile = Q("q_percentile",
+    (s, dir) => table(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy("pri"),
+    Some("""SELECT o_orderpriority AS pri,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** U1: union of year partitions (the multi-year scan, ipynb:800-806).
     * unionByName is plan-level — no extra pass over either side. */
   private val unionYears = Q("q_union_years",
@@ -654,7 +704,7 @@ object CoreQueries {
     countTokens, countFiltered, totalPerYear, pctWindow,
     cube, rollup, countDistinct, unixTs, formatString,
     dedup, mergeStats, mergeScd,
-    sortDesc, topk, rankWindow, unionYears,
+    sortDesc, topk, rankWindow, movingAvg, lagLead, percentile, unionYears,
     strSplit, strJoin, strTrunc, regex, dateParse, dateArith,
     arrayHof, jsonFlatten, synExpr, topkAgg, windowTumbling, flagship)
 }
