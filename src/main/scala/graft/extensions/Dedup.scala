@@ -71,20 +71,25 @@ object Dedup {
   }
 
   /** 16-bit SimHash fingerprint per document: per-bit vote over the first
-    * 16 bits of each distinct token's md5. Narrow ops + one aggregation —
-    * tokens never leave their partitions until the per-doc combine. */
-  def simHash(documents: DataFrame): DataFrame = {
-    val toks = tokensOf(documents)
-      .withColumn("h4", substring(md5(col("tok").cast("binary")), 1, 4))
-    val bits = toks
-      .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .withColumn("nib", expr("CAST(conv(substr(h4, CAST(floor(b / 4) AS INT) + 1, 1), 16, 10) AS INT)"))
-      .withColumn("contrib", expr("(shiftright(nib, CAST(b % 4 AS INT)) % 2) * 2 - 1"))
-    bits.groupBy("doc_id", "b").agg(sum("contrib").as("s"))
-      .withColumn("outbit", when(col("s") > 0, 1L).otherwise(0L))
-      .withColumn("weighted", expr("outbit * shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-      .groupBy("doc_id").agg(sum("weighted").as("simhash"))
-  }
+    * 16 bits of each distinct token's md5.
+    *
+    * ONE shuffle: the distinct token set collapses to a per-doc row, the
+    * token hashes are computed once each, and all 16 bit-votes + the final
+    * fingerprint assembly run as nested higher-order folds in a single
+    * narrow projection (the per-(doc, bit) exploded formulation costs two
+    * more shuffles and 16× the rows). */
+  def simHash(documents: DataFrame): DataFrame =
+    tokensOf(documents)
+      .groupBy("doc_id").agg(collect_set(col("tok")).as("toks"))
+      .select(col("doc_id"),
+        expr("transform(toks, t -> substr(md5(CAST(t AS BINARY)), 1, 4))").as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc +
+             CASE WHEN aggregate(hs, 0, (a, h) ->
+                    a + (shiftright(CAST(conv(substr(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT),
+                                    CAST(b % 4 AS INT)) % 2) * 2 - 1) > 0
+                  THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+                  ELSE CAST(0 AS BIGINT) END)""").as("simhash"))
 
   /** SimHash near-dup candidate pairs: band the 16-bit fingerprint into
     * two 8-bit buckets (a pair within hamming distance ≤ 8 must agree on
@@ -98,17 +103,17 @@ object Dedup {
           struct(lit(0).as("i"), (col("simhash").bitwiseAND(255)).as("bv")),
           struct(lit(1).as("i"), expr("shiftright(simhash, 8)").as("bv")))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.i"), col("band.bv"))
-    val cand = bands.alias("x")
+    // hamming filter BEFORE distinct: the cheap bit_count prunes most
+    // candidates while they are still join output, so the distinct
+    // (a shuffle) only deduplicates surviving pairs
+    bands.alias("x")
       .join(bands.alias("y"),
         col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      .distinct()
   }
 
   /** Word-3-gram shingles per doc (distinct). The token array is
