@@ -70,38 +70,46 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash fingerprint per document: per-bit vote over the first
-    * 16 bits of each distinct token's md5.
+  /** 64-bit SimHash fingerprint per document: per-bit vote over the first
+    * 64 bits of each distinct word-3-gram shingle's md5. Shingles, not
+    * unigram tokens, for the same reason as [[minHashLsh]]: with a small
+    * shared vocabulary every doc's token SET is near-identical, so a
+    * token-set fingerprint is degenerate (at sf0.1 it put ~1M pairs
+    * within hamming ≤ 3); shingle sets keep fingerprints discriminative.
     *
     * ONE shuffle: the distinct token set collapses to a per-doc row, the
     * token hashes are computed once each, and all 16 bit-votes + the final
     * fingerprint assembly run as nested higher-order folds in a single
     * narrow projection (the per-(doc, bit) exploded formulation costs two
     * more shuffles and 16× the rows). */
-  def simHash(documents: DataFrame): DataFrame =
-    tokensOf(documents)
-      .groupBy("doc_id").agg(collect_set(col("tok")).as("toks"))
-      .select(col("doc_id"),
-        expr("transform(toks, t -> substr(md5(CAST(t AS BINARY)), 1, 4))").as("hs"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc +
-             CASE WHEN aggregate(hs, 0, (a, h) ->
-                    a + (shiftright(CAST(conv(substr(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT),
-                                    CAST(b % 4 AS INT)) % 2) * 2 - 1) > 0
-                  THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
-                  ELSE CAST(0 AS BIGINT) END)""").as("simhash"))
+  def simHash(documents: DataFrame): DataFrame = {
+    // exploded (not HOF-fold) formulation: higher-order lambdas are
+    // interpreted, but explode + arithmetic + two tiny hash aggregations
+    // all stay inside whole-stage codegen — measurably faster despite the
+    // 64× row blowup between the two shuffles
+    val feats = shingles(documents)
+      .withColumn("h16", substring(md5(col("s").cast("binary")), 1, 16))
+    val bits = feats
+      .withColumn("b", explode(sequence(lit(0), lit(63))))
+      .withColumn("nib", expr("CAST(conv(substr(h16, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT)"))
+      .withColumn("contrib", expr("(shiftright(nib, CAST(b % 4 AS INT)) % 2) * 2 - 1"))
+    bits.groupBy("doc_id", "b").agg(sum("contrib").as("v"))
+      .withColumn("weighted",
+        expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("doc_id").agg(sum("weighted").as("simhash"))
+  }
 
-  /** SimHash near-dup candidate pairs: band the 16-bit fingerprint into
-    * two 8-bit buckets (a pair within hamming distance ≤ 8 must agree on
-    * at least one band), bucket-join the bands, then filter candidates by
+  /** SimHash near-dup candidate pairs: band the 64-bit fingerprint into
+    * two 32-bit buckets (a pair within hamming distance ≤ 32 must agree
+    * on at least one band), bucket-join the bands, then filter candidates by
     * exact hamming distance. Same LSH shape as [[minHashLsh]]: the
     * all-pairs comparison never materializes. */
   def simHashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simHash(documents)
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(array(
-          struct(lit(0).as("i"), (col("simhash").bitwiseAND(255)).as("bv")),
-          struct(lit(1).as("i"), expr("shiftright(simhash, 8)").as("bv")))).as("band"))
+          struct(lit(0).as("i"), (col("simhash").bitwiseAND(4294967295L)).as("bv")),
+          struct(lit(1).as("i"), expr("shiftright(simhash, 32)").as("bv")))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.i"), col("band.bv"))
     // hamming filter BEFORE distinct: the cheap bit_count prunes most
     // candidates while they are still join output, so the distinct

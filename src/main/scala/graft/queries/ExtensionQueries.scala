@@ -36,13 +36,15 @@ object ExtensionQueries {
               ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
             ORDER BY a, b"""))
 
-  /** Shared DuckDB CTE chain computing the 16-bit simhash per doc. */
+  /** Shared DuckDB CTE chain computing the 64-bit shingle simhash. */
   private val simhashCtes =
-    """toks AS (SELECT DISTINCT doc_id, tok FROM
-                  (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
-                   FROM documents)
-                WHERE tok <> ''),
-       bt AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM toks),
+    """feats AS (SELECT DISTINCT doc_id, s FROM
+                   (SELECT doc_id,
+                           unnest(list_transform(
+                             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                    FROM documents)),
+       bt AS (SELECT doc_id, substr(md5(s), 1, 16) AS h4 FROM feats),
        bits AS (SELECT doc_id, bb.b,
                        (CASE substr(h4, CAST(floor(bb.b / 4) AS INTEGER) + 1, 1)
                           WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3
@@ -50,25 +52,35 @@ object ExtensionQueries {
                           WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
                           WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
                         END) AS nib
-                FROM bt CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+                FROM bt CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb),
        votes AS (SELECT doc_id, b,
                         sum(((nib >> CAST(b % 4 AS INTEGER)) & 1) * 2 - 1) AS s
                  FROM bits GROUP BY 1, 2),
+       -- assemble the signed 64-bit value from 32-bit halves: DuckDB
+       -- rejects 1 << 63 as overflow, so the high half is shifted into
+       -- the sign range arithmetically
+       halves AS (SELECT doc_id,
+                         sum(CASE WHEN s > 0 AND b < 32
+                                  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS lo,
+                         sum(CASE WHEN s > 0 AND b >= 32
+                                  THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS hi
+                  FROM votes GROUP BY 1),
        sh AS (SELECT doc_id,
-                     sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
-              FROM votes GROUP BY 1)"""
+                     (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+                       * 4294967296 + lo AS simhash
+              FROM halves)"""
 
   private val dedupSimhash = Q("q_dedup_simhash",
     (s, dir) => Dedup.simHash(table(s, dir, "documents")).orderBy("doc_id"),
     Some(s"WITH $simhashCtes SELECT doc_id, simhash FROM sh ORDER BY doc_id"))
 
-  /** SimHash LSH: 8-bit band buckets then exact hamming filter. */
+  /** SimHash LSH: 32-bit band buckets then exact hamming filter. */
   private val dedupSimhashPairs = Q("q_dedup_simhash_pairs",
     (s, dir) => Dedup.simHashPairs(table(s, dir, "documents")).orderBy("a", "b"),
     Some(s"""WITH $simhashCtes,
              bands AS (SELECT doc_id, simhash, bi.i,
-                              CASE WHEN bi.i = 0 THEN simhash & 255
-                                   ELSE simhash >> 8 END AS bv
+                              CASE WHEN bi.i = 0 THEN simhash & 4294967295
+                                   ELSE simhash >> 32 END AS bv
                        FROM sh CROSS JOIN (SELECT unnest(range(0, 2)) AS i) bi),
              cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                              x.simhash AS ha, y.simhash AS hb
