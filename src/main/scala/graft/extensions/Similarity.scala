@@ -1,6 +1,7 @@
 package graft.extensions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]) —
@@ -73,6 +74,55 @@ object Similarity {
       // + 0.0 normalizes IEEE signed zero (-0.0 → 0.0) so the rounded
       // value stringifies identically everywhere
       .agg((round(avg(col("col")), 3) + 0.0).as("c"))
+
+  /** Full IVF search: assign every vector to its nearest centroid (the
+    * "index build" — one broadcast join against the centroid table), then
+    * answer a query by scanning only the `nprobe` cells whose centroids
+    * are closest to the query vector. At 100 TB the cell assignment is a
+    * write-time partition column and this becomes partition pruning; here
+    * it is a runtime filter on the assigned cell ids.
+    *
+    * @param centroidVectors (cell_id, centroid array<double>) — e.g. from
+    *                        [[centroids]] re-assembled, or k-means output
+    */
+  def ivfSearch(
+      embeddings: DataFrame,
+      centroidVectors: DataFrame,
+      queryId: Long,
+      k: Int,
+      nprobe: Int): DataFrame = {
+
+    val e = withNorm(embeddings)
+    val c = centroidVectors.select(col("cell_id"), asDouble(col("centroid")).as("ce"))
+      .withColumn("cnrm", norm(col("ce")))
+
+    // index build: nearest centroid per vector (broadcast the centroids)
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell_id"))
+    val assigned = e.crossJoin(broadcast(c))
+      .withColumn("csim", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell_id"))
+
+    // query: nprobe closest cells, then exact search within them
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    val probeCells = c.crossJoin(broadcast(q))
+      .withColumn("csim", dot(col("ce"), col("qe")) / (col("cnrm") * col("qn")))
+      .orderBy(col("csim").desc, col("cell_id"))
+      .limit(nprobe)
+      .select("cell_id")
+
+    assigned
+      .join(broadcast(probeCells), "cell_id") // ≈ partition pruning at scale
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_r", round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4))
+      .select("vec_id", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
 
   /** Top near-duplicate candidate pairs, blocked by cell: per-cell
     * self-join (never the full cross product), cosine on double-cast

@@ -78,6 +78,43 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class IvfSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Well-separated synthetic clusters: cell c points near axis c. */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(1)
+    (0 until 300).map { i =>
+      val cell = i % 3
+      val base = Array.fill(8)(0f)
+      base(cell) = 1f
+      val noisy = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i.toLong, noisy, cell)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  private lazy val cents = Seq(
+    (0, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    (1, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    (2, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))).toDF("cell_id", "centroid")
+
+  test("ivfSearch with nprobe=1 matches brute force on separated clusters") {
+    val brute = Similarity.bruteForceTopK(clustered, 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val ivf = Similarity.ivfSearch(clustered, cents, 0L, 10, nprobe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(ivf == brute) // query's cluster holds all true neighbors
+  }
+
+  test("nprobe widens the candidate set monotonically") {
+    def hits(nprobe: Int) =
+      Similarity.ivfSearch(clustered, cents, 0L, 1000, nprobe)
+        .count()
+    assert(hits(1) < hits(2) && hits(2) < hits(3))
+    assert(hits(3) == 299) // all cells probed = full scan minus query
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
