@@ -83,20 +83,15 @@ object Dedup {
     * narrow projection (the per-(doc, bit) exploded formulation costs two
     * more shuffles and 16× the rows). */
   def simHash(documents: DataFrame): DataFrame = {
-    // exploded (not HOF-fold) formulation: higher-order lambdas are
-    // interpreted, but explode + arithmetic + two tiny hash aggregations
-    // all stay inside whole-stage codegen — measurably faster despite the
-    // 64× row blowup between the two shuffles
-    val feats = shingles(documents)
-      .withColumn("h16", substring(md5(col("s").cast("binary")), 1, 16))
-    val bits = feats
-      .withColumn("b", explode(sequence(lit(0), lit(63))))
-      .withColumn("nib", expr("CAST(conv(substr(h16, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT)"))
-      .withColumn("contrib", expr("(shiftright(nib, CAST(b % 4 AS INT)) % 2) * 2 - 1"))
-    bits.groupBy("doc_id", "b").agg(sum("contrib").as("v"))
-      .withColumn("weighted",
-        expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy("doc_id").agg(sum("weighted").as("simhash"))
+    // ONE shuffle (the per-doc shingle collect); the whole 64-bit
+    // fingerprint is computed per row by the native SimHash64 expression
+    // — no 64× bit explode, no per-(doc, bit) aggregation. The DuckDB
+    // oracle of q_dedup_simhash pins its equivalence to the declarative
+    // md5-hex construction.
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    shingles(documents)
+      .groupBy("doc_id").agg(collect_set(col("s")).as("feats"))
+      .select(col("doc_id"), call_function("simhash64", col("feats")).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit fingerprint into

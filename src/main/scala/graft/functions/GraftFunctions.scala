@@ -19,7 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "synonym_lookup" -> (args => SynonymLookup(args(0), args(1))))
+    "synonym_lookup" -> (args => SynonymLookup(args(0), args(1))),
+    "simhash64" -> (args => SimHash64(args(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
