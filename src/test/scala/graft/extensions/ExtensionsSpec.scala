@@ -106,6 +106,24 @@ class IvfSearchSpec extends SparkSpec {
     assert(ivf == brute) // query's cluster holds all true neighbors
   }
 
+  test("KMeans.fit recovers separated clusters; fitted centroids drive ivfSearch") {
+    val cents = KMeans.fit(clustered, k = 3, iters = 3)
+    assert(cents.count() == 3)
+    // purity: every vector's fitted cell maps 1:1 to its true label
+    val purity = KMeans.assign(clustered, cents)
+      .join(clustered.select($"vec_id", $"label"), "vec_id")
+      .groupBy("cell_id", "label").count()
+      .groupBy("cell_id").count() // distinct labels per fitted cell
+      .select(max("count")).as[Long].head()
+    assert(purity == 1L)
+
+    val brute = Similarity.bruteForceTopK(clustered, 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val ivf = Similarity.ivfSearch(clustered, cents, 0L, 10, nprobe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(ivf == brute)
+  }
+
   test("nprobe widens the candidate set monotonically") {
     def hits(nprobe: Int) =
       Similarity.ivfSearch(clustered, cents, 0L, 1000, nprobe)

@@ -23,6 +23,24 @@ class LayoutSkewSpec extends SparkSpec {
     assert(pruned.select("v").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("bucketed tables join with NO shuffle exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "vb")
+    Layout.writeBucketed(a, "bkt_a", "k", 4)
+    Layout.writeBucketed(b, "bkt_b", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force SMJ
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, j.queryExecution.executedPlan.toString)
+      assert(j.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedCount equals plain groupBy count on a skewed frame") {
     val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "b")).toDF("k")
     val salted = Skew.saltedCount(df, $"k", parts = 8)

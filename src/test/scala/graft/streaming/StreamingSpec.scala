@@ -74,6 +74,32 @@ class StreamingSpec extends SparkSpec {
     assert(m(2L) == (("b", "2021-01-01", "2021-01-01", "2021-01-08")))
   }
 
+  test("StatefulMerge runs on the RocksDB state store (40M-key path)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StatefulMerge.KeyObs]
+      val q = StatefulMerge(input.toDS()).writeStream.format("memory")
+        .queryName("rocks_lifecycle").outputMode("append").start()
+      try {
+        input.addData(StatefulMerge.KeyObs(9L, "2021-01-01", 1L))
+        q.processAllAvailable()
+        input.addData(StatefulMerge.KeyObs(9L, "2021-01-08", 2L))
+        q.processAllAvailable()
+        val last = spark.table("rocks_lifecycle")
+          .as[StatefulMerge.KeyLifecycle].collect().maxBy(_.updatedAt)
+        assert(last == StatefulMerge.KeyLifecycle(9L, "2021-01-01", "2021-01-08", changed = true))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("weeklyCounts groups a watermarked stream into 7-day windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
