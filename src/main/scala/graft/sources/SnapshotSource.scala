@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,10 +47,12 @@ class SnapshotSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = options.get("path")
     val dirs = SnapshotSource.listSnapshotDirs(root)
-    val header = dirs.headOption.map { d =>
-      val src = scala.io.Source.fromFile(s"$root/$d/result.csv")
-      try src.getLines().next() finally src.close()
-    }.getOrElse(throw new IllegalArgumentException(s"no snapshot dirs under $root"))
+    val header = dirs.headOption
+      .flatMap(d => SnapshotSource.listCsvFiles(s"$root/$d").headOption)
+      .map { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().next() finally src.close()
+      }.getOrElse(throw new IllegalArgumentException(s"no snapshot dirs under $root"))
     StructType(header.split(",").map(c => StructField(c, StringType)) :+
       StructField("snapshot_date", DateType))
   }
@@ -69,15 +72,23 @@ object SnapshotSource {
 
   private[sources] def daysSinceEpoch(date: String): Int =
     java.time.LocalDate.parse(date).toEpochDay.toInt
+
+  private[sources] def listCsvFiles(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".csv"))
+      .map(_.getAbsolutePath).sorted.toSeq
 }
 
-class SnapshotTable(root: String, schema: StructType) extends Table with SupportsRead {
+class SnapshotTable(root: String, schema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"snapshots($root)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, schema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapshotWriteBuilder(root, info)
 }
 
 class SnapshotScanBuilder(root: String, fullSchema: StructType)
@@ -127,7 +138,8 @@ class SnapshotScan(
   override def planInputPartitions(): Array[InputPartition] =
     SnapshotSource.listSnapshotDirs(root)
       .filter(matches) // ← directory-level pruning, before any file opens
-      .map(d => SnapshotPartition(s"$root/$d/result.csv", d): InputPartition)
+      .flatMap(d => SnapshotSource.listCsvFiles(s"$root/$d")
+        .map(f => SnapshotPartition(f, d): InputPartition))
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -169,4 +181,82 @@ class SnapshotReaderFactory(fullSchema: StructType, required: StructType)
       override def close(): Unit = src.close()
     }
   }
+}
+
+/** Write path: publish ONE dated snapshot dir per job with the
+  * reference's commit protocol — tasks write part files into a hidden
+  * staging dir; job commit atomically renames the staging dir to
+  * `root/<snapshotDate>/` (periodic_run.py:42-63 tempdir + os.rename).
+  * A crashed job leaves only a `.staging-*` dir that readers never list
+  * (the dated-dir regex excludes it); re-publishing an existing date is
+  * rejected — snapshots are immutable. */
+class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val date = info.options.get("snapshotDate")
+      require(date != null && SnapshotSource.DatedDir.matches(date),
+        "option snapshotDate=YYYY-MM-DD is required")
+      new SnapshotBatchWrite(root, date, info.schema(), info.queryId())
+    }
+  }
+}
+
+class SnapshotBatchWrite(root: String, date: String, schema: StructType, queryId: String)
+    extends BatchWrite {
+
+  private val stagingDir = s"$root/.staging-$date-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val created = new java.io.File(stagingDir).mkdirs()
+    require(created || new java.io.File(stagingDir).isDirectory,
+      s"cannot create staging dir $stagingDir")
+    new SnapshotWriterFactory(stagingDir, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val finalDir = new java.io.File(s"$root/$date")
+    if (finalDir.exists()) {
+      abort(messages)
+      throw new IllegalStateException(s"snapshot $date already published")
+    }
+    // the reference's atomic publish: one rename
+    if (!new java.io.File(stagingDir).renameTo(finalDir))
+      throw new IllegalStateException(s"commit rename failed for $date")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new java.io.File(stagingDir)
+    Option(d.listFiles()).foreach(_.foreach(_.delete()))
+    d.delete()
+  }
+}
+
+class SnapshotWriterFactory(stagingDir: String, schema: StructType)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val dataFields = schema.fields.filter(_.name != "snapshot_date")
+      private val idx = dataFields.map(f => schema.fieldIndex(f.name))
+      private val file = new java.io.File(
+        stagingDir, f"part-$partitionId%05d-$taskId.csv")
+      private lazy val out = {
+        val w = new java.io.PrintWriter(file, "UTF-8")
+        w.println(dataFields.map(_.name).mkString(","))
+        w
+      }
+
+      override def write(row: InternalRow): Unit =
+        out.println(idx.zip(dataFields).map { case (i, f) =>
+          if (row.isNullAt(i)) "" else row.get(i, f.dataType).toString
+        }.mkString(","))
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        new WriterCommitMessage {}
+      }
+
+      override def abort(): Unit = { out.close(); file.delete() }
+      override def close(): Unit = ()
+    }
 }

@@ -74,4 +74,37 @@ class SnapshotSourceSpec extends SparkSpec {
     val live = load().filter(lower($"archived") =!= "true")
     assert(live.count() == 3)
   }
+
+  test("write path: staged part files publish atomically as a dated dir") {
+    val wroot = Files.createTempDirectory("snapwrite").toFile.getAbsolutePath
+    val df = Seq(("10", "x", "False"), ("11", "y", "True"))
+      .toDF("id", "name", "archived").repartition(2)
+    df.write.format("graft.sources.SnapshotSource")
+      .option("path", wroot).option("snapshotDate", "2022-05-01")
+      .mode("append").save()
+
+    // published dir exists, no staging leftovers
+    val children = new java.io.File(wroot).list().toSeq
+    assert(children == Seq("2022-05-01"), children.toString)
+
+    // roundtrip through the read path
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("path", wroot).load()
+    assert(back.select("id", "name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == Set(("10", "x"), ("11", "y")))
+
+    // snapshots are immutable: same date again fails, dir untouched
+    intercept[Exception] {
+      df.write.format("graft.sources.SnapshotSource")
+        .option("path", wroot).option("snapshotDate", "2022-05-01")
+        .mode("append").save()
+    }
+    assert(new java.io.File(wroot).list().toSeq == Seq("2022-05-01"))
+
+    // missing/invalid snapshotDate is rejected before any file IO
+    intercept[Exception] {
+      df.write.format("graft.sources.SnapshotSource")
+        .option("path", wroot).mode("append").save()
+    }
+  }
 }
