@@ -65,9 +65,12 @@ object ExtensionQueries {
                          sum(CASE WHEN s > 0 AND b >= 32
                                   THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS hi
                   FROM votes GROUP BY 1),
+       -- the outer CAST matters: DuckDB sum() yields HUGEINT, and a
+       -- 128-bit simhash would sign-extend through xor(), inflating the
+       -- hamming distance of opposite-sign pairs by 64
        sh AS (SELECT doc_id,
-                     (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
-                       * 4294967296 + lo AS simhash
+                     CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+                       * 4294967296 + lo AS BIGINT) AS simhash
               FROM halves)"""
 
   private val dedupSimhash = Q("q_dedup_simhash",
