@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -186,6 +187,103 @@ object ExtensionQueries {
               ON p.user_id = v.user_id AND v.ts <= p.ts
             ORDER BY p.event_id"""))
 
+  /** TF-IDF per document: tf (term count in doc) × ln((N+1)/(df+1)),
+    * top-3 terms per doc. df comes from one distinct-count aggregate;
+    * the doc-count scalar joins in as a 1-row broadcast. */
+  private val tfidf = Q("q_tfidf",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                          FROM documents),
+                 t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+                 tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 GROUP BY 1, 2),
+                 df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM t2) GROUP BY 1),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 scored AS (SELECT tf.doc_id, tf.tok, tf.tf,
+                                   round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+                            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+                 ranked AS (SELECT doc_id, tok, tf, tfidf,
+                                   row_number() OVER (PARTITION BY doc_id
+                                                      ORDER BY tfidf DESC, tok) AS rn
+                            FROM scored)
+            SELECT doc_id, tok, tf, tfidf, rn FROM ranked WHERE rn <= 3
+            ORDER BY doc_id, rn"""))
+
+  /** Token co-occurrence: top-20 within-document token pairs — the
+    * inverted-index self-join shape again (never a cross product). */
+  private val cooccur = Q("q_cooccur",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      toks.alias("x").join(toks.alias("y"),
+          col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
+        .groupBy(col("x.tok").as("ta"), col("y.tok").as("tb"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ta"), col("tb"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT DISTINCT doc_id, tok FROM
+                         (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                          FROM documents)
+                       WHERE tok <> '')
+            SELECT x.tok AS ta, y.tok AS tb, count(*) AS cnt
+            FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
+            GROUP BY 1, 2 ORDER BY cnt DESC, ta, tb LIMIT 20"""))
+
+  /** Sessionization: gap > 30 min starts a new session per user —
+    * lag + cumulative sum over one (user, ts) window; per-session row
+    * counts out. The canonical event-stream operator the reference's
+    * weekly cadence never needed but any events table does. */
+  private val sessionize = Q("q_sessionize",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val flagged = ev
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+        .withColumn("new_sess",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      flagged
+        .withColumn("session_id", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH g AS (SELECT user_id, ts,
+                              CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gap_s
+                       FROM events),
+                 f AS (SELECT user_id, ts,
+                              CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess
+                       FROM g),
+                 sess AS (SELECT user_id, ts,
+                                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                          FROM f)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
+            FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id"""))
+
   private val langId = Q("q_lang_id",
     (s, dir) => TextAnalysis.languageId(table(s, dir, "documents")).orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
@@ -233,5 +331,6 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
+    tfidf, cooccur, sessionize,
     langId, quality, tokenCount, fingerprint)
 }
