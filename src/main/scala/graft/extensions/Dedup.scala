@@ -139,6 +139,9 @@ object Dedup {
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
     val sh = shingles(documents)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Scale lever (not applied — measured slower at sf≤0.1): pre-dropping
+    // df=1 shingles via a groupBy(s) pass is result-preserving and pays
+    // off once the unique-shingle tail dominates the self-join input.
     val inter = sh.alias("a")
       .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
