@@ -409,6 +409,54 @@ object CoreQueries {
     Some("""SELECT doc_id, printf('%s[%d]', source, n_chars) AS tag
             FROM documents ORDER BY doc_id"""))
 
+  /** Three-snapshot SCD chain exercising the full lifecycle in the
+    * ORACLE-VERIFIED path: snapshot A (removal source), B (drops part of
+    * A), C (re-adds some ids B dropped — the reappearance keeps its
+    * removed_at, feeder_postgres.py's column-diff quirk — and drops some
+    * of B's). Values come from the same source rows, so updated_at never
+    * moves past added_at: only membership drives the lifecycle here. */
+  private def snapC(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+      .select(col("o_orderkey").as("id"), col("o_orderstatus"), col("o_totalprice"))
+
+  private val mergeScd3 = Q("q_merge_scd3",
+    (s, dir) => {
+      val a = table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("id"), col("o_orderstatus"), col("o_totalprice"))
+      val b = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("id"), col("o_orderstatus"), col("o_totalprice"))
+      val s1 = ScdMerge.applySnapshot(ScdMerge.emptyState(a), a, "1997-01-01", "id", trackCols)
+      val s2 = ScdMerge.applySnapshot(s1, b, "1998-01-01", "id", trackCols)
+      val s3 = ScdMerge.applySnapshot(s2, snapC(s, dir), "1998-06-01", "id", trackCols)
+      s3.select(col("id"),
+          date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
+          date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
+          date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
+        .orderBy("id")
+    },
+    Some("""WITH m AS (SELECT o_orderkey AS id,
+                              max(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS in_a,
+                              max(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                                        AND o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS in_b,
+                              max(CASE WHEN o_orderdate >= TIMESTAMP '1995-06-01'
+                                        AND o_orderdate < TIMESTAMP '1996-06-01' THEN 1 ELSE 0 END) AS in_c
+                       FROM orders GROUP BY 1),
+                 f AS (SELECT id, in_a, in_b, in_c,
+                              CASE WHEN in_a = 1 THEN '1997-01-01'
+                                   WHEN in_b = 1 THEN '1998-01-01'
+                                   ELSE '1998-06-01' END AS added_at
+                       FROM m WHERE in_a = 1 OR in_b = 1 OR in_c = 1)
+            SELECT id, added_at, added_at AS updated_at,
+                   CASE WHEN in_a = 1 AND in_b = 0 THEN '1998-01-01'
+                        WHEN in_c = 0 AND added_at < '1998-06-01' THEN '1998-06-01'
+                        ELSE NULL END AS removed_at
+            FROM f ORDER BY id"""))
+
   // ---- 2.5 sort / top-k, 2.6 set ops --------------------------------------
 
   /** T1: sort by count desc with deterministic tiebreak (ipynb:752). */
@@ -703,7 +751,7 @@ object CoreQueries {
     joinLeft, joinAnti, joinPivot, joinBroadcast, joinSemi,
     countTokens, countFiltered, totalPerYear, pctWindow,
     cube, rollup, countDistinct, unixTs, formatString,
-    dedup, mergeStats, mergeScd,
+    dedup, mergeStats, mergeScd, mergeScd3,
     sortDesc, topk, rankWindow, movingAvg, lagLead, percentile, unionYears,
     strSplit, strJoin, strTrunc, regex, dateParse, dateArith,
     arrayHof, jsonFlatten, synExpr, topkAgg, windowTumbling, flagship)
