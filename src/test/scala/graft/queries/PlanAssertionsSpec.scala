@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.SparkSpec
+
+/** Plan-shape regression guard (SURVEY §4): the physical properties the
+  * 100 TB design depends on, asserted against the real executed plans at
+  * sf0.001 so a future refactor cannot silently lose them. */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String) =
+    Registry.queries(name)(spark, dir).queryExecution.executedPlan
+
+  private def planString(name: String) = plan(name).toString
+
+  test("q_scan_prune: filter and projection reach the parquet scan") {
+    val p = planString("q_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"), p)
+  }
+
+  test("q_join_broadcast: dimension side broadcasts, fact side never shuffles pre-join") {
+    val p = planString("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_flagship: one generator, partial+final aggregate, rank limit pushed into window") {
+    val p = planString("q_flagship")
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("WindowGroupLimit"), p) // rn <= 10 applied pre-window
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q_asof_join: exactly one hash shuffle (the key partition), like an equi-join") {
+    // (AQE hides exec nodes pre-execution; assert on the plan text. The
+    // rangepartitioning exchange is the final ORDER BY presentation sort,
+    // not part of the operator.)
+    val p = planString("q_asof_join")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q_merge_scd: merge is one full-outer join, no nested loops") {
+    val p = planString("q_merge_scd")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_count_tokens: aggregation is partial before the exchange (map-side combine)") {
+    val p = planString("q_count_tokens")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0, p)
+    assert("partial_count|merge_count|count".r.findFirstIn(p).isDefined, p)
+  }
+}
