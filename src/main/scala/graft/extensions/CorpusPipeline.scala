@@ -1,0 +1,54 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning — the composition every
+  * LLM-data pipeline runs, built entirely from this engine's operators:
+  *
+  *   quality gate → exact dedup → near-dup removal (MinHash-LSH) →
+  *   deterministic train/val split
+  *
+  * Every stage is a DataFrame transform (no collects, no UDFs), so the
+  * whole pipeline is one Catalyst plan: at 100 TB it runs as a handful
+  * of shuffles (quality gate is narrow; exact dedup shuffles on the
+  * content hash; LSH shuffles on band keys; the split is narrow again).
+  *
+  * Near-dup policy is greedy-keep-lowest: every pair (a < b) drops b, so
+  * the lowest doc_id of each near-dup chain survives. Deterministic and
+  * order-independent. The split hashes doc_id (content-independent, so
+  * re-cleaning with new thresholds never migrates surviving docs across
+  * splits). */
+object CorpusPipeline {
+
+  final case class Thresholds(
+      minTokens: Long = 20,
+      maxTokens: Long = 70,
+      maxStopRatio: Double = 0.12,
+      trainHexBound: String = "c") // md5 first hex < bound → train (c = 75%)
+
+  def clean(documents: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
+    // 1. quality gate (TextAnalysis metrics, filtered before anything heavy)
+    val quality = TextAnalysis.qualityScore(documents)
+      .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
+        col("stop_ratio") <= t.maxStopRatio)
+      .select("doc_id")
+    val gated = documents.join(quality, "doc_id")
+
+    // 2. exact dedup: keep the smallest doc_id per content hash
+    val keepers = gated
+      .groupBy(md5(lower(coalesce(col("text"), lit(""))).cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactDeduped = gated.join(keepers, "doc_id")
+
+    // 3. near-dup removal: MinHash-LSH candidates, drop the b of each pair
+    val nearDupB = Dedup.minHashLsh(exactDeduped).select(col("b").as("doc_id")).distinct()
+    val surviving = exactDeduped.join(nearDupB, Seq("doc_id"), "left_anti")
+
+    // 4. deterministic content-independent split
+    surviving.select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < t.trainHexBound,
+        lit("train")).otherwise(lit("val")).as("split"))
+  }
+}

@@ -284,6 +284,45 @@ object ExtensionQueries {
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
             FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id"""))
 
+  /** The capstone: full corpus-clean pipeline (quality gate → exact
+    * dedup → MinHash near-dup removal → hash split) as ONE oracle-checked
+    * query — every extension operator composed end-to-end. */
+  private val corpusClean = Q("q_corpus_clean",
+    (s, dir) => graft.extensions.CorpusPipeline
+      .clean(table(s, dir, "documents")).orderBy("doc_id"),
+    Some("""WITH q AS (SELECT doc_id FROM
+                         (SELECT doc_id,
+                                 len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+                                 len(list_filter(string_split(coalesce(text, ''), ' '),
+                                                 t -> t IN ('the', 'a'))) * 1.0
+                                   / len(string_split(coalesce(text, ''), ' ')) AS sr
+                          FROM documents)
+                       WHERE n_tok BETWEEN 20 AND 70 AND sr <= 0.12),
+                 gated AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+                 keepers AS (SELECT min(doc_id) AS doc_id FROM gated
+                             GROUP BY md5(lower(coalesce(text, '')))),
+                 ed AS (SELECT g.* FROM gated g JOIN keepers USING (doc_id)),
+                 sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM ed)),
+                 sigs AS (SELECT doc_id, sd.seed,
+                                 min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
+                          FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+                          GROUP BY 1, 2),
+                 buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
+                                    md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                 dropb AS (SELECT DISTINCT y.doc_id FROM buckets x JOIN buckets y
+                             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+            SELECT ed.doc_id,
+                   CASE WHEN substr(md5(CAST(ed.doc_id AS VARCHAR)), 1, 1) < 'c'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM ed WHERE ed.doc_id NOT IN (SELECT doc_id FROM dropb)
+            ORDER BY ed.doc_id"""))
+
   private val langId = Q("q_lang_id",
     (s, dir) => TextAnalysis.languageId(table(s, dir, "documents")).orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
@@ -331,6 +370,6 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
-    tfidf, cooccur, sessionize,
+    tfidf, cooccur, sessionize, corpusClean,
     langId, quality, tokenCount, fingerprint)
 }
