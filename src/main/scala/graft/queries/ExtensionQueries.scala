@@ -284,6 +284,41 @@ object ExtensionQueries {
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
             FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id"""))
 
+  /** Connected components over the MinHash near-dup graph — exact dedup
+    * clusters (vs the pipeline's greedy chains). Spark side iterates
+    * min-label propagation to a fixpoint; the oracle is a recursive CTE
+    * computing reachability minima. */
+  private val dedupCc = Q("q_dedup_cc",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs)
+      graft.extensions.ConnectedComponents
+        .label(docs.select("doc_id"), pairs)
+        .orderBy("id")
+    },
+    Some("""WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM documents)),
+                 sigs AS (SELECT doc_id, sd.seed,
+                                 min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
+                          FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+                          GROUP BY 1, 2),
+                 buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
+                                    md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                 pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                           FROM buckets x JOIN buckets y
+                             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+                 edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+                 reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+                           UNION
+                           SELECT e.b AS id, reach.r
+                           FROM reach JOIN edges e ON reach.id = e.a)
+            SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""))
+
   /** The capstone: full corpus-clean pipeline (quality gate → exact
     * dedup → MinHash near-dup removal → hash split) as ONE oracle-checked
     * query — every extension operator composed end-to-end. */
@@ -370,6 +405,6 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
-    tfidf, cooccur, sessionize, corpusClean,
+    tfidf, cooccur, sessionize, corpusClean, dedupCc,
     langId, quality, tokenCount, fingerprint)
 }
