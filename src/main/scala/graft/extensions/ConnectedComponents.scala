@@ -25,8 +25,12 @@ object ConnectedComponents {
     * @return (id, comp) where comp = min node id of the component */
   def label(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val idCol = nodes.columns.head
+    // cache the symmetric edge set: without this, every iteration (and
+    // the per-iteration convergence count) re-runs the upstream pair
+    // computation — e.g. the whole MinHash pipeline
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
     var it = 0
     var converged = false
