@@ -49,12 +49,13 @@ object KMeans {
   /** Fit k centroids with `iters` Lloyd iterations.
     * @return (cell_id, centroid array<double>) — a broadcastable dim */
   def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val e0 = embeddings.orderBy("vec_id").limit(k).collect()
+    val e0 = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .orderBy("vec_id").limit(k).collect()
     val spark = embeddings.sparkSession
     import spark.implicits._
     var cents = e0.zipWithIndex.map { case (r, i) =>
-      val arr = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
-      (i, arr)
+      (i, r.getSeq[Double](r.fieldIndex("embedding")))
     }.toSeq.toDF("cell_id", "centroid")
     var it = 0
     while (it < iters) {

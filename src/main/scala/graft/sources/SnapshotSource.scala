@@ -81,6 +81,14 @@ object SnapshotSource {
 
 class SnapshotTable(root: String, schema: StructType)
     extends Table with SupportsRead with SupportsWrite {
+  // the reader materializes CSV cells as strings: reject schemas that
+  // would silently mistype data columns (normalization is Normalize's
+  // job downstream, on real typed expressions)
+  schema.fields.foreach { f =>
+    require(f.name == "snapshot_date" || f.dataType == StringType,
+      s"SnapshotSource data columns must be STRING, got ${f.name}: ${f.dataType.simpleString}")
+  }
+
   override def name(): String = s"snapshots($root)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
