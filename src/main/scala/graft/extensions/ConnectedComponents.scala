@@ -32,6 +32,10 @@ object ConnectedComponents {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
+    // Convergence probe: comp values only ever DECREASE under min
+    // propagation, so sum(comp) strictly decreases until the fixpoint —
+    // one scalar aggregate per iteration instead of a join-and-compare.
+    var prevSum = labels.agg(sum("comp")).head().getLong(0)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -40,13 +44,11 @@ object ConnectedComponents {
       val next = labels.select("id", "comp").union(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
         .cache()
-      val changed = next.alias("n")
-        .join(labels.alias("l"), col("n.id") === col("l.id"))
-        .filter(col("n.comp") =!= col("l.comp"))
-        .limit(1).count() // bounded driver scalar
+      val sumNow = next.agg(sum("comp")).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = sumNow == prevSum
+      prevSum = sumNow
       it += 1
     }
     labels
