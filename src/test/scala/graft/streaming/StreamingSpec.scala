@@ -100,6 +100,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed file-source restart does not re-feed processed snapshots") {
+    val root = Files.createTempDirectory("snapckpt").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("ckptdir").toFile.getAbsolutePath
+
+    def writeSnapshot(date: String, rows: Seq[(Long, String)]): Unit = {
+      new java.io.File(s"$root/$date").mkdirs()
+      val f = new java.io.PrintWriter(s"$root/$date/result.csv")
+      f.println("id,name")
+      rows.foreach { case (id, n) => f.println(s"$id,$n") }
+      f.close()
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+
+    var feedCount = 0
+    var state: DataFrame = ScdMerge.emptyState(Seq.empty[(Long, String)].toDF("id", "name"))
+    def sink() = SnapshotStream.mergeSink(
+      SnapshotStream.readSnapshots(spark, root, schema)
+        .writeStream.option("checkpointLocation", ckpt),
+      "id", Seq("name"),
+      () => state, m => { feedCount += 1; state = m.cache(); m.count() })
+
+    writeSnapshot("2021-02-01", Seq(1L -> "a"))
+    val q1 = sink().start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(feedCount == 1)
+
+    // restart from the same checkpoint with a new snapshot present:
+    // only the NEW dated dir is fed (exactly-once file tracking replaces
+    // the reference's high-water-mark bookkeeping)
+    writeSnapshot("2021-02-08", Seq(2L -> "b"))
+    val q2 = sink().start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(feedCount == 2)
+
+    val m = state.select($"id", date_format($"added_at", "yyyy-MM-dd"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "2021-02-01", 2L -> "2021-02-08"))
+  }
+
   test("weeklyCounts groups a watermarked stream into 7-day windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
