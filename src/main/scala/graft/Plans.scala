@@ -12,7 +12,7 @@ object Plans {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_scan_prune", "q_join_broadcast", "q_flagship", "q_merge_scd",
-        "q_dedup_minhash", "q_ann_cosine")
+        "q_dedup_minhash", "q_asof_join", "q_corpus_clean")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

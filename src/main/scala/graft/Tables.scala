@@ -25,9 +25,9 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
       spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -15,12 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def tokensOf(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .distinct()
-
   /** Exact dedup: group by content hash, keep the smallest doc_id.
     * One shuffle on the 128-bit content hash; at 100 TB the md5 keys
     * distribute uniformly so no skew handling is needed. */
