@@ -165,9 +165,12 @@ class SnapshotReaderFactory(fullSchema: StructType, required: StructType)
       private val lines = src.getLines()
       private val header =
         if (lines.hasNext) lines.next().split(",", -1).toSeq else Seq.empty
-      // required-column index into the CSV row, -1 = snapshot_date
+      // required-column index into the CSV row; DateMarker = snapshot_date,
+      // header.indexOf = -1 (column absent from this file) must stay NULL
+      // and NOT collide with the marker
+      private val DateMarker = Int.MinValue
       private val colIdx = required.fields.map { f =>
-        if (f.name == "snapshot_date") -1 else header.indexOf(f.name)
+        if (f.name == "snapshot_date") DateMarker else header.indexOf(f.name)
       }
       private val dateDays = SnapshotSource.daysSinceEpoch(part.date)
       private var row: InternalRow = _
@@ -177,7 +180,7 @@ class SnapshotReaderFactory(fullSchema: StructType, required: StructType)
         else {
           val cells = lines.next().split(",", -1)
           row = InternalRow.fromSeq(colIdx.map {
-            case -1 => dateDays
+            case DateMarker => dateDays
             case i if i >= 0 && i < cells.length =>
               if (cells(i).isEmpty) null else UTF8String.fromString(cells(i))
             case _ => null

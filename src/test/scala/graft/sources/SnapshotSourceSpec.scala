@@ -61,6 +61,16 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(one.select("name").as[String].head() == "a2")
   }
 
+  test("schema column absent from a CSV header reads as NULL, not the date marker") {
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("path", root)
+      .schema("id STRING, name STRING, archived STRING, extra_col STRING, snapshot_date DATE")
+      .load()
+    val rows = back.select("id", "extra_col").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
   test("column pruning reaches the reader") {
     val df = load().select("name")
     val scan = df.queryExecution.executedPlan.collectFirst {
