@@ -36,6 +36,19 @@ object Normalize {
   def liftArray(c: Column, sep: String = "\n"): Column =
     when(c.isNull, lit(null).cast(ArrayType(StringType))).otherwise(split(c, sep))
 
+  /** Schema-drift conformance: project any all-strings frame onto the
+    * canonical 53-column CSV shape — missing columns become NULL, extra
+    * columns drop, order normalizes. The reference pins its header list
+    * in code (get_vacancies.py:75-133) and would crash on drift; a
+    * 100 TB backfill over years of scraped snapshots cannot afford to. */
+  def conformSnapshot(csvFrame: DataFrame): DataFrame = {
+    val present = csvFrame.columns.toSet
+    csvFrame.select(VacancySchema.csv.map { f =>
+      if (present(f.name)) col(f.name)
+      else lit(null).cast(StringType).as(f.name)
+    }: _*)
+  }
+
   /** Full normalization of an all-strings snapshot frame
     * ([[VacancySchema.csv]]) into the typed [[VacancySchema.raw]] shape:
     * blank→NULL on every column, then per-type coercion.

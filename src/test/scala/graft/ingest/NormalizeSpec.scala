@@ -38,6 +38,17 @@ class NormalizeSpec extends SparkSpec {
     assert(out(2) == null)
   }
 
+  test("conformSnapshot: drifted frames project onto the canonical shape") {
+    val drifted = Seq(("7", "dev", "surprise")).toDF("id", "name", "unknown_col")
+    val conformed = Normalize.conformSnapshot(drifted)
+    assert(conformed.columns.toSeq == VacancySchema.csv.map(_.name))
+    val typed = Normalize.normalizeSnapshot(conformed)
+    val r = typed.head()
+    assert(r.getAs[Long]("id") == 7L)
+    assert(r.getAs[String]("name") == "dev")
+    assert(r.isNullAt(typed.schema.fieldIndex("salary_from")))
+  }
+
   test("normalizeSnapshot: full 53-col string frame → typed frame") {
     val values = VacancySchema.csv.map { f =>
       f.name match {
