@@ -358,6 +358,27 @@ object ExtensionQueries {
             FROM ed WHERE ed.doc_id NOT IN (SELECT doc_id FROM dropb)
             ORDER BY ed.doc_id"""))
 
+  /** Fuzzy matching: edit-distance near-identical names within a
+    * blocking key (brand) — the entity-resolution shape: blocked
+    * equi-join, never all-pairs; levenshtein is a deterministic int. */
+  private val fuzzyMatch = Q("q_fuzzy_match",
+    (s, dir) => {
+      val p = table(s, dir, "part")
+      p.alias("a").join(p.alias("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("lev", levenshtein(col("a.p_name"), col("b.p_name")))
+        .filter(col("lev") <= 2)
+        .groupBy(col("a.p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy("brand")
+    },
+    Some("""SELECT a.p_brand AS brand, count(*) AS n_close
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            GROUP BY 1 ORDER BY 1"""))
+
   private val langId = Q("q_lang_id",
     (s, dir) => TextAnalysis.languageId(table(s, dir, "documents")).orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
@@ -405,6 +426,6 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
-    tfidf, cooccur, sessionize, corpusClean, dedupCc,
+    tfidf, cooccur, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint)
 }
