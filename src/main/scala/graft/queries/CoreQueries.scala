@@ -553,6 +553,33 @@ object CoreQueries {
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90
             FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Array aggregation: per-key sorted distinct collection (the inverse
+    * of explode — rebuilding the reference's "\n"-joined array cells from
+    * rows). sort_array makes the nondeterministic collect_set order
+    * total. */
+  private val collectSet = Q("q_collect_set",
+    (s, dir) => table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+            FROM events GROUP BY 1 ORDER BY user_id"""))
+
+  /** Generator null-preservation: explode_outer keeps rows whose array is
+    * NULL (one null-element row), unlike explode which drops them — the
+    * outer-generate semantics checked per row count. */
+  private val explodeOuter = Q("q_explode_outer",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(when(col("lang") =!= "en", split(col("text"), " "))).as("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CASE WHEN lang <> 'en' THEN len(string_split(text, ' '))
+                        ELSE 1 END AS n
+            FROM documents ORDER BY doc_id"""))
+
   /** U1: union of year partitions (the multi-year scan, ipynb:800-806).
     * unionByName is plan-level — no extra pass over either side. */
   private val unionYears = Q("q_union_years",
@@ -753,6 +780,7 @@ object CoreQueries {
     cube, rollup, countDistinct, unixTs, formatString,
     dedup, mergeStats, mergeScd, mergeScd3,
     sortDesc, topk, rankWindow, movingAvg, lagLead, percentile, unionYears,
+    collectSet, explodeOuter,
     strSplit, strJoin, strTrunc, regex, dateParse, dateArith,
     arrayHof, jsonFlatten, synExpr, topkAgg, windowTumbling, flagship)
 }
