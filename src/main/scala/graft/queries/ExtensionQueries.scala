@@ -358,14 +358,18 @@ object ExtensionQueries {
             FROM ed WHERE ed.doc_id NOT IN (SELECT doc_id FROM dropb)
             ORDER BY ed.doc_id"""))
 
-  /** Fuzzy matching: edit-distance near-identical names within a
-    * blocking key (brand) — the entity-resolution shape: blocked
-    * equi-join, never all-pairs; levenshtein is a deterministic int. */
+  /** Fuzzy matching: edit-distance near-identical names under multi-key
+    * blocking (brand + last name token) — the entity-resolution shape:
+    * the blocked equi-join bounds candidate pairs, then the expensive
+    * levenshtein runs only inside blocks (never brand-wide all-pairs,
+    * which is 8M comparisons at sf0.1). */
   private val fuzzyMatch = Q("q_fuzzy_match",
     (s, dir) => {
       val p = table(s, dir, "part")
+        .withColumn("noun", element_at(split(col("p_name"), " "), -1))
       p.alias("a").join(p.alias("b"),
           col("a.p_brand") === col("b.p_brand") &&
+            col("a.noun") === col("b.noun") &&
             col("a.p_partkey") < col("b.p_partkey"))
         .withColumn("lev", levenshtein(col("a.p_name"), col("b.p_name")))
         .filter(col("lev") <= 2)
@@ -373,9 +377,13 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_close"))
         .orderBy("brand")
     },
-    Some("""SELECT a.p_brand AS brand, count(*) AS n_close
-            FROM part a JOIN part b
-              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    Some("""WITH p AS (SELECT p_partkey, p_brand, p_name,
+                              string_split(p_name, ' ')[-1] AS noun
+                       FROM part)
+            SELECT a.p_brand AS brand, count(*) AS n_close
+            FROM p a JOIN p b
+              ON a.p_brand = b.p_brand AND a.noun = b.noun
+                 AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 2
             GROUP BY 1 ORDER BY 1"""))
 
