@@ -220,6 +220,31 @@ object CoreQueries {
 
   // ---- 2.4 aggregations ----------------------------------------------------
 
+  /** Range (non-equi/theta) join — SURVEY §2.3 notes the reference has
+    * none; this is the price-bracket assignment instance. The build side
+    * is a 3-row literal dim, so the physical plan is a broadcast
+    * nested-loop join: each row tests 3 predicates — the correct plan for
+    * tiny range dims at any scale (large range dims would bucketize the
+    * ranges into an equi-join instead). */
+  private val rangeJoin = Q("q_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val brackets = Seq(
+        (0.0, 930.0, "low"), (930.0, 960.0, "mid"), (960.0, 1e9, "high"))
+        .toDF("lo", "hi", "bracket")
+      table(s, dir, "part")
+        .join(broadcast(brackets),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("bracket").agg(count(lit(1)).as("n"))
+        .orderBy("bracket")
+    },
+    Some("""SELECT bracket, count(*) AS n
+            FROM part JOIN (VALUES (0.0, 930.0, 'low'),
+                                   (930.0, 960.0, 'mid'),
+                                   (960.0, 1e9, 'high')) AS b(lo, hi, bracket)
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY 1 ORDER BY 1"""))
+
   /** A1 flagship core: tokenize → explode → count (ipynb:749-754).
     * One shuffle; map-side partial aggregation absorbs the token blowup. */
   private val countTokens = Q("q_count_tokens",
@@ -775,7 +800,7 @@ object CoreQueries {
     scanPrune, limitPreview, incrDiscovery, hwmMax,
     project, filterFlag, filterMember, dropna, fillna, emptyToNull,
     filterExists, filterDate, coerce,
-    joinLeft, joinAnti, joinPivot, joinBroadcast, joinSemi,
+    joinLeft, joinAnti, joinPivot, joinBroadcast, joinSemi, rangeJoin,
     countTokens, countFiltered, totalPerYear, pctWindow,
     cube, rollup, countDistinct, unixTs, formatString,
     dedup, mergeStats, mergeScd, mergeScd3,
