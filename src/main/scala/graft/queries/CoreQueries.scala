@@ -578,6 +578,65 @@ object CoreQueries {
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90
             FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** U3 as the real set operators: INTERSECT / EXCEPT between the token
+    * vocabularies of two language slices (Spark plans both as aggregates
+    * — no row-by-row set state). */
+  private val setOps = Q("q_set_ops",
+    (s, dir) => {
+      def vocab(lang: String) =
+        TermFrequency.tokenize(
+          table(s, dir, "documents").filter(col("lang") === lang), "text", " ", Seq())
+          .select("token").distinct()
+      val both = vocab("en").intersect(vocab("de")).withColumn("op", lit("both"))
+      val enOnly = vocab("en").except(vocab("de")).withColumn("op", lit("en_only"))
+      both.unionByName(enOnly).orderBy("op", "token")
+    },
+    Some("""WITH en AS (SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS token
+                        FROM documents WHERE lang = 'en'),
+                 de AS (SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS token
+                        FROM documents WHERE lang = 'de'),
+                 b AS (SELECT token, 'both' AS op FROM (SELECT token FROM en WHERE token <> ''
+                                                        INTERSECT
+                                                        SELECT token FROM de WHERE token <> '')),
+                 e AS (SELECT token, 'en_only' AS op FROM (SELECT token FROM en WHERE token <> ''
+                                                           EXCEPT
+                                                           SELECT token FROM de WHERE token <> ''))
+            SELECT token, op FROM b UNION ALL SELECT token, op FROM e
+            ORDER BY op, token"""))
+
+  /** F-family breadth: lpad/rpad/translate/reverse — the string kit the
+    * scrapers' formatting used piecemeal. */
+  private val strKit = Q("q_str_kit",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        lpad(col("source"), 8, "0").as("padded"),
+        translate(col("lang"), "ne", "NE").as("xlat"),
+        reverse(col("source")).as("rev"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lpad(source, 8, '0') AS padded,
+                   translate(lang, 'ne', 'NE') AS xlat,
+                   reverse(source) AS rev
+            FROM documents ORDER BY doc_id"""))
+
+  /** §2.8: RANGE frame (vs q_moving_avg's ROWS frame): 7-day trailing
+    * average over a numeric day axis — gaps in the calendar matter here,
+    * unlike the row-counted frame. */
+  private val rangeFrame = Q("q_range_frame",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy((unix_timestamp(col("o_orderdate")) / 86400L).cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      daily.withColumn("ma7", round(avg("cnt").over(w), 4)).orderBy("day")
+    },
+    Some("""WITH d AS (SELECT CAST(floor(epoch(o_orderdate)) / 86400 AS BIGINT) AS day,
+                              count(*) AS cnt
+                       FROM orders GROUP BY 1)
+            SELECT day, cnt,
+                   round(avg(cnt) OVER (ORDER BY day
+                                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+            FROM d ORDER BY day"""))
+
   /** Array aggregation: per-key sorted distinct collection (the inverse
     * of explode — rebuilding the reference's "\n"-joined array cells from
     * rows). sort_array makes the nondeterministic collect_set order
@@ -805,7 +864,7 @@ object CoreQueries {
     cube, rollup, countDistinct, unixTs, formatString,
     dedup, mergeStats, mergeScd, mergeScd3,
     sortDesc, topk, rankWindow, movingAvg, lagLead, percentile, unionYears,
-    collectSet, explodeOuter,
+    collectSet, explodeOuter, setOps, strKit, rangeFrame,
     strSplit, strJoin, strTrunc, regex, dateParse, dateArith,
     arrayHof, jsonFlatten, synExpr, topkAgg, windowTumbling, flagship)
 }
