@@ -68,7 +68,14 @@ object IngestJob {
       val snap = ScdMerge.dropArchived(Normalize.normalizeSnapshot(
         readSnapshot(s"$root/$date")))
       ScdMerge.assertNotLate(st, snap, date, keyCol)
+      // Materialize each merge generation and cut its lineage: without
+      // this, assertNotLate's count() and the next applySnapshot both
+      // re-execute the entire unmaterialized chain of prior full-outer
+      // joins — O(n²) recompute and unbounded plan depth once more than
+      // a handful of snapshots are pending. (SnapshotStream.mergeSink's
+      // saveState achieves the same by write-and-reload.)
       ScdMerge.applySnapshot(st, snap, date, keyCol, trackedCols)
+        .localCheckpoint()
     }
     (finalState, dates)
   }

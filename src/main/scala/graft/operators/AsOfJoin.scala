@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *   2. one shuffle: window partitioned by key, ordered by
   *      (ts, side) with build rows sorting before probe rows on ties —
   *      "<=" semantics;
-  *   3. last(buildCols, ignoreNulls) over rowsBetween(-inf, 0) carries the
-  *      most recent build row forward onto each probe row.
+  *   3. last(struct(buildCols), ignoreNulls) over rowsBetween(-inf, 0)
+  *      carries the most recent build row forward onto each probe row as
+  *      ONE struct — atomically, so a build row whose latest value for a
+  *      column is legitimately NULL is not back-filled from an older row
+  *      (column-independent carries would mix values across build rows).
   *
   * Cost: ONE shuffle on the key (same as any equi-join), state per task
   * bounded by the carried build columns — at 100 TB this behaves exactly
@@ -45,27 +48,31 @@ object AsOfJoin {
 
     val probeCols = probe.columns.toSeq
     val srcCols = buildCols.keys.toSeq
+    // one struct per build row: non-null on every build row (even when all
+    // carried fields are null), so last(ignoreNulls) always lands on the
+    // LATEST preceding build row, never mixes fields across rows
+    val payloadType = org.apache.spark.sql.types.StructType(
+      srcCols.map(c => build.schema(build.schema.fieldIndex(c))))
 
     val taggedBuild = build.select(
-      (keyCols.map(col) :+ col(buildTs).as("_ts") :+ lit(0).as("_side")) ++
-        srcCols.map(col) ++
+      (keyCols.map(col) :+ col(buildTs).as("_ts") :+ lit(0).as("_side") :+
+        struct(srcCols.map(col): _*).as("_bpayload")) ++
         probeCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
 
     val taggedProbe = probe.select(
-      (keyCols.map(col) :+ col(probeTs).as("_ts") :+ lit(1).as("_side")) ++
-        srcCols.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
+      (keyCols.map(col) :+ col(probeTs).as("_ts") :+ lit(1).as("_side") :+
+        lit(null).cast(payloadType).as("_bpayload")) ++
         probeCols.filterNot(keyCols.contains).map(col): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = srcCols.foldLeft(taggedBuild.unionByName(taggedProbe)) {
-      (df, c) => df.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = taggedBuild.unionByName(taggedProbe)
+      .withColumn("_asof", last(col("_bpayload"), ignoreNulls = true).over(w))
 
     carried.filter(col("_side") === 1)
       .select(probeCols.map(col) ++
-        srcCols.map(c => col(s"_asof_$c").as(buildCols(c))): _*)
+        srcCols.map(c => col("_asof").getField(c).as(buildCols(c))): _*)
   }
 }

@@ -20,11 +20,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * 500× row blowup ahead of the aggregate.
   *
   * Safety conditions:
-  *  - global aggregate (no grouping) whose only aggregate is count(1)/
-  *    count(*) — counting rows, so generator OUTPUT is irrelevant;
+  *  - global aggregate (no grouping) whose only aggregate is an
+  *    UNFILTERED count(1)/count(*) — counting all rows, so generator
+  *    OUTPUT is irrelevant; a FILTER clause disqualifies the rewrite;
   *  - explode (not posexplode/inline), outer = false: explode emits
-  *    exactly size(arr) rows (0 for empty/null arrays, matched by
-  *    coalesce(size, 0) which also covers size(null) = -1);
+  *    exactly size(arr) rows; size is built with legacySizeOfNull=false
+  *    so size(null) = NULL -> coalesce(size, 0) = 0, config-independent;
   *  - outer coalesce(..., 0) preserves count()'s value (0, never null)
   *    on an empty input relation.
   *
@@ -33,7 +34,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object FuseExplodeCount extends Rule[LogicalPlan] {
 
   private def isCountStar(e: AggregateExpression): Boolean = e match {
-    case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, _, _) => true
+    // filter must be None: count(*) FILTER (WHERE p) counts a subset of the
+    // generated rows, which size(arr) cannot express — leave it untouched.
+    case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) => true
     case _ => false
   }
 
@@ -46,7 +49,12 @@ object FuseExplodeCount extends Rule[LogicalPlan] {
       if (counts.size == aggExprs.size && counts.nonEmpty) {
         child match {
           case GenerateExplode(arr, genChild) =>
-            val sizeExpr = Coalesce(Seq(Size(arr), Literal(0)))
+            // legacySizeOfNull = false pinned explicitly: under the legacy
+            // setting size(null) = -1, which coalesce would pass through
+            // (it only replaces NULL), corrupting the count by -1 per null
+            // row. With false, size(null) = NULL -> coalesce -> 0, matching
+            // explode's zero rows regardless of session config.
+            val sizeExpr = Coalesce(Seq(Size(arr, legacySizeOfNull = false), Literal(0)))
             val sum = Coalesce(Seq(
               AggregateExpression(Sum(sizeExpr), Complete, isDistinct = false),
               Literal(0L)))

@@ -230,8 +230,17 @@ class SnapshotBatchWrite(root: String, date: String, schema: StructType, queryId
       abort(messages)
       throw new IllegalStateException(s"snapshot $date already published")
     }
+    // Publish ONLY files named in the tasks' commit messages: a zombie
+    // task attempt (executor lost mid-write, never ran abort()) leaves an
+    // orphan part-NNNNN-<otherTaskId>.csv in staging; renaming the whole
+    // dir would publish its rows twice. Delete anything uncommitted first.
+    val committed = messages.collect { case m: SnapshotFileCommit => m.fileName }.toSet
+    val staging = new java.io.File(stagingDir)
+    Option(staging.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => committed.contains(f.getName))
+      .foreach(_.delete())
     // the reference's atomic publish: one rename
-    if (!new java.io.File(stagingDir).renameTo(finalDir))
+    if (!staging.renameTo(finalDir))
       throw new IllegalStateException(s"commit rename failed for $date")
   }
 
@@ -241,6 +250,10 @@ class SnapshotBatchWrite(root: String, date: String, schema: StructType, queryId
     d.delete()
   }
 }
+
+/** Task-level commit message: names the one file this attempt wrote, so
+  * job commit can publish exactly the committed attempts' output. */
+case class SnapshotFileCommit(fileName: String) extends WriterCommitMessage
 
 class SnapshotWriterFactory(stagingDir: String, schema: StructType)
     extends DataWriterFactory {
@@ -264,7 +277,7 @@ class SnapshotWriterFactory(stagingDir: String, schema: StructType)
 
       override def commit(): WriterCommitMessage = {
         out.close()
-        new WriterCommitMessage {}
+        SnapshotFileCommit(file.getName)
       }
 
       override def abort(): Unit = { out.close(); file.delete() }
