@@ -23,7 +23,21 @@ object Tables {
   private val eventsRawSchema =
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
+  /** Memoized analyzed frames, keyed by (session, dir, name).
+    *
+    * `spark.read.parquet` re-lists the directory and re-reads the footer
+    * schema on every call; across a ~77-query suite that fixed cost is
+    * most of the wall time at small SF. Reusing the analyzed
+    * LogicalRelation is exactly what `spark.table` does with a catalog —
+    * plans, pushdown and pruning are unaffected. Keyed by session so a
+    * stopped session's frames are never served to a new one. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       import org.apache.spark.sql.functions.{expr, timestamp_micros}
       spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")

@@ -774,6 +774,92 @@ object CoreQueries {
     Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
             FROM events ORDER BY event_id"""))
 
+  /** F11 (deep variant) — the reference's real ingest surface: ~50
+    * null-guarded nested-path extractions from the vacancy API JSON
+    * (get_vacancies.py:151-221: `salary.from`, `address.metro.*`,
+    * `employer.*`, each guarded by `if vac['salary'] is not None`).
+    *
+    * Spark-first: parse ONCE with `from_json` + an explicit 3-level
+    * StructType, then flatten by dotted path — struct access is
+    * null-safe at every level (a NULL `salary` yields NULL
+    * `salary.from` with no guard code), replacing the reference's
+    * per-field Python conditionals. One pass over the JSON vs ~50
+    * independent `get_json_object` parses.
+    *
+    * The nested document is built in-query from `orders` columns
+    * (to_json of a 3-level struct with NULLed branches), so both
+    * engines parse their own construction and the extracted values
+    * must round-trip to the same base-column values. */
+  private val jsonNestedSchema =
+    """id BIGINT, published_at STRING,
+       salary STRUCT<`from`: BIGINT, `to`: BIGINT, currency: STRING, gross: BOOLEAN>,
+       address STRUCT<city: STRING, metro: STRUCT<station_name: STRING, line_name: STRING>>,
+       employer STRUCT<id: BIGINT, name: STRING>"""
+
+  private val jsonNested = Q("q_json_nested",
+    (s, dir) => {
+      val doc = table(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("published_at"),
+        when(col("o_orderstatus") =!= "P", struct(
+          floor(col("o_totalprice")).cast("long").as("from"),
+          (floor(col("o_totalprice")).cast("long") + 1000).as("to"),
+          when(col("o_orderpriority") =!= "1-URGENT", lit("RUR")).as("currency"),
+          (col("o_orderkey") % 2 === 0).as("gross"))).as("salary"),
+        struct(
+          concat(lit("city_"), col("o_custkey") % 10).as("city"),
+          when(col("o_custkey") % 3 =!= 0, struct(
+            concat(lit("st_"), col("o_custkey") % 50).as("station_name"),
+            concat(lit("ln_"), col("o_custkey") % 7).as("line_name"))).as("metro"))
+          .as("address"),
+        struct(col("o_custkey").as("id"),
+          concat(lit("emp_"), col("o_custkey")).as("name")).as("employer")))
+        .as("j"))
+      doc.select(from_json(col("j"), org.apache.spark.sql.types.StructType.fromDDL(jsonNestedSchema)).as("v"))
+        .select(
+          col("v.id").as("order_id"),
+          col("v.salary.from").as("salary_from"),
+          col("v.salary.to").as("salary_to"),
+          col("v.salary.currency").as("salary_currency"),
+          col("v.salary.gross").as("salary_gross"),
+          col("v.address.city").as("city"),
+          col("v.address.metro.station_name").as("metro_station"),
+          col("v.address.metro.line_name").as("metro_line"),
+          col("v.employer.id").as("employer_id"),
+          col("v.employer.name").as("employer_name"),
+          col("v.published_at").as("published_at"))
+        .orderBy("order_id")
+    },
+    Some("""WITH built AS (
+              SELECT to_json(struct_pack(
+                id := o_orderkey,
+                published_at := strftime(o_orderdate, '%Y-%m-%d'),
+                salary := CASE WHEN o_orderstatus <> 'P' THEN struct_pack(
+                    "from" := CAST(floor(o_totalprice) AS BIGINT),
+                    "to" := CAST(floor(o_totalprice) AS BIGINT) + 1000,
+                    currency := CASE WHEN o_orderpriority <> '1-URGENT' THEN 'RUR' END,
+                    gross := o_orderkey % 2 = 0) END,
+                address := struct_pack(
+                    city := 'city_' || CAST(o_custkey % 10 AS VARCHAR),
+                    metro := CASE WHEN o_custkey % 3 <> 0 THEN struct_pack(
+                        station_name := 'st_' || CAST(o_custkey % 50 AS VARCHAR),
+                        line_name := 'ln_' || CAST(o_custkey % 7 AS VARCHAR)) END),
+                employer := struct_pack(id := o_custkey,
+                                        name := 'emp_' || CAST(o_custkey AS VARCHAR)))) AS j
+              FROM orders)
+            SELECT CAST(json_extract(j, '$.id') AS BIGINT) AS order_id,
+                   CAST(json_extract(j, '$.salary.from') AS BIGINT) AS salary_from,
+                   CAST(json_extract(j, '$.salary.to') AS BIGINT) AS salary_to,
+                   json_extract_string(j, '$.salary.currency') AS salary_currency,
+                   CAST(json_extract(j, '$.salary.gross') AS BOOLEAN) AS salary_gross,
+                   json_extract_string(j, '$.address.city') AS city,
+                   json_extract_string(j, '$.address.metro.station_name') AS metro_station,
+                   json_extract_string(j, '$.address.metro.line_name') AS metro_line,
+                   CAST(json_extract(j, '$.employer.id') AS BIGINT) AS employer_id,
+                   json_extract_string(j, '$.employer.name') AS employer_name,
+                   json_extract_string(j, '$.published_at') AS published_at
+            FROM built ORDER BY order_id"""))
+
   /** 2.10: synonym canonicalization via the native Catalyst expression
     * [[graft.functions.SynonymLookup]] (codegen'd hash probe) instead of a
     * broadcast join — same semantics as q_count_filtered, demonstrating
@@ -866,5 +952,5 @@ object CoreQueries {
     sortDesc, topk, rankWindow, movingAvg, lagLead, percentile, unionYears,
     collectSet, explodeOuter, setOps, strKit, rangeFrame,
     strSplit, strJoin, strTrunc, regex, dateParse, dateArith,
-    arrayHof, jsonFlatten, synExpr, topkAgg, windowTumbling, flagship)
+    arrayHof, jsonFlatten, jsonNested, synExpr, topkAgg, windowTumbling, flagship)
 }
