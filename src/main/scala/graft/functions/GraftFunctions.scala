@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.FuseExplodeCount)
+    // MERGE INTO over plain relations: rewritten at resolution into the
+    // full-outer-join merge plan (see MergeIntoRewrite scaladoc)
+    ext.injectResolutionRule(_ => graft.plans.MergeIntoRewrite)
   }
 }
