@@ -35,25 +35,40 @@ object Dedup {
     * only genuinely similar docs collide: with a small vocabulary,
     * unigram token SETS are near-identical across documents and banding
     * degenerates to all-pairs. */
-  def minHashLsh(documents: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+  def minHashLsh(
+      documents: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      fastHash: Boolean = false): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // ONE shuffle: shingle sets collapse to a per-doc row, then the whole
     // signature (numHashes mins) and every band key are computed in a
     // single narrow projection via higher-order functions — no
     // per-(doc, seed) or per-(doc, band) aggregations.
+    //
+    // fastHash swaps md5 (32-hex-char strings, engine-portable and
+    // oracle-exact in DuckDB) for xxhash64 (codegen'd 64-bit longs, no
+    // digest allocation) in both the signature mins and the band keys.
+    // Identical docs collide identically under either family; NEAR-dup
+    // candidate sets can differ — use fastHash where throughput matters
+    // and md5 where cross-engine equality is asserted.
+    val shingleHash = if (fastHash) "xxhash64(seed, s)"
+      else "md5(CAST(concat(CAST(seed AS STRING), ':', s) AS BINARY))"
+    val bandKey = if (fastHash) s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"
+      else s"md5(CAST(concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS BINARY))"
     val sigs = shingles(documents)
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("sh"))
       .select(col("doc_id"), expr(
         s"""transform(sequence(0, ${numHashes - 1}),
-                      seed -> array_min(transform(sh, s -> md5(CAST(concat(CAST(seed AS STRING), ':', s) AS BINARY)))))""")
+                      seed -> array_min(transform(sh, s -> $shingleHash)))""")
         .as("sig"))
     val buckets = sigs.select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${numBands - 1}),
                         b -> named_struct(
                           'band', CAST(b AS INT),
-                          'bkey', md5(CAST(concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS BINARY))))"""))
+                          'bkey', $bandKey))"""))
           .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
     buckets.alias("x")
@@ -130,14 +145,34 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs via an inverted shingle index: candidate
     * pairs must share a shingle (equi-join on the shingle — no cross
     * product), then |∩| / |∪| is computed from group counts. */
-  def ngramJaccard(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+  def ngramJaccard(
+      documents: DataFrame,
+      threshold: Double = 0.3,
+      maxDf: Option[Int] = None): DataFrame = {
     val sh = shingles(documents)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Scale lever (not applied — measured slower at sf≤0.1): pre-dropping
-    // df=1 shingles via a groupBy(s) pass is result-preserving and pays
-    // off once the unique-shingle tail dominates the self-join input.
-    val inter = sh.alias("a")
-      .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // Hot-shingle cap (the 100 TB lever): a shingle occurring in n docs
+    // emits n² candidate pairs out of the self-join, so one stop-phrase
+    // shared by 1M docs is 10¹² pairs — THE scale-killer of inverted-index
+    // near-dup mining. maxDf drops shingles with df > maxDf from the
+    // CANDIDATE join only; |∩|/|∪| math keeps the per-doc totals, so a
+    // pair is still scored on its full shingle sets and only pairs whose
+    // ONLY shared shingles are stop-shingles can be missed (standard
+    // df-capping semantics). None = exact (the oracle'd default at
+    // sf ≤ 0.1, where no shingle is hot enough to matter).
+    //
+    // The inverse lever — dropping df=1 shingles, result-preserving but
+    // measured slower at sf ≤ 0.1 — remains worthwhile only once the
+    // unique-shingle tail dominates the self-join input.
+    val candidates = maxDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        sh.join(hot, Seq("s"), "left_anti")
+      case None => sh
+    }
+    val inter = candidates.alias("a")
+      .join(candidates.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .agg(count(lit(1)).as("i"))
     inter

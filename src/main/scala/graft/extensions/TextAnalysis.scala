@@ -58,6 +58,36 @@ object TextAnalysis {
       size(regexp_extract_all(coalesce(col("text"), lit("")),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"))
 
+  /** Within-document token co-occurrence counts over distinct tokens —
+    * the inverted-index self-join shape (equi-join on doc_id, never a
+    * corpus-wide cross product).
+    *
+    * The per-doc pair count is quadratic in DISTINCT tokens per doc: a
+    * 10k-token document alone emits 5·10⁷ pairs — at 100 TB with long
+    * documents this is the pipeline's scale-killer. `maxTokensPerDoc`
+    * caps each document's contribution to its top-m tokens by term
+    * frequency (ties by token, deterministic) BEFORE pairing, bounding
+    * the blowup at m(m-1)/2 pairs per doc. None = exact (the oracle'd
+    * default at sf ≤ 0.1, where docs are short). */
+  def cooccurrence(documents: DataFrame, maxTokensPerDoc: Option[Int] = None): DataFrame = {
+    val toksAll = documents
+      .select(col("doc_id"),
+        explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val toks = maxTokensPerDoc match {
+      case Some(m) =>
+        val tf = toksAll.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("tok"))
+        tf.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
+          .select("doc_id", "tok")
+      case None => toksAll.distinct()
+    }
+    toks.alias("x").join(toks.alias("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
+      .groupBy(col("x.tok").as("ta"), col("y.tok").as("tb"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * order-insensitive, whitespace-normalization-insensitive. */
   def fingerprint(documents: DataFrame): DataFrame =

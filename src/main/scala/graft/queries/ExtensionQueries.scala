@@ -227,18 +227,9 @@ object ExtensionQueries {
   /** Token co-occurrence: top-20 within-document token pairs — the
     * inverted-index self-join shape again (never a cross product). */
   private val cooccur = Q("q_cooccur",
-    (s, dir) => {
-      val toks = table(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
-        .filter(col("tok") =!= "").distinct()
-      toks.alias("x").join(toks.alias("y"),
-          col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
-        .groupBy(col("x.tok").as("ta"), col("y.tok").as("tb"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("ta"), col("tb"))
-        .limit(20)
-    },
+    (s, dir) => TextAnalysis.cooccurrence(table(s, dir, "documents"))
+      .orderBy(col("cnt").desc, col("ta"), col("tb"))
+      .limit(20),
     Some("""WITH t AS (SELECT DISTINCT doc_id, tok FROM
                          (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
                           FROM documents)
@@ -431,8 +422,17 @@ object ExtensionQueries {
                          list_filter(string_split(lower(coalesce(text, '')), ' '), t -> t <> ''))), ' ')) AS fp
             FROM documents ORDER BY doc_id"""))
 
+  /** Throughput twin of q_dedup_minhash: xxhash64 signatures instead of
+    * md5. No DuckDB oracle (xxhash64 is Spark-specific), so the driver
+    * records a rows-only check; DedupScaleSpec pins that identical docs
+    * produce identical candidate pairs under both hash families. */
+  private val dedupMinhashFast = Q("q_dedup_minhash_fast",
+    (s, dir) => Dedup.minHashLsh(table(s, dir, "documents"), fastHash = true)
+      .orderBy("a", "b"),
+    None)
+
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
+    dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
     tfidf, cooccur, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint)

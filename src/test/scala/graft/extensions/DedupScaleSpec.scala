@@ -1,0 +1,62 @@
+package graft.extensions
+
+import graft.SparkSpec
+
+/** The hot-key scale levers: xxhash64 MinHash fast path, ngram-Jaccard
+  * df cap, co-occurrence per-doc token cap. Each lever defaults OFF so
+  * the oracle'd queries stay exact; these tests pin what turning one ON
+  * does (and does not) change. */
+class DedupScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (3L, "completely different text about spark query planning today"),
+    (4L, "another unrelated document that shares no shingles at all"))
+    .toDF("doc_id", "text")
+
+  test("fastHash minhash finds the identical pair, like the md5 family") {
+    val md5Pairs = Dedup.minHashLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xxPairs = Dedup.minHashLsh(docs, fastHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs have identical shingle sets, hence identical
+    // signatures under ANY hash family — the pair must appear in both
+    assert(md5Pairs.contains((1L, 2L)))
+    assert(xxPairs.contains((1L, 2L)))
+    // and nothing unrelated collides on this fixture
+    assert(xxPairs == Set((1L, 2L)))
+  }
+
+  test("ngram maxDf: non-binding cap is result-preserving") {
+    val exact = Dedup.ngramJaccard(docs, 0.3).collect().toSet
+    val capped = Dedup.ngramJaccard(docs, 0.3, maxDf = Some(100)).collect().toSet
+    assert(capped == exact)
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))) == Set((1L, 2L)))
+  }
+
+  test("ngram maxDf: binding cap drops pairs held together only by hot shingles") {
+    // 10 docs all share one hot prefix phrase; only 1/2 are real near-dups
+    val hot = (1L to 10L).map(i =>
+      (i, s"common shared prefix phrase here unique$i tail$i word$i end$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(hot, 0.05)
+    // every pair shares the 3 prefix shingles -> 45 candidate pairs
+    assert(uncapped.count() == 45)
+    // cap df at 5: the prefix shingles (df=10) leave the join; no pair
+    // shares any remaining shingle, so no candidates survive
+    assert(Dedup.ngramJaccard(hot, 0.05, maxDf = Some(5)).count() == 0)
+  }
+
+  test("cooccurrence cap: non-binding cap is exact, binding cap bounds pairs") {
+    val exact = TextAnalysis.cooccurrence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val nonBinding = TextAnalysis.cooccurrence(docs, Some(100)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(nonBinding == exact)
+    // one 6-distinct-token doc, capped at 3 tokens -> exactly 3 pairs
+    val one = Seq((1L, "f e d c b a")).toDF("doc_id", "text")
+    assert(TextAnalysis.cooccurrence(one).count() == 15)
+    assert(TextAnalysis.cooccurrence(one, Some(3)).count() == 3)
+  }
+}
