@@ -1,0 +1,37 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk batching LLM pretraining
+  * uses: documents are laid end-to-end into a per-shard token stream and
+  * the stream is cut into fixed-`budget` training chunks. Each document
+  * is assigned its token span and the chunk range it overlaps, from
+  * which a loader materializes chunk contents.
+  *
+  * Plan shape: one narrow token count + ONE windowed cumulative sum
+  * partitioned by the shard column — the shard is the parallel unit, so
+  * packing 100 TB costs a single shuffle on the shard key and each
+  * shard's running sum stays inside one task stream. A global (single-
+  * partition) pack would serialize; shard-wise is how packing is done in
+  * practice (shards = data-parallel workers). Order within a shard is
+  * pinned by doc_id for determinism. */
+object Packing {
+
+  def packChunks(
+      documents: DataFrame,
+      budget: Int,
+      shardCol: String = "lang"): DataFrame = {
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col(shardCol).as("shard"), nTok.as("n_tok"))
+      .withColumn("end_tok", sum("n_tok").over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tok"))
+      .withColumn("chunk_first", floor(col("start_tok") / budget).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("end_tok") - 1) / budget).cast("long"))
+  }
+}

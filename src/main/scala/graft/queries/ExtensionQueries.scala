@@ -431,9 +431,68 @@ object ExtensionQueries {
       .orderBy("a", "b"),
     None)
 
+  /** Sequence packing (concat-and-chunk): per-shard token spans and the
+    * fixed-budget chunk range each document overlaps. */
+  private val packChunks = Q("q_pack_chunks",
+    (s, dir) => graft.extensions.Packing
+      .packChunks(table(s, dir, "documents"), budget = 64)
+      .orderBy("shard", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id, lang AS shard,
+                              CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+                       FROM documents),
+                 c AS (SELECT doc_id, shard, n_tok,
+                              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+                       FROM t)
+            SELECT doc_id, shard, n_tok,
+                   CAST(end_tok AS BIGINT) AS end_tok,
+                   CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+                   CAST(floor((end_tok - n_tok) / 64) AS BIGINT) AS chunk_first,
+                   CAST(floor((end_tok - 1) / 64) AS BIGINT) AS chunk_last
+            FROM c ORDER BY shard, doc_id"""))
+
+  private val embNormalize = Q("q_emb_normalize",
+    (s, dir) => graft.extensions.Embeddings
+      .l2Normalize(table(s, dir, "embeddings")).orderBy("vec_id"),
+    Some(s"""WITH $duckNorm
+             SELECT vec_id,
+                    list_transform(e, x -> round(x / nullif(nrm, 0.0), 6)) AS unit
+             FROM nn ORDER BY vec_id"""))
+
+  private val embQuantize = Q("q_emb_quantize",
+    (s, dir) => graft.extensions.Embeddings
+      .quantizeInt8(table(s, dir, "embeddings")).orderBy("vec_id"),
+    Some("""WITH ne AS (SELECT vec_id,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                        FROM embeddings),
+                 mm AS (SELECT vec_id, e,
+                               list_max(list_transform(e, x -> abs(x))) AS ma
+                        FROM ne)
+            SELECT vec_id, round(ma, 6) AS scale,
+                   list_transform(e, x ->
+                     CAST(round(x * 127.0 / nullif(ma, 0.0)) AS INTEGER)) AS q
+            FROM mm ORDER BY vec_id"""))
+
+  private val embLsh = Q("q_emb_lsh",
+    (s, dir) => graft.extensions.Embeddings
+      .hyperplaneLsh(table(s, dir, "embeddings")).orderBy("vec_id"),
+    Some("""WITH ne AS (SELECT vec_id,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                        FROM embeddings)
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(0, 16), i ->
+                     CASE WHEN list_sum(list_transform(range(0, len(e)), j ->
+                                  e[CAST(j AS INTEGER) + 1] *
+                                  CASE WHEN substr(md5(i || ':' || j), 1, 1) < '8'
+                                       THEN 1.0 ELSE -1.0 END)) > 0
+                          THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+                          ELSE 0 END)) AS BIGINT) AS bucket
+            FROM ne ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
     tfidf, cooccur, sessionize, corpusClean, dedupCc, fuzzyMatch,
-    langId, quality, tokenCount, fingerprint)
+    langId, quality, tokenCount, fingerprint,
+    packChunks, embNormalize, embQuantize, embLsh)
 }
