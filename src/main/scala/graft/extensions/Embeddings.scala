@@ -39,16 +39,21 @@ object Embeddings {
     * analogue of [[Dedup.simHash]]. One narrow projection computes all
     * `nBits` projections; the bucket key is the bit-packed long. */
   def hyperplaneLsh(embeddings: DataFrame, nBits: Int = 16): DataFrame = {
+    // materialize the double vector and its index array ONCE per row —
+    // expression-level reuse the 16 dot products share (CollapseProject
+    // keeps the split because the aliases are referenced many times;
+    // inlining them would recompute the casts 2×nBits times per row)
+    val withE = embeddings.select(col("vec_id"), vec.as("e"),
+      sequence(lit(0), size(vec) - 1).as("idx"))
     // sign(i, j) = +1 if the first hex nibble of md5("i:j") < '8' else -1
     val bits = (0 until nBits).map { i =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
+        zip_with(col("e"), col("idx"), (x, j) =>
           x * when(substring(md5(concat(lit(s"$i:"), j.cast("string"))), 1, 1) < "8",
             1.0).otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L) * (1L << i)).otherwise(lit(0L))
     }
-    embeddings.select(col("vec_id"),
-      bits.reduce(_ + _).as("bucket"))
+    withE.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
   }
 }

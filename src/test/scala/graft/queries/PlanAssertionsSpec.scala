@@ -57,4 +57,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(aggIdx >= 0, p)
     assert("partial_count|merge_count|count".r.findFirstIn(p).isDefined, p)
   }
+
+  test("q_json_nested: a single from_json projection, no per-field JSON re-parses") {
+    val p = planString("q_json_nested")
+    assert(!p.contains("get_json_object"), p) // one schema'd parse, not ~50 scalar parses
+    assert("from_json|JsonToStructs".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q_pack_chunks: exactly one hash exchange — the shard partitioning") {
+    val p = planString("q_pack_chunks")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("q_emb_normalize / q_emb_lsh: row-local — no hash shuffle at all") {
+    Seq("q_emb_normalize", "q_emb_lsh").foreach { q =>
+      val p = planString(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+    }
+  }
+
+  test("q_flagship_sql compiles to the same shuffle count as the DataFrame flagship") {
+    def shuffles(name: String) =
+      "Exchange hashpartitioning".r.findAllIn(planString(name)).size
+    assert(shuffles("q_flagship_sql") == shuffles("q_flagship"))
+  }
 }
