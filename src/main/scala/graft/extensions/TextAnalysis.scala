@@ -88,6 +88,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** PII-style masking: replace every match of `pattern` with `mask` and
+    * report how many spans were redacted — the pre-training scrub pass
+    * (emails, phone numbers, ids). Pure narrow projection; the pattern
+    * compiles once per task via codegen'd regexp_replace. */
+  def redact(
+      documents: DataFrame,
+      pattern: String = "[0-9][0-9]+",
+      mask: String = "<num>"): DataFrame =
+    documents.select(col("doc_id"),
+      regexp_replace(coalesce(col("text"), lit("")), pattern, mask).as("redacted"),
+      size(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit(pattern), lit(0))).cast("long").as("n_redacted"))
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * order-insensitive, whitespace-normalization-insensitive. */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -415,6 +415,13 @@ object ExtensionQueries {
                    CAST(len(regexp_extract_all(coalesce(text, ''), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS re_tokens
             FROM documents ORDER BY doc_id"""))
 
+  private val redactQ = Q("q_redact",
+    (s, dir) => TextAnalysis.redact(table(s, dir, "documents")).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   regexp_replace(coalesce(text, ''), '[0-9][0-9]+', '<num>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9][0-9]+', 0)) AS BIGINT) AS n_redacted
+            FROM documents ORDER BY doc_id"""))
+
   private val fingerprint = Q("q_fingerprint",
     (s, dir) => TextAnalysis.fingerprint(table(s, dir, "documents")).orderBy("doc_id"),
     Some("""SELECT doc_id,
@@ -493,6 +500,6 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
     tfidf, cooccur, sessionize, corpusClean, dedupCc, fuzzyMatch,
-    langId, quality, tokenCount, fingerprint,
+    langId, quality, tokenCount, fingerprint, redactQ,
     packChunks, embNormalize, embQuantize, embLsh)
 }
