@@ -17,11 +17,25 @@ import org.apache.spark.sql.functions._
   *     key's work spreads over `parts` reducers. */
 object Skew {
 
+  /** Content-derived salt: pmod(xxhash64(whole row), parts). Unlike a
+    * position-derived salt (spark_partition_id / monotonically_
+    * increasing_id), this is stable under task retries and AQE
+    * re-partitioning — the same row always lands in the same salt
+    * bucket, so phase-1 partials are deterministic for ANY aggregate,
+    * not just associative-commutative ones. Caveat: rows identical in
+    * every column share a bucket; for duplicate-heavy hot keys pass a
+    * discriminating column set via `saltOn`. */
+  private def contentSalt(df: DataFrame, parts: Int, saltOn: Seq[Column]): Column = {
+    val cols = if (saltOn.nonEmpty) saltOn else df.columns.toSeq.map(col)
+    pmod(xxhash64(cols: _*), lit(parts))
+  }
+
   /** count(*) per key with salting. `parts` bounds the fan-out of the hot
-    * key. Deterministic result, nondeterministic salt — safe because
-    * counts are associative. */
-  def saltedCount(df: DataFrame, key: Column, parts: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(parts)))
+    * key. */
+  def saltedCount(
+      df: DataFrame, key: Column, parts: Int = 16,
+      saltOn: Seq[Column] = Seq.empty): DataFrame =
+    df.withColumn("_salt", contentSalt(df, parts, saltOn))
       .groupBy(key.as("key"), col("_salt"))
       .agg(count(lit(1)).as("partial"))
       .groupBy("key")
@@ -32,8 +46,9 @@ object Skew {
     * combiner over the partial column. */
   def saltedAgg(
       df: DataFrame, key: Column, parts: Int,
-      partial: Column, combine: Column => Column): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(parts)))
+      partial: Column, combine: Column => Column,
+      saltOn: Seq[Column] = Seq.empty): DataFrame =
+    df.withColumn("_salt", contentSalt(df, parts, saltOn))
       .groupBy(key.as("key"), col("_salt"))
       .agg(partial.as("partial"))
       .groupBy("key")

@@ -55,6 +55,18 @@ class LayoutSkewSpec extends SparkSpec {
     assert(out == Map("k1" -> 3L, "k2" -> 5L))
   }
 
+  test("salt is content-derived: stable under repartitioning, spreads a hot key") {
+    val df = (1L to 400L).map(i => ("hot", i)).toDF("k", "v")
+    def partials(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("_salt", pmod(xxhash64($"k", $"v"), lit(8)))
+      .groupBy("_salt").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same rows, different physical partitioning → identical salt buckets
+    assert(partials(df.repartition(1)) == partials(df.repartition(13)))
+    // and the hot key genuinely fans out over the salt space
+    assert(partials(df).size > 4)
+  }
+
   test("GraftSession settings: extensions register synonym_lookup, AQE on") {
     // The shared test session is plain; validate the builder's conf map
     // without constructing a second context.
