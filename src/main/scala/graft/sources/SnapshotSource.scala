@@ -47,11 +47,18 @@ class SnapshotSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = options.get("path")
     val dirs = SnapshotSource.listSnapshotDirs(root)
+    // one bounded driver-side read of ONE header line, through the Hadoop
+    // FS API so any scheme the cluster mounts (hdfs://, s3a://, file:/)
+    // works — never a local-file assumption. Production callers should
+    // still pass an explicit schema (supportsExternalMetadata).
     val header = dirs.headOption
       .flatMap(d => SnapshotSource.listCsvFiles(s"$root/$d").headOption)
       .map { f =>
-        val src = scala.io.Source.fromFile(f)
-        try src.getLines().next() finally src.close()
+        val path = new org.apache.hadoop.fs.Path(f)
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
+        try in.readLine() finally in.close()
       }.getOrElse(throw new IllegalArgumentException(s"no snapshot dirs under $root"))
     StructType(header.split(",").map(c => StructField(c, StringType)) :+
       StructField("snapshot_date", DateType))
