@@ -82,9 +82,15 @@ object TextAnalysis {
           .select("doc_id", "tok")
       case None => toksAll.distinct()
     }
-    toks.alias("x").join(toks.alias("y"),
-        col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
-      .groupBy(col("x.tok").as("ta"), col("y.tok").as("tb"))
+    // pair generation as a narrow HOF over the per-doc sorted token set:
+    // one groupBy shuffle + one count shuffle — the doc_id self-join
+    // formulation pays a third shuffle and a join for the same pairs
+    toks.groupBy("doc_id").agg(array_sort(collect_set("tok")).as("arr"))
+      .select(explode(expr(
+        """flatten(transform(arr, (x, i) ->
+             transform(slice(arr, i + 2, size(arr)),
+                       y -> struct(x AS ta, y AS tb))))""")).as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
       .agg(count(lit(1)).as("cnt"))
   }
 
