@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (Array[Float]) —
   * SURVEY.md §7.1 step 7.
   *
-  * Dot products use the codegen'd higher-order functions (zip_with +
-  * aggregate) over double-cast arrays: deterministic left-to-right double
-  * summation, no UDF, stays inside whole-stage codegen. Norms are computed
-  * once per row, not per pair.
+  * Dot products use the native [[graft.functions.DotProduct]] expression
+  * (one fused codegen'd loop per pair, no intermediate zipped array) with
+  * the same strict left-to-right double summation as the declarative
+  * zip_with + aggregate form — [[dotHof]] keeps that form for reference
+  * and parity testing. Norms are computed once per row, not per pair.
   *
   * Scale path: brute force is O(n·q) — fine for one query vector over any
   * n (a broadcast of the query + one scan). For all-pairs near-dup at
@@ -21,18 +22,24 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product — the native expression. */
   def dot(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
+  /** Declarative twin of [[dot]], kept for parity testing. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    sqrt(call_function("dot_product", a, a))
 
   /** Embeddings with a precomputed L2 norm. */
-  def withNorm(embeddings: DataFrame): DataFrame =
+  def withNorm(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
+  }
 
   /** Brute-force cosine top-k against the vector with id `queryId`.
     * The 1-row query side is broadcast; one scan, one TakeOrdered. */

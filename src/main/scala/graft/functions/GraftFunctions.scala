@@ -20,7 +20,8 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "synonym_lookup" -> (args => SynonymLookup(args(0), args(1))),
-    "simhash64" -> (args => SimHash64(args(0))))
+    "simhash64" -> (args => SimHash64(args(0))),
+    "dot_product" -> (args => DotProduct(args(0), args(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
