@@ -87,6 +87,44 @@ class MergeIntoRewriteSpec extends AnyFunSuite {
     assert(joins == Seq(org.apache.spark.sql.catalyst.plans.FullOuter))
   }
 
+  test("randomized SCD parity: 20 seeded state/snapshot scenarios") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      // random overlap structure: keys 1..12, each present in state,
+      // snapshot, or both; random values force changed/unchanged mixes
+      val stateRows = (1L to 12L).filter(_ => rnd.nextBoolean()).map { k =>
+        val removed = if (rnd.nextInt(4) == 0) Date.valueOf("2023-12-15") else null
+        (k, s"v${rnd.nextInt(3)}", Date.valueOf("2023-12-01"),
+          Date.valueOf("2023-12-01"), removed)
+      }
+      val snapRows = (1L to 12L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"v${rnd.nextInt(3)}"))
+      if (stateRows.nonEmpty && snapRows.nonEmpty) {
+        stateRows.toDF("id", "val", "added_at", "updated_at", "removed_at")
+          .createOrReplaceTempView("state")
+        snapRows.toDF("id", "val").createOrReplaceTempView("snap")
+        val viaSql = spark.sql(
+          s"""MERGE INTO state t USING snap n ON t.id = n.id
+              WHEN MATCHED THEN UPDATE SET
+                val = n.val,
+                added_at = least(t.added_at, DATE'$D'),
+                updated_at = CASE WHEN NOT (t.val <=> n.val)
+                                  THEN DATE'$D' ELSE t.updated_at END
+              WHEN NOT MATCHED THEN INSERT (id, val, added_at, updated_at, removed_at)
+                VALUES (n.id, n.val, DATE'$D', DATE'$D', NULL)
+              WHEN NOT MATCHED BY SOURCE AND t.added_at < DATE'$D'
+                  AND (t.removed_at IS NULL OR DATE'$D' < t.removed_at)
+                THEN UPDATE SET removed_at = DATE'$D'""")
+          .orderBy("id").collect().toSeq
+        val viaApi = ScdMerge.applySnapshot(
+            spark.table("state"), spark.table("snap"), D, "id", Seq("val"))
+          .orderBy("id").collect().toSeq
+        assert(viaSql == viaApi, s"trial $trial: state=$stateRows snap=$snapRows")
+      }
+    }
+  }
+
   test("DELETE and conditional cascades: first match wins, deletes drop") {
     import spark.implicits._
     Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
