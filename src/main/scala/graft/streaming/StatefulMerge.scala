@@ -23,14 +23,15 @@ object StatefulMerge {
   /** Updated lifecycle row emitted per observation. */
   case class KeyLifecycle(id: Long, addedAt: String, updatedAt: String, changed: Boolean)
 
-  def updateKey(
+  /** The pure per-key fold shared by both state APIs: observations in
+    * snapshot-date order (the reference processes dirs sorted ascending,
+    * feeder_postgres.py:226) against the carried state. */
+  def foldKey(
       id: Long,
       obs: Iterator[KeyObs],
-      state: GroupState[KeyState]): Iterator[KeyLifecycle] = {
-    // Apply observations in snapshot-date order (the reference processes
-    // dirs sorted ascending, feeder_postgres.py:226).
+      initial: Option[KeyState]): (Seq[KeyLifecycle], Option[KeyState]) = {
     val sorted = obs.toSeq.sortBy(_.snapshotDate)
-    var cur = state.getOption
+    var cur = initial
     val out = sorted.map { o =>
       cur match {
         case None =>
@@ -46,6 +47,14 @@ object StatefulMerge {
           KeyLifecycle(id, next.addedAt, next.updatedAt, changed)
       }
     }
+    (out, cur)
+  }
+
+  def updateKey(
+      id: Long,
+      obs: Iterator[KeyObs],
+      state: GroupState[KeyState]): Iterator[KeyLifecycle] = {
+    val (out, cur) = foldKey(id, obs, state.getOption)
     cur.foreach(state.update)
     out.iterator
   }

@@ -74,6 +74,40 @@ class StreamingSpec extends SparkSpec {
     assert(m(2L) == (("b", "2021-01-01", "2021-01-01", "2021-01-08")))
   }
 
+  test("transformWithState variant matches mapGroupsWithState outputs") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StatefulMerge.KeyObs]
+      val q = StatefulMergeTws(input.toDS()).writeStream.format("memory")
+        .queryName("tws_lifecycle").outputMode("append").start()
+      try {
+        input.addData(
+          StatefulMerge.KeyObs(1L, "2021-01-01", 100L),
+          StatefulMerge.KeyObs(2L, "2021-01-01", 200L))
+        q.processAllAvailable()
+        input.addData(
+          StatefulMerge.KeyObs(1L, "2021-01-08", 100L), // unchanged
+          StatefulMerge.KeyObs(2L, "2021-01-08", 201L)) // changed
+        q.processAllAvailable()
+        val rows = spark.table("tws_lifecycle")
+          .as[StatefulMerge.KeyLifecycle].collect()
+          .groupBy(_.id).map { case (k, v) => k -> v.sortBy(_.updatedAt).last }
+        // identical to the mapGroupsWithState expectations above:
+        // shared foldKey, different state API
+        assert(rows(1L) == StatefulMerge.KeyLifecycle(1L, "2021-01-01", "2021-01-01", changed = false))
+        assert(rows(2L) == StatefulMerge.KeyLifecycle(2L, "2021-01-01", "2021-01-08", changed = true))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("StatefulMerge runs on the RocksDB state store (40M-key path)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
