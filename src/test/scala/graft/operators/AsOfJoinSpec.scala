@@ -38,6 +38,60 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == "same")
   }
 
+  test("NULL in the latest build row is carried as NULL, not back-filled") {
+    // the atomic-struct-carry property: build rows (t1: tag=a, note=n1),
+    // (t2: tag=b, note=NULL) — a probe after t2 must see (b, NULL),
+    // never the mixed (b, n1)
+    val b = Seq(
+      (1L, ts("2021-01-01 00:00:00"), "a", "n1"),
+      (1L, ts("2021-01-10 00:00:00"), "b", null))
+      .toDF("user_id", "ts", "tag", "note")
+    val p = Seq((200L, 1L, ts("2021-01-15 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.leftAsOf(p, b, Seq("user_id"), "ts", "ts",
+        Map("tag" -> "tag", "note" -> "note")).head()
+    assert(out.getAs[String]("tag") == "b")
+    assert(out.isNullAt(out.fieldIndex("note")))
+  }
+
+  test("randomized parity with a brute-force reference (nulls included)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { trial =>
+      val buildRows = (1 to 30).map { _ =>
+        (rnd.nextInt(4).toLong + 1,
+          ts(f"2021-01-${rnd.nextInt(28) + 1}%02d 00:00:00"),
+          if (rnd.nextInt(3) == 0) null else s"v${rnd.nextInt(5)}",
+          if (rnd.nextInt(3) == 0) null else java.lang.Long.valueOf(rnd.nextInt(100).toLong))
+      }.distinct
+      val probeRows = (1 to 20).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong + 1,
+          ts(f"2021-01-${rnd.nextInt(28) + 1}%02d 12:00:00"))
+      }
+      val b = buildRows.toDF("user_id", "ts", "tag", "score")
+      val p = probeRows.toDF("event_id", "user_id", "ts")
+      val out = AsOfJoin.leftAsOf(p, b, Seq("user_id"), "ts", "ts",
+          Map("tag" -> "tag", "score" -> "score"))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.getAs[String]("tag")), Option(r.getAs[java.lang.Long]("score")))).toMap
+      // brute force: per probe, the whole max-(ts, insertion-stable) row
+      probeRows.foreach { case (eid, uid, pts) =>
+        val cands = buildRows.filter(br => br._1 == uid && !br._2.after(pts))
+        val expected = if (cands.isEmpty) (None, None) else {
+          val latest = cands.maxBy(_._2.getTime)
+          // ties on ts: any of the tied rows is a valid carry, but tag
+          // and score must come from the SAME row
+          val tied = cands.filter(_._2 == latest._2)
+          val actual = out(eid)
+          assert(tied.exists(t => (Option(t._3), Option(t._4)) == actual),
+            s"trial $trial probe $eid: $actual not among tied rows $tied")
+          (Option(latest._3), Option(latest._4))
+        }
+        if (cands.isEmpty)
+          assert(out(eid) == ((None, None)), s"trial $trial probe $eid")
+      }
+    }
+  }
+
   test("probe columns pass through untouched") {
     val out = AsOfJoin.leftAsOf(probe, build, Seq("user_id"), "ts", "ts",
       Map("tag" -> "t"))
