@@ -13,12 +13,14 @@ object Embeddings {
 
   private val vec = transform(col("embedding"), x => x.cast("double"))
 
-  /** L2-normalize: e / ‖e‖ (zero vectors pass through as zeros).
+  /** L2-normalize: e / ‖e‖; a zero vector has no direction, so it passes
+    * through as zeros (coalesce over the divide-by-zero NULL).
     * Values rounded for cross-engine equality. */
   def l2Normalize(embeddings: DataFrame): DataFrame = {
     val nrm = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
     embeddings.select(col("vec_id"),
-      transform(vec, x => round(x / nullif(nrm, lit(0.0)), 6)).as("unit"))
+      transform(vec, x =>
+        round(coalesce(x / nullif(nrm, lit(0.0)), lit(0.0)), 6)).as("unit"))
   }
 
   /** Symmetric int8 quantization with a per-vector max-abs scale — the
@@ -29,7 +31,8 @@ object Embeddings {
     embeddings.select(col("vec_id"),
       round(maxAbs, 6).as("scale"),
       transform(vec, x =>
-        round(x * 127.0 / nullif(maxAbs, lit(0.0))).cast("int")).as("q"))
+        round(coalesce(x * 127.0 / nullif(maxAbs, lit(0.0)), lit(0.0)))
+          .cast("int")).as("q"))
   }
 
   /** Random-hyperplane LSH (cosine family): bit i = [e · h_i > 0] with

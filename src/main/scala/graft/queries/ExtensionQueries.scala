@@ -430,13 +430,43 @@ object ExtensionQueries {
             FROM documents ORDER BY doc_id"""))
 
   /** Throughput twin of q_dedup_minhash: xxhash64 signatures instead of
-    * md5. No DuckDB oracle (xxhash64 is Spark-specific), so the driver
-    * records a rows-only check; DedupScaleSpec pins that identical docs
-    * produce identical candidate pairs under both hash families. */
+    * md5. The raw candidate set is hash-family-specific (xxhash64 is
+    * Spark-only), so the oracle-checked output is its hash-family-INVARIANT
+    * subset: candidate pairs whose documents are exact content duplicates.
+    * Identical text ⇒ identical shingle set ⇒ identical signature under ANY
+    * hash family ⇒ all bands collide, so this subset must equal the full
+    * exact-dup pair set over shingle-eligible (≥3-token) docs — which DuckDB
+    * computes directly, no xxhash64 needed. The test corpus has no natural
+    * exact dups below sf0.1, so the query plants them: every 5th doc is
+    * unioned back in under doc_id+10,000,000 (both engines mirror the
+    * union), and the fast path must recover EVERY planted pair — an
+    * end-to-end check of eligibility, signature, banding, and the bucket
+    * join under xxhash64 (a broken band key drops pairs and fails the row
+    * count). DedupScaleSpec additionally pins md5/xxhash64 candidate parity
+    * on identical docs. */
   private val dedupMinhashFast = Q("q_dedup_minhash_fast",
-    (s, dir) => Dedup.minHashLsh(table(s, dir, "documents"), fastHash = true)
-      .orderBy("a", "b"),
-    None)
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.minHashLsh(corpus, fastHash = true)
+        .join(corpus.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+        .join(corpus.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+        .filter(col("ta") === col("tb"))
+        .select("a", "b")
+        .orderBy("a", "b")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+            el AS (SELECT doc_id, text FROM corpus
+                   WHERE text IS NOT NULL
+                     AND len(string_split(text, ' ')) >= 3)
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM el a JOIN el b ON a.text = b.text AND a.doc_id < b.doc_id
+            ORDER BY a, b"""))
 
   /** Sequence packing (concat-and-chunk): per-shard token spans and the
     * fixed-budget chunk range each document overlaps. */
@@ -458,27 +488,49 @@ object ExtensionQueries {
                    CAST(floor((end_tok - 1) / 64) AS BIGINT) AS chunk_last
             FROM c ORDER BY shard, doc_id"""))
 
+  /** The array-typed [[graft.extensions.Embeddings]] operators are the
+    * library surface; the verification queries posexplode to scalar
+    * (vec_id, pos, value) rows because the driver's pandas-based
+    * canonicalizer can only sort/hash scalar cells (round-2 lesson). The
+    * DuckDB twin zips parallel unnest(range(...))/unnest(list) columns. */
   private val embNormalize = Q("q_emb_normalize",
     (s, dir) => graft.extensions.Embeddings
-      .l2Normalize(table(s, dir, "embeddings")).orderBy("vec_id"),
-    Some(s"""WITH $duckNorm
-             SELECT vec_id,
-                    list_transform(e, x -> round(x / nullif(nrm, 0.0), 6)) AS unit
-             FROM nn ORDER BY vec_id"""))
+      .l2Normalize(table(s, dir, "embeddings"))
+      .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "val")))
+      .orderBy("vec_id", "pos"),
+    Some(s"""WITH $duckNorm,
+             u AS (SELECT vec_id,
+                          list_transform(e, x ->
+                            round(coalesce(x / nullif(nrm, 0.0), 0.0), 6)) AS unit
+                   FROM nn),
+             ex AS (SELECT vec_id, unnest(range(0, len(unit))) AS pos,
+                           unnest(unit) AS val
+                    FROM u)
+             SELECT vec_id, CAST(pos AS INTEGER) AS pos, val
+             FROM ex ORDER BY vec_id, pos"""))
 
   private val embQuantize = Q("q_emb_quantize",
     (s, dir) => graft.extensions.Embeddings
-      .quantizeInt8(table(s, dir, "embeddings")).orderBy("vec_id"),
+      .quantizeInt8(table(s, dir, "embeddings"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("q")).as(Seq("pos", "qv")))
+      .orderBy("vec_id", "pos"),
     Some("""WITH ne AS (SELECT vec_id,
                                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                         FROM embeddings),
                  mm AS (SELECT vec_id, e,
                                list_max(list_transform(e, x -> abs(x))) AS ma
-                        FROM ne)
-            SELECT vec_id, round(ma, 6) AS scale,
-                   list_transform(e, x ->
-                     CAST(round(x * 127.0 / nullif(ma, 0.0)) AS INTEGER)) AS q
-            FROM mm ORDER BY vec_id"""))
+                        FROM ne),
+                 qq AS (SELECT vec_id, round(ma, 6) AS scale,
+                               list_transform(e, x ->
+                                 CAST(round(coalesce(x * 127.0 / nullif(ma, 0.0), 0.0))
+                                      AS INTEGER)) AS q
+                        FROM mm),
+                 ex AS (SELECT vec_id, scale, unnest(range(0, len(q))) AS pos,
+                               unnest(q) AS qv
+                        FROM qq)
+            SELECT vec_id, scale, CAST(pos AS INTEGER) AS pos, qv
+            FROM ex ORDER BY vec_id, pos"""))
 
   private val embLsh = Q("q_emb_lsh",
     (s, dir) => graft.extensions.Embeddings

@@ -22,19 +22,21 @@ class PackingEmbeddingsSpec extends SparkSpec {
       (4L, "b", 2L, 2L, 0L, 0L, 0L))) // shard b restarts at 0
   }
 
-  test("l2Normalize yields unit vectors; zero vector passes as nulls") {
+  test("l2Normalize yields unit vectors; zero vector passes as zeros") {
     val e = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val rows = Embeddings.l2Normalize(e).orderBy("vec_id").collect()
     assert(rows(0).getSeq[Double](1) == Seq(0.6, 0.8))
-    assert(rows(1).getSeq[Any](1).forall(_ == null))
+    assert(rows(1).getSeq[Double](1) == Seq(0.0, 0.0))
   }
 
   test("quantizeInt8: values bounded by ±127, max-abs maps to ±127") {
-    val e = Seq((1L, Seq(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
-    val r = Embeddings.quantizeInt8(e).head()
-    assert(r.getDouble(1) == 1.0) // scale = max abs
-    assert(r.getSeq[Int](2) == Seq(64, -127, 32))
+    val e = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Embeddings.quantizeInt8(e).orderBy("vec_id").collect()
+    assert(rows(0).getDouble(1) == 1.0) // scale = max abs
+    assert(rows(0).getSeq[Int](2) == Seq(64, -127, 32))
+    assert(rows(1).getSeq[Int](2) == Seq(0, 0)) // zero vector quantizes to zeros
   }
 
   test("hyperplaneLsh: identical vectors share a bucket, opposite differ") {

@@ -17,6 +17,14 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
+            # The driver canonicalizes via pandas sort_values, which dies on
+            # unhashable cell values (lists / numpy arrays) — round 2 shipped
+            # two array-typed queries that passed here and erred there.
+            # Mirror the driver: only scalar cells are verifiable.
+            if isinstance(v, (list, tuple, dict, set)):
+                raise TypeError(
+                    f"non-scalar cell in column {cols[i]!r}: {type(v).__name__} "
+                    "(driver's pandas canonicalizer cannot hash this)")
             if isinstance(v, float):
                 v = repr(v)
             vals.append(str(v))
@@ -51,7 +59,10 @@ def main(sf_dir, out_dir):
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL {name}: cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
             n_fail += 1; continue
-        a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+        try:
+            a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
         if a != b:
