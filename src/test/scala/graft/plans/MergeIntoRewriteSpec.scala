@@ -141,4 +141,57 @@ class MergeIntoRewriteSpec extends AnyFunSuite {
     // (no NOT MATCHED BY SOURCE clause); 4 not inserted (40 <= 50)
     assert(out.toSeq == Seq((1L, 99L), (3L, 30L)))
   }
+
+  test("cardinality: two source rows matching one target row raise") {
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("id", "v").createOrReplaceTempView("t_card")
+    Seq((1L, 11L), (1L, 12L), (2L, 20L)).toDF("id", "v")
+      .createOrReplaceTempView("s_card")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO t_card t USING s_card s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("GRAFT_MERGE_CARDINALITY_VIOLATION")))
+  }
+
+  test("cardinality: duplicate UNMATCHED source keys legally insert twice") {
+    import spark.implicits._
+    Seq((9L, 90L)).toDF("id", "v").createOrReplaceTempView("t_card2")
+    Seq((1L, 11L), (1L, 12L)).toDF("id", "v").createOrReplaceTempView("s_card2")
+    val out = spark.sql(
+      """MERGE INTO t_card2 t USING s_card2 s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+      .orderBy("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 11L), (1L, 12L), (9L, 90L)))
+  }
+
+  test("cardinality: duplicate target keys hit by ONE source row are legal") {
+    import spark.implicits._
+    Seq((1L, 10L), (1L, 20L)).toDF("id", "v").createOrReplaceTempView("t_card3")
+    Seq((1L, 99L)).toDF("id", "v").createOrReplaceTempView("s_card3")
+    val out = spark.sql(
+      """MERGE INTO t_card3 t USING s_card3 s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = s.v""")
+      .orderBy("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each of the two target rows is updated exactly once — allowed
+    assert(out.toSeq == Seq((1L, 99L), (1L, 99L)))
+  }
+
+  test("cardinality: guard can be disabled by conf (documented escape hatch)") {
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("id", "v").createOrReplaceTempView("t_card4")
+    Seq((1L, 11L), (1L, 12L)).toDF("id", "v").createOrReplaceTempView("s_card4")
+    spark.conf.set("spark.graft.merge.cardinalityCheck", "false")
+    try {
+      val out = spark.sql(
+        """MERGE INTO t_card4 t USING s_card4 s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.v""").collect()
+      assert(out.length == 2) // unguarded: one row per match
+    } finally spark.conf.unset("spark.graft.merge.cardinalityCheck")
+  }
 }
