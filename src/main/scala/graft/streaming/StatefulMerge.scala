@@ -66,4 +66,28 @@ object StatefulMerge {
     obs.groupByKey(_.id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateKey)
   }
+
+  /** TTL variant: a key idle for `ttlMs` of processing time is evicted
+    * from the state store on the next batch (classic GroupStateTimeout
+    * mechanics — the [[StatefulMergeTws]] TTLConfig is the Spark 4
+    * spelling of the same bound). A reappearing key re-enters as a fresh
+    * insert. Without a TTL the reference's 40 M-id key space grows the
+    * store monotonically (SURVEY §7.4). */
+  def applyWithTtl(obs: Dataset[KeyObs], ttlMs: Long): Dataset[KeyLifecycle] = {
+    implicit val stateEnc = Encoders.product[KeyState]
+    implicit val outEnc = Encoders.product[KeyLifecycle]
+    obs.groupByKey(_.id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (id: Long, rows: Iterator[KeyObs], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = updateKey(id, rows, state)
+            state.setTimeoutDuration(ttlMs)
+            out
+          }
+      }
+  }
 }

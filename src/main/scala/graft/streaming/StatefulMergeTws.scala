@@ -14,17 +14,24 @@ import StatefulMerge.{KeyLifecycle, KeyObs, KeyState}
   * Same per-key fold as the mapGroupsWithState variant
   * ([[StatefulMerge.foldKey]] is shared), so the two formulations are
   * interchangeable — StreamingSpec pins identical outputs. State TTL is
-  * the operational win at scale: expired keys leave the store without a
-  * tombstone pass (the reference never deletes; a real 100 TB deployment
-  * must). */
+  * the operational win at scale: with `ttl` set, a key not observed for
+  * the TTL window leaves the RocksDB store (value filtered at read,
+  * cleaned up by store maintenance) instead of accumulating forever —
+  * the reference's 40 M-id key space (SURVEY §7.4) never deletes; a real
+  * 100 TB deployment must. An expired key that reappears re-enters the
+  * lifecycle as a fresh insert (changed=true, addedAt = the new
+  * snapshot), which is exactly the reference's semantics for an id seen
+  * again after its retention horizon. */
 object StatefulMergeTws {
 
-  class LifecycleProcessor extends StatefulProcessor[Long, KeyObs, KeyLifecycle] {
+  class LifecycleProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, KeyObs, KeyLifecycle] {
     @transient private var state: ValueState[KeyState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[KeyState](
-        "lifecycle", Encoders.product[KeyState], TTLConfig.NONE)
+        "lifecycle", Encoders.product[KeyState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(
         key: Long,
@@ -39,10 +46,14 @@ object StatefulMergeTws {
 
   /** Wire the keyed merge over a stream of observations. Requires the
     * RocksDB state store provider (transformWithState rejects the HDFS
-    * one by design). */
-  def apply(obs: Dataset[KeyObs]): Dataset[KeyLifecycle] = {
+    * one by design). `ttl` bounds per-key state lifetime (processing
+    * time since the key's last update); None keeps state forever. */
+  def apply(
+      obs: Dataset[KeyObs],
+      ttl: Option[java.time.Duration] = None): Dataset[KeyLifecycle] = {
     implicit val outEnc = Encoders.product[KeyLifecycle]
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     obs.groupByKey(_.id)(Encoders.scalaLong)
-      .transformWithState(new LifecycleProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LifecycleProcessor(ttl), timeMode, OutputMode.Append())
   }
 }

@@ -134,6 +134,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // Both TTL tests disable no-data micro-batches: with processing-time
+  // state (TTL / ProcessingTimeTimeout) the engine's shouldRunAnotherBatch
+  // otherwise schedules empty batches back-to-back to evaluate expiry and
+  // the query never quiesces for processAllAvailable. Expiry semantics
+  // don't need those batches here — TTL is checked when the state is READ
+  // and timeouts fire in whatever batch runs next — so the tests drive
+  // expiry with ordinary data batches after a real-clock sleep.
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("Tws state TTL: an idle key leaves the store and re-enters fresh") {
+    withConfs(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StatefulMerge.KeyObs]
+      val q = StatefulMergeTws(input.toDS(),
+          ttl = Some(java.time.Duration.ofMillis(200)))
+        .writeStream.format("memory").queryName("tws_ttl")
+        .outputMode("append").start()
+      try {
+        input.addData(StatefulMerge.KeyObs(1L, "2021-01-01", 100L))
+        q.processAllAvailable()
+        Thread.sleep(800) // > TTL: key 1's state expires
+        // same payload hash: live state would answer changed=false with
+        // the ORIGINAL addedAt; expired state must re-initialize
+        input.addData(StatefulMerge.KeyObs(1L, "2021-02-01", 100L))
+        q.processAllAvailable()
+        val last = spark.table("tws_ttl")
+          .as[StatefulMerge.KeyLifecycle].collect().maxBy(_.updatedAt)
+        assert(last == StatefulMerge.KeyLifecycle(
+          1L, "2021-02-01", "2021-02-01", changed = true))
+      } finally q.stop()
+    }
+  }
+
+  test("GroupStateTimeout TTL: timed-out key is removed, reappears fresh") {
+    withConfs("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StatefulMerge.KeyObs]
+      val q = StatefulMerge.applyWithTtl(input.toDS(), ttlMs = 200)
+        .writeStream.format("memory").queryName("mgws_ttl")
+        .outputMode("append").start()
+      try {
+        input.addData(StatefulMerge.KeyObs(7L, "2021-01-01", 100L))
+        q.processAllAvailable()
+        Thread.sleep(800) // > TTL
+        // an unrelated key drives the batch in which key 7 times out
+        // (hasTimedOut → state.remove()); timeouts fire when a batch runs
+        input.addData(StatefulMerge.KeyObs(8L, "2021-02-01", 200L))
+        q.processAllAvailable()
+        input.addData(StatefulMerge.KeyObs(7L, "2021-03-01", 100L))
+        q.processAllAvailable()
+        val last7 = spark.table("mgws_ttl")
+          .as[StatefulMerge.KeyLifecycle].collect()
+          .filter(_.id == 7L).maxBy(_.updatedAt)
+        // same payload hash as before the timeout: surviving state would
+        // say changed=false with addedAt 2021-01-01
+        assert(last7 == StatefulMerge.KeyLifecycle(
+          7L, "2021-03-01", "2021-03-01", changed = true))
+      } finally q.stop()
+    }
+  }
+
   test("checkpointed file-source restart does not re-feed processed snapshots") {
     val root = Files.createTempDirectory("snapckpt").toFile.getAbsolutePath
     val ckpt = Files.createTempDirectory("ckptdir").toFile.getAbsolutePath
