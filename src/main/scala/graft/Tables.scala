@@ -30,12 +30,35 @@ object Tables {
     * most of the wall time at small SF. Reusing the analyzed
     * LogicalRelation is exactly what `spark.table` does with a catalog —
     * plans, pushdown and pruning are unaffected. Keyed by session so a
-    * stopped session's frames are never served to a new one. */
+    * stopped session's frames are never served to a new one, and evicted
+    * when the session's context ends so long-lived processes that build
+    * many sessions don't retain dead plans. */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def ensureEviction(spark: SparkSession): Unit =
+    evictionHooked.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evict(spark)
+        })
+      true
+    })
+
+  /** Drop this session's memoized frames (application-end hook). */
+  def evict(spark: SparkSession): Unit = {
+    memo.keys.filter(_._1 eq spark).foreach(memo.remove)
+    evictionHooked.remove(spark)
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureEviction(spark)
     memo.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

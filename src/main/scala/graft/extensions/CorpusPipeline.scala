@@ -42,8 +42,11 @@ object CorpusPipeline {
       .select("doc_id")
     val exactDeduped = gated.join(keepers, "doc_id")
 
-    // 3. near-dup removal: MinHash-LSH candidates, drop the b of each pair
-    val nearDupB = Dedup.minHashLsh(exactDeduped).select(col("b").as("doc_id")).distinct()
+    // 3. near-dup removal: MinHash-LSH candidates, drop the b of each pair.
+    // share=false: the gate-filtered input plan is unique to this pipeline,
+    // so checkpointing its shingle/pair frames would never pay off
+    val nearDupB = Dedup.minHashLsh(exactDeduped, share = false)
+      .select(col("b").as("doc_id")).distinct()
     val surviving = exactDeduped.join(nearDupB, Seq("doc_id"), "left_anti")
 
     // 4. deterministic content-independent split

@@ -1,6 +1,10 @@
 package graft.extensions
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -39,7 +43,22 @@ object Dedup {
       documents: DataFrame,
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
-      fastHash: Boolean = false): DataFrame = {
+      fastHash: Boolean = false,
+      share: Boolean = true): DataFrame = {
+    val spark = documents.sparkSession
+    if (shareEnabled(spark, share))
+      memoized(spark,
+        ("minhash", planOf(documents), numHashes, rowsPerBand, fastHash))(
+        computeMinHashLsh(documents, numHashes, rowsPerBand, fastHash, share))
+    else computeMinHashLsh(documents, numHashes, rowsPerBand, fastHash, share)
+  }
+
+  private def computeMinHashLsh(
+      documents: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      fastHash: Boolean,
+      share: Boolean): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // ONE shuffle: shingle sets collapse to a per-doc row, then the whole
     // signature (numHashes mins) and every band key are computed in a
@@ -56,7 +75,7 @@ object Dedup {
       else "md5(CAST(concat(CAST(seed AS STRING), ':', s) AS BINARY))"
     val bandKey = if (fastHash) s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"
       else s"md5(CAST(concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS BINARY))"
-    val sigs = shingles(documents)
+    val sigs = shingles(documents, share = share)
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("sh"))
       .select(col("doc_id"), expr(
@@ -91,14 +110,22 @@ object Dedup {
     * fingerprint assembly run as nested higher-order folds in a single
     * narrow projection (the per-(doc, bit) exploded formulation costs two
     * more shuffles and 16× the rows). */
-  def simHash(documents: DataFrame): DataFrame = {
+  def simHash(documents: DataFrame, share: Boolean = true): DataFrame = {
+    val spark = documents.sparkSession
+    if (shareEnabled(spark, share))
+      memoized(spark, ("simhash", planOf(documents)))(
+        computeSimHash(documents, share))
+    else computeSimHash(documents, share)
+  }
+
+  private def computeSimHash(documents: DataFrame, share: Boolean): DataFrame = {
     // ONE shuffle (the per-doc shingle collect); the whole 64-bit
     // fingerprint is computed per row by the native SimHash64 expression
     // — no 64× bit explode, no per-(doc, bit) aggregation. The DuckDB
     // oracle of q_dedup_simhash pins its equivalence to the declarative
     // md5-hex construction.
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    shingles(documents)
+    shingles(documents, share = share)
       .groupBy("doc_id").agg(collect_set(col("s")).as("feats"))
       .select(col("doc_id"), call_function("simhash64", col("feats")).as("simhash"))
   }
@@ -128,11 +155,59 @@ object Dedup {
       .distinct()
   }
 
-  /** Word-3-gram shingles per doc (distinct). The token array is
-    * materialized once per row before the positional transform (the
-    * repeated-`split` form defeats common-subexpression elimination
-    * inside lambda scopes). */
-  def shingles(documents: DataFrame, n: Int = 3): DataFrame =
+  /** Shared intermediate frames: the dedup family (minhash, simhash,
+    * ngram-Jaccard, connected components) recomputes the same
+    * deterministic frames — the distinct-shingle frame, the MinHash
+    * candidate pairs, the SimHash fingerprints — and each recompute costs
+    * a scan + a SHUFFLE. Deterministic intermediates are therefore
+    * memoized per (session, canonicalized input plan, params) and
+    * localCheckpoint'ed, so the second consumer reads materialized
+    * partitions instead of re-shuffling; at cluster scale the same role
+    * is played by persisting the frame to storage between pipeline
+    * stages. Entries drop on application end (listener); call
+    * [[evictShared]] to free executor storage sooner; set
+    * `spark.graft.dedup.shareFrames=false` (or pass `share = false`) for
+    * one-shot pipelines where checkpointing a never-reused frame is pure
+    * overhead. */
+  private val frameMemo = TrieMap.empty[(SparkSession, Any), DataFrame]
+  private val evictionHooked = TrieMap.empty[SparkSession, Boolean]
+
+  private def shareEnabled(spark: SparkSession, share: Boolean): Boolean =
+    share && spark.conf.getOption("spark.graft.dedup.shareFrames")
+      .forall(_.toBoolean)
+
+  private def memoized(spark: SparkSession, key: Any)(build: => DataFrame): DataFrame = {
+    evictionHooked.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          evictShared(spark)
+      })
+      true
+    })
+    frameMemo.getOrElseUpdate((spark, key), build.localCheckpoint())
+  }
+
+  private def planOf(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed.canonicalized
+
+  /** Drop this session's memoized frames. */
+  def evictShared(spark: SparkSession): Unit = {
+    frameMemo.keys.filter(_._1 eq spark).foreach(frameMemo.remove)
+    evictionHooked.remove(spark)
+  }
+
+  /** Word-3-gram shingles per doc (distinct), memoized per input plan
+    * (see [[frameMemo]]). The token array is materialized once per row
+    * before the positional transform (the repeated-`split` form defeats
+    * common-subexpression elimination inside lambda scopes). */
+  def shingles(documents: DataFrame, n: Int = 3, share: Boolean = true): DataFrame = {
+    val spark = documents.sparkSession
+    if (!shareEnabled(spark, share)) computeShingles(documents, n)
+    else memoized(spark, ("shingles", planOf(documents), n))(
+      computeShingles(documents, n))
+  }
+
+  private def computeShingles(documents: DataFrame, n: Int): DataFrame =
     documents.select(col("doc_id"), split(col("text"), " ").as("arr"))
       .select(col("doc_id"),
         explode(expr(

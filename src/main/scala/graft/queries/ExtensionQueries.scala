@@ -450,7 +450,8 @@ object ExtensionQueries {
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      Dedup.minHashLsh(corpus, fastHash = true)
+      // share=false: the planted-dup corpus plan is unique to this query
+      Dedup.minHashLsh(corpus, fastHash = true, share = false)
         .join(corpus.select(col("doc_id").as("a"), col("text").as("ta")), "a")
         .join(corpus.select(col("doc_id").as("b"), col("text").as("tb")), "b")
         .filter(col("ta") === col("tb"))

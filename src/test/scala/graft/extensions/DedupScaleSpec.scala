@@ -59,4 +59,29 @@ class DedupScaleSpec extends SparkSpec {
     assert(TextAnalysis.cooccurrence(one).count() == 15)
     assert(TextAnalysis.cooccurrence(one, Some(3)).count() == 3)
   }
+
+  test("shingle sharing: same input plan reuses one frame; opt-out matches") {
+    val in = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val in2 = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    // two logically-identical frames (distinct instances, distinct exprIds;
+    // canonicalization equates them) memoize to the SAME checkpointed frame
+    val s1 = Dedup.shingles(in)
+    val s2 = Dedup.shingles(in2)
+    assert(s1 eq s2)
+    val shared = s1.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    spark.conf.set("spark.graft.dedup.shareFrames", "false")
+    try {
+      val direct = Dedup.shingles(in)
+      assert(!(direct eq s1))
+      val plain = direct.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(plain == shared)
+      assert(plain == Set(
+        (1L, "a b c"), (1L, "b c d"), (2L, "b c d"), (2L, "c d e")))
+    } finally spark.conf.unset("spark.graft.dedup.shareFrames")
+    // per-call opt-out recomputes too
+    assert(!(Dedup.shingles(in, share = false) eq s1))
+    Dedup.evictShared(spark)
+    assert(!(Dedup.shingles(in) eq s1)) // evicted -> fresh frame
+    Dedup.evictShared(spark)
+  }
 }
