@@ -68,8 +68,25 @@ object TextAnalysis {
     * caps each document's contribution to its top-m tokens by term
     * frequency (ties by token, deterministic) BEFORE pairing, bounding
     * the blowup at m(m-1)/2 pairs per doc. None = exact (the oracle'd
-    * default at sf ≤ 0.1, where docs are short). */
-  def cooccurrence(documents: DataFrame, maxTokensPerDoc: Option[Int] = None): DataFrame = {
+    * default at sf ≤ 0.1, where docs are short).
+    *
+    * `pairStrategy` picks the pair generator (identical output):
+    *  - "join" (default): doc_id self-join of the token index. Pays one
+    *    more shuffle than the HOF but pairs rows via sort-merge-join
+    *    machinery (codegen'd comparisons, spillable).
+    *  - "hof": collect each doc's sorted token set and emit pairs with a
+    *    nested-transform HOF — one fewer shuffle, but the per-row work
+    *    is quadratic in the doc's distinct tokens and runs as interpreted
+    *    struct allocation inside one task per doc.
+    *    Measured (32 threads, warm): sf0.1 short docs join 1.0 s vs hof
+    *    1.35 s; one 3k-distinct-token doc join 6.3 s vs hof 17 s; one
+    *    8k-token doc join 38 s vs hof 107 s. The join wins in every
+    *    regime and degrades far more gracefully under long-doc skew, so
+    *    the r2 HOF default is retired (kept for the parity spec). */
+  def cooccurrence(
+      documents: DataFrame,
+      maxTokensPerDoc: Option[Int] = None,
+      pairStrategy: String = "join"): DataFrame = {
     val toksAll = documents
       .select(col("doc_id"),
         explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
@@ -82,16 +99,24 @@ object TextAnalysis {
           .select("doc_id", "tok")
       case None => toksAll.distinct()
     }
-    // pair generation as a narrow HOF over the per-doc sorted token set:
-    // one groupBy shuffle + one count shuffle — the doc_id self-join
-    // formulation pays a third shuffle and a join for the same pairs
-    toks.groupBy("doc_id").agg(array_sort(collect_set("tok")).as("arr"))
-      .select(explode(expr(
-        """flatten(transform(arr, (x, i) ->
-             transform(slice(arr, i + 2, size(arr)),
-                       y -> struct(x AS ta, y AS tb))))""")).as("p"))
-      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
-      .agg(count(lit(1)).as("cnt"))
+    pairStrategy match {
+      case "hof" =>
+        toks.groupBy("doc_id").agg(array_sort(collect_set("tok")).as("arr"))
+          .select(explode(expr(
+            """flatten(transform(arr, (x, i) ->
+                 transform(slice(arr, i + 2, size(arr)),
+                           y -> struct(x AS ta, y AS tb))))""")).as("p"))
+          .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+          .agg(count(lit(1)).as("cnt"))
+      case "join" =>
+        toks.alias("x")
+          .join(toks.alias("y"),
+            col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
+          .groupBy(col("x.tok").as("ta"), col("y.tok").as("tb"))
+          .agg(count(lit(1)).as("cnt"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown pairStrategy: $other")
+    }
   }
 
   /** PII-style masking: replace every match of `pattern` with `mask` and

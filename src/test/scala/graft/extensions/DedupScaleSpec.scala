@@ -60,6 +60,21 @@ class DedupScaleSpec extends SparkSpec {
     assert(TextAnalysis.cooccurrence(one, Some(3)).count() == 3)
   }
 
+  test("cooccurrence pair strategies agree (join default; hof kept)") {
+    // decision record (CooccurStrategyBench / CooccurSkewBench, 32 threads,
+    // warm): sf0.1 join 1.0s vs hof 1.35s; 3k-distinct-token doc 6.3s vs
+    // 17s; 8k-token doc 38s vs 107s — join wins every regime, so it is
+    // the default and hof survives only behind this parity pin
+    val mixed = Seq(
+      (1L, "a b c d"), (2L, "b c a"), (3L, "x y"), (4L, "a a b")
+    ).toDF("doc_id", "text")
+    def pairs(s: String) = TextAnalysis.cooccurrence(mixed, pairStrategy = s)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val viaJoin = pairs("join")
+    assert(viaJoin == pairs("hof"))
+    assert(viaJoin(("a", "b", 3L))) // a,b co-occur in docs 1,2,4
+  }
+
   test("shingle sharing: same input plan reuses one frame; opt-out matches") {
     val in = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
     val in2 = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
