@@ -15,11 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read the physical INT64
-    * nanos with an explicit schema — SURVEY §1.3: always declare schemas,
-    * never infer — and rebuild a session-TZ TimestampType at microsecond
-    * precision (`ts div 1000` keeps the math in exact integer space). */
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects at
+    * schema inference — probed on Spark 4.1.2 (graft.NanosProbe): a plain
+    * read fails with [PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64
+    * (TIMESTAMP(NANOS,false)); Spark has no nanosecond TimestampType.
+    * The one native escape, `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (SPARK-40819), infers ts as plain BIGINT — exactly what the explicit
+    * schema below declares, minus the mutable session-wide conf flip. So
+    * we read the physical INT64 nanos with an explicit schema — SURVEY
+    * §1.3: always declare schemas, never infer — and rebuild a session-TZ
+    * TimestampType at microsecond precision (`ts div 1000` keeps the math
+    * in exact integer space). Revisit if Spark gains TIMESTAMP(NANOS). */
   private val eventsRawSchema =
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
