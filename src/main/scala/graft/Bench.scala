@@ -69,6 +69,25 @@ object Bench {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
 
+    // sorted-write demo (the "secondary index" substitute): identical
+    // row-group size, with/without clustering on the hot key; footer
+    // stats give the ground-truth row-group hit rate for `key = v`
+    val probeKey = orders.agg(max(col("o_custkey")) / 2).head().getDouble(0).toLong
+    val sortedSetup = time {
+      graft.plans.Layout.writeSorted(orders, s"$tmp/orders_sorted", "o_custkey")
+      graft.plans.Layout.writeUnsorted(orders, s"$tmp/orders_unsorted")
+    }
+    val (rgTotalSorted, rgHitSorted) =
+      graft.plans.Layout.rowGroupStats(spark, s"$tmp/orders_sorted", "o_custkey", probeKey)
+    val (rgTotalUnsorted, rgHitUnsorted) =
+      graft.plans.Layout.rowGroupStats(spark, s"$tmp/orders_unsorted", "o_custkey", probeKey)
+    def keyScan(path: String): Double = {
+      val df = spark.read.parquet(path)
+      time(df.filter(col("o_custkey") === probeKey).agg(count(lit(1))).count())
+    }
+    val scanSorted = keyScan(s"$tmp/orders_sorted")
+    val scanUnsorted = keyScan(s"$tmp/orders_unsorted")
+
     Seq(
       "setup_write" -> setup,
       "scan_flat" -> flatScan,
@@ -76,7 +95,14 @@ object Bench {
       "files_total" -> filesTotal.toDouble,
       "files_read_pruned" -> filesRead.toDouble,
       "join_shuffled" -> shuffledJoin,
-      "join_bucketed" -> bucketedJoin)
+      "join_bucketed" -> bucketedJoin,
+      "sorted_setup_write" -> sortedSetup,
+      "rowgroups_total_sorted" -> rgTotalSorted.toDouble,
+      "rowgroups_hit_sorted" -> rgHitSorted.toDouble,
+      "rowgroups_total_unsorted" -> rgTotalUnsorted.toDouble,
+      "rowgroups_hit_unsorted" -> rgHitUnsorted.toDouble,
+      "keyscan_sorted" -> scanSorted,
+      "keyscan_unsorted" -> scanUnsorted)
   }
 
   def main(args: Array[String]): Unit = {

@@ -41,6 +41,67 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Sorted parquet write — the "secondary index" substitute (SURVEY §4):
+    * globally ordering on the hot predicate column clusters each key into
+    * few row groups, so parquet min/max stats let a reader skip the rest.
+    * `rowGroupBytes` deliberately small-ish so files carry several row
+    * groups and skipping is observable (production: leave the 128 MB
+    * default; the stats mechanics are identical). */
+  def writeSorted(
+      df: DataFrame, path: String, sortCol: String,
+      rowGroupBytes: Long = 128 * 1024, files: Int = 4): Unit =
+    df.orderBy(col(sortCol)).coalesce(files)
+      .write.option("parquet.block.size", rowGroupBytes)
+      .mode("overwrite").parquet(path)
+
+  /** The unsorted twin of [[writeSorted]] (same row-group size, no
+    * clustering) for measuring what the sort buys. */
+  def writeUnsorted(
+      df: DataFrame, path: String,
+      rowGroupBytes: Long = 128 * 1024, files: Int = 4): Unit =
+    df.coalesce(files)
+      .write.option("parquet.block.size", rowGroupBytes)
+      .mode("overwrite").parquet(path)
+
+  /** Row-group stats evidence for an equality predicate `column = value`:
+    * (total row groups, row groups whose [min,max] contains the value) —
+    * the fraction a stats-aware reader must visit. Reads parquet footers
+    * directly so the number is layout ground truth, independent of which
+    * engine scans. */
+  def rowGroupStats(
+      spark: SparkSession, path: String, column: String, value: Long): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    var total = 0
+    var overlapping = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          total += 1
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .foreach { c =>
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                if (mn <= value && value <= mx) overlapping += 1
+              } else overlapping += 1 // no stats: the reader must visit
+            }
+        }
+      } finally reader.close()
+    }
+    (total, overlapping)
+  }
+
   /** Demonstrates that a year predicate prunes a partitioned layout:
     * returns the input files actually selected by the plan. */
   def prunedFiles(spark: SparkSession, path: String, yearValue: Int): Seq[String] = {

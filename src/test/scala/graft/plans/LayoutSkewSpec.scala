@@ -23,6 +23,29 @@ class LayoutSkewSpec extends SparkSpec {
     assert(pruned.select("v").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("sorted write: equality predicate hits few row groups; unsorted hits most") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-sort").toFile.getAbsolutePath
+    // 200k rows, keys shuffled so the unsorted layout has every key
+    // spread across row groups; tiny row groups so each file holds many
+    val df = spark.range(200000)
+      .select((col("id") * 2654435761L % 100000L).as("k"), col("id").as("v"))
+    Layout.writeSorted(df, s"$dir/sorted", "k", rowGroupBytes = 64 * 1024, files = 2)
+    Layout.writeUnsorted(df, s"$dir/unsorted", rowGroupBytes = 64 * 1024, files = 2)
+    val probe = 50000L
+    val (totS, hitS) = Layout.rowGroupStats(spark, s"$dir/sorted", "k", probe)
+    val (totU, hitU) = Layout.rowGroupStats(spark, s"$dir/unsorted", "k", probe)
+    assert(totS > 2 && totU > 2, s"need several row groups, got $totS/$totU")
+    // unsorted: hash-spread keys overlap essentially every row group
+    assert(hitU == totU)
+    // sorted: the key lives in at most one row group per file (+1 slack
+    // for a boundary straddle)
+    assert(hitS <= 3, s"sorted hit $hitS of $totS")
+    // same answer from both layouts
+    val a = spark.read.parquet(s"$dir/sorted").filter(col("k") === probe).count()
+    val b = spark.read.parquet(s"$dir/unsorted").filter(col("k") === probe).count()
+    assert(a == b)
+  }
+
   test("bucketed tables join with NO shuffle exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
