@@ -223,7 +223,8 @@ object Dedup {
   def ngramJaccard(
       documents: DataFrame,
       threshold: Double = 0.3,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = None,
+      dropUniqueShingles: Boolean = false): DataFrame = {
     val sh = shingles(documents)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Hot-shingle cap (the 100 TB lever): a shingle occurring in n docs
@@ -236,16 +237,24 @@ object Dedup {
     // df-capping semantics). None = exact (the oracle'd default at
     // sf ≤ 0.1, where no shingle is hot enough to matter).
     //
-    // The inverse lever — dropping df=1 shingles, result-preserving but
-    // measured slower at sf ≤ 0.1 — remains worthwhile only once the
-    // unique-shingle tail dominates the self-join input.
-    val candidates = maxDf match {
-      case Some(cap) =>
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("s")
-        sh.join(hot, Seq("s"), "left_anti")
-      case None => sh
-    }
+    // dropUniqueShingles is the inverse, RESULT-PRESERVING lever: a df=1
+    // shingle cannot produce a candidate pair (pairing needs two docs),
+    // so pruning the unique tail shrinks the self-join input for free —
+    // worthwhile once that tail dominates (measured slower at sf ≤ 0.1;
+    // see [[ngramJaccardAtScale]] for the gated variant). Both levers
+    // share ONE window pass over the shingle frame: df per shingle via a
+    // count window partitioned by s, which sorts/partitions exactly the
+    // way the candidate self-join wants anyway — no extra join against a
+    // (potentially huge) bad-shingle set.
+    val candidates =
+      if (maxDf.isEmpty && !dropUniqueShingles) sh
+      else {
+        val byS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        val keep = maxDf.map(cap => col("df") <= cap).getOrElse(lit(true)) &&
+          (if (dropUniqueShingles) col("df") >= 2 else lit(true))
+        sh.withColumn("df", count(lit(1)).over(byS))
+          .filter(keep).select("doc_id", "s")
+      }
     val inter = candidates.alias("a")
       .join(candidates.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
@@ -257,4 +266,18 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }
+
+  /** Scale-gated [[ngramJaccard]]: enables the result-preserving df=1
+    * prune once the corpus exceeds `docCountThreshold` documents — the
+    * regime (≳ 50k docs ≈ sf1 of the harness corpus) where the
+    * unique-shingle tail dominates the inverted index; below it the
+    * extra window pass costs more than the rows it removes. One cheap
+    * count job decides. */
+  def ngramJaccardAtScale(
+      documents: DataFrame,
+      threshold: Double = 0.3,
+      maxDf: Option[Int] = None,
+      docCountThreshold: Long = 50000L): DataFrame =
+    ngramJaccard(documents, threshold, maxDf,
+      dropUniqueShingles = documents.count() > docCountThreshold)
 }

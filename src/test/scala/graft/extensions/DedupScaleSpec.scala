@@ -48,6 +48,33 @@ class DedupScaleSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(hot, 0.05, maxDf = Some(5)).count() == 0)
   }
 
+  test("ngram df levers compose: df=1 prune is result-preserving, with and without maxDf") {
+    // corpus with all three shingle populations: unique tails (df=1),
+    // mid-df near-dup shingles, and one hot phrase shared by everyone
+    val mixed = (1L to 8L).map { i =>
+      // docs 1-4 share a mid-df body; docs 5-8 have fully unique bodies,
+      // so their ONLY shared shingles are the hot phrase ones (df=8)
+      val near = if (i <= 4) "shared near duplicate body" else s"alpha$i beta$i gamma$i delta$i"
+      (i, s"hot common phrase here $near unique$i tail$i")
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Dedup.ngramJaccard(mixed, 0.05))
+    // lever 1 alone: df=1 shingles cannot pair, so pruning them changes nothing
+    assert(pairs(Dedup.ngramJaccard(mixed, 0.05, dropUniqueShingles = true)) == exact)
+    // both levers together: drop the unique tail AND the hot phrase; the
+    // mid-df near-dup shingles still pair docs 1-4, scored on FULL sets
+    val both = pairs(Dedup.ngramJaccard(mixed, 0.05,
+      maxDf = Some(5), dropUniqueShingles = true))
+    assert(both == pairs(Dedup.ngramJaccard(mixed, 0.05, maxDf = Some(5))))
+    assert(both.map(p => (p._1, p._2)) ==
+      (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)).toSet)
+    // the scale gate: threshold above the corpus size -> plain exact path;
+    // threshold 0 -> pruned path; identical results either way
+    assert(pairs(Dedup.ngramJaccardAtScale(mixed, 0.05, docCountThreshold = 0L)) == exact)
+    assert(pairs(Dedup.ngramJaccardAtScale(mixed, 0.05)) == exact)
+  }
+
   test("cooccurrence cap: non-binding cap is exact, binding cap bounds pairs") {
     val exact = TextAnalysis.cooccurrence(docs).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
