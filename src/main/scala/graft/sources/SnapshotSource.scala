@@ -49,13 +49,17 @@ class SnapshotSource extends TableProvider {
     val dirs = SnapshotSource.listSnapshotDirs(root)
     // one bounded driver-side read of ONE header line, through the Hadoop
     // FS API so any scheme the cluster mounts (hdfs://, s3a://, file:/)
-    // works — never a local-file assumption. Production callers should
-    // still pass an explicit schema (supportsExternalMetadata).
+    // works — never a local-file assumption. The session's Hadoop conf
+    // (not a bare new Configuration()) carries fs.s3a.* credentials and
+    // other cluster FS settings. Production callers should still pass an
+    // explicit schema (supportsExternalMetadata).
     val header = dirs.headOption
       .flatMap(d => SnapshotSource.listCsvFiles(s"$root/$d").headOption)
       .map { f =>
         val path = new org.apache.hadoop.fs.Path(f)
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val conf = org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()
+        val fs = path.getFileSystem(conf)
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
         try in.readLine() finally in.close()
@@ -202,12 +206,15 @@ class SnapshotReaderFactory(fullSchema: StructType, required: StructType)
 }
 
 /** Write path: publish ONE dated snapshot dir per job with the
-  * reference's commit protocol — tasks write part files into a hidden
-  * staging dir; job commit atomically renames the staging dir to
-  * `root/<snapshotDate>/` (periodic_run.py:42-63 tempdir + os.rename).
-  * A crashed job leaves only a `.staging-*` dir that readers never list
-  * (the dated-dir regex excludes it); re-publishing an existing date is
-  * rejected — snapshots are immutable. */
+  * reference's commit protocol hardened to Spark's task-attempt model —
+  * tasks write part files into a hidden staging dir; job commit moves
+  * exactly the files named in the task commit messages into a hidden
+  * publish dir and atomically renames THAT to `root/<snapshotDate>/`
+  * (periodic_run.py:42-63 tempdir + os.rename, plus publish-by-manifest
+  * so a zombie task attempt can never slip uncommitted rows into the
+  * published dir). A crashed job leaves only dot-dirs that readers never
+  * list (the dated-dir regex excludes them); re-publishing an existing
+  * date is rejected — snapshots are immutable. */
 class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
@@ -231,28 +238,48 @@ class SnapshotBatchWrite(root: String, date: String, schema: StructType, queryId
     new SnapshotWriterFactory(stagingDir, schema)
   }
 
+  private val publishDir = s"$root/.publish-$date-$queryId"
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val finalDir = new java.io.File(s"$root/$date")
     if (finalDir.exists()) {
       abort(messages)
       throw new IllegalStateException(s"snapshot $date already published")
     }
-    // Publish ONLY files named in the tasks' commit messages: a zombie
-    // task attempt (executor lost mid-write, never ran abort()) leaves an
-    // orphan part-NNNNN-<otherTaskId>.csv in staging; renaming the whole
-    // dir would publish its rows twice. Delete anything uncommitted first.
-    val committed = messages.collect { case m: SnapshotFileCommit => m.fileName }.toSet
-    val staging = new java.io.File(stagingDir)
-    Option(staging.listFiles()).getOrElse(Array.empty)
-      .filterNot(f => committed.contains(f.getName))
-      .foreach(_.delete())
-    // the reference's atomic publish: one rename
-    if (!staging.renameTo(finalDir))
+    // Publish BY MANIFEST: move exactly the files named in the tasks'
+    // commit messages into a second hidden dir, then atomically rename
+    // that dir into place. A zombie task attempt (executor lost
+    // mid-write, never ran abort()) can drop a part file into STAGING at
+    // any moment — including between a cleanup scan and a whole-dir
+    // rename, which is why delete-then-rename-the-dir cannot close the
+    // race. The zombie never writes into the publish dir (only commit
+    // builds it), so the published snapshot contains exactly the
+    // committed attempts' output; readers never list dot-dirs.
+    val committed = messages.collect { case m: SnapshotFileCommit => m.fileName }
+    val publish = new java.io.File(publishDir)
+    require(publish.mkdirs() || publish.isDirectory,
+      s"cannot create publish dir $publishDir")
+    committed.foreach { name =>
+      val src = new java.io.File(stagingDir, name)
+      if (!src.renameTo(new java.io.File(publish, name)))
+        throw new IllegalStateException(
+          s"commit lost task output $name for snapshot $date")
+    }
+    // the reference's atomic publish: one rename of the manifest-built dir
+    if (!publish.renameTo(finalDir))
       throw new IllegalStateException(s"commit rename failed for $date")
+    // best-effort cleanup: staging may still receive zombie writes after
+    // this; it stays invisible to readers (dated-dir regex skips dot-dirs)
+    abortDir(stagingDir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val d = new java.io.File(stagingDir)
+    abortDir(stagingDir)
+    abortDir(publishDir)
+  }
+
+  private def abortDir(path: String): Unit = {
+    val d = new java.io.File(path)
     Option(d.listFiles()).foreach(_.foreach(_.delete()))
     d.delete()
   }

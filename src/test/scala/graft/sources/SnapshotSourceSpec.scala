@@ -117,4 +117,41 @@ class SnapshotSourceSpec extends SparkSpec {
         .option("path", wroot).mode("append").save()
     }
   }
+
+  test("job commit publishes by manifest: zombie part files never publish") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val wroot = Files.createTempDirectory("snapzombie").toFile.getAbsolutePath
+    val schema = StructType(Seq(StructField("id", StringType)))
+    val bw = new SnapshotBatchWrite(wroot, "2022-06-01", schema, "q-test")
+    bw.createBatchWriterFactory(null) // creates the staging dir
+    val staging = new java.io.File(wroot).listFiles()
+      .find(_.getName.startsWith(".staging")).get
+    def put(name: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(staging, name), "UTF-8")
+      w.println("id"); w.println(name); w.close()
+    }
+    put("part-00000-1.csv")
+    put("part-00001-2.csv")
+    // a zombie attempt's orphan output: present in staging, never committed
+    // (this models the file appearing at ANY time, incl. mid-commit — by
+    // manifest it can never reach the publish dir)
+    put("part-00001-99.csv")
+    bw.commit(Array(
+      SnapshotFileCommit("part-00000-1.csv"),
+      SnapshotFileCommit("part-00001-2.csv")))
+    val published = new java.io.File(wroot, "2022-06-01").list().toSet
+    assert(published == Set("part-00000-1.csv", "part-00001-2.csv"))
+    // readers see exactly the published snapshot (dot-dirs invisible)
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("path", wroot).load()
+    assert(back.select("id").as[String].collect().toSet ==
+      Set("part-00000-1.csv", "part-00001-2.csv"))
+    // a committed file missing from staging fails the commit loudly
+    val bw2 = new SnapshotBatchWrite(wroot, "2022-06-08", schema, "q-test2")
+    bw2.createBatchWriterFactory(null)
+    intercept[IllegalStateException] {
+      bw2.commit(Array(SnapshotFileCommit("part-00000-gone.csv")))
+    }
+    assert(!new java.io.File(wroot, "2022-06-08").exists())
+  }
 }
