@@ -113,6 +113,30 @@ object ExtensionQueries {
             WHERE i * 1.0 / (na.n + nb.n - i) >= 0.3
             ORDER BY a, b"""))
 
+  /** The df=1-pruned path of [[Dedup.ngramJaccard]] under the SAME oracle
+    * as q_dedup_ngram: the prune is result-preserving by construction
+    * (a df=1 shingle cannot pair), so the driver's hash-compare verifies
+    * the pruned code path end-to-end at sf0.01, not just in unit specs. */
+  private val dedupNgramPruned = Q("q_dedup_ngram_pruned",
+    (s, dir) => Dedup.ngramJaccard(table(s, dir, "documents"), 0.3,
+      dropUniqueShingles = true).orderBy("a", "b"),
+    Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM documents)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2)
+            SELECT inter.a, inter.b, round(i * 1.0 / (na.n + nb.n - i), 4) AS jac
+            FROM inter
+            JOIN sz na ON na.doc_id = inter.a
+            JOIN sz nb ON nb.doc_id = inter.b
+            WHERE i * 1.0 / (na.n + nb.n - i) >= 0.3
+            ORDER BY a, b"""))
+
   /** Shared DuckDB scaffolding: embeddings with double-cast vectors and
     * precomputed norms; dot products as ordered double folds to mirror
     * Spark's aggregate() exactly. */
@@ -550,7 +574,8 @@ object ExtensionQueries {
             FROM ne ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs, dedupNgram,
+    dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs,
+    dedupNgram, dedupNgramPruned,
     dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
     tfidf, cooccur, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,

@@ -55,4 +55,25 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
         col("p_ts"), col("v_ts"))
   }
+
+  /** Streaming sessionization: the continuous counterpart of the batch
+    * q_sessionize (gap > `gap` starts a new session per user), built on
+    * `session_window` — Spark merges overlapping [ts, ts+gap) windows in
+    * the state store and emits a session once the watermark passes its
+    * close. State per user is bounded by open sessions inside the
+    * watermark horizon, evicted on emit — the formulation that survives
+    * an unbounded stream. Works identically in a batch groupBy (same
+    * function, no state) — EventStreamsSpec pins stream/batch parity. */
+  def sessionize(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
 }

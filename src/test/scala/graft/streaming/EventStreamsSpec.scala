@@ -10,6 +10,9 @@ import graft.SparkSpec
 /** Top-level so Spark can derive an Encoder without an outer scope. */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
+/** [[Ev]] plus the value column the sessionize aggregate sums. */
+case class EvV(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -55,6 +58,56 @@ class EventStreamsSpec extends SparkSpec {
         .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
       assert(rows == Set((100L, 10L)))
     } finally q.stop()
+  }
+
+  test("sessionize: gap merges within, splits across; closed sessions emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EvV]
+    val out = EventStreams.sessionize(input.toDF())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EvV(1L, ts("2021-01-01 10:00:00"), 1L, "view", 1.0),
+        EvV(2L, ts("2021-01-01 10:10:00"), 1L, "view", 2.0), // same session
+        EvV(3L, ts("2021-01-01 11:30:00"), 1L, "view", 4.0), // gap > 30m: new
+        EvV(4L, ts("2021-01-01 10:05:00"), 2L, "view", 8.0))
+      q.processAllAvailable()
+      // advance the watermark far past every session close
+      input.addData(EvV(99L, ts("2021-01-01 13:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("user_id"),
+          date_format(col("session_start"), "HH:mm").as("s"),
+          date_format(col("session_end"), "HH:mm").as("e"),
+          col("n_events"), col("session_value"))
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      // session end = last event + gap (session_window semantics)
+      assert(rows == Set(
+        (1L, "10:00", "10:40", 2L, 3.0),
+        (1L, "11:30", "12:00", 1L, 4.0),
+        (2L, "10:05", "10:35", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize batch twin: same operator over a static frame agrees") {
+    val evs = Seq(
+      EvV(1L, ts("2021-01-01 10:00:00"), 1L, "view", 1.0),
+      EvV(2L, ts("2021-01-01 10:10:00"), 1L, "view", 2.0),
+      EvV(3L, ts("2021-01-01 11:30:00"), 1L, "view", 4.0),
+      EvV(4L, ts("2021-01-01 10:05:00"), 2L, "view", 8.0)).toDF()
+    val rows = EventStreams.sessionize(evs)
+      .select(col("user_id"),
+        date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"),
+        col("n_events"), col("session_value"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    // identical sessions to the streaming run (no open-session holdback
+    // in batch: everything is final)
+    assert(rows == Set(
+      (1L, "10:00", "10:40", 2L, 3.0),
+      (1L, "11:30", "12:00", 1L, 4.0),
+      (2L, "10:05", "10:35", 1L, 8.0)))
   }
 
   test("batch twin: the same interval join runs in batch mode for backfill") {
