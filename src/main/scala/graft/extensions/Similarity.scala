@@ -70,6 +70,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k cosine over int8-QUANTIZED vectors — searching the
+    * 4×-smaller representation a 100 TB corpus actually holds in memory.
+    * The per-vector max-abs scales cancel in cosine, so the score is the
+    * cosine of the int arrays themselves; quantization error surfaces as
+    * score perturbation (the production trade-off), and every step —
+    * round-to-int, integer dot products exactly representable in doubles
+    * — is engine-deterministic, so the result has a bitwise DuckDB
+    * oracle (q_ann_quantized). */
+  def quantizedTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val qz = Embeddings.quantizeInt8(embeddings)
+      .select(col("vec_id"), col("q").cast("array<double>").as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val q = qz.filter(col("vec_id") === queryId)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    qz.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_q", round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4))
+      .select("vec_id", "cos_q")
+      .orderBy(col("cos_q").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-cell centroids, element-wise: posexplode → per-(cell, position)
     * mean → the IVF "train" step. One shuffle on (label, pos); the
     * re-assembly into vectors (collect_list sorted by pos) stays inside

@@ -169,6 +169,30 @@ object ExtensionQueries {
              FROM nn, q WHERE vec_id <> 0
              ORDER BY cos_r DESC, vec_id LIMIT 10"""))
 
+  private val annQuantized = Q("q_ann_quantized",
+    (s, dir) => Similarity.quantizedTopK(table(s, dir, "embeddings"), 0L, 10),
+    Some("""WITH ne AS (SELECT vec_id,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                        FROM embeddings),
+                 mm AS (SELECT vec_id, e,
+                               list_max(list_transform(e, x -> abs(x))) AS ma
+                        FROM ne),
+                 qq AS (SELECT vec_id,
+                               list_transform(e, x ->
+                                 CAST(CAST(round(coalesce(x * 127.0 / nullif(ma, 0.0), 0.0))
+                                           AS INTEGER) AS DOUBLE)) AS qv
+                        FROM mm),
+                 nn AS (SELECT vec_id, qv,
+                               sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm
+                        FROM qq),
+                 q AS (SELECT qv AS qe, nrm AS qn FROM nn WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_sum(list_transform(range(1, len(qv) + 1),
+                                                 i -> qv[i] * qe[i]))
+                         / (nrm * qn), 4) AS cos_q
+            FROM nn, q WHERE vec_id <> 0
+            ORDER BY cos_q DESC, vec_id LIMIT 10"""))
+
   private val annIvf = Q("q_ann_ivf",
     (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"), 0L, 10),
     Some(s"""WITH $duckNorm,
@@ -576,7 +600,7 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs,
     dedupNgram, dedupNgramPruned,
-    dedupEmbcos, annCosine, annIvf, centroidsQ, asofJoin,
+    dedupEmbcos, annCosine, annQuantized, annIvf, centroidsQ, asofJoin,
     tfidf, cooccur, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,
     packChunks, embNormalize, embQuantize, embLsh)

@@ -64,6 +64,18 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._1).indexOf(3L) == -1 || top.last._2 < 0.2)
   }
 
+  test("quantized top-k: identical vectors still score 1.0; ranking preserved") {
+    val top = Similarity.quantizedTopK(vecs, 0L, 4)
+      .as[(Long, Double)].collect().toSeq
+    // int8 quantization is exact for these axis-aligned vectors except 2,
+    // whose rounded direction stays closest-but-not-equal
+    assert(top.head._1 == 1L && top.head._2 == 1.0)
+    assert(top.map(_._1).take(3).toSet == Set(1L, 4L, 2L))
+    val floatTop = Similarity.bruteForceTopK(vecs, 0L, 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1) == floatTop.map(_._1)) // same ranking on this fixture
+  }
+
   test("ivf restricts to the query's cell") {
     val ids = Similarity.ivfTopK(vecs, 0L, 10).as[(Long, Double)].collect().map(_._1)
     assert(!ids.contains(4L)) // other label, even though identical
