@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import StatefulMerge.{KeyLifecycle, KeyObs, KeyState}
 
@@ -42,6 +42,68 @@ object StatefulMergeTws {
       cur.foreach(state.update)
       out.iterator
     }
+  }
+
+  /** A lifecycle row or, when `tombstone`, the final record emitted as a
+    * key's timer expires — the streaming analogue of the reference's
+    * `removed_at` tombstone (feeder_postgres.py:92-94): a key not seen
+    * for the idle window is declared gone, its last-known lifecycle is
+    * published, and its state leaves the store. */
+  final case class KeyEvent(
+      id: Long, addedAt: String, updatedAt: String,
+      changed: Boolean, tombstone: Boolean)
+
+  /** The timer-based variant: same fold, plus one processing-time timer
+    * per key, re-armed on every update. When it fires (the key went
+    * idle), [[StatefulProcessor.handleExpiredTimer]] emits the tombstone
+    * and clears the state — scheduled per-key ACTION on expiry, which
+    * plain TTL (silent drop) cannot express. */
+  class TombstoneProcessor(idle: java.time.Duration)
+      extends StatefulProcessor[Long, KeyObs, KeyEvent] {
+    @transient private var state: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyState](
+        "lifecycle", Encoders.product[KeyState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[KeyObs],
+        timerValues: TimerValues): Iterator[KeyEvent] = {
+      val initial = if (state.exists()) Some(state.get()) else None
+      val (out, cur) = StatefulMerge.foldKey(key, rows, initial)
+      cur.foreach(state.update)
+      // one armed timer per key: drop the stale one, arm idle-from-now
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs() + idle.toMillis)
+      out.iterator.map(l =>
+        KeyEvent(l.id, l.addedAt, l.updatedAt, l.changed, tombstone = false))
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[KeyEvent] = {
+      val out =
+        if (state.exists()) {
+          val st = state.get()
+          Iterator.single(KeyEvent(
+            key, st.addedAt, st.updatedAt, changed = false, tombstone = true))
+        } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** [[TombstoneProcessor]] wiring: lifecycle rows plus tombstones for
+    * keys idle longer than `idle`. */
+  def withTombstones(
+      obs: Dataset[KeyObs], idle: java.time.Duration): Dataset[KeyEvent] = {
+    implicit val outEnc = Encoders.product[KeyEvent]
+    obs.groupByKey(_.id)(Encoders.scalaLong)
+      .transformWithState(
+        new TombstoneProcessor(idle), TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Wire the keyed merge over a stream of observations. Requires the

@@ -78,6 +78,13 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_quantized: 1-row query broadcast + TakeOrdered, no hash shuffle") {
+    val p = planString("q_ann_quantized")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q_flagship_sql compiles to the same shuffle count as the DataFrame flagship") {
     def shuffles(name: String) =
       "Exchange hashpartitioning".r.findAllIn(planString(name)).size

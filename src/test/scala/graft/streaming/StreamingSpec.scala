@@ -178,6 +178,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Tws timers: idle key emits a tombstone, state clears, key re-enters fresh") {
+    withConfs(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StatefulMerge.KeyObs]
+      val q = StatefulMergeTws.withTombstones(input.toDS(),
+          idle = java.time.Duration.ofMillis(200))
+        .writeStream.format("memory").queryName("tws_tomb")
+        .outputMode("append").start()
+      try {
+        input.addData(StatefulMerge.KeyObs(5L, "2021-01-01", 100L))
+        q.processAllAvailable()
+        Thread.sleep(800) // > idle window: key 5's timer is due
+        // an unrelated key drives the batch in which the timer fires
+        input.addData(StatefulMerge.KeyObs(6L, "2021-02-01", 200L))
+        q.processAllAvailable()
+        input.addData(StatefulMerge.KeyObs(5L, "2021-03-01", 100L))
+        q.processAllAvailable()
+        val rows = spark.table("tws_tomb")
+          .as[StatefulMergeTws.KeyEvent].collect()
+        // the tombstone carries the key's last-known lifecycle
+        val tomb = rows.filter(r => r.id == 5L && r.tombstone)
+        assert(tomb.toSeq == Seq(StatefulMergeTws.KeyEvent(
+          5L, "2021-01-01", "2021-01-01", changed = false, tombstone = true)))
+        // after the tombstone the key re-enters as a fresh insert (same
+        // payload hash: surviving state would have said changed=false)
+        val after = rows.filter(r => r.id == 5L && r.updatedAt == "2021-03-01")
+        assert(after.toSeq == Seq(StatefulMergeTws.KeyEvent(
+          5L, "2021-03-01", "2021-03-01", changed = true, tombstone = false)))
+      } finally q.stop()
+    }
+  }
+
   test("GroupStateTimeout TTL: timed-out key is removed, reappears fresh") {
     withConfs("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
       implicit val sqlCtx = spark.sqlContext
