@@ -102,6 +102,23 @@ class DedupScaleSpec extends SparkSpec {
     assert(viaJoin(("a", "b", 3L))) // a,b co-occur in docs 1,2,4
   }
 
+  test("encodeShingles: dictionary-encoded join is result-identical on real data") {
+    val sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(encode: Boolean) =
+      Dedup.ngramJaccard(sf, 0.3, encodeShingles = encode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaStrings = pairs(encode = false)
+    assert(pairs(encode = true) == viaStrings)
+    assert(viaStrings.nonEmpty) // non-vacuous: sf0.001 has near-dup pairs
+    // and composed with the other levers on the crafted fixture
+    val hot = (1L to 10L).map(i =>
+      (i, s"common shared prefix phrase here unique$i tail$i word$i end$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(hot, 0.05, maxDf = Some(5),
+      dropUniqueShingles = true, encodeShingles = true).count() == 0)
+    assert(Dedup.ngramJaccard(hot, 0.05, encodeShingles = true).count() == 45)
+  }
+
   test("shingle sharing: same input plan reuses one frame; opt-out matches") {
     val in = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
     val in2 = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
