@@ -125,6 +125,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
+    // also warm the native-expression path: the alphabetically-first
+    // measured query (q_ann_cosine) otherwise absorbs the one-time
+    // codegen compilation of dot_product (suite-head artifact, r2 note)
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(64)
+      .selectExpr("cast(array(cast(id AS double), 1.0D) AS array<double>) AS v")
+      .selectExpr("sum(dot_product(v, v))").collect()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -113,6 +113,30 @@ object ExtensionQueries {
             WHERE i * 1.0 / (na.n + nb.n - i) >= 0.3
             ORDER BY a, b"""))
 
+  /** The dictionary-encoded path of [[Dedup.ngramJaccard]] under the SAME
+    * oracle as q_dedup_ngram: hashing shingles to longs is
+    * result-identical absent a 64-bit collision, so the driver's
+    * hash-compare verifies the encoded join end-to-end on this corpus. */
+  private val dedupNgramEncoded = Q("q_dedup_ngram_encoded",
+    (s, dir) => Dedup.ngramJaccard(table(s, dir, "documents"), 0.3,
+      encodeShingles = true).orderBy("a", "b"),
+    Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM documents)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2)
+            SELECT inter.a, inter.b, round(i * 1.0 / (na.n + nb.n - i), 4) AS jac
+            FROM inter
+            JOIN sz na ON na.doc_id = inter.a
+            JOIN sz nb ON nb.doc_id = inter.b
+            WHERE i * 1.0 / (na.n + nb.n - i) >= 0.3
+            ORDER BY a, b"""))
+
   /** The df=1-pruned path of [[Dedup.ngramJaccard]] under the SAME oracle
     * as q_dedup_ngram: the prune is result-preserving by construction
     * (a df=1 shingle cannot pair), so the driver's hash-compare verifies
@@ -276,6 +300,22 @@ object ExtensionQueries {
     * inverted-index self-join shape again (never a cross product). */
   private val cooccur = Q("q_cooccur",
     (s, dir) => TextAnalysis.cooccurrence(table(s, dir, "documents"))
+      .orderBy(col("cnt").desc, col("ta"), col("tb"))
+      .limit(20),
+    Some("""WITH t AS (SELECT DISTINCT doc_id, tok FROM
+                         (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                          FROM documents)
+                       WHERE tok <> '')
+            SELECT x.tok AS ta, y.tok AS tb, count(*) AS cnt
+            FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
+            GROUP BY 1, 2 ORDER BY cnt DESC, ta, tb LIMIT 20"""))
+
+  /** The HOF pair-generation strategy under the SAME oracle as q_cooccur
+    * (identical output by construction; the strategies differ only in
+    * plan shape — DedupScaleSpec records why "join" is the default). */
+  private val cooccurHof = Q("q_cooccur_hof",
+    (s, dir) => TextAnalysis
+      .cooccurrence(table(s, dir, "documents"), pairStrategy = "hof")
       .orderBy(col("cnt").desc, col("ta"), col("tb"))
       .limit(20),
     Some("""WITH t AS (SELECT DISTINCT doc_id, tok FROM
@@ -599,9 +639,9 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs,
-    dedupNgram, dedupNgramPruned,
+    dedupNgram, dedupNgramPruned, dedupNgramEncoded,
     dedupEmbcos, annCosine, annQuantized, annIvf, centroidsQ, asofJoin,
-    tfidf, cooccur, sessionize, corpusClean, dedupCc, fuzzyMatch,
+    tfidf, cooccur, cooccurHof, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,
     packChunks, embNormalize, embQuantize, embLsh)
 }
