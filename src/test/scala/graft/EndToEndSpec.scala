@@ -38,6 +38,15 @@ class EndToEndSpec extends SparkSpec {
 
   private val tracked = VacancySchema.raw.map(_.name).filterNot(_ == "id")
 
+  test("registry invariant: every query carries an oracle (no silent rows-only rows)") {
+    // round-2 lesson: a query without an oracle (or with an output the
+    // driver's checker cannot hash) degrades to a weak row unnoticed.
+    // Pin the contract: the two maps carry exactly the same keys.
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"queries without oracle: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
+        s"oracles without query: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+  }
+
   test("weekly snapshots → normalize → merge → term analytics") {
     // week 1: two live vacancies, one archived (must be skipped as deleted)
     val w1 = snapshot(
