@@ -75,4 +75,46 @@ object AsOfJoin {
       .select(probeCols.map(col) ++
         srcCols.map(c => col("_asof").getField(c).as(buildCols(c))): _*)
   }
+
+  /** Forward as-of: match each probe row to the EARLIEST build row with
+    * the same key and `buildTs >= probeTs` — "next event after"
+    * semantics (first view after a purchase, next price tick). The
+    * reflection of [[leftAsOf]]: probe rows sort BEFORE build rows on
+    * ties (">=" is inclusive) and `first(ignoreNulls)` over
+    * [current, +∞) carries the nearest FOLLOWING build row backward.
+    * Same cost shape: ONE shuffle on the key. */
+  def forwardAsOf(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      probeTs: String,
+      buildTs: String,
+      buildCols: Map[String, String]): DataFrame = {
+
+    val probeCols = probe.columns.toSeq
+    val srcCols = buildCols.keys.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      srcCols.map(c => build.schema(build.schema.fieldIndex(c))))
+
+    val taggedBuild = build.select(
+      (keyCols.map(col) :+ col(buildTs).as("_ts") :+ lit(1).as("_side") :+
+        struct(srcCols.map(col): _*).as("_bpayload")) ++
+        probeCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
+
+    val taggedProbe = probe.select(
+      (keyCols.map(col) :+ col(probeTs).as("_ts") :+ lit(0).as("_side") :+
+        lit(null).cast(payloadType).as("_bpayload")) ++
+        probeCols.filterNot(keyCols.contains).map(col): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = taggedBuild.unionByName(taggedProbe)
+      .withColumn("_asof", first(col("_bpayload"), ignoreNulls = true).over(w))
+
+    carried.filter(col("_side") === 0)
+      .select(probeCols.map(col) ++
+        srcCols.map(c => col("_asof").getField(c).as(buildCols(c))): _*)
+  }
 }

@@ -259,6 +259,55 @@ object ExtensionQueries {
               ON p.user_id = v.user_id AND v.ts <= p.ts
             ORDER BY p.event_id"""))
 
+  /** Forward as-of: first view AFTER each purchase (next-event
+    * semantics), vs DuckDB's native forward ASOF (v.ts >= p.ts). */
+  private val asofForward = Q("q_asof_forward",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_eid"))
+      graft.operators.AsOfJoin.forwardAsOf(
+          probe, build, Seq("user_id"), "ts", "ts",
+          Map("view_eid" -> "next_view_id"))
+        .select("event_id", "next_view_id")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, v.event_id AS next_view_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND v.ts >= p.ts
+            ORDER BY p.event_id"""))
+
+  /** The salted two-phase aggregation (the hot-key lever of SURVEY §7.4)
+    * under the driver's oracle: salting is result-preserving, so the
+    * plain GROUP BY count is the exact twin. */
+  private val saltedCount = Q("q_salted_count",
+    (s, dir) => graft.plans.Skew
+      .saltedCount(table(s, dir, "lineitem"), col("l_returnflag"))
+      .orderBy("key"),
+    Some("""SELECT l_returnflag AS key, count(*) AS cnt
+            FROM lineitem GROUP BY 1 ORDER BY key"""))
+
+  /** One-pass data-profiling aggregate (row count, null counts, distinct
+    * count, min/max, mean) — the data-quality probe every ingest runs. */
+  private val profile = Q("q_profile",
+    (s, dir) => table(s, dir, "customer").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("c_name")).as("n_name_nonnull"),
+      countDistinct(col("c_mktsegment")).as("n_segments"),
+      min(col("c_acctbal")).as("min_bal"),
+      max(col("c_acctbal")).as("max_bal"),
+      round(avg(col("c_acctbal")), 4).as("avg_bal")),
+    Some("""SELECT count(*) AS n_rows,
+                   count(c_name) AS n_name_nonnull,
+                   count(DISTINCT c_mktsegment) AS n_segments,
+                   min(c_acctbal) AS min_bal,
+                   max(c_acctbal) AS max_bal,
+                   round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer"""))
+
   /** TF-IDF per document: tf (term count in doc) × ln((N+1)/(df+1)),
     * top-3 terms per doc. df comes from one distinct-count aggregate;
     * the doc-count scalar joins in as a 1-row broadcast. */
@@ -640,7 +689,8 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs,
     dedupNgram, dedupNgramPruned, dedupNgramEncoded,
-    dedupEmbcos, annCosine, annQuantized, annIvf, centroidsQ, asofJoin,
+    dedupEmbcos, annCosine, annQuantized, annIvf, centroidsQ,
+    asofJoin, asofForward, saltedCount, profile,
     tfidf, cooccur, cooccurHof, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,
     packChunks, embNormalize, embQuantize, embLsh)

@@ -92,6 +92,54 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forwardAsOf: matches earliest build row at-or-after each probe row") {
+    val out = AsOfJoin.forwardAsOf(probe, build, Seq("user_id"), "ts", "ts",
+        Map("tag" -> "next_tag"))
+      .select("event_id", "next_tag")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 100 (1@01-10) -> v2 (01-15); 101 (1@01-20) -> none after; 102
+    // (2@01-05) -> v3 (01-10); 103 (key 3) -> none
+    assert(out == Map(100L -> "v2", 101L -> null, 102L -> "v3", 103L -> null))
+  }
+
+  test("forwardAsOf: equal timestamps match (>= is inclusive)") {
+    val p = Seq((1L, 7L, ts("2021-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val b = Seq((7L, ts("2021-01-01 00:00:00"), "same")).toDF("user_id", "ts", "tag")
+    val out = AsOfJoin.forwardAsOf(p, b, Seq("user_id"), "ts", "ts", Map("tag" -> "t"))
+      .select("t").as[String].head()
+    assert(out == "same")
+  }
+
+  test("forwardAsOf: randomized parity with a brute-force reference") {
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { trial =>
+      val buildRows = (1 to 30).map { _ =>
+        (rnd.nextInt(4).toLong + 1,
+          ts(f"2021-01-${rnd.nextInt(28) + 1}%02d 00:00:00"),
+          if (rnd.nextInt(3) == 0) null else s"v${rnd.nextInt(5)}")
+      }.distinct
+      val probeRows = (1 to 20).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong + 1,
+          ts(f"2021-01-${rnd.nextInt(28) + 1}%02d 12:00:00"))
+      }
+      val b = buildRows.toDF("user_id", "ts", "tag")
+      val p = probeRows.toDF("event_id", "user_id", "ts")
+      val out = AsOfJoin.forwardAsOf(p, b, Seq("user_id"), "ts", "ts",
+          Map("tag" -> "tag"))
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tag"))).toMap
+      probeRows.foreach { case (eid, uid, pts) =>
+        val cands = buildRows.filter(br => br._1 == uid && !br._2.before(pts))
+        if (cands.isEmpty) assert(out(eid).isEmpty, s"trial $trial probe $eid")
+        else {
+          val earliest = cands.minBy(_._2.getTime)
+          val tied = cands.filter(_._2 == earliest._2)
+          assert(tied.exists(t => Option(t._3) == out(eid)),
+            s"trial $trial probe $eid: ${out(eid)} not among tied rows $tied")
+        }
+      }
+    }
+  }
+
   test("probe columns pass through untouched") {
     val out = AsOfJoin.leftAsOf(probe, build, Seq("user_id"), "ts", "ts",
       Map("tag" -> "t"))
