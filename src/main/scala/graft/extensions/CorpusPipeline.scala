@@ -43,9 +43,13 @@ object CorpusPipeline {
     val exactDeduped = gated.join(keepers, "doc_id")
 
     // 3. near-dup removal: MinHash-LSH candidates, drop the b of each pair.
-    // share=false: the gate-filtered input plan is unique to this pipeline,
-    // so checkpointing its shingle/pair frames would never pay off
-    val nearDupB = Dedup.minHashLsh(exactDeduped, share = false)
+    // The filtered corpus' shingles are derived from the session-shared
+    // FULL-corpus shingle frame by a semi-join on the surviving ids —
+    // identical rows (per-doc shingles are independent), but the scan +
+    // explode + distinct shuffle happens once per session instead of once
+    // per pipeline; the keeper-id side is small and broadcasts.
+    val nearDupB = Dedup.minHashLshFromShingles(
+        Dedup.shingles(documents).join(exactDeduped.select("doc_id"), "doc_id"))
       .select(col("b").as("doc_id")).distinct()
     val surviving = exactDeduped.join(nearDupB, Seq("doc_id"), "left_anti")
 

@@ -58,7 +58,20 @@ object Dedup {
       numHashes: Int,
       rowsPerBand: Int,
       fastHash: Boolean,
-      share: Boolean): DataFrame = {
+      share: Boolean): DataFrame =
+    minHashLshFromShingles(
+      shingles(documents, share = share), numHashes, rowsPerBand, fastHash)
+
+  /** [[minHashLsh]] starting from an existing (doc_id, s) shingle frame —
+    * the entry point for pipelines that already hold one (e.g.
+    * [[CorpusPipeline]] derives its gate-filtered shingles from the
+    * session-shared full-corpus frame by a semi-join instead of
+    * re-scanning and re-distincting the filtered documents). */
+  def minHashLshFromShingles(
+      shingleFrame: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      fastHash: Boolean = false): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // ONE shuffle: shingle sets collapse to a per-doc row, then the whole
     // signature (numHashes mins) and every band key are computed in a
@@ -75,7 +88,7 @@ object Dedup {
       else "md5(CAST(concat(CAST(seed AS STRING), ':', s) AS BINARY))"
     val bandKey = if (fastHash) s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"
       else s"md5(CAST(concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS BINARY))"
-    val sigs = shingles(documents, share = share)
+    val sigs = shingleFrame
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("sh"))
       .select(col("doc_id"), expr(
