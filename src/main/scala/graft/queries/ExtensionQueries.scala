@@ -308,6 +308,27 @@ object ExtensionQueries {
                    round(avg(c_acctbal), 4) AS avg_bal
             FROM customer"""))
 
+  /** Time-series fill-forward (last observation carried forward): treat
+    * out-of-range readings (value ≥ 100) as missing and carry the last
+    * valid value per user — `last(ignoreNulls)` over one (user, time)
+    * window, the gap-repair primitive of sensor/price pipelines and the
+    * same carry machinery [[graft.operators.AsOfJoin]] builds on. */
+  private val fillForward = Q("q_fill_forward",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events").select(col("event_id"),
+          last(when(col("value") >= 100, lit(null)).otherwise(col("value")),
+            ignoreNulls = true).over(w).as("filled"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+                   last_value(CASE WHEN value >= 100 THEN NULL ELSE value END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+            FROM events ORDER BY event_id"""))
+
   /** TF-IDF per document: tf (term count in doc) × ln((N+1)/(df+1)),
     * top-3 terms per doc. df comes from one distinct-count aggregate;
     * the doc-count scalar joins in as a 1-row broadcast. */
@@ -690,7 +711,7 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs,
     dedupNgram, dedupNgramPruned, dedupNgramEncoded,
     dedupEmbcos, annCosine, annQuantized, annIvf, centroidsQ,
-    asofJoin, asofForward, saltedCount, profile,
+    asofJoin, asofForward, saltedCount, profile, fillForward,
     tfidf, cooccur, cooccurHof, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,
     packChunks, embNormalize, embQuantize, embLsh)
