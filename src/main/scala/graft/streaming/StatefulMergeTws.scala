@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import StatefulMerge.{KeyLifecycle, KeyObs, KeyState}
 
@@ -94,6 +94,44 @@ object StatefulMergeTws {
       state.clear()
       out
     }
+  }
+
+  /** Cross-batch order repair: [[LifecycleProcessor]] folds observations
+    * in snapshot order WITHIN a batch, but an observation arriving in a
+    * LATER batch with an OLDER snapshot date is folded against newer
+    * state — `updatedAt` flips on a hash difference that is not a real
+    * change (the batch path fails loudly via ScdMerge.assertNotLate; the
+    * keyed path would silently misfold). This variant buffers every
+    * observation in a ListState and re-folds the sorted history on each
+    * batch, emitting the key's CURRENT lifecycle row per batch
+    * (downstream upserts by key). State is the key's observation history
+    * — bound it with the TTL/timer variants for unbounded streams; the
+    * reference's weekly cadence holds ~1 obs/key/week. */
+  class OrderedProcessor extends StatefulProcessor[Long, KeyObs, KeyLifecycle] {
+    @transient private var history: ListState[KeyObs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      history = getHandle.getListState[KeyObs](
+        "history", Encoders.product[KeyObs], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[KeyObs],
+        timerValues: TimerValues): Iterator[KeyLifecycle] = {
+      rows.foreach(history.appendValue)
+      val all = history.get().toSeq
+      val (out, _) = StatefulMerge.foldKey(key, all.iterator, None)
+      out.lastOption.iterator // the corrected current row for this key
+    }
+  }
+
+  /** [[OrderedProcessor]] wiring: per batch, each touched key emits its
+    * lifecycle row re-folded over the FULL sorted observation history —
+    * immune to cross-batch disorder. */
+  def orderRepaired(obs: Dataset[KeyObs]): Dataset[KeyLifecycle] = {
+    implicit val outEnc = Encoders.product[KeyLifecycle]
+    obs.groupByKey(_.id)(Encoders.scalaLong)
+      .transformWithState(new OrderedProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** [[TombstoneProcessor]] wiring: lifecycle rows plus tombstones for

@@ -213,6 +213,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("OrderedProcessor: a late cross-batch observation re-folds correctly") {
+    withConfs(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StatefulMerge.KeyObs]
+      val q = StatefulMergeTws.orderRepaired(input.toDS())
+        .writeStream.format("memory").queryName("tws_ordered")
+        .outputMode("append").start()
+      try {
+        // the NEWER snapshot arrives first...
+        input.addData(StatefulMerge.KeyObs(1L, "2021-01-08", 200L))
+        q.processAllAvailable()
+        // ...then a LATE batch delivers the older one with a different
+        // payload. A value-state fold would compare the old payload
+        // against the newer state: changed=true with updatedAt dragged
+        // BACK to 01-01 and the stale payload overwriting the newer one.
+        input.addData(StatefulMerge.KeyObs(1L, "2021-01-01", 100L))
+        q.processAllAvailable()
+        val rows = spark.table("tws_ordered")
+          .as[StatefulMerge.KeyLifecycle].collect()
+        // re-folding the sorted history gives the true lifecycle:
+        // added 01-01, last real change 01-08
+        assert(rows.last == StatefulMerge.KeyLifecycle(
+          1L, "2021-01-01", "2021-01-08", changed = true))
+      } finally q.stop()
+    }
+  }
+
   test("GroupStateTimeout TTL: timed-out key is removed, reappears fresh") {
     withConfs("spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
       implicit val sqlCtx = spark.sqlContext
