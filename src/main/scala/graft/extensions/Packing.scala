@@ -34,4 +34,32 @@ object Packing {
       .withColumn("chunk_last",
         floor((col("end_tok") - 1) / budget).cast("long"))
   }
+
+  /** Sliding-window chunking — the long-document splitter for context-
+    * bounded training and RAG indexing: each document's token stream is
+    * cut into windows of `win` tokens starting every `stride` tokens
+    * (stride < win ⇒ overlapping chunks, the usual boundary-context
+    * trick). Emits one row per chunk with its index, start offset, token
+    * count, and text.
+    *
+    * Scale shape: pure narrow generate — split, an arithmetic sequence of
+    * window starts, slice + posexplode. No shuffle, no window function,
+    * no state; a 100 TB corpus chunks at scan speed. Chunk starts are
+    * 0, stride, 2·stride, … while start < n_tok, so every token lands in
+    * ≥1 chunk and the last chunk may be short. */
+  def slidingChunks(documents: DataFrame, win: Int, stride: Int): DataFrame = {
+    require(win > 0 && stride > 0, s"win/stride must be positive: $win/$stride")
+    val arr = split(coalesce(col("text"), lit("")), " ")
+    val nTok = size(arr)
+    // n_tok >= 1 always: split("") = [""]; sequence stop stays >= 0.
+    val chunks = transform(
+      sequence(lit(0), floor((nTok - 1) / stride).cast("int")),
+      k => slice(arr, k * stride + 1, lit(win)))
+    documents
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
 }

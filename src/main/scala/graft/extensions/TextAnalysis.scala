@@ -140,4 +140,95 @@ object TextAnalysis {
         array_sort(array_distinct(
           filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= ""))))
         .cast("binary")).as("fp"))
+
+  /** Word n-grams of `text` as one narrow projection (empty array when
+    * the doc has fewer than n tokens). */
+  private def wordNgrams(n: Int) = {
+    val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    when(size(arr) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(arr) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(arr, i + k)): _*)))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `n`-gram with a held-out benchmark set — the eval-leak scrub every
+    * pretraining pipeline runs (real pipelines use 13-grams; the synthetic
+    * corpus's tiny vocabulary needs shorter grams to exercise both
+    * outcomes). Output: one row per training doc with the count of
+    * DISTINCT contaminated n-grams and the drop verdict.
+    *
+    * Scale shape: the benchmark's distinct n-gram set is tiny next to the
+    * corpus (eval suites are MBs against 100 TB), so it broadcasts — the
+    * corpus side stays a narrow generate + one broadcast-hash semi pass +
+    * one groupBy on doc_id. Never a corpus×corpus join. */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val docGrams = documents
+      .select(col("doc_id"), explode(wordNgrams(n)).as("gram"))
+      .distinct()
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(n)).as("gram")).distinct()
+    val hits = docGrams.join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    documents.select("doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Gopher-style repetition signals: the duplicate-bigram fraction
+    * (repeated-n-gram text is boilerplate/spam) and the top-unigram mass
+    * ratio. The bigram stats are per-row HOF arithmetic (narrow); the
+    * top-token ratio runs as explode → per-(doc,token) count → per-doc
+    * max/sum — two shuffles on doc_id, spillable, no per-row quadratic
+    * work, so long documents cannot blow up a single task. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val grams = wordNgrams(2)
+    val nBi = size(grams).cast("long")
+    val nBiDistinct = size(array_distinct(grams)).cast("long")
+    val biStats = documents.select(col("doc_id"),
+      nBi.as("n_bigrams"),
+      when(nBi > 0, round((nBi - nBiDistinct) * lit(1.0) / nBi, 4))
+        .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= ""))
+          .as("tok"))
+    val topTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(round(max("cnt") * lit(1.0) / sum("cnt"), 4).as("top_tok_ratio"))
+    biStats.join(topTok, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_bigrams"), col("dup_bigram_ratio"),
+        coalesce(col("top_tok_ratio"), lit(0.0)).as("top_tok_ratio"))
+  }
+
+  /** Deterministic stratified sampling — the data-mixing step that turns
+    * raw source proportions into a training mix: each stratum keeps the
+    * fraction `rates(stratum)` of its rows, chosen by an md5 bucket of the
+    * stable `doc_id` (NOT rand(): re-runs, retries, and both engines of
+    * the oracle compare must select the same rows). Strata missing from
+    * `rates` are dropped (rate 0).
+    *
+    * Scale shape: pure narrow filter — hash, bucket, compare against a
+    * broadcast (stratum → threshold) map. No shuffle, no sort, no state;
+    * resharding the survivors is the caller's choice. */
+  def stratifiedSample(
+      documents: DataFrame,
+      rates: Map[String, Double],
+      stratumCol: String = "lang",
+      buckets: Int = 100): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long"),
+      lit(buckets))
+    val thresholds = rates.toSeq.map { case (s, r) =>
+      (s, math.round(r * buckets)) }.toDF("stratum", "keep_below")
+    documents
+      .withColumn("bucket", bucket)
+      .join(broadcast(thresholds), col(stratumCol) === col("stratum"))
+      .filter(col("bucket") < col("keep_below"))
+      .select(col("doc_id"), col(stratumCol), col("bucket"))
+  }
 }

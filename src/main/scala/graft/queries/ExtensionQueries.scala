@@ -691,6 +691,108 @@ object ExtensionQueries {
             SELECT vec_id, scale, CAST(pos AS INTEGER) AS pos, qv
             FROM ex ORDER BY vec_id, pos"""))
 
+  /** Benchmark-decontamination demo: every 10th doc plays the held-out
+    * eval set; the rest are the training corpus to scrub. */
+  private val decontaminate = Q("q_decontaminate",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (SELECT doc_id,
+                              len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                              t -> t <> '')) AS n,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr
+                       FROM documents),
+                 grams AS (SELECT doc_id,
+                                  unnest(CASE WHEN n < 3 THEN []
+                                         ELSE list_transform(range(1, CAST(n AS INTEGER) - 1),
+                                                i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])
+                                         END) AS gram
+                           FROM g),
+                 bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+                 train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 <> 0),
+                 hits AS (SELECT doc_id, count(*) AS n_shared
+                          FROM train JOIN bench USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(h.n_shared, 0) AS n_shared,
+                   coalesce(h.n_shared, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 10 <> 0
+            ORDER BY d.doc_id"""))
+
+  private val repetitionQ = Q("q_repetition",
+    (s, dir) => TextAnalysis.repetition(table(s, dir, "documents")).orderBy("doc_id"),
+    Some("""WITH g AS (SELECT doc_id,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr
+                       FROM documents),
+                 bi AS (SELECT doc_id,
+                               CASE WHEN len(arr) < 2 THEN []
+                                    ELSE list_transform(range(1, CAST(len(arr) AS INTEGER)),
+                                                        i -> arr[i] || ' ' || arr[i + 1])
+                               END AS grams
+                        FROM g),
+                 bs AS (SELECT doc_id,
+                               CAST(len(grams) AS BIGINT) AS n_bigrams,
+                               CASE WHEN len(grams) > 0
+                                    THEN round((len(grams) - len(list_distinct(grams))) * 1.0
+                                               / len(grams), 4)
+                                    ELSE 0.0 END AS dup_bigram_ratio
+                        FROM bi),
+                 tok AS (SELECT doc_id, unnest(arr) AS tok FROM g),
+                 tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+                 tt AS (SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 4) AS top_tok_ratio
+                        FROM tf GROUP BY 1)
+            SELECT bs.doc_id, bs.n_bigrams, bs.dup_bigram_ratio,
+                   coalesce(tt.top_tok_ratio, 0.0) AS top_tok_ratio
+            FROM bs LEFT JOIN tt ON bs.doc_id = tt.doc_id
+            ORDER BY bs.doc_id"""))
+
+  /** Overlapping chunks: win=32, stride=24 ⇒ 8-token overlap. The DuckDB
+    * twin zips parallel unnests (positional alignment) for posexplode. */
+  private val chunkOverlap = Q("q_chunk_overlap",
+    (s, dir) => graft.extensions.Packing
+      .slidingChunks(table(s, dir, "documents"), win = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+                       FROM documents),
+                 e AS (SELECT doc_id,
+                              unnest(range(0, CAST(floor((len(arr) - 1) / 24) AS BIGINT) + 1))
+                                AS chunk_idx,
+                              unnest(list_transform(
+                                range(0, CAST(floor((len(arr) - 1) / 24) AS BIGINT) + 1),
+                                k -> arr[CAST(k * 24 + 1 AS INTEGER)
+                                         : CAST(least(k * 24 + 32, len(arr)) AS INTEGER)]))
+                                AS chunk
+                       FROM t)
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                   chunk_idx * 24 AS start_tok,
+                   CAST(len(chunk) AS BIGINT) AS n_tok,
+                   array_to_string(chunk, ' ') AS chunk_text
+            FROM e ORDER BY doc_id, chunk_idx"""))
+
+  /** Training-mix sampling: per-language keep rates over an md5 bucket of
+    * doc_id; fr is deliberately absent from the mix (rate 0). */
+  private val sampleStratified = Q("q_sample_stratified",
+    (s, dir) => TextAnalysis.stratifiedSample(
+      table(s, dir, "documents"),
+      rates = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "zh" -> 0.1))
+      .orderBy("doc_id"),
+    Some("""WITH b AS (SELECT doc_id, lang,
+                              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                   AS BIGINT) % 100 AS bucket
+                       FROM documents),
+                 r AS (SELECT * FROM (VALUES ('en', 50), ('de', 100), ('es', 25), ('zh', 10))
+                       AS t(stratum, keep_below))
+            SELECT doc_id, lang, bucket
+            FROM b JOIN r ON b.lang = r.stratum
+            WHERE bucket < keep_below
+            ORDER BY doc_id"""))
+
   private val embLsh = Q("q_emb_lsh",
     (s, dir) => graft.extensions.Embeddings
       .hyperplaneLsh(table(s, dir, "embeddings")).orderBy("vec_id"),
@@ -714,5 +816,6 @@ object ExtensionQueries {
     asofJoin, asofForward, saltedCount, profile, fillForward,
     tfidf, cooccur, cooccurHof, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,
+    decontaminate, repetitionQ, chunkOverlap, sampleStratified,
     packChunks, embNormalize, embQuantize, embLsh)
 }

@@ -181,3 +181,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 }
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: only docs sharing a 3-gram with the benchmark are flagged") {
+    val train = Seq(
+      (1L, "a b c d e"),        // shares "a b c", "b c d", "c d e"
+      (2L, "x y z w"),          // nothing shared
+      (3L, "q r"),              // too short for a 3-gram
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val m = TextAnalysis.decontaminate(train, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m(1L) == ((3L, true)))
+    assert(m(2L) == ((0L, false)))
+    assert(m(3L) == ((0L, false)))
+    assert(m(4L) == ((0L, false)))
+  }
+
+  test("repetition: duplicate bigrams and top-token mass, hand-checked") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // bigrams: ab ba ab ba -> 4 total, 2 distinct
+      (2L, "a b c"),       // no repetition
+      (3L, "solo")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((4L, 0.5, 0.6)))    // top token 'a' = 3/5
+    assert(m(2L) == ((2L, 0.0, 0.3333)))
+    assert(m(3L) == ((0L, 0.0, 1.0)))
+  }
+
+  test("slidingChunks: full coverage, stride overlap, short tail") {
+    // 7 tokens, win=3, stride=2 -> starts 0,2,4,6
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val rows = Packing.slidingChunks(docs, win = 3, stride = 2)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      (0, 0L, 3L, "t0 t1 t2"),
+      (1, 2L, 3L, "t2 t3 t4"),
+      (2, 4L, 3L, "t4 t5 t6"),
+      (3, 6L, 1L, "t6")))
+    // every token appears in at least one chunk
+    val covered = rows.flatMap(_._4.split(" ")).toSet
+    assert(covered == (0 to 6).map(i => s"t$i").toSet)
+  }
+
+  test("stratifiedSample: deterministic, per-stratum rates, absent stratum dropped") {
+    val docs = (0L until 400L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "text", "lang")
+    val rates = Map("en" -> 0.5)
+    val once = TextAnalysis.stratifiedSample(docs, rates).collect()
+    val again = TextAnalysis.stratifiedSample(docs, rates).collect()
+    assert(once.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet) // deterministic
+    assert(once.forall(_.getString(1) == "en"))                           // fr has no rate
+    val frac = once.length.toDouble / 200                                  // 200 en docs
+    assert(frac > 0.35 && frac < 0.65, s"en keep fraction $frac far from 0.5")
+    assert(once.forall(_.getLong(2) < 50))                                 // bucket < 100*0.5
+  }
+}
