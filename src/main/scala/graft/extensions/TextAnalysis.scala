@@ -18,21 +18,32 @@ object TextAnalysis {
 
   /** N-gram/stopword-profile language ID: score each language by marker
     * hits, pick the arg-max (ties broken by language code); docs with no
-    * marker hit get "und". The marker dim is broadcast. */
+    * marker hit get "und".
+    *
+    * A FIXED small marker profile compiles into the projection itself:
+    * one codegen'd `filter`-count per language and an `array_max` argmax
+    * — zero shuffles, so 100 TB identifies at scan speed. (The previous
+    * explode → broadcast-join → two-shuffle window form only earns its
+    * shuffles when the profile is itself a large table.) Tie-break trick:
+    * argmax over struct(cnt, reverseIdx) — the lexicographic struct max
+    * takes the highest count, then the highest reverse index, which is
+    * the alphabetically SMALLEST language code. */
   def languageId(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val dim = MarkerProfile.toDF("tok", "cand")
-    val toks = documents
-      .select(col("doc_id"), explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-    val scored = toks.join(broadcast(dim), "tok")
-      .groupBy("doc_id", "cand").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("cand"))
-    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    documents.select("doc_id")
-      .join(best.select("doc_id", "cand"), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("cand"), lit("und")).as("pred"))
+    val byLang: Seq[(String, Seq[String])] = MarkerProfile
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq.sortBy(_._1)
+    val codes = byLang.map(_._1)
+    val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    val scored = array(byLang.zipWithIndex.map { case ((_, toks), i) =>
+      struct(
+        size(filter(arr, t => t.isInCollection(toks))).as("cnt"),
+        lit(codes.size - 1 - i).as("ri"))
+    }: _*)
+    val best = array_max(scored)
+    documents.select(col("doc_id"),
+      when(best.getField("cnt") === 0, lit("und"))
+        .otherwise(element_at(
+          array(codes.reverse.map(lit): _*), best.getField("ri") + 1))
+        .as("pred"))
   }
 
   /** Quality metrics: token count, mean token length, stopword ratio —
@@ -200,6 +211,56 @@ object TextAnalysis {
     biStats.join(topTok, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_bigrams"), col("dup_bigram_ratio"),
         coalesce(col("top_tok_ratio"), lit(0.0)).as("top_tok_ratio"))
+  }
+
+  /** Distribution-based quality cutoff — keep documents at or above their
+    * stratum's `q`-quantile of a quality metric (percentile filters are
+    * how real pipelines set thresholds: "drop the worst quartile per
+    * language" instead of a global magic number). Returns survivors with
+    * the threshold that admitted them.
+    *
+    * Scale shape: one groupBy computing a per-stratum scalar (the
+    * quantile), broadcast back over the corpus, then a narrow filter.
+    * `percentile` here is exact (sorts each group's values in the agg
+    * buffer) to stay oracle-comparable; at 100 TB swap in
+    * `approx_percentile(metric, q, accuracy)` — the plan shape (tiny
+    * threshold dim, broadcast, narrow filter) is unchanged. */
+  def qualityCutoff(
+      documents: DataFrame,
+      metricCol: String = "n_chars",
+      stratumCol: String = "lang",
+      q: Double = 0.25): DataFrame = {
+    val cut = documents.groupBy(col(stratumCol).as("stratum"))
+      .agg(round(percentile(col(metricCol), lit(q)), 4).as("cutoff"))
+    documents.join(broadcast(cut), col(stratumCol) === col("stratum"))
+      .filter(col(metricCol) >= col("cutoff"))
+      .select(col("doc_id"), col(stratumCol), col(metricCol), col("cutoff"))
+  }
+
+  /** Out-of-vocabulary rate per document against a `vocabSize`-term
+    * vocabulary derived from the corpus itself (top terms by frequency,
+    * ties by token) — the tokenizer-coverage check run before committing
+    * to a vocab. Output: per-doc token count, OOV count, OOV ratio.
+    *
+    * Scale shape: one TF shuffle + a top-k that reduces to `vocabSize`
+    * rows, folded to a single array row and broadcast; the per-doc scan
+    * is then a narrow filter-count against the broadcast array. The
+    * corpus is never joined per-token against the vocab. */
+  def oovRate(documents: DataFrame, vocabSize: Int = 25): DataFrame = {
+    val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    val vocab = documents
+      .select(explode(arr).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .agg(collect_set("tok").as("vocab"))
+    val nTok = size(arr).cast("long")
+    val nOov = size(filter(arr, t => !array_contains(col("vocab"), t))).cast("long")
+    documents.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        nTok.as("n_tok"),
+        nOov.as("n_oov"),
+        when(nTok > 0, round(nOov * lit(1.0) / nTok, 4))
+          .otherwise(lit(0.0)).as("oov_ratio"))
   }
 
   /** Deterministic stratified sampling — the data-mixing step that turns

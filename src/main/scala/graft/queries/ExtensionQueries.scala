@@ -653,10 +653,11 @@ object ExtensionQueries {
     * canonicalizer can only sort/hash scalar cells (round-2 lesson). The
     * DuckDB twin zips parallel unnest(range(...))/unnest(list) columns. */
   private val embNormalize = Q("q_emb_normalize",
+    // No orderBy: the driver's compare sorts rows itself, and a global
+    // sort of |vecs|×dim exploded rows is pure waste at scale.
     (s, dir) => graft.extensions.Embeddings
       .l2Normalize(table(s, dir, "embeddings"))
-      .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "val")))
-      .orderBy("vec_id", "pos"),
+      .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "val"))),
     Some(s"""WITH $duckNorm,
              u AS (SELECT vec_id,
                           list_transform(e, x ->
@@ -666,14 +667,13 @@ object ExtensionQueries {
                            unnest(unit) AS val
                     FROM u)
              SELECT vec_id, CAST(pos AS INTEGER) AS pos, val
-             FROM ex ORDER BY vec_id, pos"""))
+             FROM ex"""))
 
   private val embQuantize = Q("q_emb_quantize",
     (s, dir) => graft.extensions.Embeddings
       .quantizeInt8(table(s, dir, "embeddings"))
       .select(col("vec_id"), col("scale"),
-        posexplode(col("q")).as(Seq("pos", "qv")))
-      .orderBy("vec_id", "pos"),
+        posexplode(col("q")).as(Seq("pos", "qv"))),
     Some("""WITH ne AS (SELECT vec_id,
                                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                         FROM embeddings),
@@ -689,7 +689,7 @@ object ExtensionQueries {
                                unnest(q) AS qv
                         FROM qq)
             SELECT vec_id, scale, CAST(pos AS INTEGER) AS pos, qv
-            FROM ex ORDER BY vec_id, pos"""))
+            FROM ex"""))
 
   /** Benchmark-decontamination demo: every 10th doc plays the held-out
     * eval set; the rest are the training corpus to scrub. */
@@ -793,6 +793,43 @@ object ExtensionQueries {
             WHERE bucket < keep_below
             ORDER BY doc_id"""))
 
+  /** Per-language lower-quartile length cutoff: drop each language's
+    * shortest quarter. */
+  private val qualityCutoff = Q("q_quality_cutoff",
+    (s, dir) => TextAnalysis.qualityCutoff(table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang AS stratum,
+                              round(quantile_cont(n_chars, 0.25), 4) AS cutoff
+                       FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.n_chars, c.cutoff
+            FROM documents d JOIN c ON d.lang = c.stratum
+            WHERE d.n_chars >= c.cutoff
+            ORDER BY d.doc_id"""))
+
+  private val oovRate = Q("q_oov_rate",
+    (s, dir) => TextAnalysis.oovRate(table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT unnest(list_filter(
+                                   string_split(lower(coalesce(text, '')), ' '),
+                                   t -> t <> '')) AS tok
+                          FROM documents),
+                 v AS (SELECT tok FROM toks GROUP BY tok
+                       ORDER BY count(*) DESC, tok LIMIT 25),
+                 vocab AS (SELECT list(tok) AS vs FROM v),
+                 p AS (SELECT doc_id,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(arr) AS BIGINT) AS n_tok,
+                   CAST(len(list_filter(arr, t -> NOT list_contains(vs, t))) AS BIGINT) AS n_oov,
+                   CASE WHEN len(arr) > 0
+                        THEN round(len(list_filter(arr, t -> NOT list_contains(vs, t))) * 1.0
+                                   / len(arr), 4)
+                        ELSE 0.0 END AS oov_ratio
+            FROM p CROSS JOIN vocab
+            ORDER BY doc_id"""))
+
   private val embLsh = Q("q_emb_lsh",
     (s, dir) => graft.extensions.Embeddings
       .hyperplaneLsh(table(s, dir, "embeddings")).orderBy("vec_id"),
@@ -817,5 +854,6 @@ object ExtensionQueries {
     tfidf, cooccur, cooccurHof, sessionize, corpusClean, dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,
     decontaminate, repetitionQ, chunkOverlap, sampleStratified,
+    qualityCutoff, oovRate,
     packChunks, embNormalize, embQuantize, embLsh)
 }

@@ -240,4 +240,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(frac > 0.35 && frac < 0.65, s"en keep fraction $frac far from 0.5")
     assert(once.forall(_.getLong(2) < 50))                                 // bucket < 100*0.5
   }
+
+  test("qualityCutoff: per-stratum quartile keeps the top three quarters") {
+    val docs = (1L to 8L).map(i => (i, s"d$i", "en", i * 10L)) ++
+      Seq((9L, "x", "fr", 5L), (10L, "y", "fr", 100L))
+    val df = docs.toDF("doc_id", "text", "lang", "n_chars")
+    val kept = TextAnalysis.qualityCutoff(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // en metric values 10..80; q25 = 10 + 0.25*70 = 27.5 -> keep 30..80
+    assert(kept.keySet.filter(_ <= 8L) == (3L to 8L).toSet)
+    assert(kept(3L) == 27.5)
+    // fr: values 5,100; q25 = 28.75 -> only doc 10 survives
+    assert(kept.keySet.filter(_ > 8L) == Set(10L))
+  }
+
+  test("oovRate: tokens outside the top-k vocab are counted") {
+    val docs = Seq(
+      (1L, "a a a b"),     // corpus TF: a=5, b=2, z=1
+      (2L, "a b z"),
+      (3L, "a")).toDF("doc_id", "text")
+    val m = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((4L, 0L, 0.0)))
+    assert(m(2L) == ((3L, 1L, 0.3333)))   // z is OOV
+    assert(m(3L) == ((1L, 0L, 0.0)))
+  }
 }
