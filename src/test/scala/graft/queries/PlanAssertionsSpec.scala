@@ -71,6 +71,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
   }
 
+  test("languageId and slidingChunks compile to zero-exchange narrow plans") {
+    // the fixed-profile language ID and the win/stride chunker both claim
+    // scan-speed at 100 TB; pin that neither plan contains ANY exchange
+    // (no shuffle, no broadcast — pure projection/generate)
+    for (name <- Seq("q_lang_id", "q_chunk_overlap")) {
+      val p = planString(name)
+      // strip the final presentation ORDER BY (rangepartitioning) the
+      // registered query adds for readability; no hash exchange allowed
+      assert(!p.contains("Exchange hashpartitioning"), s"$name:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$name:\n$p")
+    }
+  }
+
+  test("q_sample_stratified: rate dim broadcasts; corpus side never shuffles") {
+    val p = planString("q_sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_decontaminate: benchmark gram set broadcasts against the corpus side") {
+    val p = planString("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_emb_normalize / q_emb_lsh: row-local — no hash shuffle at all") {
     Seq("q_emb_normalize", "q_emb_lsh").foreach { q =>
       val p = planString(q)
