@@ -72,18 +72,36 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
       fastHash: Boolean = false): DataFrame = {
+    val buckets = bandBuckets(shingleFrame, numHashes, rowsPerBand, fastHash)
+    buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** The (doc_id, band, bkey) LSH bucket rows of a shingle frame — the
+    * self-join input of [[minHashLshFromShingles]] and the PERSISTED
+    * INDEX of incremental dedup (see [[lshProbe]]).
+    *
+    * ONE shuffle: shingle sets collapse to a per-doc row, then the whole
+    * signature (numHashes mins) and every band key are computed in a
+    * single narrow projection via higher-order functions — no
+    * per-(doc, seed) or per-(doc, band) aggregations.
+    *
+    * fastHash swaps md5 (32-hex-char strings, engine-portable and
+    * oracle-exact in DuckDB) for xxhash64 (codegen'd 64-bit longs, no
+    * digest allocation) in both the signature mins and the band keys.
+    * Identical docs collide identically under either family; NEAR-dup
+    * candidate sets can differ — use fastHash where throughput matters
+    * and md5 where cross-engine equality is asserted. */
+  def bandBuckets(
+      shingleFrame: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      fastHash: Boolean = false): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // ONE shuffle: shingle sets collapse to a per-doc row, then the whole
-    // signature (numHashes mins) and every band key are computed in a
-    // single narrow projection via higher-order functions — no
-    // per-(doc, seed) or per-(doc, band) aggregations.
-    //
-    // fastHash swaps md5 (32-hex-char strings, engine-portable and
-    // oracle-exact in DuckDB) for xxhash64 (codegen'd 64-bit longs, no
-    // digest allocation) in both the signature mins and the band keys.
-    // Identical docs collide identically under either family; NEAR-dup
-    // candidate sets can differ — use fastHash where throughput matters
-    // and md5 where cross-engine equality is asserted.
     val shingleHash = if (fastHash) "xxhash64(seed, s)"
       else "md5(CAST(concat(CAST(seed AS STRING), ':', s) AS BINARY))"
     val bandKey = if (fastHash) s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"
@@ -95,7 +113,7 @@ object Dedup {
         s"""transform(sequence(0, ${numHashes - 1}),
                       seed -> array_min(transform(sh, s -> $shingleHash)))""")
         .as("sig"))
-    val buckets = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${numBands - 1}),
                         b -> named_struct(
@@ -103,11 +121,33 @@ object Dedup {
                           'bkey', $bandKey))"""))
           .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    buckets.alias("x")
-      .join(buckets.alias("y"),
+  }
+
+  /** Incremental near-dup probe — how dedup actually runs on a LIVE
+    * 100 TB corpus: the corpus' [[bandBuckets]] index is computed once
+    * and persisted (parquet, partitioned/bucketed by (band, bkey)); each
+    * arriving batch shingles and buckets ONLY ITSELF and equi-joins the
+    * index. Cost per batch is proportional to the batch, not the corpus
+    * — nothing of the historical corpus is re-shingled, re-hashed, or
+    * re-shuffled (with a bucketed index layout the probe join needs no
+    * index-side shuffle at all).
+    *
+    * Returns (corpus_id, new_id) candidate pairs. Band parameters must
+    * match those used to build the index — signatures from different
+    * configurations never collide meaningfully. */
+  def lshProbe(
+      index: DataFrame,
+      newDocs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      fastHash: Boolean = false): DataFrame = {
+    val probe = bandBuckets(
+      shingles(newDocs, share = false), numHashes, rowsPerBand, fastHash)
+    index.alias("x")
+      .join(probe.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("new_id"))
       .distinct()
   }
 

@@ -37,6 +37,37 @@ object ExtensionQueries {
               ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
             ORDER BY a, b"""))
 
+  /** Incremental-ingest demo: docs with doc_id % 7 == 3 play the arriving
+    * batch; the rest are the already-indexed corpus. Only the batch side
+    * is shingled/bucketed at query time — the corpus index is a
+    * standalone frame (in production: a persisted parquet). */
+  private val dedupIncremental = Q("q_dedup_incremental",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val index = Dedup.bandBuckets(
+        Dedup.shingles(docs.filter(col("doc_id") % 7 =!= 3), share = false))
+      Dedup.lshProbe(index, docs.filter(col("doc_id") % 7 === 3))
+        .orderBy("corpus_id", "new_id")
+    },
+    Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM documents)),
+                 sigs AS (SELECT doc_id, sd.seed,
+                                 min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
+                          FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+                          GROUP BY 1, 2),
+                 buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
+                                    md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+                             FROM sigs GROUP BY 1, 2)
+            SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS new_id
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bkey = y.bkey
+             AND x.doc_id % 7 <> 3 AND y.doc_id % 7 = 3
+            ORDER BY corpus_id, new_id"""))
+
   /** Shared DuckDB CTE chain computing the 64-bit shingle simhash. */
   private val simhashCtes =
     """feats AS (SELECT DISTINCT doc_id, s FROM
@@ -847,7 +878,8 @@ object ExtensionQueries {
             FROM ne ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupMinhashFast, dedupSimhash, dedupSimhashPairs,
+    dedupExact, dedupMinhash, dedupMinhashFast, dedupIncremental,
+    dedupSimhash, dedupSimhashPairs,
     dedupNgram, dedupNgramPruned, dedupNgramEncoded,
     dedupEmbcos, annCosine, annQuantized, annIvf, centroidsQ,
     asofJoin, asofForward, saltedCount, profile, fillForward,

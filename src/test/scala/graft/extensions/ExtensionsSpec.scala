@@ -28,6 +28,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("lshProbe: batch-vs-index candidates equal the cross-side subset of full LSH") {
+    val corpus = docs.filter($"doc_id" =!= 2L)
+    val batch = docs.filter($"doc_id" === 2L)
+    val probed = Dedup.lshProbe(
+      Dedup.bandBuckets(Dedup.shingles(corpus, share = false)), batch)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minHashLsh(docs, share = false).as[(Long, Long)].collect().toSet
+    val crossSide = full.collect {
+      case (a, 2L) => (a, 2L)
+      case (2L, b) => (b, 2L)
+    }
+    assert(probed == crossSide)
+    assert(probed.contains((1L, 2L))) // the identical pair must surface
+  }
+
   test("simhash: identical docs share fingerprint; unrelated differ") {
     val m = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == m(2L))
