@@ -33,16 +33,55 @@ object CorpusPipeline {
       .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
         col("stop_ratio") <= t.maxStopRatio)
       .select("doc_id")
-    val gated = documents.join(quality, "doc_id")
+    dedupAndSplit(documents, documents.join(quality, "doc_id"), t)
+  }
 
-    // 2. exact dedup: keep the smallest doc_id per content hash
+  /** [[clean]] plus the two remaining gates a pretraining pipeline runs —
+    * a repetition/boilerplate gate and benchmark decontamination:
+    *
+    *   quality gate → repetition gate → decontamination → exact dedup →
+    *   near-dup removal (MinHash-LSH) → deterministic split
+    *
+    * Gate order is cost order: the two narrow per-row gates (quality,
+    * duplicate-bigram ratio) drop rows before the decontamination
+    * broadcast probe, which drops rows before anything that shuffles
+    * (content-hash dedup, LSH banding). Still one Catalyst plan. */
+  def cleanFull(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      t: Thresholds = Thresholds(),
+      maxDupBigram: Double = 0.2,
+      contamGram: Int = 5): DataFrame = {
+    val quality = TextAnalysis.qualityScore(documents)
+      .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
+        col("stop_ratio") <= t.maxStopRatio)
+      .select("doc_id")
+    // repetition gate: narrow — computed in the filter itself, no join
+    val grams = TextAnalysis.wordNgrams(2)
+    val nBi = size(grams).cast("long")
+    val nDis = size(array_distinct(grams)).cast("long")
+    val dupRatio = when(nBi > 0, (nBi - nDis) * lit(1.0) / nBi).otherwise(lit(0.0))
+    val gated = documents.filter(dupRatio <= maxDupBigram).join(quality, "doc_id")
+    // decontamination: drop docs sharing any contamGram-gram with the
+    // benchmark (5 by default — the eval-leak gram should be long enough
+    // that coincidental phrase reuse does not wipe the corpus)
+    val contaminated = TextAnalysis.decontaminate(gated, benchmark, n = contamGram)
+      .filter(col("contaminated")).select("doc_id")
+    dedupAndSplit(documents, gated.join(contaminated, Seq("doc_id"), "left_anti"), t)
+  }
+
+  /** Shared tail of [[clean]]/[[cleanFull]]: exact dedup → LSH near-dup
+    * removal → split, over `gated` (a filtered view of `documents`). */
+  private def dedupAndSplit(
+      documents: DataFrame, gated: DataFrame, t: Thresholds): DataFrame = {
+    // exact dedup: keep the smallest doc_id per content hash
     val keepers = gated
       .groupBy(md5(lower(coalesce(col("text"), lit(""))).cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val exactDeduped = gated.join(keepers, "doc_id")
 
-    // 3. near-dup removal: MinHash-LSH candidates, drop the b of each pair.
+    // near-dup removal: MinHash-LSH candidates, drop the b of each pair.
     // The filtered corpus' shingles are derived from the session-shared
     // FULL-corpus shingle frame by a semi-join on the surviving ids —
     // identical rows (per-doc shingles are independent), but the scan +
@@ -53,7 +92,7 @@ object CorpusPipeline {
       .select(col("b").as("doc_id")).distinct()
     val surviving = exactDeduped.join(nearDupB, Seq("doc_id"), "left_anti")
 
-    // 4. deterministic content-independent split
+    // deterministic content-independent split
     surviving.select(col("doc_id"),
       when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < t.trainHexBound,
         lit("train")).otherwise(lit("val")).as("split"))

@@ -154,7 +154,7 @@ object TextAnalysis {
 
   /** Word n-grams of `text` as one narrow projection (empty array when
     * the doc has fewer than n tokens). */
-  private def wordNgrams(n: Int) = {
+  private[extensions] def wordNgrams(n: Int) = {
     val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
     when(size(arr) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(arr) - (n - 1)), i =>

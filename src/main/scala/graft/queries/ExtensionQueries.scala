@@ -538,6 +538,83 @@ object ExtensionQueries {
             FROM ed WHERE ed.doc_id NOT IN (SELECT doc_id FROM dropb)
             ORDER BY ed.doc_id"""))
 
+  /** Capstone v2: the full pretraining gate chain. Docs with
+    * doc_id % 10 == 0 play the held-out benchmark (as in
+    * q_decontaminate); the rest are the corpus being cleaned. */
+  private val corpusCleanFull = Q("q_corpus_clean_full",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.extensions.CorpusPipeline.cleanFull(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+                 q AS (SELECT doc_id FROM
+                         (SELECT doc_id,
+                                 len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+                                 len(list_filter(string_split(coalesce(text, ''), ' '),
+                                                 t -> t IN ('the', 'a'))) * 1.0
+                                   / len(string_split(coalesce(text, ''), ' ')) AS sr
+                          FROM corpus)
+                       WHERE n_tok BETWEEN 20 AND 70 AND sr <= 0.12),
+                 rep AS (SELECT doc_id FROM
+                           (SELECT doc_id,
+                                   CASE WHEN len(arr) < 2 THEN []
+                                        ELSE list_transform(range(1, CAST(len(arr) AS INTEGER)),
+                                                            i -> arr[i] || ' ' || arr[i + 1])
+                                   END AS grams
+                            FROM (SELECT doc_id,
+                                         list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                                     t -> t <> '') AS arr
+                                  FROM corpus))
+                         WHERE len(grams) = 0
+                            OR (len(grams) - len(list_distinct(grams))) * 1.0
+                               / len(grams) <= 0.2),
+                 gated AS (SELECT c.* FROM corpus c
+                           JOIN q USING (doc_id) JOIN rep USING (doc_id)),
+                 ag AS (SELECT doc_id,
+                               len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                               t -> t <> '')) AS n,
+                               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                           t -> t <> '') AS arr
+                        FROM documents),
+                 grams5 AS (SELECT doc_id,
+                                   unnest(CASE WHEN n < 5 THEN []
+                                          ELSE list_transform(range(1, CAST(n AS INTEGER) - 3),
+                                                 i -> array_to_string(arr[i : i + 4], ' '))
+                                          END) AS gram
+                            FROM ag),
+                 bench AS (SELECT DISTINCT gram FROM grams5 WHERE doc_id % 10 = 0),
+                 contaminated AS (SELECT DISTINCT g.doc_id FROM grams5 g
+                                  JOIN bench USING (gram)
+                                  JOIN gated USING (doc_id)),
+                 decon AS (SELECT * FROM gated
+                           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+                 keepers AS (SELECT min(doc_id) AS doc_id FROM decon
+                             GROUP BY md5(lower(coalesce(text, '')))),
+                 ed AS (SELECT g.* FROM decon g JOIN keepers USING (doc_id)),
+                 sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM ed)),
+                 sigs AS (SELECT doc_id, sd.seed,
+                                 min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
+                          FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+                          GROUP BY 1, 2),
+                 buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
+                                    md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                 dropb AS (SELECT DISTINCT y.doc_id FROM buckets x JOIN buckets y
+                             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+            SELECT ed.doc_id,
+                   CASE WHEN substr(md5(CAST(ed.doc_id AS VARCHAR)), 1, 1) < 'c'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM ed WHERE ed.doc_id NOT IN (SELECT doc_id FROM dropb)
+            ORDER BY ed.doc_id"""))
+
   /** Fuzzy matching: edit-distance near-identical names under multi-key
     * blocking (brand + last name token) — the entity-resolution shape:
     * the blocked equi-join bounds candidate pairs, then the expensive
@@ -883,7 +960,8 @@ object ExtensionQueries {
     dedupNgram, dedupNgramPruned, dedupNgramEncoded,
     dedupEmbcos, annCosine, annQuantized, annIvf, centroidsQ,
     asofJoin, asofForward, saltedCount, profile, fillForward,
-    tfidf, cooccur, cooccurHof, sessionize, corpusClean, dedupCc, fuzzyMatch,
+    tfidf, cooccur, cooccurHof, sessionize, corpusClean, corpusCleanFull,
+    dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,
     decontaminate, repetitionQ, chunkOverlap, sampleStratified,
     qualityCutoff, oovRate,

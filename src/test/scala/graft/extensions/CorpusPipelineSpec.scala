@@ -29,4 +29,21 @@ class CorpusPipelineSpec extends SparkSpec {
     val s2 = CorpusPipeline.clean(docs).collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(s1 == s2)
   }
+
+  test("cleanFull additionally drops repetitive and benchmark-contaminated docs") {
+    // all three 24-token bodies pass the quality gate
+    val repTxt = ("x y " * 12).trim                        // every bigram repeats
+    val leakTxt = ((1 to 19).map(i => s"c$i") ++ (1 to 5).map(i => s"b$i")).mkString(" ")
+    val corpus = Seq(
+      (1L, body, "en", "s", 1L),       // survivor
+      (2L, repTxt, "en", "s", 1L),     // fails the duplicate-bigram gate
+      (3L, leakTxt, "en", "s", 1L)     // shares 5-gram "b1 … b5" with the benchmark
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val benchmark = Seq((100L, "b1 b2 b3 b4 b5 b6")).toDF("doc_id", "text")
+    val out = CorpusPipeline.cleanFull(corpus, benchmark).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(out == Set(1L))
+    // and without those gates, clean() keeps all three
+    assert(CorpusPipeline.clean(corpus).count() == 3L)
+  }
 }
