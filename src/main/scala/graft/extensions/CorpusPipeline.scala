@@ -45,7 +45,15 @@ object CorpusPipeline {
     * Gate order is cost order: the two narrow per-row gates (quality,
     * duplicate-bigram ratio) drop rows before the decontamination
     * broadcast probe, which drops rows before anything that shuffles
-    * (content-hash dedup, LSH banding). Still one Catalyst plan. */
+    * (content-hash dedup, LSH banding).
+    *
+    * The decontaminated frame is materialized once (localCheckpoint):
+    * the dedup tail references it several times (hash keepers, the
+    * keeper join, the LSH semi side, the final anti-join), and leaving
+    * it lazy re-evaluates the whole gate chain — shuffles included —
+    * per reference (measured 20 s vs 3 s at sf0.1). At cluster scale
+    * this is the natural stage boundary a pipeline persists to storage
+    * between gating and dedup. */
   def cleanFull(
       documents: DataFrame,
       benchmark: DataFrame,
@@ -65,15 +73,21 @@ object CorpusPipeline {
     // decontamination: drop docs sharing any contamGram-gram with the
     // benchmark (5 by default — the eval-leak gram should be long enough
     // that coincidental phrase reuse does not wipe the corpus)
-    val contaminated = TextAnalysis.decontaminate(gated, benchmark, n = contamGram)
-      .filter(col("contaminated")).select("doc_id")
-    dedupAndSplit(documents, gated.join(contaminated, Seq("doc_id"), "left_anti"), t)
+    val contaminated = TextAnalysis
+      .contaminationHits(gated, benchmark, contamGram).select("doc_id")
+    val decon = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // shareShingles=false: the checkpointed frame's plan is unique per
+    // run, so session-memoizing shingles keyed on it would only grow the
+    // memo without ever hitting
+    dedupAndSplit(decon, decon, t, shareShingles = false)
   }
 
   /** Shared tail of [[clean]]/[[cleanFull]]: exact dedup → LSH near-dup
     * removal → split, over `gated` (a filtered view of `documents`). */
   private def dedupAndSplit(
-      documents: DataFrame, gated: DataFrame, t: Thresholds): DataFrame = {
+      documents: DataFrame, gated: DataFrame, t: Thresholds,
+      shareShingles: Boolean = true): DataFrame = {
     // exact dedup: keep the smallest doc_id per content hash
     val keepers = gated
       .groupBy(md5(lower(coalesce(col("text"), lit(""))).cast("binary")).as("h"))
@@ -88,7 +102,8 @@ object CorpusPipeline {
     // explode + distinct shuffle happens once per session instead of once
     // per pipeline; the keeper-id side is small and broadcasts.
     val nearDupB = Dedup.minHashLshFromShingles(
-        Dedup.shingles(documents).join(exactDeduped.select("doc_id"), "doc_id"))
+        Dedup.shingles(documents, share = shareShingles)
+          .join(exactDeduped.select("doc_id"), "doc_id"))
       .select(col("b").as("doc_id")).distinct()
     val surviving = exactDeduped.join(nearDupB, Seq("doc_id"), "left_anti")
 

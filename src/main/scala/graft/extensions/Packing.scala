@@ -50,11 +50,13 @@ object Packing {
   def slidingChunks(documents: DataFrame, win: Int, stride: Int): DataFrame = {
     require(win > 0 && stride > 0, s"win/stride must be positive: $win/$stride")
     val arr = split(coalesce(col("text"), lit("")), " ")
-    val nTok = size(arr)
-    // n_tok >= 1 always: split("") = [""]; sequence stop stays >= 0.
-    val chunks = transform(
-      sequence(lit(0), floor((nTok - 1) / stride).cast("int")),
-      k => slice(arr, k * stride + 1, lit(win)))
+    // n_tok >= 1 always: split("") = [""]; sequence stop stays >= 0. The
+    // token array is let-bound (transform over a 1-element wrapper) so the
+    // split runs once per row, not once per chunk slice.
+    val chunks = flatten(transform(array(arr), a =>
+      transform(
+        sequence(lit(0), floor((size(a) - 1) / stride).cast("int")),
+        k => slice(a, k * stride + 1, lit(win)))))
     documents
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx"),

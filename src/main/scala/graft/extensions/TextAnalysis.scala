@@ -153,12 +153,19 @@ object TextAnalysis {
         .cast("binary")).as("fp"))
 
   /** Word n-grams of `text` as one narrow projection (empty array when
-    * the doc has fewer than n tokens). */
+    * the doc has fewer than n tokens).
+    *
+    * The token array is let-bound via `transform(array(arr), a -> …)` so
+    * it materializes ONCE per row: referencing the raw split expression
+    * inside the gram lambda would re-split the whole text per
+    * `element_at` — measured 20× slower on 54-token docs (the same trap
+    * `Dedup.computeShingles` documents). */
   private[extensions] def wordNgrams(n: Int) = {
     val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
-    when(size(arr) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(arr) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(arr, i + k)): _*)))
+    flatten(transform(array(arr), a =>
+      when(size(a) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(a) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(a, i + k)): _*)))))
   }
 
   /** Benchmark decontamination: flag training documents sharing any word
@@ -173,18 +180,26 @@ object TextAnalysis {
     * corpus side stays a narrow generate + one broadcast-hash semi pass +
     * one groupBy on doc_id. Never a corpus×corpus join. */
   def decontaminate(documents: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
-    val docGrams = documents
-      .select(col("doc_id"), explode(wordNgrams(n)).as("gram"))
-      .distinct()
-    val benchGrams = benchmark
-      .select(explode(wordNgrams(n)).as("gram")).distinct()
-    val hits = docGrams.join(broadcast(benchGrams), "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val hits = contaminationHits(documents, benchmark, n)
     documents.select("doc_id")
       .join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** (doc_id, n_shared) for contaminated docs only — references
+    * `documents` ONCE, so pipeline callers that anti-join the result back
+    * ([[CorpusPipeline.cleanFull]]) don't double-evaluate their input. */
+  private[extensions] def contaminationHits(
+      documents: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val docGrams = documents
+      .select(col("doc_id"), explode(wordNgrams(n)).as("gram"))
+      .distinct()
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(n)).as("gram")).distinct()
+    docGrams.join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
   /** Gopher-style repetition signals: the duplicate-bigram fraction
