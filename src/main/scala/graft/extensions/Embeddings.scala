@@ -18,9 +18,13 @@ object Embeddings {
     * Values rounded for cross-engine equality. */
   def l2Normalize(embeddings: DataFrame): DataFrame = {
     val nrm = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
+    // let-bind the norm (transform over a 1-element wrapper): referenced
+    // raw inside the element lambda it would be re-aggregated per
+    // element — O(dim²) per row
     embeddings.select(col("vec_id"),
-      transform(vec, x =>
-        round(coalesce(x / nullif(nrm, lit(0.0)), lit(0.0)), 6)).as("unit"))
+      flatten(transform(array(nrm), n =>
+        transform(vec, x =>
+          round(coalesce(x / nullif(n, lit(0.0)), lit(0.0)), 6)))).as("unit"))
   }
 
   /** Symmetric int8 quantization with a per-vector max-abs scale — the
@@ -30,9 +34,12 @@ object Embeddings {
     val maxAbs = array_max(transform(vec, x => abs(x)))
     embeddings.select(col("vec_id"),
       round(maxAbs, 6).as("scale"),
-      transform(vec, x =>
-        round(coalesce(x * 127.0 / nullif(maxAbs, lit(0.0)), lit(0.0)))
-          .cast("int")).as("q"))
+      // let-bound like l2Normalize: the max-abs scan must not re-run per
+      // quantized element
+      flatten(transform(array(maxAbs), m =>
+        transform(vec, x =>
+          round(coalesce(x * 127.0 / nullif(m, lit(0.0)), lit(0.0)))
+            .cast("int")))).as("q"))
   }
 
   /** Random-hyperplane LSH (cosine family): bit i = [e · h_i > 0] with
