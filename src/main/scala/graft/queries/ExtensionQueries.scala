@@ -800,13 +800,16 @@ object ExtensionQueries {
             FROM ex"""))
 
   /** Benchmark-decontamination demo: every 10th doc plays the held-out
-    * eval set; the rest are the training corpus to scrub. */
+    * eval set; the rest are the training corpus to scrub. 4-grams: long
+    * enough that the flag splits the corpus at every test scale (the
+    * synthetic vocabulary is so small that trigrams mark 100% of sf0.1
+    * contaminated — a degenerate, unverifiable flag). */
   private val decontaminate = Q("q_decontaminate",
     (s, dir) => {
       val docs = table(s, dir, "documents")
       TextAnalysis.decontaminate(
         docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), n = 3)
+        docs.filter(col("doc_id") % 10 === 0), n = 4)
         .orderBy("doc_id")
     },
     Some("""WITH g AS (SELECT doc_id,
@@ -816,9 +819,9 @@ object ExtensionQueries {
                                           t -> t <> '') AS arr
                        FROM documents),
                  grams AS (SELECT doc_id,
-                                  unnest(CASE WHEN n < 3 THEN []
-                                         ELSE list_transform(range(1, CAST(n AS INTEGER) - 1),
-                                                i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])
+                                  unnest(CASE WHEN n < 4 THEN []
+                                         ELSE list_transform(range(1, CAST(n AS INTEGER) - 2),
+                                                i -> array_to_string(arr[i : i + 3], ' '))
                                          END) AS gram
                            FROM g),
                  bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
