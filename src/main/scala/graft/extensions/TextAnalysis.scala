@@ -278,6 +278,36 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("oov_ratio"))
   }
 
+  /** Window-level exact-substring duplication — the span-granular dedup
+    * signal (Lee et al.'s exact-substring dedup, at fixed `k`-token
+    * window granularity): a window of text appearing in more than one
+    * document is boilerplate/template material even when whole documents
+    * are not near-dups. Per doc: total k-token windows, windows whose
+    * text recurs in ≥2 distinct docs, and the duplicated fraction
+    * (window positions counted with multiplicity).
+    *
+    * Scale shape: explode windows → one count-distinct aggregation on
+    * the window key → equi-join back → per-doc counts. Everything keys
+    * on content-derived window values (uniformly distributed, no skew);
+    * at 100 TB hash the window string (xxhash64) before the shuffle to
+    * move 8-byte keys instead of ~40-byte strings — same lever as
+    * [[Dedup.ngramJaccard]]'s encodeShingles, same collision caveat. */
+  def duplicatedSpans(documents: DataFrame, k: Int = 6): DataFrame = {
+    val wins = documents.select(col("doc_id"), explode(wordNgrams(k)).as("win"))
+    val dup = wins.groupBy("win")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("win")
+    val hits = wins.join(dup, "win")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val nDup = coalesce(col("n_dup"), lit(0L))
+    documents.select(col("doc_id"), size(wordNgrams(k)).cast("long").as("n_windows"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_windows"),
+        nDup.as("n_dup_windows"),
+        when(col("n_windows") > 0, round(nDup * lit(1.0) / col("n_windows"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** Deterministic stratified sampling — the data-mixing step that turns
     * raw source proportions into a training mix: each stratum keeps the
     * fraction `rates(stratum)` of its rows, chosen by an md5 bucket of the

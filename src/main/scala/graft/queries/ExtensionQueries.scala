@@ -917,6 +917,34 @@ object ExtensionQueries {
             WHERE d.n_chars >= c.cutoff
             ORDER BY d.doc_id"""))
 
+  private val dupSpans = Q("q_dup_spans",
+    (s, dir) => TextAnalysis.duplicatedSpans(table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH ag AS (SELECT doc_id,
+                               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                           t -> t <> '') AS arr
+                        FROM documents),
+                 w AS (SELECT doc_id,
+                              unnest(CASE WHEN len(arr) < 6 THEN []
+                                     ELSE list_transform(range(1, CAST(len(arr) AS INTEGER) - 4),
+                                            i -> array_to_string(arr[i : i + 5], ' '))
+                                     END) AS win
+                       FROM ag),
+                 d AS (SELECT win FROM w GROUP BY win
+                       HAVING count(DISTINCT doc_id) > 1),
+                 h AS (SELECT doc_id, count(*) AS n_dup
+                       FROM w JOIN d USING (win) GROUP BY 1),
+                 tot AS (SELECT doc_id,
+                                CAST(greatest(len(arr) - 5, 0) AS BIGINT) AS n_windows
+                         FROM ag)
+            SELECT t.doc_id, t.n_windows,
+                   coalesce(h.n_dup, 0) AS n_dup_windows,
+                   CASE WHEN t.n_windows > 0
+                        THEN round(coalesce(h.n_dup, 0) * 1.0 / t.n_windows, 4)
+                        ELSE 0.0 END AS dup_frac
+            FROM tot t LEFT JOIN h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id"""))
+
   private val oovRate = Q("q_oov_rate",
     (s, dir) => TextAnalysis.oovRate(table(s, dir, "documents"))
       .orderBy("doc_id"),
@@ -967,6 +995,6 @@ object ExtensionQueries {
     dedupCc, fuzzyMatch,
     langId, quality, tokenCount, fingerprint, redactQ,
     decontaminate, repetitionQ, chunkOverlap, sampleStratified,
-    qualityCutoff, oovRate,
+    qualityCutoff, oovRate, dupSpans,
     packChunks, embNormalize, embQuantize, embLsh)
 }

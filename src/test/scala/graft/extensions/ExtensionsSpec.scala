@@ -243,6 +243,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(covered == (0 to 6).map(i => s"t$i").toSet)
   }
 
+  test("duplicatedSpans: shared 6-token window flagged in both docs, unique doc clean") {
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (1L, s"$shared a1 a2 a3"),     // 4 windows, 1 duplicated
+      (2L, s"b1 b2 $shared"),        // 3 windows, 1 duplicated
+      (3L, "c1 c2 c3 c4 c5 c6 c7"),  // 2 windows, none duplicated
+      (4L, "tiny")).toDF("doc_id", "text")
+    val m = TextAnalysis.duplicatedSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((4L, 1L, 0.25)))
+    assert(m(2L) == ((3L, 1L, 0.3333)))
+    assert(m(3L) == ((2L, 0L, 0.0)))
+    assert(m(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("stratifiedSample: deterministic, per-stratum rates, absent stratum dropped") {
     val docs = (0L until 400L).map(i =>
       (i, s"text $i", if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "text", "lang")
