@@ -96,29 +96,66 @@ object Dedup {
     * Identical docs collide identically under either family; NEAR-dup
     * candidate sets can differ — use fastHash where throughput matters
     * and md5 where cross-engine equality is asserted. */
+  private def shingleHashSql(fastHash: Boolean) =
+    if (fastHash) "xxhash64(seed, s)"
+    else "md5(CAST(concat(CAST(seed AS STRING), ':', s) AS BINARY))"
+
+  private def bandKeySql(fastHash: Boolean, rowsPerBand: Int) =
+    if (fastHash) s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"
+    else s"md5(CAST(concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS BINARY))"
+
+  private def sigSql(shArr: String, numHashes: Int, fastHash: Boolean) =
+    s"""transform(sequence(0, ${numHashes - 1}),
+                  seed -> array_min(transform($shArr, s -> ${shingleHashSql(fastHash)})))"""
+
+  private def bandStructsSql(numBands: Int, fastHash: Boolean, rowsPerBand: Int) =
+    s"""transform(sequence(0, ${numBands - 1}),
+                  b -> named_struct(
+                    'band', CAST(b AS INT),
+                    'bkey', ${bandKeySql(fastHash, rowsPerBand)}))"""
+
   def bandBuckets(
       shingleFrame: DataFrame,
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
       fastHash: Boolean = false): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val shingleHash = if (fastHash) "xxhash64(seed, s)"
-      else "md5(CAST(concat(CAST(seed AS STRING), ':', s) AS BINARY))"
-    val bandKey = if (fastHash) s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"
-      else s"md5(CAST(concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS BINARY))"
     val sigs = shingleFrame
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("sh"))
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-                      seed -> array_min(transform(sh, s -> $shingleHash)))""")
-        .as("sig"))
+      .select(col("doc_id"), expr(sigSql("sh", numHashes, fastHash)).as("sig"))
     sigs.select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${numBands - 1}),
-                        b -> named_struct(
-                          'band', CAST(b AS INT),
-                          'bkey', $bandKey))"""))
+        explode(expr(bandStructsSql(numHashes / rowsPerBand, fastHash, rowsPerBand)))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** [[bandBuckets]] computed entirely row-locally — no explode, no
+    * groupBy: each document's shingle set, signature, and band keys are
+    * built inside one projection over its own text. Identical output to
+    * the exploded path (array_min is order-insensitive, so collect_set
+    * vs array_distinct ordering cannot matter; BandBucketsParity pins
+    * it). This is the STREAMING-SAFE formulation: a stateless narrow
+    * projection needs no watermark or state store, so arriving documents
+    * can be banded per micro-batch and stream-static-joined against a
+    * persisted corpus index (see `streaming/StreamingDedup`). */
+  def bandBucketsRowLocal(
+      documents: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      fastHash: Boolean = false,
+      n: Int = 3): DataFrame = {
+    val shArr =
+      s"""array_distinct(CASE WHEN size(arr) >= $n
+            THEN transform(sequence(1, size(arr) - ${n - 1}),
+                           i -> concat_ws(' ', slice(arr, i, $n)))
+            ELSE CAST(array() AS ARRAY<STRING>) END)"""
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"), expr(shArr).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), expr(sigSql("sh", numHashes, fastHash)).as("sig"))
+      .select(col("doc_id"),
+        explode(expr(bandStructsSql(numHashes / rowsPerBand, fastHash, rowsPerBand)))
           .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
   }
