@@ -245,6 +245,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Canonical-document selection — the "choose the survivor" step a
+    * user runs AFTER near-dup detection: cluster documents by their
+    * 64-bit SimHash fingerprint (identical fingerprint ⇒ near-identical
+    * content) and keep the best representative per cluster — longest
+    * text, ties to the smallest doc_id. Returns the full assignment map
+    * (every doc with its cluster and canonical id), so the corpus filter
+    * is a `kept` predicate and provenance survives: dropped docs still
+    * point at what replaced them.
+    *
+    * Cost: the SimHash shuffle plus ONE window over (cluster) — at
+    * 100 TB fingerprints distribute uniformly so the window partitions
+    * are tiny and skew-free. */
+  def keepCanonical(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(simHash(documents).withColumnRenamed("simhash", "cluster"), "doc_id")
+      .withColumn("canonical_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("cluster"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("kept"))
+  }
+
+  /** MinHash accuracy contract: for every LSH candidate pair, the
+    * estimated Jaccard (fraction of agreeing signature components) next
+    * to the EXACT shingle Jaccard. This is the measurement that justifies
+    * trusting the sketch at scale — the exact column is computable only
+    * for the candidate pairs (tiny), never all pairs, so the comparison
+    * itself stays 100 TB-safe. The md5 hash family makes the ESTIMATE
+    * engine-independent: an external system can reproduce the signatures
+    * bit-for-bit (the DuckDB oracle of q_minhash_est does). */
+  def jaccardEstimate(
+      documents: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingles(documents)
+    val pairs = minHashLshFromShingles(sh, numHashes, rowsPerBand)
+    val sigs = sh.groupBy("doc_id").agg(collect_set(col("s")).as("shset"))
+      .select(col("doc_id"),
+        expr(sigSql("shset", numHashes, fastHash = false)).as("sig"),
+        size(col("shset")).cast("long").as("n"))
+    // exact |∩| per CANDIDATE pair: the shingle equi-join restricted by a
+    // semi-join against the (small) candidate set before aggregation
+    val inter = sh.alias("x")
+      .join(sh.alias("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .join(pairs, Seq("a", "b"), "left_semi")
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    pairs
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga"),
+        col("n").as("na")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb"),
+        col("n").as("nb")), "b")
+      .join(inter, Seq("a", "b"))
+      .select(col("a"), col("b"),
+        round(expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
+          * lit(1.0) / numHashes, 4).as("est_jac"),
+        round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 4)
+          .as("exact_jac"))
+  }
+
   /** Shared intermediate frames: the dedup family (minhash, simhash,
     * ngram-Jaccard, connected components) recomputes the same
     * deterministic frames — the distinct-shingle frame, the MinHash

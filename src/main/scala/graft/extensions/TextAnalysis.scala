@@ -337,4 +337,87 @@ object TextAnalysis {
       .filter(col("bucket") < col("keep_below"))
       .select(col("doc_id"), col(stratumCol), col("bucket"))
   }
+
+  /** Bigram language-model quality score — the perplexity-proxy filter of
+    * real pretraining pipelines (a cheap stand-in for a KenLM pass): train
+    * an add-k-smoothed bigram model ON the corpus itself, then score each
+    * document by its mean log₂ P(w_i | w_{i-1}). Low scores flag
+    * gibberish / boilerplate whose transitions the corpus never makes.
+    *
+    * P(w₂|w₁) = (C(w₁w₂) + k) / (C(w₁·) + k·V), with C(w₁·) the count of
+    * bigrams starting at w₁ and V the corpus vocabulary size.
+    *
+    * Scale shape: two corpus-wide aggregations build the model (bigram
+    * counts, context totals — both map-side-combinable), V is one scalar
+    * broadcast, and scoring is the bigram frame re-joined to the model on
+    * the bigram key: shuffles on content-derived keys only, model rows ≈
+    * distinct bigrams (Zipf-bounded far below corpus size). Docs with
+    * fewer than 2 tokens score NULL (no transitions to judge). */
+  def bigramLmScore(documents: DataFrame, k: Double = 0.5): DataFrame = {
+    val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    val docs = documents.select(col("doc_id"), arr.as("arr"))
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(arr) >= 2
+          THEN transform(sequence(1, size(arr) - 1),
+                         i -> concat_ws(' ', slice(arr, i, 2)))
+          ELSE CAST(array() AS ARRAY<STRING>) END""")).as("bg"))
+    val model = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val ctx = model.groupBy("w1").agg(sum("c_bg").as("c_w1"))
+    val vocab = docs.select(explode(col("arr")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val scored = bigrams
+      .join(model, "bg")
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2((col("c_bg") + lit(k)) / (col("c_w1") + lit(k) * col("v")))), 4)
+          .as("avg_log2_p"))
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_log2_p"))
+  }
+
+  /** Token-frequency head statistics (Zipf profile): the `topK` most
+    * frequent tokens with rank and cumulative corpus share — the signal
+    * that sizes tokenizer vocabularies and stopword lists ("the top 50
+    * tokens cover X% of the corpus").
+    *
+    * Scale note: the rank window has no partition key, so the final sort
+    * runs on ONE task — over the VOCABULARY (Zipf: millions of rows at
+    * 100 TB, not trillions), after the map-side-combined count shuffle.
+    * For truly huge vocabularies, pre-filter with an approximate
+    * count-min top-K before ranking; at any realistic vocab the single
+    * sorted partition of (token, count) pairs is trivial. */
+  def zipfStats(documents: DataFrame, topK: Int = 50): DataFrame = {
+    val counts = documents
+      .select(explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("total", sum("cnt").over(wAll))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("tok").as("token"), col("cnt"),
+        round(col("cum") * lit(1.0) / col("total"), 4).as("cum_share"))
+  }
+
+  /** Text canonicalization: lowercase, strip non-alphanumerics to
+    * spaces, collapse runs of whitespace, trim — the normalization pass
+    * that precedes hashing/dedup so formatting deltas don't defeat
+    * exact-match. Pure narrow projection: scan-speed at any scale. */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "),
+      " {2,}", " "))
+    documents.select(col("doc_id"), norm.as("norm"))
+      .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+  }
 }

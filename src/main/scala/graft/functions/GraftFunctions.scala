@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 
 /** Registration surface for graft's native expressions.
   *
@@ -21,7 +21,12 @@ object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "synonym_lookup" -> (args => SynonymLookup(args(0), args(1))),
     "simhash64" -> (args => SimHash64(args(0))),
-    "dot_product" -> (args => DotProduct(args(0), args(1))))
+    "dot_product" -> (args => DotProduct(args(0), args(1))),
+    // membership probe against a pre-built broadcast Bloom filter
+    // (serialized bytes literal + xxhash64 of the key) — the same
+    // expression Spark's AQE runtime filter injects, exposed for
+    // explicit reference-set prefilters (see extensions/Membership)
+    "bloom_might_contain" -> (args => BloomFilterMightContain(args(0), args(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -69,7 +69,7 @@ object ExtensionQueries {
             ORDER BY corpus_id, new_id"""))
 
   /** Shared DuckDB CTE chain computing the 64-bit shingle simhash. */
-  private val simhashCtes =
+  private[queries] val simhashCtes =
     """feats AS (SELECT DISTINCT doc_id, s FROM
                    (SELECT doc_id,
                            unnest(list_transform(

@@ -12,7 +12,8 @@ final case class Q(
     sql: Option[String])
 
 object Registry {
-  lazy val all: Seq[Q] = CoreQueries.all ++ ExtensionQueries.all ++ SqlQueries.all
+  lazy val all: Seq[Q] =
+    CoreQueries.all ++ ExtensionQueries.all ++ SqlQueries.all ++ Round4Queries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
