@@ -267,6 +267,33 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("kept"))
   }
 
+  /** Leak-proof train/val/test split: assignment is decided per near-dup
+    * CLUSTER (the 64-bit SimHash fingerprint), not per document, so a
+    * near-identical copy of a training document can never land in the
+    * eval split — the contamination a plain per-doc hash split allows
+    * whenever the corpus still contains near-dups (it always does; dedup
+    * thresholds are tuned for precision, not recall). Split is the first
+    * hex digit of md5(cluster): deterministic, content-derived, and
+    * engine-reproducible (q_split_cluster's DuckDB oracle rebuilds it).
+    *
+    * Default bounds: hex < "c" → train (12/16 = 75%), < "e" → val
+    * (2/16 = 12.5%), else test (12.5%).
+    *
+    * Scale shape: the SimHash shuffle plus one narrow projection — the
+    * split itself adds NO shuffle, and clusters distribute uniformly
+    * under md5 so split sizes concentrate tightly at any corpus size. */
+  def splitByCluster(
+      documents: DataFrame,
+      trainHexBound: String = "c",
+      valHexBound: String = "e"): DataFrame = {
+    val h = substring(md5(col("cluster").cast("string").cast("binary")), 1, 1)
+    simHash(documents).withColumnRenamed("simhash", "cluster")
+      .select(col("doc_id"), col("cluster"),
+        when(h < trainHexBound, "train")
+          .when(h < valHexBound, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** MinHash accuracy contract: for every LSH candidate pair, the
     * estimated Jaccard (fraction of agreeing signature components) next
     * to the EXACT shingle Jaccard. This is the measurement that justifies
@@ -285,13 +312,15 @@ object Dedup {
       .select(col("doc_id"),
         expr(sigSql("shset", numHashes, fastHash = false)).as("sig"),
         size(col("shset")).cast("long").as("n"))
-    // exact |∩| per CANDIDATE pair: the shingle equi-join restricted by a
-    // semi-join against the (small) candidate set before aggregation
-    val inter = sh.alias("x")
-      .join(sh.alias("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .join(pairs, Seq("a", "b"), "left_semi")
+    // exact |∩| per CANDIDATE pair, candidate-DRIVEN: start from the
+    // (tiny) pair set, attach a's shingles, then equi-join b's shingles
+    // on (doc_id, s). Work is |pairs| × shingles-per-doc — linear — and
+    // never materializes the co-shingle self-join, whose output is
+    // O(df²) per shingle and explodes on one hot shingle (the blowup
+    // ngramJaccard's maxDf cap exists to kill).
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     pairs
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga"),

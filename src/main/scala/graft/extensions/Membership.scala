@@ -1,9 +1,12 @@
 package graft.extensions
 
-import java.io.ByteArrayOutputStream
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions._
+
+import graft.functions.BloomProbe
 
 /** Bloom-prefiltered cross-corpus membership — the decontamination /
   * "is this already in the reference set?" probe at 100 TB shape.
@@ -21,11 +24,25 @@ import org.apache.spark.sql.functions._
   * production pipeline builds the filter when the reference set changes
   * and reuses the bytes across every batch.
   *
-  * Sizing: a 1% fpp filter costs ~1.2 bytes/item — fine up to ~10⁸
-  * reference keys on one driver; beyond that, partition the reference
-  * set and apply per-partition filters, or fall back to the exact
-  * semi-join which is what the post-filter join already is. */
+  * EAGER by design: constructing the returned DataFrame runs the `ref`
+  * scan + treeAggregate NOW (a driver-blocking job), because the filter
+  * bitset must exist before the big-side plan can embed a probe of it.
+  * Callers on a hot path should build once and reuse — the broadcast
+  * survives for the session.
+  *
+  * Sizing: a 1% fpp filter costs ~1.2 bytes/item — 10⁷ reference keys
+  * ≈ 12 MB, fine as a broadcast (MembershipSpec proves the 10⁷ probe);
+  * ~10⁸ keys ≈ 120 MB is the practical single-driver ceiling. Beyond
+  * that, partition the reference set and apply per-partition filters, or
+  * fall back to the exact semi-join, which is what the post-filter join
+  * already is. The filter rides a BROADCAST VARIABLE (scalar handle in
+  * the plan, bitset shipped once per executor) — never a plan-embedded
+  * byte literal, which Catalyst would copy on every transform and
+  * re-serialize with every stage (see [[graft.functions.BloomProbe]]).
+  */
 object Membership {
+
+  private val probeId = new AtomicLong(0)
 
   /** Rows of `big` whose `keyCol` appears in `ref`'s `keyCol` —
     * exactly the left-semi join result; the Bloom filter only prunes
@@ -36,14 +53,30 @@ object Membership {
       keyCol: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    val exactSemi =
+      big.join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    // stat.bloomFilter NPEs on zero reference rows (the aggregate's merge
+    // buffer never initializes); an empty reference also makes the
+    // prefilter pointless — the semi-join alone answers (with no rows)
+    if (ref.isEmpty) return exactSemi
     val bf = ref.select(xxhash64(col(keyCol)).as("k"))
       .stat.bloomFilter("k", expectedItems, fpp)
-    val bos = new ByteArrayOutputStream()
-    bf.writeTo(bos)
-    graft.functions.GraftFunctions.register(big.sparkSession)
-    big
-      .filter(call_function("bloom_might_contain",
-        lit(bos.toByteArray), xxhash64(col(keyCol))))
-      .join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    val spark = big.sparkSession
+    val bfBc = spark.sparkContext.broadcast(bf)
+    // A function-registry builder is the one public seam that lets a
+    // captured broadcast become an Expression. DataFrame analysis is
+    // eager, so the temp registration lives only for the filter() call
+    // below and is dropped before returning — no registry leak.
+    val fname = s"graft_bloom_probe_${probeId.incrementAndGet()}"
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      fname, args => BloomProbe(args.head, bfBc), "built-in")
+    try {
+      big
+        .filter(call_function(fname, xxhash64(col(keyCol))))
+        .join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    } finally {
+      registry.dropFunction(FunctionIdentifier(fname))
+    }
   }
 }

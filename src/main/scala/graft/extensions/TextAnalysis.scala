@@ -409,6 +409,61 @@ object TextAnalysis {
         round(col("cum") * lit(1.0) / col("total"), 4).as("cum_share"))
   }
 
+  /** Temperature-based source mixing weights — the "how much of each
+    * source goes into the training mix" computation every multi-source
+    * pretraining run makes: per-source size share p_s (by characters — a
+    * token-count proxy), tempered to w_s ∝ p_s^α and renormalized.
+    * α = 1 keeps natural proportions, α = 0 is uniform; the usual
+    * 0 < α < 1 upsamples small high-quality sources (the UnifiedQA /
+    * multilingual-sampling trick).
+    *
+    * Determinism across engines: α = 0.5 computes via sqrt (IEEE
+    * correctly-rounded in both Spark and DuckDB, unlike pow), and the
+    * normalizing sum folds over the SOURCE-SORTED weight list so
+    * fp addition order is pinned — the same ordered-fold contract the
+    * embedding dot products use. The fold list is one row per SOURCE
+    * (dozens, not documents), collected to a single row: bounded by the
+    * source vocabulary, never by corpus size.
+    *
+    * Scale shape: one map-side-combinable aggregation over the corpus,
+    * then arithmetic on a |sources|-row frame joined back broadcast. */
+  def mixingWeights(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val tempered = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .withColumn("t",
+        if (alpha == 0.5) sqrt(col("n_chars").cast("double"))
+        else pow(col("n_chars").cast("double"), lit(alpha)))
+    val totals = tempered
+      .agg(sum("n_chars").as("chars_tot"),
+        aggregate(array_sort(collect_list(struct(col("source"), col("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("t_tot"))
+    tempered.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(col("n_chars") / col("chars_tot"), 4).as("share"),
+        round(col("t") / col("t_tot"), 4).as("weight"))
+  }
+
+  /** Per-document surface statistics: token count, distinct-token count,
+    * type-token ratio (the repetition/diversity signal), and mean token
+    * length — the cheap profile columns a corpus-quality dashboard
+    * filters on. Pure narrow projection; the token array is let-bound
+    * once per row (the wordNgrams trap). */
+  def textStats(documents: DataFrame): DataFrame = {
+    val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    documents
+      .select(col("doc_id"), arr.as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast("long").as("n_tokens"),
+        size(array_distinct(col("arr"))).cast("long").as("n_distinct"))
+      .join(documents.select(col("doc_id"), arr.as("arr2")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          round(col("n_distinct") * lit(1.0) / col("n_tokens"), 4)).as("ttr"),
+        when(col("n_tokens") > 0,
+          round(aggregate(col("arr2"), lit(0.0), (acc, t) => acc + length(t))
+            / col("n_tokens"), 4)).as("mean_tok_len"))
+  }
+
   /** Text canonicalization: lowercase, strip non-alphanumerics to
     * spaces, collapse runs of whitespace, trim — the normalization pass
     * that precedes hashing/dedup so formatting deltas don't defeat

@@ -38,12 +38,16 @@ object RangeJoin {
       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val w = lit(binWidth)
-    // hi is exclusive: an interval ending exactly on a bin boundary does
-    // not reach into that bin, hence the epsilon-free floor((hi - tiny)/w)
-    // via the integer form floor(hi/w) minus the boundary case.
+    // Explode through floor(hi/w) unconditionally. When `hi` lands
+    // exactly on a bin edge that last bin holds no true matches (hi is
+    // exclusive), but its rows are only false-positive CANDIDATES the
+    // residual range filter below removes — so correctness never depends
+    // on floating-point boundary detection. (A pmod(hi,w)==0 decrement
+    // would be wrong the other way: fp rounding can make pmod miss a
+    // mathematically-zero remainder, or bin a fact value v < hi into the
+    // decremented-away bin — a silent false NEGATIVE nothing recovers.)
     val loBin = floor(col("lo") / w).cast("long")
-    val hiBin = floor(col("hi") / w).cast("long") -
-      when(pmod(col("hi"), w) === 0, 1L).otherwise(0L)
+    val hiBin = floor(col("hi") / w).cast("long")
     val binned = intervals.withColumn(
       "bin", explode(sequence(loBin, greatest(hiBin, loBin))))
     facts

@@ -91,7 +91,7 @@ object Round4Queries {
               JOIN sz sza ON sza.doc_id = p.a
               JOIN sz szb ON szb.doc_id = p.b
               JOIN inter ON inter.a = p.a AND inter.b = p.b
-            ORDER BY a, b"""))
+            ORDER BY p.a, p.b"""))
 
   /** Bloom-prefiltered shingle membership against a reference slice
     * (docs with doc_id % 5 == 0 play the reference corpus): per
@@ -101,10 +101,12 @@ object Round4Queries {
     * semi-join the oracle runs. */
   private val bloomJoin = Q("q_bloom_join",
     (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val ref = Dedup.shingles(docs.filter(col("doc_id") % 5 === 0), share = false)
-        .select("s").distinct()
-      val big = Dedup.shingles(docs.filter(col("doc_id") % 5 =!= 0), share = false)
+      // ONE shingle pass over the whole table (the shared memoized frame
+      // every dedup query reuses), split by doc_id afterwards — never two
+      // scan+explode+distinct pipelines over disjoint filters.
+      val sh = Dedup.shingles(table(s, dir, "documents"))
+      val ref = sh.filter(col("doc_id") % 5 === 0).select("s").distinct()
+      val big = sh.filter(col("doc_id") % 5 =!= 0)
       Membership.bloomSemiJoin(big, ref, "s", expectedItems = 1L << 20)
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")

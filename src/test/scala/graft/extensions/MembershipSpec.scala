@@ -1,0 +1,84 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** bloomSemiJoin's contract is exact left-semi-join equivalence — the
+  * Bloom filter only prunes. Pinned here at both fpp extremes (a sloppy
+  * filter passes false positives the exact join must remove; a tight one
+  * must not drop true members — Bloom filters have no false negatives),
+  * plus the two scale claims the scaladoc makes: the filter rides a
+  * broadcast variable (never a plan-embedded multi-MB literal) and the
+  * documented 10⁷-key sizing point actually builds and probes. */
+class MembershipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val big = Seq(
+    (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"),
+    (5L, "alpha"), (6L, "epsilon"), (7L, "zeta"))
+    .toDF("doc_id", "s")
+  private lazy val ref = Seq("alpha", "gamma", "zeta", "omega").toDF("s")
+
+  private def exact = big.join(ref.distinct(), Seq("s"), "left_semi")
+    .select("doc_id").as[Long].collect().toSet
+
+  test("equivalent to the plain left-semi join at a sloppy fpp (0.5)") {
+    val got = Membership.bloomSemiJoin(big, ref, "s", expectedItems = 4, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == exact)
+  }
+
+  test("equivalent at a tight fpp (1e-6): no false negatives ever") {
+    val got = Membership.bloomSemiJoin(big, ref, "s", expectedItems = 4, fpp = 1e-6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == exact)
+  }
+
+  test("duplicate keys on the big side all survive (semi-join, not dedup)") {
+    val got = Membership.bloomSemiJoin(big, ref, "s", expectedItems = 4)
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(got == List(1L, 3L, 5L, 7L))
+  }
+
+  test("empty reference set returns no rows") {
+    val got = Membership.bloomSemiJoin(big, ref.filter(lit(false)), "s",
+      expectedItems = 1)
+    assert(got.count() == 0)
+  }
+
+  test("the probe rides a broadcast variable, not a plan literal, and " +
+    "the throwaway registry entry is dropped") {
+    // a distributed big side: over a LocalRelation the optimizer's
+    // ConvertToLocalRelation evaluates the probe at planning time and it
+    // vanishes from the physical plan (correct, but nothing to assert on)
+    val bigDist = spark.range(1, 8).select(col("id").as("doc_id"),
+      element_at(
+        lit(Array("alpha", "beta", "gamma", "delta", "alpha", "epsilon", "zeta")),
+        col("id").cast("int")).as("s"))
+    val df = Membership.bloomSemiJoin(bigDist, ref, "s", expectedItems = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_probe"), plan)
+    // a serialized-bytes literal would render as a hex blob far larger
+    // than any sane plan string; the broadcast handle renders as a name
+    assert(plan.length < 50000, s"plan string is ${plan.length} chars")
+    val leaked = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("graft_bloom_probe"))
+    assert(leaked.isEmpty, leaked.mkString(","))
+  }
+
+  test("documented sizing point: 10^7-key filter (~12 MB bitset) builds, " +
+    "broadcasts, and stays exactly equivalent") {
+    // reference = 0..10^7; probe window straddles the upper boundary so
+    // half the probes are members, half are not
+    val refBig = spark.range(10000000L).select(col("id").cast("long").as("s"))
+    val probe = spark.range(9950000L, 10050000L)
+      .select(col("id").as("doc_id"), col("id").cast("long").as("s"))
+    val got = Membership.bloomSemiJoin(probe, refBig, "s",
+      expectedItems = 10000000L, fpp = 0.01)
+    assert(got.count() == 50000L)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_probe"), plan)
+    assert(plan.length < 50000, s"plan string is ${plan.length} chars")
+  }
+}
