@@ -132,6 +132,15 @@ object Bench {
     spark.range(64)
       .selectExpr("cast(array(cast(id AS double), 1.0D) AS array<double>) AS v")
       .selectExpr("sum(dot_product(v, v))").collect()
+    // ...and the documents scan + token-explode codegen shape: the first
+    // document-heavy query in sorted order (q_cooccur in r4) otherwise
+    // absorbs ~3 s of one-time JIT/page-cache cost that reads as a
+    // per-query regression (r4 bench said 4.0 s for a query that
+    // measures 0.8 s warm — the strategy comparison was really
+    // measuring suite position)
+    Tables.table(spark, sfDir, "documents")
+      .selectExpr("explode(split(lower(coalesce(text, '')), ' ')) AS tok")
+      .groupBy("tok").count().count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -454,14 +454,13 @@ object TextAnalysis {
       .select(col("doc_id"), arr.as("arr"))
       .select(col("doc_id"),
         size(col("arr")).cast("long").as("n_tokens"),
-        size(array_distinct(col("arr"))).cast("long").as("n_distinct"))
-      .join(documents.select(col("doc_id"), arr.as("arr2")), "doc_id")
+        size(array_distinct(col("arr"))).cast("long").as("n_distinct"),
+        aggregate(col("arr"), lit(0.0), (acc, t) => acc + length(t)).as("len_sum"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         when(col("n_tokens") > 0,
           round(col("n_distinct") * lit(1.0) / col("n_tokens"), 4)).as("ttr"),
         when(col("n_tokens") > 0,
-          round(aggregate(col("arr2"), lit(0.0), (acc, t) => acc + length(t))
-            / col("n_tokens"), 4)).as("mean_tok_len"))
+          round(col("len_sum") / col("n_tokens"), 4)).as("mean_tok_len"))
   }
 
   /** Text canonicalization: lowercase, strip non-alphanumerics to
