@@ -133,11 +133,13 @@ object Dedup {
     * groupBy: each document's shingle set, signature, and band keys are
     * built inside one projection over its own text. Identical output to
     * the exploded path (array_min is order-insensitive, so collect_set
-    * vs array_distinct ordering cannot matter; BandBucketsParity pins
-    * it). This is the STREAMING-SAFE formulation: a stateless narrow
-    * projection needs no watermark or state store, so arriving documents
-    * can be banded per micro-batch and stream-static-joined against a
-    * persisted corpus index (see `streaming/StreamingDedup`). */
+    * vs array_distinct ordering cannot matter; BandBucketsParitySpec
+    * pins it). This is the STREAMING-SAFE formulation: a stateless
+    * narrow projection needs no watermark or state store, so arriving
+    * documents can be banded per micro-batch and stream-static-joined
+    * against a persisted corpus index
+    * ([[graft.streaming.StreamingDedup]] — parity vs the batch
+    * [[lshProbe]] pinned in StreamingDedupSpec). */
   def bandBucketsRowLocal(
       documents: DataFrame,
       numHashes: Int = 8,
