@@ -60,7 +60,8 @@ object Dedup {
       fastHash: Boolean,
       share: Boolean): DataFrame =
     minHashLshFromShingles(
-      shingles(documents, share = share), numHashes, rowsPerBand, fastHash)
+      shingles(documents, share = share), numHashes, rowsPerBand, fastHash,
+      share)
 
   /** [[minHashLsh]] starting from an existing (doc_id, s) shingle frame —
     * the entry point for pipelines that already hold one (e.g.
@@ -71,8 +72,9 @@ object Dedup {
       shingleFrame: DataFrame,
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
-      fastHash: Boolean = false): DataFrame = {
-    val buckets = bandBuckets(shingleFrame, numHashes, rowsPerBand, fastHash)
+      fastHash: Boolean = false,
+      share: Boolean = true): DataFrame = {
+    val buckets = bandBuckets(shingleFrame, numHashes, rowsPerBand, fastHash, share)
     buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -118,16 +120,57 @@ object Dedup {
       shingleFrame: DataFrame,
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
-      fastHash: Boolean = false): DataFrame = {
-    val sigs = shingleFrame
+      fastHash: Boolean = false,
+      share: Boolean = true): DataFrame =
+    bandsFromSignatures(
+      signatures(shingleFrame, numHashes, fastHash, share), numHashes,
+      rowsPerBand, fastHash)
+
+  /** Per-doc MinHash signature frame `(doc_id, sig, n_shingles)` — the
+    * ONE aggregation of the LSH family (collect the shingle set, fold it
+    * to `numHashes` mins in a single narrow projection). Band keys
+    * ([[bandsFromSignatures]]) and Jaccard estimates
+    * ([[jaccardEstimate]]) both derive from it, so a pipeline that needs
+    * both computes the signatures ONCE. Memoized per (input plan,
+    * params) like [[shingles]] — it is the dominant shuffle of every
+    * MinHash query, and deterministic; pass `share = false` for
+    * one-shot inputs (e.g. the probe side of [[lshProbe]], whose plan
+    * differs every batch and would only grow the memo). */
+  def signatures(
+      shingleFrame: DataFrame,
+      numHashes: Int = 8,
+      fastHash: Boolean = false,
+      share: Boolean = true): DataFrame = {
+    val spark = shingleFrame.sparkSession
+    if (shareEnabled(spark, share))
+      memoized(spark,
+        ("signatures", planOf(shingleFrame), numHashes, fastHash))(
+        computeSignatures(shingleFrame, numHashes, fastHash))
+    else computeSignatures(shingleFrame, numHashes, fastHash)
+  }
+
+  private def computeSignatures(
+      shingleFrame: DataFrame,
+      numHashes: Int,
+      fastHash: Boolean): DataFrame =
+    shingleFrame
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("sh"))
-      .select(col("doc_id"), expr(sigSql("sh", numHashes, fastHash)).as("sig"))
+      .select(col("doc_id"), expr(sigSql("sh", numHashes, fastHash)).as("sig"),
+        size(col("sh")).cast("long").as("n_shingles"))
+
+  /** Explode a signature frame into `(doc_id, band, bkey)` bucket rows —
+    * pure narrow generate, no shuffle. `numHashes`/`rowsPerBand`/
+    * `fastHash` must match the configuration that built `sigs`. */
+  def bandsFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      fastHash: Boolean = false): DataFrame =
     sigs.select(col("doc_id"),
         explode(expr(bandStructsSql(numHashes / rowsPerBand, fastHash, rowsPerBand)))
           .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-  }
 
   /** [[bandBuckets]] computed entirely row-locally — no explode, no
     * groupBy: each document's shingle set, signature, and band keys are
@@ -181,7 +224,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       fastHash: Boolean = false): DataFrame = {
     val probe = bandBuckets(
-      shingles(newDocs, share = false), numHashes, rowsPerBand, fastHash)
+      shingles(newDocs, share = false), numHashes, rowsPerBand, fastHash,
+      share = false)
     index.alias("x")
       .join(probe.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -258,12 +302,22 @@ object Dedup {
     *
     * Cost: the SimHash shuffle plus ONE window over (cluster) — at
     * 100 TB fingerprints distribute uniformly so the window partitions
-    * are tiny and skew-free. */
+    * are tiny and skew-free.
+    *
+    * Total over the corpus: documents too short to shingle (< 3 tokens,
+    * or null/empty text) have no SimHash row; they get their own
+    * singleton fallback cluster (their doc_id) rather than silently
+    * vanishing from the assignment — a survivor map that loses corpus
+    * rows is a contract hole (it would drop them from every downstream
+    * filter). Singleton ⇒ always kept: with no shingles there is nothing
+    * to near-dup against. */
   def keepCanonical(documents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
     documents.select(col("doc_id"), col("n_chars"))
-      .join(simHash(documents).withColumnRenamed("simhash", "cluster"), "doc_id")
+      .join(simHash(documents).withColumnRenamed("simhash", "cluster"),
+        Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("canonical_id", first("doc_id").over(w))
       .select(col("doc_id"), col("cluster"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("kept"))
@@ -283,13 +337,32 @@ object Dedup {
     *
     * Scale shape: the SimHash shuffle plus one narrow projection — the
     * split itself adds NO shuffle, and clusters distribute uniformly
-    * under md5 so split sizes concentrate tightly at any corpus size. */
+    * under md5 so split sizes concentrate tightly at any corpus size.
+    *
+    * Total over the corpus: shingle-less documents (< 3 tokens, null or
+    * empty text) get a singleton fallback cluster (their doc_id) so
+    * EVERY corpus row receives a split — a split operator that silently
+    * assigns nothing to some rows corrupts downstream dataset sizes.
+    * Singleton clusters carry no leak risk: with no shingles there is no
+    * near-dup to co-locate. */
   def splitByCluster(
       documents: DataFrame,
       trainHexBound: String = "c",
       valHexBound: String = "e"): DataFrame = {
+    // bounds compare against LOWERCASE md5 hex digits lexicographically;
+    // an uppercase or non-hex bound would silently skew proportions
+    // (e.g. "C" < every hex digit), so fail fast instead
+    def validBound(b: String) =
+      b.length == 1 && (b.head.isDigit || (b.head >= 'a' && b.head <= 'g'))
+    require(validBound(trainHexBound) && validBound(valHexBound),
+      s"split bounds must be one char in 0-9/a-g, got '$trainHexBound'/'$valHexBound'")
+    require(trainHexBound <= valHexBound,
+      s"trainHexBound '$trainHexBound' must be <= valHexBound '$valHexBound'")
     val h = substring(md5(col("cluster").cast("string").cast("binary")), 1, 1)
-    simHash(documents).withColumnRenamed("simhash", "cluster")
+    documents.select(col("doc_id"))
+      .join(simHash(documents).withColumnRenamed("simhash", "cluster"),
+        Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .select(col("doc_id"), col("cluster"),
         when(h < trainHexBound, "train")
           .when(h < valHexBound, "val")
@@ -309,11 +382,21 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     val sh = shingles(documents)
-    val pairs = minHashLshFromShingles(sh, numHashes, rowsPerBand)
-    val sigs = sh.groupBy("doc_id").agg(collect_set(col("s")).as("shset"))
-      .select(col("doc_id"),
-        expr(sigSql("shset", numHashes, fastHash = false)).as("sig"),
-        size(col("shset")).cast("long").as("n"))
+    // ONE signature aggregation, materialized (memoized, like the
+    // shingle frame), feeding BOTH the band keys (candidate generation)
+    // and the estimate columns — r5 ran the same collect_set + signature
+    // fold twice, once inside bandBuckets and once for the estimate,
+    // which doubled the query's dominant shuffle. The memo's
+    // localCheckpoint is the stage boundary a cluster pipeline would get
+    // by persisting the signature table between stages.
+    val sigs = signatures(sh, numHashes, fastHash = false)
+    val buckets = bandsFromSignatures(sigs, numHashes, rowsPerBand)
+    val pairs = buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
     // exact |∩| per CANDIDATE pair, candidate-DRIVEN: start from the
     // (tiny) pair set, attach a's shingles, then equi-join b's shingles
     // on (doc_id, s). Work is |pairs| × shingles-per-doc — linear — and
@@ -326,9 +409,9 @@ object Dedup {
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     pairs
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga"),
-        col("n").as("na")), "a")
+        col("n_shingles").as("na")), "a")
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb"),
-        col("n").as("nb")), "b")
+        col("n_shingles").as("nb")), "b")
       .join(inter, Seq("a", "b"))
       .select(col("a"), col("b"),
         round(expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")

@@ -46,8 +46,9 @@ object Round4Queries {
   private val dedupKeep = Q("q_dedup_keep",
     (s, dir) => Dedup.keepCanonical(table(s, dir, "documents")).orderBy("doc_id"),
     Some(s"""WITH ${ExtensionQueries.simhashCtes},
-             j AS (SELECT d.doc_id, d.n_chars, s.simhash AS cluster
-                   FROM documents d JOIN sh s USING (doc_id))
+             j AS (SELECT d.doc_id, d.n_chars,
+                          coalesce(s.simhash, d.doc_id) AS cluster
+                   FROM documents d LEFT JOIN sh s USING (doc_id))
              SELECT doc_id, cluster,
                     first_value(doc_id) OVER
                       (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS canonical_id,
