@@ -193,13 +193,19 @@ object TextAnalysis {
     * ([[CorpusPipeline.cleanFull]]) don't double-evaluate their input. */
   private[extensions] def contaminationHits(
       documents: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    // dedup AFTER the broadcast join, not before: a pre-join
+    // `docGrams.distinct()` would shuffle the corpus' ENTIRE exploded
+    // gram set just to deduplicate it, when only the matched (hit) rows
+    // — bounded by |benchmark grams| × contaminated docs — ever need the
+    // distinct. This way the corpus side reaches the broadcast join as a
+    // pure narrow generate, and the sole corpus-derived shuffle is the
+    // per-doc count_distinct over hits (map-side partials apply).
     val docGrams = documents
       .select(col("doc_id"), explode(wordNgrams(n)).as("gram"))
-      .distinct()
     val benchGrams = benchmark
       .select(explode(wordNgrams(n)).as("gram")).distinct()
     docGrams.join(broadcast(benchGrams), "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .groupBy("doc_id").agg(count_distinct(col("gram")).as("n_shared"))
   }
 
   /** Gopher-style repetition signals: the duplicate-bigram fraction
@@ -385,26 +391,28 @@ object TextAnalysis {
     * that sizes tokenizer vocabularies and stopword lists ("the top 50
     * tokens cover X% of the corpus").
     *
-    * Scale note: the rank window has no partition key, so the final sort
-    * runs on ONE task — over the VOCABULARY (Zipf: millions of rows at
-    * 100 TB, not trillions), after the map-side-combined count shuffle.
-    * For truly huge vocabularies, pre-filter with an approximate
-    * count-min top-K before ranking; at any realistic vocab the single
-    * sorted partition of (token, count) pairs is trivial. */
+    * Scale shape: the head is extracted by `orderBy().limit(topK)`,
+    * which Spark plans as TakeOrderedAndProject — every task keeps a
+    * topK-bounded heap and the driver merges heads, so the full
+    * vocabulary is NEVER sorted, on one task or any. The unpartitioned
+    * rank/cum window then runs over exactly `topK` rows (trivial by
+    * construction), and the corpus total is a scalar aggregate joined
+    * back broadcast. The total order (cnt desc, tok) is shared by the
+    * limit and the window, so ties at the boundary resolve identically
+    * — output is bitwise what the full-sort formulation produced. */
   def zipfStats(documents: DataFrame, topK: Int = 50): DataFrame = {
     val counts = documents
       .select(explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val head = counts.orderBy(col("cnt").desc, col("tok")).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("tok"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    counts
+    head
       .withColumn("rank", row_number().over(w))
       .withColumn("cum", sum("cnt").over(w))
-      .withColumn("total", sum("cnt").over(wAll))
-      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(total))
       .select(col("rank"), col("tok").as("token"), col("cnt"),
         round(col("cum") * lit(1.0) / col("total"), 4).as("cum_share"))
   }
