@@ -2,9 +2,14 @@ package graft.extensions
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.BloomProbe
 
@@ -44,6 +49,38 @@ object Membership {
 
   private val probeId = new AtomicLong(0)
 
+  /** Built filters, memoized per (session, canonicalized ref plan,
+    * keyCol, expectedItems, fpp) — the same pattern as
+    * `Dedup.frameMemo`: a filter is ~1.2 bytes/item (up to ~120 MB at
+    * the 10⁸-key ceiling), so re-broadcasting one per CALL would
+    * accumulate that much driver+executor storage for the session
+    * lifetime on any repeated (e.g. per-batch) use. Entries are
+    * destroyed on application end; [[evictFilters]] frees them
+    * sooner. */
+  private val filterMemo =
+    TrieMap.empty[(SparkSession, Any), Broadcast[BloomFilter]]
+  private val evictionHooked = TrieMap.empty[SparkSession, Boolean]
+
+  private def memoizedFilter(spark: SparkSession, key: Any)(
+      build: => Broadcast[BloomFilter]): Broadcast[BloomFilter] = {
+    evictionHooked.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          evictFilters(spark)
+      })
+      true
+    })
+    filterMemo.getOrElseUpdate((spark, key), build)
+  }
+
+  /** Destroy this session's memoized filter broadcasts. */
+  def evictFilters(spark: SparkSession): Unit = {
+    filterMemo.keys.filter(_._1 eq spark).foreach { k =>
+      filterMemo.remove(k).foreach(_.destroy())
+    }
+    evictionHooked.remove(spark)
+  }
+
   /** Rows of `big` whose `keyCol` appears in `ref`'s `keyCol` —
     * exactly the left-semi join result; the Bloom filter only prunes
     * the shuffle. */
@@ -59,10 +96,13 @@ object Membership {
     // buffer never initializes); an empty reference also makes the
     // prefilter pointless — the semi-join alone answers (with no rows)
     if (ref.isEmpty) return exactSemi
-    val bf = ref.select(xxhash64(col(keyCol)).as("k"))
-      .stat.bloomFilter("k", expectedItems, fpp)
     val spark = big.sparkSession
-    val bfBc = spark.sparkContext.broadcast(bf)
+    val bfBc = memoizedFilter(spark,
+      (ref.queryExecution.analyzed.canonicalized, keyCol, expectedItems, fpp)) {
+      spark.sparkContext.broadcast(
+        ref.select(xxhash64(col(keyCol)).as("k"))
+          .stat.bloomFilter("k", expectedItems, fpp))
+    }
     // A function-registry builder is the one public seam that lets a
     // captured broadcast become an Expression. DataFrame analysis is
     // eager, so the temp registration lives only for the filter() call

@@ -18,14 +18,17 @@ object Round5Queries {
   private val splitCluster = Q("q_split_cluster",
     (s, dir) => Dedup.splitByCluster(table(s, dir, "documents"))
       .orderBy("doc_id"),
-    Some(s"""WITH ${ExtensionQueries.simhashCtes}
-             SELECT doc_id, simhash AS cluster,
-                    CASE WHEN substr(md5(CAST(simhash AS VARCHAR)), 1, 1) < 'c'
+    Some(s"""WITH ${ExtensionQueries.simhashCtes},
+             cl AS (SELECT d.doc_id,
+                           coalesce(s.simhash, d.doc_id) AS cluster
+                    FROM documents d LEFT JOIN sh s USING (doc_id))
+             SELECT doc_id, cluster,
+                    CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'c'
                            THEN 'train'
-                         WHEN substr(md5(CAST(simhash AS VARCHAR)), 1, 1) < 'e'
+                         WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'e'
                            THEN 'val'
                          ELSE 'test' END AS split
-             FROM sh ORDER BY doc_id"""))
+             FROM cl ORDER BY doc_id"""))
 
   /** Per-source dedup survivorship — the observability readout a corpus
     * pipeline publishes after near-dup removal: how much of each source
@@ -43,8 +46,9 @@ object Round5Queries {
         .orderBy("source")
     },
     Some(s"""WITH ${ExtensionQueries.simhashCtes},
-             j AS (SELECT d.doc_id, d.source, d.n_chars, s.simhash AS cluster
-                   FROM documents d JOIN sh s USING (doc_id)),
+             j AS (SELECT d.doc_id, d.source, d.n_chars,
+                          coalesce(s.simhash, d.doc_id) AS cluster
+                   FROM documents d LEFT JOIN sh s USING (doc_id)),
              k AS (SELECT doc_id, source,
                           doc_id = first_value(doc_id) OVER
                             (PARTITION BY cluster

@@ -59,9 +59,7 @@ class MembershipSpec extends SparkSpec {
     val df = Membership.bloomSemiJoin(bigDist, ref, "s", expectedItems = 4)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_probe"), plan)
-    // a serialized-bytes literal would render as a hex blob far larger
-    // than any sane plan string; the broadcast handle renders as a name
-    assert(plan.length < 50000, s"plan string is ${plan.length} chars")
+    assertProbeIsBroadcast(df)
     val leaked = spark.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_bloom_probe"))
     assert(leaked.isEmpty, leaked.mkString(","))
@@ -79,6 +77,43 @@ class MembershipSpec extends SparkSpec {
     assert(got.count() == 50000L)
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_probe"), plan)
-    assert(plan.length < 50000, s"plan string is ${plan.length} chars")
+    assertProbeIsBroadcast(got)
+  }
+
+  test("repeated calls with the same reference reuse ONE broadcast filter") {
+    val bigDist = spark.range(1, 8).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id")).as("s"))
+    val refDist = spark.range(1, 4).select(concat(lit("w"), col("id")).as("s"))
+    def probeLit(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed
+        .collect { case n => n.expressions }.flatten
+        .flatMap(e => e.collect { case p: graft.functions.BloomProbe => p })
+        .head.bf
+    val a = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 100))
+    val b = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 100))
+    assert(a eq b, "same (ref plan, params) must reuse the memoized broadcast")
+    // different params build a different filter
+    val c = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 200))
+    assert(!(a eq c))
+  }
+
+  /** Direct structural check (not a plan-string-length proxy, which
+    * Spark's literal truncation could fool): the analyzed plan contains
+    * the BloomProbe expression and NO oversized binary literal — a
+    * regression to embedding the serialized bitset in the plan would
+    * surface as a BinaryType Literal of bitset size. */
+  private def assertProbeIsBroadcast(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val exprs = df.queryExecution.analyzed
+      .collect { case n => n.expressions }.flatten
+      .flatMap(e => e.collect { case x => x })
+    assert(exprs.exists(_.isInstanceOf[graft.functions.BloomProbe]),
+      "BloomProbe expression missing from analyzed plan")
+    val bigBin = exprs.collect {
+      case Literal(v: Array[Byte], BinaryType) if v != null && v.length > 4096 =>
+        v.length
+    }
+    assert(bigBin.isEmpty, s"binary literals of sizes $bigBin embedded in plan")
   }
 }

@@ -28,6 +28,37 @@ class Round5OpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("splitByCluster and keepCanonical are TOTAL: shingle-less docs get a singleton fallback cluster") {
+    val docs = Seq(
+      (1L, "one two", 7L),                        // < 3 tokens: no shingles
+      (2L, null.asInstanceOf[String], 0L),        // null text
+      (3L, "", 0L),                               // empty text
+      (4L, "alpha beta gamma delta", 22L),
+      (5L, "alpha beta gamma delta", 22L))        // near-dup of 4
+      .toDF("doc_id", "text", "n_chars")
+    val split = Dedup.splitByCluster(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.keySet == Set(1L, 2L, 3L, 4L, 5L), "every corpus row gets a split")
+    assert(split(1L)._1 == 1L && split(2L)._1 == 2L && split(3L)._1 == 3L,
+      "fallback cluster is the doc's own id")
+    assert(split(4L) == split(5L), "real clusters still co-locate near-dups")
+    val keep = Dedup.keepCanonical(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(keep.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L), "survivor map is total")
+    assert(keep.filter(t => Set(1L, 2L, 3L)(t._1)).forall(_._3),
+      "singleton fallback docs are always kept")
+  }
+
+  test("splitByCluster rejects malformed or misordered hex bounds") {
+    val docs = Seq((1L, "a b c d", 4L)).toDF("doc_id", "text", "n_chars")
+    intercept[IllegalArgumentException](
+      Dedup.splitByCluster(docs, trainHexBound = "C"))
+    intercept[IllegalArgumentException](
+      Dedup.splitByCluster(docs, trainHexBound = "xy"))
+    intercept[IllegalArgumentException](
+      Dedup.splitByCluster(docs, trainHexBound = "e", valHexBound = "c"))
+  }
+
   test("splitByCluster: bounds move mass between splits") {
     val docs = (1L to 40L).map(i => (i, s"tok$i a$i b$i c$i", 10L))
       .toDF("doc_id", "text", "n_chars")
