@@ -13,11 +13,16 @@ import org.apache.spark.sql.types._
   * task processes a partition's rows as a batch, heavy codec state is
   * initialized once per partition, not per row).
   *
-  * The actual codec is STUBBED (deterministic fake): image/audio
-  * libraries are not in this container. The Spark-side contract — schema,
-  * partitioning, batch shape, null behavior — is real and tested
-  * (MultimodalSpec). Swapping [[FakeCodec]] for a real decoder changes no
-  * plumbing.
+  * The IMAGE path is a REAL codec: [[ImageCodec]] sniffs the container
+  * from magic bytes and decodes PNG/JPEG payloads with `javax.imageio`
+  * (in every JDK — no new dependency), extracting width/height/mime in
+  * the per-partition batch transform ([[decodeImages]]). Audio/video
+  * remain STUBBED ([[FakeCodec]], deterministic fake): no JVM-native
+  * audio/video codec exists and the external libs aren't in this
+  * container. The Spark-side contract — schema, partitioning, batch
+  * shape, null behavior — is identical for both and tested
+  * (MultimodalSpec); swapping FakeCodec for a real decoder changes no
+  * plumbing, as the image path demonstrates.
   */
 object Multimodal {
 
@@ -59,6 +64,56 @@ object Multimodal {
     }
   }
 
+  /** Real JVM image decode. Stateless object methods so the expensive
+    * bits (reader lookup, no-cache mode) configure once per PARTITION in
+    * [[decodeImages]], never per row. */
+  object ImageCodec {
+    /** Container sniff from magic bytes — never decodes, so it is safe
+      * on arbitrary junk and cheap enough for a pre-filter column. */
+    def sniffMime(p: Array[Byte]): Option[String] =
+      if (p == null || p.length < 4) None
+      else if ((p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte) Some("image/png")
+      else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+        (p(2) & 0xff) == 0xff) Some("image/jpeg")
+      else None
+
+    /** Decode payload bytes → (width, height, mime); None for non-image
+      * or corrupt payloads (a 100 TB crawl always contains both — decode
+      * failure must be data, not an exception). */
+    def decode(p: Array[Byte]): Option[(Int, Int, String)] =
+      sniffMime(p).flatMap { mime =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null) None else Some((img.getWidth, img.getHeight, mime))
+        } catch { case _: java.io.IOException => None }
+      }
+  }
+
+  case class ImageInfo(media_id: Long, mime: String,
+                       width: Int, height: Int, n_bytes: Long)
+
+  /** Per-partition batch IMAGE decode — the real-codec instance of the
+    * [[extractFeatures]] contract: image-kind rows are decoded with
+    * `javax.imageio`, emitting measured width/height/mime (from the
+    * BYTES, not the metadata struct — this is the operator that
+    * validates/repairs metadata). Corrupt or non-image payloads drop
+    * (flatMap), matching how a crawl pipeline quarantines undecodable
+    * media. ImageIO's disk cache is disabled once per partition — the
+    * per-partition init the batch shape exists for. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageInfo] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per task, not per row
+      rows.flatMap { r =>
+        ImageCodec.decode(r.payload).map { case (w, h, mime) =>
+          ImageInfo(r.media_id, mime, w, h,
+            if (r.payload == null) 0L else r.payload.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Per-partition batch decode — the mapInPandas-shaped hot path. The
     * iterator is consumed lazily: rows stream through without
     * materializing the partition, so payload bytes never pile up in
@@ -97,6 +152,33 @@ object Multimodal {
   def writeMedia(df: DataFrame, path: String, targetRecordsPerFile: Int = 1000): Unit =
     df.write.option("maxRecordsPerFile", targetRecordsPerFile.toLong)
       .mode("overwrite").parquet(path)
+
+  /** Deterministic GENUINE image payloads for tests/demos: each row is a
+    * real PNG (encoded via the same javax.imageio the decoder uses) of a
+    * seed-derived size with seed-derived pixel data, so the decode path
+    * is exercised on authentic container bytes, not fakes. */
+  def syntheticImages(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 4 + (i % 5).toInt
+      val h = 3 + (i % 4).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((i * 2654435761L + x * 31 + y * 17) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(i, "image", bos.toByteArray,
+        MediaMeta(Some(w), Some(h), None, Some("image/png")))
+    }
+  }
 
   /** Deterministic synthetic media frame for tests/demos. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

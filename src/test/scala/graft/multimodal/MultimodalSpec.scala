@@ -33,6 +33,44 @@ class MultimodalSpec extends SparkSpec {
     assert(byId.values.forall(_.length == 4))
   }
 
+  test("decodeImages: REAL PNG payloads decode to their true dimensions via javax.imageio") {
+    val media = Multimodal.syntheticImages(spark, 20)
+    val decoded = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(decoded.length == 20, "every genuine PNG decodes")
+    decoded.foreach { d =>
+      assert(d.mime == "image/png")
+      // measured-from-bytes dimensions equal the encoder's choice
+      assert(d.width == 4 + (d.media_id % 5).toInt)
+      assert(d.height == 3 + (d.media_id % 4).toInt)
+      assert(d.n_bytes > 50, "payload is a real container, not a stub")
+    }
+  }
+
+  test("decodeImages: corrupt and non-image payloads drop instead of crashing") {
+    import spark.implicits._
+    val png = Multimodal.syntheticImages(spark, 1).head()
+    val truncated = png.payload.take(20) // valid magic, broken body
+    val rows = Seq(
+      png.copy(media_id = 1L),
+      Multimodal.MediaRow(2L, "image", truncated, png.meta),
+      Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3, 4, 5), png.meta),
+      Multimodal.MediaRow(4L, "image", null, png.meta),
+      Multimodal.MediaRow(5L, "audio", png.payload, png.meta) // wrong kind: filtered
+    ).toDS()
+    val out = Multimodal.decodeImages(rows).collect()
+    assert(out.map(_.media_id).toSet == Set(1L))
+  }
+
+  test("sniffMime identifies containers from magic bytes without decoding") {
+    val png = Multimodal.syntheticImages(spark, 1).head().payload
+    assert(Multimodal.ImageCodec.sniffMime(png).contains("image/png"))
+    assert(Multimodal.ImageCodec.sniffMime(
+      Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)).contains("image/jpeg"))
+    assert(Multimodal.ImageCodec.sniffMime(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.ImageCodec.sniffMime(null).isEmpty)
+    assert(Multimodal.ImageCodec.sniffMime(Array[Byte](0x89.toByte)).isEmpty)
+  }
+
   test("media parquet roundtrip preserves payload bytes and metadata struct") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
     val media = Multimodal.syntheticMedia(spark, 10).toDF()

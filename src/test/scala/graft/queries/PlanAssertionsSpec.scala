@@ -109,6 +109,37 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q_zipf: head extraction is a bounded heap (TakeOrderedAndProject), never a full-vocab sort") {
+    val p = planString("q_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only Sort nodes allowed are over the topK-row head (window +
+    // presentation); the vocabulary-sized counts frame must reach no Sort
+    val sortCount = "\\bSort \\[".r.findAllIn(p).size
+    assert(sortCount <= 2, p)
+  }
+
+  test("q_oov_rate: vocab folds to a broadcast; the only hash shuffle is the TF build") {
+    val p = planString("q_oov_rate")
+    assert(p.contains("BroadcastExchange"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_quality_cutoff: per-stratum cutoffs broadcast back; no corpus re-shuffle beyond the stats agg") {
+    val p = planString("q_quality_cutoff")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_decontaminate: corpus grams reach the broadcast join un-shuffled (dedup is post-join)") {
+    // the tree prints children BELOW their parent: everything after the
+    // inner gram-join line is its input. The only exchange allowed there
+    // is the benchmark-side gram distinct (tiny); a doc_id-keyed exchange
+    // below the join means the corpus-wide pre-join distinct crept back
+    val p = planString("q_decontaminate")
+    val joinIdx = p.indexOf("BroadcastHashJoin [gram")
+    assert(joinIdx >= 0, p)
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
   test("q_flagship_sql compiles to the same shuffle count as the DataFrame flagship") {
     def shuffles(name: String) =
       "Exchange hashpartitioning".r.findAllIn(planString(name)).size
