@@ -93,6 +93,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k accuracy contract for the IVF cell restriction: for each
+    * query vector, what fraction of the exact brute-force cosine top-k
+    * does the single-cell (label-restricted) search recover? This is the
+    * number an ANN deployment publishes next to its latency — the same
+    * measured-accuracy discipline as [[Dedup]]'s q_minhash_est.
+    *
+    * Shape: ONE broadcast of the |queryIds|-row query side, one scan of
+    * the corpus scoring every (vector, query) pair, then two windowed
+    * top-k passes over that shared scored frame (the IVF side is just a
+    * filter on it — no second scan). At 100 TB recall is estimated on a
+    * sampled query set exactly like this: cost is O(n·|sample|), one
+    * shuffle on qid for the rank windows (qid cardinality = |sample|, so
+    * every partition holds whole query groups).
+    *
+    * Rounded scores with vec_id tie-breaks keep both rankings bitwise
+    * deterministic, so the per-query recall has a DuckDB oracle
+    * (q_ann_recall). */
+  def recallAtK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_r",
+        round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4))
+      .select("qid", "qlabel", "label", "vec_id", "cos_r")
+    val byScore = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    val brute = scored.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k).select("qid", "vec_id")
+    val ivf = scored.filter(col("label") === col("qlabel"))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k).select("qid", "vec_id")
+    brute.join(ivf.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 4))
+  }
+
   /** Per-cell centroids, element-wise: posexplode → per-(cell, position)
     * mean → the IVF "train" step. One shuffle on (label, pos); the
     * re-assembly into vectors (collect_list sorted by pos) stays inside

@@ -471,6 +471,54 @@ object TextAnalysis {
           round(col("len_sum") / col("n_tokens"), 4)).as("mean_tok_len"))
   }
 
+  /** Per-source token-distribution drift vs the whole corpus:
+    * Jensen-Shannon divergence over the corpus's `topN` tokens — the
+    * monitoring number a mixture pipeline tracks per source/snapshot to
+    * catch a feed whose content shifted (reference analog: the per-year
+    * profession-share comparisons of `dml_script.ipynb`, generalized to
+    * a proper distribution distance).
+    *
+    * Scale shape: one token explode feeds BOTH the vocab top-N (a
+    * TakeOrdered bounded heap — never a full-vocab sort) and the
+    * per-(source, token) counts restricted to that vocab by a broadcast
+    * semi-join. The JS fold itself runs over a |sources| × topN grid —
+    * driver-trivial at any corpus size; corpus scale only deepens the
+    * two count aggregations, which combine map-side.
+    *
+    * Determinism: all counts are exact longs; the divergence is an
+    * ordered fold over the token-sorted term list with an explicit
+    * per-term grouping, so Spark and DuckDB accumulate identical
+    * doubles (q_src_drift). */
+  def sourceDrift(documents: DataFrame, topN: Int = 50): DataFrame = {
+    val tok = documents.select(col("source"),
+      explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("corpus_cnt"))
+      .orderBy(col("corpus_cnt").desc, col("token")).limit(topN)
+    val srcCnt = tok.join(broadcast(vocab.select("token")), "token")
+      .groupBy("source", "token").agg(count(lit(1)).as("src_cnt"))
+    val grid = documents.select("source").distinct()
+      .crossJoin(broadcast(vocab))
+      .join(srcCnt, Seq("source", "token"), "left")
+      .withColumn("src_cnt", coalesce(col("src_cnt"), lit(0L)))
+    val per = grid.groupBy("source").agg(
+      sum("src_cnt").as("src_total"),
+      sum(when(col("src_cnt") > 0, 1L).otherwise(0L)).as("n_vocab_hits"),
+      sum("corpus_cnt").as("corpus_total"),
+      array_sort(collect_list(struct(col("token"), col("src_cnt"),
+        col("corpus_cnt")))).as("terms"))
+    per.select(col("source"), col("n_vocab_hits"), col("src_total"),
+      round(aggregate(col("terms"), lit(0.0), (acc, t) => {
+        val p = t.getField("src_cnt") * lit(1.0) / col("src_total")
+        val q = t.getField("corpus_cnt") * lit(1.0) / col("corpus_total")
+        val m = (p + q) / lit(2.0)
+        acc + (when(t.getField("src_cnt") > 0, lit(0.5) * p * log(p / m))
+            .otherwise(lit(0.0))
+          + when(t.getField("corpus_cnt") > 0, lit(0.5) * q * log(q / m))
+            .otherwise(lit(0.0)))
+      }) + lit(0.0), 4).as("js_div"))
+  }
+
   /** Text canonicalization: lowercase, strip non-alphanumerics to
     * spaces, collapse runs of whitespace, trim — the normalization pass
     * that precedes hashing/dedup so formatting deltas don't defeat

@@ -1,0 +1,110 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+  * — the rolling-hash fingerprinting layer of the training-data pipeline
+  * (SURVEY.md §7.1 step 7 "document fingerprinting").
+  *
+  * Semantics: hash every word k-gram of a document, slide a window of
+  * `w` consecutive gram hashes, and keep the minimum hash of each
+  * window. The selected set is the document's fingerprint: any shared
+  * substring of at least k + w - 1 tokens is guaranteed to contribute at
+  * least one common fingerprint to both documents (the paper's coverage
+  * guarantee), while only ~2/(w+1) of all gram hashes are retained.
+  *
+  * That 1/w-style density is the scale story vs the full inverted index
+  * of [[Dedup.ngramJaccard]]: the candidate join in [[sharedFingerprintPairs]]
+  * shuffles a winnowed index that is a fraction of the full shingle
+  * index, with the same "shared long substring ⇒ candidate pair"
+  * recall contract. Reference analog: the dedup the reference performs
+  * row-at-a-time in SQL (`feeder_postgres.py` upsert on content hash) is
+  * subsumed by exact dedup; winnowing is the substring-robust upgrade.
+  *
+  * Everything is narrow per-document work — split, gram, hash, window
+  * min, distinct — one projection, zero shuffles, entirely inside
+  * whole-stage codegen via higher-order functions. The per-window scan
+  * is O(n·w) per doc instead of the deque-based O(n); for w ≤ 8 the
+  * constant is tiny and the expression stays declarative (and therefore
+  * DuckDB-oracle-expressible: q_winnow / q_winnow_pairs).
+  *
+  * Hashes are the first 8 hex chars of md5 (32-bit values in a long),
+  * the same engine-portable idiom as [[TextAnalysis.stratifiedSample]].
+  */
+object Winnowing {
+
+  /** Per-gram 32-bit rolling hashes of the k-gram stream, in document
+    * order: array<long> per doc. */
+  private def gramHashes(k: Int): Column =
+    transform(TextAnalysis.wordNgrams(k),
+      g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  /** The winnowed fingerprint set: sorted distinct window minima.
+    * Documents shorter than one window keep the min of what they have
+    * (the paper's boundary case: one window covering the whole doc);
+    * empty docs fingerprint to the empty set. */
+  private def winnowedSet(hashes: Column, w: Int): Column = {
+    val nWin = size(hashes) - (w - 1)
+    val mins = when(size(hashes) === 0, array().cast("array<bigint>"))
+      .when(nWin <= 0, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), nWin),
+        i => array_min(slice(hashes, i, lit(w)))))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Fingerprint summary per document: gram count, fingerprint count,
+    * selection density, and an md5 digest of the ordered fingerprint set
+    * (the value a 100 TB index would store per doc for cheap equality /
+    * containment probes). Scalar columns only, so the row is
+    * driver-hash-verifiable. */
+  def fingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    documents
+      .withColumn("hs", gramHashes(k))
+      .withColumn("fps", winnowedSet(col("hs"), w))
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("bigint").as("n_grams"),
+        size(col("fps")).cast("bigint").as("n_fps"),
+        when(size(col("hs")) > 0,
+          round(size(col("fps")) / size(col("hs")).cast("double"), 4))
+          .as("density"),
+        md5(concat_ws(" ",
+          transform(col("fps"), f => f.cast("string"))).cast("binary"))
+          .as("fp_digest"))
+  }
+
+  /** MOSS-style candidate pairs: documents sharing >= `minShared`
+    * winnowed fingerprints, via an inverted-index equi-join on the
+    * fingerprint value — the same banded shape as [[Dedup.ngramJaccard]]'s
+    * candidate join but over the ~2/(w+1)-dense winnowed index, so the
+    * shuffle and the hot-key n² blowup shrink by the same factor.
+    * `maxDf` is the identical hot-key lever (a fingerprint shared by n
+    * docs emits n² pairs): fingerprints with df > maxDf are dropped from
+    * the index before the self-join. */
+  def sharedFingerprintPairs(
+      documents: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Option[Int] = None): DataFrame = {
+    val idx = documents
+      .withColumn("fps", winnowedSet(gramHashes(k), w))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val pruned = maxDf match {
+      case None => idx
+      case Some(cap) =>
+        val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        idx.withColumn("df", count(lit(1)).over(byFp))
+          .filter(col("df") <= cap).select("doc_id", "fp")
+    }
+    pruned.alias("a")
+      .join(pruned.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -16,13 +16,16 @@ import org.apache.spark.sql.types._
   * The IMAGE path is a REAL codec: [[ImageCodec]] sniffs the container
   * from magic bytes and decodes PNG/JPEG payloads with `javax.imageio`
   * (in every JDK — no new dependency), extracting width/height/mime in
-  * the per-partition batch transform ([[decodeImages]]). Audio/video
-  * remain STUBBED ([[FakeCodec]], deterministic fake): no JVM-native
-  * audio/video codec exists and the external libs aren't in this
+  * the per-partition batch transform ([[decodeImages]]). The AUDIO path
+  * is likewise REAL: [[AudioCodec]] sniffs RIFF/WAVE magic and decodes
+  * WAV payloads with `javax.sound.sampled` (also in every JDK),
+  * extracting sample rate / channels / duration ([[decodeAudio]]).
+  * VIDEO remains STUBBED ([[FakeCodec]], deterministic fake): no
+  * JVM-native video codec exists and the external libs aren't in this
   * container. The Spark-side contract — schema, partitioning, batch
-  * shape, null behavior — is identical for both and tested
+  * shape, null behavior — is identical for all three and tested
   * (MultimodalSpec); swapping FakeCodec for a real decoder changes no
-  * plumbing, as the image path demonstrates.
+  * plumbing, as the image and audio paths demonstrate.
   */
 object Multimodal {
 
@@ -90,8 +93,45 @@ object Multimodal {
       }
   }
 
+  /** Real JVM audio decode (WAV/PCM — the one container the JDK ships a
+    * codec for). Same discipline as [[ImageCodec]]: sniff magic bytes
+    * cheaply, treat decode failure as data. */
+  object AudioCodec {
+    /** RIFF/WAVE container sniff — bytes 0-3 "RIFF", 8-11 "WAVE". */
+    def sniffMime(p: Array[Byte]): Option[String] =
+      if (p != null && p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
+        Some("audio/wav")
+      else None
+
+    /** Decode payload bytes → (sampleRate, channels, durationMs); None
+      * for non-WAV or corrupt payloads. Duration comes from the frame
+      * count and frame rate the JDK parser reports — measured from the
+      * BYTES, so this operator validates/repairs the metadata struct
+      * exactly like [[ImageCodec.decode]]. */
+    def decode(p: Array[Byte]): Option[(Int, Int, Long)] =
+      sniffMime(p).flatMap { _ =>
+        try {
+          val aff = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(p))
+          val fmt = aff.getFormat
+          val frames = aff.getFrameLength.toLong
+          if (frames < 0 || fmt.getFrameRate <= 0) None
+          else Some((fmt.getSampleRate.toInt, fmt.getChannels,
+            (frames * 1000L / fmt.getFrameRate).toLong))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      }
+  }
+
   case class ImageInfo(media_id: Long, mime: String,
                        width: Int, height: Int, n_bytes: Long)
+
+  case class AudioInfo(media_id: Long, mime: String, sample_rate: Int,
+                       channels: Int, duration_ms: Long, n_bytes: Long)
 
   /** Per-partition batch IMAGE decode — the real-codec instance of the
     * [[extractFeatures]] contract: image-kind rows are decoded with
@@ -108,6 +148,22 @@ object Multimodal {
       rows.flatMap { r =>
         ImageCodec.decode(r.payload).map { case (w, h, mime) =>
           ImageInfo(r.media_id, mime, w, h,
+            if (r.payload == null) 0L else r.payload.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Per-partition batch AUDIO decode — the real-codec twin of
+    * [[decodeImages]] for audio-kind rows: WAV payloads are parsed with
+    * `javax.sound.sampled`, emitting measured sample rate / channels /
+    * duration; undecodable payloads drop (quarantine semantics). */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioInfo] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioCodec.decode(r.payload).map { case (rate, ch, durMs) =>
+          AudioInfo(r.media_id, "audio/wav", rate, ch, durMs,
             if (r.payload == null) 0L else r.payload.length.toLong)
         }
       }
@@ -177,6 +233,30 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       MediaRow(i, "image", bos.toByteArray,
         MediaMeta(Some(w), Some(h), None, Some("image/png")))
+    }
+  }
+
+  /** Deterministic GENUINE audio payloads for tests/demos: each row is a
+    * real 8-bit mono PCM WAV (encoded via the same `javax.sound.sampled`
+    * the decoder uses) with a seed-derived sample rate and length, so the
+    * decode path is exercised on authentic container bytes. */
+  def syntheticWavs(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val sampleRate = 8000 * (1 + (i % 3).toInt) // 8/16/24 kHz
+      val nSamples = 400 + (i % 100).toInt * 4
+      val pcm = Array.tabulate[Byte](nSamples)(j =>
+        (math.sin(j * 0.1 + i) * 100).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 8, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(i, "audio", bos.toByteArray,
+        MediaMeta(None, None, Some(nSamples * 1000L / sampleRate),
+          Some("audio/wav")))
     }
   }
 

@@ -195,7 +195,7 @@ object ExtensionQueries {
   /** Shared DuckDB scaffolding: embeddings with double-cast vectors and
     * precomputed norms; dot products as ordered double folds to mirror
     * Spark's aggregate() exactly. */
-  private val duckNorm =
+  private[queries] val duckNorm =
     """ne AS (SELECT vec_id, label,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
               FROM embeddings),

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.extensions.{Similarity, TextAnalysis, Winnowing}
+
+/** Round-6 surface: winnowing (rolling-hash) document fingerprints and
+  * their MOSS-style candidate pairs, the ANN recall@k accuracy contract,
+  * and per-source distribution-drift monitoring. Same contract as every
+  * other row: exact integer counts, ordered double folds, rounded
+  * outputs, total-order sort keys — each query carries a bitwise DuckDB
+  * oracle. */
+object Round6Queries {
+
+  /** Shared DuckDB CTE chain: per-doc winnowed fingerprint sets with
+    * k=3 word-grams, window w=4 (mirrors Winnowing.winnowedSet: docs
+    * shorter than one window keep one min; 32-bit md5-prefix hashes). */
+  private val winnowCtes =
+    """wt AS (SELECT doc_id,
+                     list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                 t -> t <> '') AS toks
+              FROM documents),
+       wg AS (SELECT doc_id,
+                     CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                     END AS grams
+              FROM wt),
+       wh AS (SELECT doc_id,
+                     list_transform(grams,
+                       g -> CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)) AS hs
+              FROM wg),
+       wf AS (SELECT doc_id, len(hs) AS n_grams,
+                     CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                          WHEN len(hs) <= 3 THEN [list_min(hs)]
+                          ELSE list_transform(range(1, len(hs) - 2),
+                                 i -> list_min(list_slice(hs, i, i + 3)))
+                     END AS mins
+              FROM wh),
+       wn AS (SELECT doc_id, n_grams,
+                     list_sort(list_distinct(mins)) AS fps
+              FROM wf)"""
+
+  /** Winnowing fingerprint summary (Winnowing.fingerprints): per-doc gram
+    * count, selected-fingerprint count, density, and the ordered-set md5
+    * digest. */
+  private val winnow = Q("q_winnow",
+    (s, dir) => Winnowing.fingerprints(table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $winnowCtes
+             SELECT doc_id,
+                    CAST(n_grams AS BIGINT) AS n_grams,
+                    CAST(len(fps) AS BIGINT) AS n_fps,
+                    CASE WHEN n_grams > 0
+                      THEN round(len(fps) * 1.0 / n_grams, 4) END AS density,
+                    md5(array_to_string(list_transform(fps,
+                          f -> CAST(f AS VARCHAR)), ' ')) AS fp_digest
+             FROM wn ORDER BY doc_id"""))
+
+  /** MOSS-style shared-fingerprint candidate pairs over the winnowed
+    * index (Winnowing.sharedFingerprintPairs, minShared=2). */
+  private val winnowPairs = Q("q_winnow_pairs",
+    (s, dir) => Winnowing.sharedFingerprintPairs(table(s, dir, "documents"))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $winnowCtes,
+             idx AS (SELECT doc_id, unnest(fps) AS fp FROM wn)
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_shared
+             FROM idx a JOIN idx b
+               ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2
+             ORDER BY doc_a, doc_b"""))
+
+  /** ANN accuracy contract (Similarity.recallAtK): recall@10 of the
+    * IVF single-cell search vs exact brute force, per query vector. */
+  private val annRecall = Q("q_ann_recall",
+    (s, dir) => Similarity.recallAtK(table(s, dir, "embeddings"),
+      queryIds = 0L until 8L, k = 10).orderBy("qid"),
+    Some(s"""WITH ${ExtensionQueries.duckNorm},
+             q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qn
+                   FROM nn WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+             scored AS (SELECT q.qid, q.qlabel, nn.label, nn.vec_id,
+                               round(list_sum(list_transform(range(1, len(e) + 1),
+                                                             i -> e[i] * qe[i]))
+                                     / (nrm * qn), 4) AS cos_r
+                        FROM nn CROSS JOIN q WHERE nn.vec_id <> q.qid),
+             brute AS (SELECT qid, vec_id FROM
+                         (SELECT qid, vec_id,
+                                 row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_r DESC, vec_id) AS rn
+                          FROM scored) WHERE rn <= 10),
+             ivf AS (SELECT qid, vec_id FROM
+                       (SELECT qid, vec_id,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_r DESC, vec_id) AS rn
+                        FROM scored WHERE label = qlabel) WHERE rn <= 10)
+             SELECT b.qid AS qid,
+                    CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+                    round(count(i.vec_id) / 10.0, 4) AS recall
+             FROM brute b LEFT JOIN ivf i
+               ON b.qid = i.qid AND b.vec_id = i.vec_id
+             GROUP BY b.qid ORDER BY 1"""))
+
+  /** Per-source Jensen-Shannon drift vs the corpus distribution
+    * (TextAnalysis.sourceDrift, top-50 vocab). */
+  private val srcDrift = Q("q_src_drift",
+    (s, dir) => TextAnalysis.sourceDrift(table(s, dir, "documents"))
+      .orderBy("source"),
+    Some("""WITH tok AS (SELECT source,
+                                unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                                   t -> t <> '')) AS token
+                         FROM documents),
+                 vocab AS (SELECT token, count(*) AS corpus_cnt
+                           FROM tok GROUP BY 1
+                           ORDER BY corpus_cnt DESC, token LIMIT 50),
+                 sc AS (SELECT source, token, count(*) AS src_cnt
+                        FROM tok JOIN vocab USING (token) GROUP BY 1, 2),
+                 grid AS (SELECT s.source, v.token, v.corpus_cnt,
+                                 coalesce(sc.src_cnt, 0) AS src_cnt
+                          FROM (SELECT DISTINCT source FROM documents) s
+                          CROSS JOIN vocab v
+                          LEFT JOIN sc ON sc.source = s.source AND sc.token = v.token),
+                 per AS (SELECT source,
+                                CAST(sum(src_cnt) AS BIGINT) AS src_total,
+                                CAST(sum(CASE WHEN src_cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS n_vocab_hits,
+                                CAST(sum(corpus_cnt) AS BIGINT) AS corpus_total,
+                                list(struct_pack(token := token,
+                                                 src_cnt := src_cnt,
+                                                 corpus_cnt := corpus_cnt)
+                                     ORDER BY token) AS terms
+                         FROM grid GROUP BY 1)
+            SELECT source, n_vocab_hits, src_total,
+                   round(list_sum(list_transform(terms, t ->
+                     (CASE WHEN t.src_cnt > 0
+                        THEN 0.5 * (t.src_cnt * 1.0 / src_total)
+                             * ln((t.src_cnt * 1.0 / src_total)
+                                  / (((t.src_cnt * 1.0 / src_total)
+                                      + (t.corpus_cnt * 1.0 / corpus_total)) / 2.0))
+                        ELSE 0.0 END)
+                     + (CASE WHEN t.corpus_cnt > 0
+                          THEN 0.5 * (t.corpus_cnt * 1.0 / corpus_total)
+                               * ln((t.corpus_cnt * 1.0 / corpus_total)
+                                    / (((t.src_cnt * 1.0 / src_total)
+                                        + (t.corpus_cnt * 1.0 / corpus_total)) / 2.0))
+                          ELSE 0.0 END))) + 0.0, 4) AS js_div
+            FROM per ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(winnow, winnowPairs, annRecall, srcDrift)
+}

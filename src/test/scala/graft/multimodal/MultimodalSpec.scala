@@ -71,6 +71,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageCodec.sniffMime(Array[Byte](0x89.toByte)).isEmpty)
   }
 
+  test("decodeAudio: REAL WAV payloads decode to their true rate/duration via javax.sound") {
+    val media = Multimodal.syntheticWavs(spark, 15)
+    val decoded = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    assert(decoded.length == 15, "every genuine WAV decodes")
+    decoded.foreach { d =>
+      val expectRate = 8000 * (1 + (d.media_id % 3).toInt)
+      val expectSamples = 400 + (d.media_id % 100).toInt * 4
+      assert(d.sample_rate == expectRate,
+        "measured-from-bytes sample rate equals the encoder's choice")
+      assert(d.channels == 1)
+      assert(d.duration_ms == expectSamples * 1000L / expectRate)
+      assert(d.n_bytes > expectSamples, "payload is container + PCM, not a stub")
+    }
+  }
+
+  test("decodeAudio: corrupt and non-WAV payloads drop instead of crashing") {
+    import spark.implicits._
+    val wav = Multimodal.syntheticWavs(spark, 1).head()
+    val rows = Seq(
+      wav.copy(media_id = 1L),
+      Multimodal.MediaRow(2L, "audio", wav.payload.take(16), wav.meta), // truncated
+      Multimodal.MediaRow(3L, "audio", Array[Byte](1, 2, 3), wav.meta),
+      Multimodal.MediaRow(4L, "audio", null, wav.meta),
+      Multimodal.MediaRow(5L, "video", wav.payload, wav.meta) // wrong kind
+    ).toDS()
+    assert(Multimodal.decodeAudio(rows).collect().map(_.media_id).toSet == Set(1L))
+    assert(Multimodal.AudioCodec.sniffMime("RIFF0000WAVE".getBytes).contains("audio/wav"))
+    assert(Multimodal.AudioCodec.sniffMime("RIFFWAVE".getBytes).isEmpty)
+    assert(Multimodal.AudioCodec.sniffMime(null).isEmpty)
+  }
+
   test("media parquet roundtrip preserves payload bytes and metadata struct") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
     val media = Multimodal.syntheticMedia(spark, 10).toDF()

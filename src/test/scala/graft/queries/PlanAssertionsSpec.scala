@@ -145,4 +145,25 @@ class PlanAssertionsSpec extends SparkSpec {
       "Exchange hashpartitioning".r.findAllIn(planString(name)).size
     assert(shuffles("q_flagship_sql") == shuffles("q_flagship"))
   }
+
+  test("q_winnow: the fingerprint build is a zero-shuffle narrow projection") {
+    // split → gram → hash → window-min → distinct all happen inside one
+    // projection; the only exchange is the presentation ORDER BY
+    val p = planString("q_winnow")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_src_drift: vocab top-N is a bounded heap, vocab joins broadcast") {
+    val p = planString("q_src_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N vocab must never be a global sort:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_ann_recall: query side broadcasts; no unbroadcast cartesian scoring") {
+    val p = planString("q_ann_recall")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
