@@ -159,7 +159,18 @@ object Bench {
             dropUniqueShingles = true).count()),
         "ngram_encoded" -> time(
           graft.extensions.Dedup.ngramJaccard(docs, 0.3,
-            encodeShingles = true).count()))
+            encodeShingles = true).count()),
+        // winnowing's claim: ~2/(w+1) of the full k-gram index feeds the
+        // candidate self-join — measure the ratio and the pair-join time
+        // on the same corpus each round rather than asserting it
+        "winnow_index_ratio" -> {
+          val full = graft.extensions.Dedup.shingles(docs).count().toDouble
+          val winnowed = graft.extensions.Winnowing
+            .fingerprints(docs).agg(sum("n_fps")).head().getLong(0).toDouble
+          winnowed / full
+        },
+        "winnow_pairs" -> time(
+          graft.extensions.Winnowing.sharedFingerprintPairs(docs).count()))
     } finally {
       prevShare match {
         case Some(v) => spark.conf.set("spark.graft.dedup.shareFrames", v)
@@ -220,13 +231,22 @@ object Bench {
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // noop sink, not count(): count() lets Catalyst PRUNE every column,
+    // so a narrow projection query (q_winnow, q_lang_id, q_text_stats…)
+    // measured scan speed instead of its actual work — q_winnow "cost"
+    // 0.08 s under count() vs ~1 s with its HOFs actually evaluated.
+    // format("noop") forces full evaluation of every output column with
+    // zero IO — the honest per-query number. (Round-6 rebase: narrow
+    // queries read higher than r5 because they now bill their own
+    // projection work.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1L
         }
         (System.nanoTime() - t0) / 1e9
       }

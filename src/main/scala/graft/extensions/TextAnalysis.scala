@@ -489,12 +489,30 @@ object TextAnalysis {
     * ordered fold over the token-sorted term list with an explicit
     * per-term grouping, so Spark and DuckDB accumulate identical
     * doubles (q_src_drift). */
-  def sourceDrift(documents: DataFrame, topN: Int = 50): DataFrame = {
+  def sourceDrift(documents: DataFrame, topN: Int = 50): DataFrame =
+    driftVsProfile(documents, vocabProfile(documents, topN))
+
+  /** Reference distribution for drift monitoring: the corpus's `topN`
+    * tokens with their counts, via a TakeOrdered bounded heap (never a
+    * full-vocab sort). Persist this once per corpus snapshot; it is the
+    * static side of [[driftVsProfile]] and of the streaming monitor
+    * (graft.streaming.DriftMonitor). */
+  def vocabProfile(documents: DataFrame, topN: Int = 50): DataFrame =
+    documents.select(explode(filter(
+        split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("corpus_cnt"))
+      .orderBy(col("corpus_cnt").desc, col("token")).limit(topN)
+
+  /** Per-source JS divergence of `documents` against a fixed
+    * (token, corpus_cnt) profile — the generalized core of
+    * [[sourceDrift]], reused by the streaming monitor where the profile
+    * is the HISTORICAL corpus and `documents` is one micro-batch. */
+  def driftVsProfile(documents: DataFrame, profile: DataFrame): DataFrame = {
+    val vocab = profile.select(col("token"), col("corpus_cnt"))
     val tok = documents.select(col("source"),
       explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
         t => t =!= "")).as("token"))
-    val vocab = tok.groupBy("token").agg(count(lit(1)).as("corpus_cnt"))
-      .orderBy(col("corpus_cnt").desc, col("token")).limit(topN)
     val srcCnt = tok.join(broadcast(vocab.select("token")), "token")
       .groupBy("source", "token").agg(count(lit(1)).as("src_cnt"))
     val grid = documents.select("source").distinct()
@@ -509,8 +527,14 @@ object TextAnalysis {
         col("corpus_cnt")))).as("terms"))
     per.select(col("source"), col("n_vocab_hits"), col("src_total"),
       round(aggregate(col("terms"), lit(0.0), (acc, t) => {
-        val p = t.getField("src_cnt") * lit(1.0) / col("src_total")
-        val q = t.getField("corpus_cnt") * lit(1.0) / col("corpus_total")
+        // greatest(total, 1): a source with ZERO vocab hits (or an empty
+        // profile) has src_cnt = 0 everywhere, so the guarded division
+        // still yields exactly p = 0 — no ANSI 0/0, identical doubles
+        // whenever the total is positive
+        val p = t.getField("src_cnt") * lit(1.0) /
+          greatest(col("src_total"), lit(1L))
+        val q = t.getField("corpus_cnt") * lit(1.0) /
+          greatest(col("corpus_total"), lit(1L))
         val m = (p + q) / lit(2.0)
         acc + (when(t.getField("src_cnt") > 0, lit(0.5) * p * log(p / m))
             .otherwise(lit(0.0))

@@ -44,15 +44,23 @@ object Winnowing {
   /** The winnowed fingerprint set: sorted distinct window minima.
     * Documents shorter than one window keep the min of what they have
     * (the paper's boundary case: one window covering the whole doc);
-    * empty docs fingerprint to the empty set. */
-  private def winnowedSet(hashes: Column, w: Int): Column = {
-    val nWin = size(hashes) - (w - 1)
-    val mins = when(size(hashes) === 0, array().cast("array<bigint>"))
-      .when(nWin <= 0, array(array_min(hashes)))
-      .otherwise(transform(sequence(lit(1), nWin),
-        i => array_min(slice(hashes, i, lit(w)))))
-    array_sort(array_distinct(mins))
-  }
+    * empty docs fingerprint to the empty set.
+    *
+    * The hash array is LET-BOUND via a single-element `transform` lambda
+    * (the wordNgrams idiom): every window's `slice` references the
+    * lambda variable, which evaluates once per row. Inlining `hashes`
+    * directly — even via `withColumn`, which CollapseProject undoes —
+    * re-executes the full gram+md5 pipeline per WINDOW position,
+    * quadratic in document length (measured: 40 s → 1.4 s for the
+    * sf0.1 pair query). */
+  private def winnowedSet(hashes: Column, w: Int): Column =
+    array_sort(array_distinct(flatten(transform(array(hashes), h => {
+      val nWin = size(h) - (w - 1)
+      when(size(h) === 0, array().cast("array<bigint>"))
+        .when(nWin <= 0, array(array_min(h)))
+        .otherwise(transform(sequence(lit(1), nWin),
+          i => array_min(slice(h, i, lit(w)))))
+    }))))
 
   /** Fingerprint summary per document: gram count, fingerprint count,
     * selection density, and an md5 digest of the ordered fingerprint set
@@ -80,16 +88,26 @@ object Winnowing {
     * winnowed fingerprints, via an inverted-index equi-join on the
     * fingerprint value — the same banded shape as [[Dedup.ngramJaccard]]'s
     * candidate join but over the ~2/(w+1)-dense winnowed index, so the
-    * shuffle and the hot-key n² blowup shrink by the same factor.
-    * `maxDf` is the identical hot-key lever (a fingerprint shared by n
-    * docs emits n² pairs): fingerprints with df > maxDf are dropped from
-    * the index before the self-join. */
+    * index shuffle shrinks by the same factor.
+    *
+    * `maxDf` is the hot-key lever, and here it is MORE load-bearing than
+    * in the plain inverted index: winnowing's window-min selection is
+    * biased toward globally SMALL hash values, so a common gram that
+    * hashes low gets selected in nearly every document containing it —
+    * min-selection CONCENTRATES document frequency onto few fingerprints
+    * instead of spreading it. Measured at sf0.1 (low-entropy corpus,
+    * ~40-token vocabulary): the uncapped self-join took 84 s where
+    * maxDf=20 runs in well under a second with the same resolution on
+    * non-hot pairs. Hence the default is ON; `maxDf=None` is the exact
+    * mode for high-entropy corpora. Semantics of capping are the
+    * standard ones ([[Dedup.ngramJaccard]]): only pairs whose ONLY
+    * shared fingerprints are stop-fingerprints can be missed. */
   def sharedFingerprintPairs(
       documents: DataFrame,
       k: Int = 3,
       w: Int = 4,
       minShared: Int = 2,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = Some(20)): DataFrame = {
     val idx = documents
       .withColumn("fps", winnowedSet(gramHashes(k), w))
       .select(col("doc_id"), explode(col("fps")).as("fp"))

@@ -59,12 +59,16 @@ object Round6Queries {
              FROM wn ORDER BY doc_id"""))
 
   /** MOSS-style shared-fingerprint candidate pairs over the winnowed
-    * index (Winnowing.sharedFingerprintPairs, minShared=2). */
+    * index (Winnowing.sharedFingerprintPairs, minShared=2, and the
+    * default maxDf=20 hot-fingerprint cap — see the operator scaladoc
+    * for why min-selection makes the cap load-bearing). */
   private val winnowPairs = Q("q_winnow_pairs",
     (s, dir) => Winnowing.sharedFingerprintPairs(table(s, dir, "documents"))
       .orderBy("doc_a", "doc_b"),
     Some(s"""WITH $winnowCtes,
-             idx AS (SELECT doc_id, unnest(fps) AS fp FROM wn)
+             idx0 AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+             idx AS (SELECT doc_id, fp FROM idx0
+                     QUALIFY count(*) OVER (PARTITION BY fp) <= 20)
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     count(*) AS n_shared
              FROM idx a JOIN idx b
@@ -134,16 +138,16 @@ object Round6Queries {
             SELECT source, n_vocab_hits, src_total,
                    round(list_sum(list_transform(terms, t ->
                      (CASE WHEN t.src_cnt > 0
-                        THEN 0.5 * (t.src_cnt * 1.0 / src_total)
-                             * ln((t.src_cnt * 1.0 / src_total)
-                                  / (((t.src_cnt * 1.0 / src_total)
-                                      + (t.corpus_cnt * 1.0 / corpus_total)) / 2.0))
+                        THEN 0.5 * (t.src_cnt * 1.0 / greatest(src_total, 1))
+                             * ln((t.src_cnt * 1.0 / greatest(src_total, 1))
+                                  / (((t.src_cnt * 1.0 / greatest(src_total, 1))
+                                      + (t.corpus_cnt * 1.0 / greatest(corpus_total, 1))) / 2.0))
                         ELSE 0.0 END)
                      + (CASE WHEN t.corpus_cnt > 0
-                          THEN 0.5 * (t.corpus_cnt * 1.0 / corpus_total)
-                               * ln((t.corpus_cnt * 1.0 / corpus_total)
-                                    / (((t.src_cnt * 1.0 / src_total)
-                                        + (t.corpus_cnt * 1.0 / corpus_total)) / 2.0))
+                          THEN 0.5 * (t.corpus_cnt * 1.0 / greatest(corpus_total, 1))
+                               * ln((t.corpus_cnt * 1.0 / greatest(corpus_total, 1))
+                                    / (((t.src_cnt * 1.0 / greatest(src_total, 1))
+                                        + (t.corpus_cnt * 1.0 / greatest(corpus_total, 1))) / 2.0))
                           ELSE 0.0 END))) + 0.0, 4) AS js_div
             FROM per ORDER BY source"""))
 
