@@ -33,17 +33,23 @@ object TextAnalysis {
       .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq.sortBy(_._1)
     val codes = byLang.map(_._1)
     val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
-    val scored = array(byLang.zipWithIndex.map { case ((_, toks), i) =>
-      struct(
-        size(filter(arr, t => t.isInCollection(toks))).as("cnt"),
-        lit(codes.size - 1 - i).as("ri"))
-    }: _*)
-    val best = array_max(scored)
-    documents.select(col("doc_id"),
-      when(best.getField("cnt") === 0, lit("und"))
-        .otherwise(element_at(
-          array(codes.reverse.map(lit): _*), best.getField("ri") + 1))
-        .as("pred"))
+    // one-eval discipline (the wordNgrams idiom + a Generate barrier):
+    // the token array is let-bound as a lambda variable so the split
+    // runs once per row, not once per language, and the argmax struct
+    // crosses to the final projection through a single-element explode
+    // so its two field extracts don't re-run the scoring array
+    val summary = transform(array(arr), a =>
+      array_max(array(byLang.zipWithIndex.map { case ((_, toks), i) =>
+        struct(
+          size(filter(a, t => t.isInCollection(toks))).as("cnt"),
+          lit(codes.size - 1 - i).as("ri"))
+      }: _*)))
+    documents.select(col("doc_id"), explode(summary).as("b"))
+      .select(col("doc_id"),
+        when(col("b.cnt") === 0, lit("und"))
+          .otherwise(element_at(
+            array(codes.reverse.map(lit): _*), col("b.ri") + 1))
+          .as("pred"))
   }
 
   /** Quality metrics: token count, mean token length, stopword ratio —
@@ -215,13 +221,20 @@ object TextAnalysis {
     * max/sum — two shuffles on doc_id, spillable, no per-row quadratic
     * work, so long documents cannot blow up a single task. */
   def repetition(documents: DataFrame): DataFrame = {
-    val grams = wordNgrams(2)
-    val nBi = size(grams).cast("long")
-    val nBiDistinct = size(array_distinct(grams)).cast("long")
-    val biStats = documents.select(col("doc_id"),
-      nBi.as("n_bigrams"),
-      when(nBi > 0, round((nBi - nBiDistinct) * lit(1.0) / nBi, 4))
-        .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+    // one-eval discipline: the bigram build runs once per row inside the
+    // lambda; the counts cross to the ratio projection via a Generate
+    // barrier (see Winnowing.fingerprints)
+    val summary = transform(array(wordNgrams(2)), g => struct(
+      size(g).cast("long").as("n_bigrams"),
+      size(array_distinct(g)).cast("long").as("n_dis")))
+    val biStats = documents
+      .select(col("doc_id"), explode(summary).as("s"))
+      .select(col("doc_id"),
+        col("s.n_bigrams").as("n_bigrams"),
+        when(col("s.n_bigrams") > 0,
+          round((col("s.n_bigrams") - col("s.n_dis")) * lit(1.0) /
+            col("s.n_bigrams"), 4))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
     val toks = documents
       .select(col("doc_id"),
         explode(filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= ""))
@@ -274,13 +287,21 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
       .agg(collect_set("tok").as("vocab"))
-    val nTok = size(arr).cast("long")
-    val nOov = size(filter(arr, t => !array_contains(col("vocab"), t))).cast("long")
+    // one-eval discipline: bind the token array as a lambda variable and
+    // carry (n_tok, n_oov) through a Generate barrier, so the split and
+    // the vocab-membership filter run once per row instead of once per
+    // output column (see Winnowing.fingerprints)
+    val summary = transform(array(arr), a => struct(
+      size(a).cast("long").as("n_tok"),
+      size(filter(a, t => !array_contains(col("vocab"), t)))
+        .cast("long").as("n_oov")))
     documents.crossJoin(broadcast(vocab))
+      .select(col("doc_id"), explode(summary).as("s"))
       .select(col("doc_id"),
-        nTok.as("n_tok"),
-        nOov.as("n_oov"),
-        when(nTok > 0, round(nOov * lit(1.0) / nTok, 4))
+        col("s.n_tok").as("n_tok"),
+        col("s.n_oov").as("n_oov"),
+        when(col("s.n_tok") > 0,
+          round(col("s.n_oov") * lit(1.0) / col("s.n_tok"), 4))
           .otherwise(lit(0.0)).as("oov_ratio"))
   }
 
@@ -458,17 +479,23 @@ object TextAnalysis {
     * once per row (the wordNgrams trap). */
   def textStats(documents: DataFrame): DataFrame = {
     val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    // one-eval discipline: lambda-bound token array + Generate barrier —
+    // CollapseProject would otherwise re-inline the split into every
+    // output column (see Winnowing.fingerprints)
+    val summary = transform(array(arr), a => struct(
+      size(a).cast("long").as("n_tokens"),
+      size(array_distinct(a)).cast("long").as("n_distinct"),
+      aggregate(a, lit(0.0), (acc, t) => acc + length(t)).as("len_sum")))
     documents
-      .select(col("doc_id"), arr.as("arr"))
+      .select(col("doc_id"), explode(summary).as("s"))
       .select(col("doc_id"),
-        size(col("arr")).cast("long").as("n_tokens"),
-        size(array_distinct(col("arr"))).cast("long").as("n_distinct"),
-        aggregate(col("arr"), lit(0.0), (acc, t) => acc + length(t)).as("len_sum"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        when(col("n_tokens") > 0,
-          round(col("n_distinct") * lit(1.0) / col("n_tokens"), 4)).as("ttr"),
-        when(col("n_tokens") > 0,
-          round(col("len_sum") / col("n_tokens"), 4)).as("mean_tok_len"))
+        col("s.n_tokens").as("n_tokens"),
+        col("s.n_distinct").as("n_distinct"),
+        when(col("s.n_tokens") > 0,
+          round(col("s.n_distinct") * lit(1.0) / col("s.n_tokens"), 4))
+          .as("ttr"),
+        when(col("s.n_tokens") > 0,
+          round(col("s.len_sum") / col("s.n_tokens"), 4)).as("mean_tok_len"))
   }
 
   /** Per-source token-distribution drift vs the whole corpus:

@@ -69,19 +69,27 @@ object Winnowing {
     * driver-hash-verifiable. */
   def fingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    // every output field is computed inside ONE lambda scope (h and f
+    // are lambda variables, so their 2-3 references cost nothing), and
+    // the whole struct reaches the final projection through a
+    // single-element explode: Generate is a projection barrier, so
+    // CollapseProject cannot re-inline the struct into the four field
+    // extracts and re-evaluate the pipeline per column
+    val summary = transform(array(gramHashes(k)), h =>
+      element_at(transform(array(winnowedSet(h, w)), f =>
+        struct(
+          size(h).cast("bigint").as("n_grams"),
+          size(f).cast("bigint").as("n_fps"),
+          when(size(h) > 0,
+            round(size(f) / size(h).cast("double"), 4)).as("density"),
+          md5(concat_ws(" ",
+            transform(f, x => x.cast("string"))).cast("binary"))
+            .as("fp_digest"))), 1))
     documents
-      .withColumn("hs", gramHashes(k))
-      .withColumn("fps", winnowedSet(col("hs"), w))
-      .select(
-        col("doc_id"),
-        size(col("hs")).cast("bigint").as("n_grams"),
-        size(col("fps")).cast("bigint").as("n_fps"),
-        when(size(col("hs")) > 0,
-          round(size(col("fps")) / size(col("hs")).cast("double"), 4))
-          .as("density"),
-        md5(concat_ws(" ",
-          transform(col("fps"), f => f.cast("string"))).cast("binary"))
-          .as("fp_digest"))
+      .select(col("doc_id"), explode(summary).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.n_fps").as("n_fps"), col("s.density").as("density"),
+        col("s.fp_digest").as("fp_digest"))
   }
 
   /** MOSS-style candidate pairs: documents sharing >= `minShared`
