@@ -166,4 +166,23 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("one-eval discipline: token builds appear exactly once per use in the plan") {
+    // CollapseProject re-inlines withColumn aliases, silently re-running
+    // a projection's base build once per OUTPUT COLUMN (languageId paid
+    // ~10 splits/row before round 6). The ops now bind the build as a
+    // lambda variable behind a Generate barrier; pin the expression
+    // count in the executed plan so the regression is structural, not
+    // just a bench smell.
+    def occurrences(name: String, token: String): Int =
+      token.r.findAllIn(planString(name)).size
+    assert(occurrences("q_lang_id", "split\\(") == 1)
+    assert(occurrences("q_text_stats", "split\\(") == 1)
+    // vocab-build side + per-doc side are two distinct, legitimate uses
+    assert(occurrences("q_oov_rate", "split\\(") == 2)
+    assert(occurrences("q_repetition", "split\\(") == 2)
+    // gram hashing + fp digest; a third md5 means the window-min lambda
+    // lost its let-binding (the 40 s quadratic regression)
+    assert(occurrences("q_winnow", "md5\\(") == 2)
+  }
 }
