@@ -228,6 +228,7 @@ object Bench {
       graft.extensions.Dedup.simHash(docs)
       graft.extensions.Dedup.minHashLsh(docs)
       graft.extensions.Dedup.minHashLsh(docs, fastHash = true)
+      graft.extensions.Winnowing.index(docs)
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)

@@ -455,6 +455,18 @@ object Dedup {
   private def planOf(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed.canonicalized
 
+  /** Package hook into the shared-frame memo for sibling modules
+    * ([[Winnowing]]): same session keying, same localCheckpoint stage
+    * boundary, same app-end eviction and `spark.graft.dedup.shareFrames`
+    * opt-out. */
+  private[extensions] def sharedFrame(
+      df: DataFrame, tag: String, params: Any*)(
+      build: => DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!shareEnabled(spark, share = true)) build
+    else memoized(spark, (tag, planOf(df), params.toList))(build)
+  }
+
   /** Drop this session's memoized frames. */
   def evictShared(spark: SparkSession): Unit = {
     frameMemo.keys.filter(_._1 eq spark).foreach(frameMemo.remove)

@@ -92,6 +92,18 @@ object Winnowing {
         col("s.fp_digest").as("fp_digest"))
   }
 
+  /** The exploded (doc_id, fp) winnowed inverted index — the frame a
+    * pipeline persists between stages. It feeds BOTH sides of the
+    * candidate self-join; without a stage boundary Spark recomputes the
+    * winnow build per side, so it is memoized like the shingle and
+    * signature frames ([[Dedup.sharedFrame]]: one build, localCheckpoint,
+    * session-evicted, `spark.graft.dedup.shareFrames` opt-out). */
+  def index(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    Dedup.sharedFrame(documents, "winnow_idx", k, w)(
+      documents
+        .withColumn("fps", winnowedSet(gramHashes(k), w))
+        .select(col("doc_id"), explode(col("fps")).as("fp")))
+
   /** MOSS-style candidate pairs: documents sharing >= `minShared`
     * winnowed fingerprints, via an inverted-index equi-join on the
     * fingerprint value — the same banded shape as [[Dedup.ngramJaccard]]'s
@@ -116,9 +128,7 @@ object Winnowing {
       w: Int = 4,
       minShared: Int = 2,
       maxDf: Option[Int] = Some(20)): DataFrame = {
-    val idx = documents
-      .withColumn("fps", winnowedSet(gramHashes(k), w))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val idx = index(documents, k, w)
     val pruned = maxDf match {
       case None => idx
       case Some(cap) =>
