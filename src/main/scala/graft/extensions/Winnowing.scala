@@ -128,19 +128,64 @@ object Winnowing {
       w: Int = 4,
       minShared: Int = 2,
       maxDf: Option[Int] = Some(20)): DataFrame = {
-    val idx = index(documents, k, w)
-    val pruned = maxDf match {
+    candidatePairs(cappedIndex(index(documents, k, w), maxDf), minShared)
+  }
+
+  private def cappedIndex(idx: DataFrame, maxDf: Option[Int]): DataFrame =
+    maxDf match {
       case None => idx
       case Some(cap) =>
         val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
         idx.withColumn("df", count(lit(1)).over(byFp))
           .filter(col("df") <= cap).select("doc_id", "fp")
     }
-    pruned.alias("a")
-      .join(pruned.alias("b"),
+
+  private def candidatePairs(idx: DataFrame, minShared: Int): DataFrame =
+    idx.alias("a")
+      .join(idx.alias("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+  /** Winnowing accuracy contract — the [[Dedup.jaccardEstimate]]
+    * discipline applied to the winnowed sketch: for every candidate
+    * pair, the resemblance ESTIMATED from the (df-capped) winnowed
+    * fingerprint sets next to the EXACT distinct-k-gram Jaccard. The
+    * estimate column is what a 100 TB pipeline acts on (it only has the
+    * winnowed index); the exact column is computable only for the
+    * candidate pairs (tiny, candidate-driven join — never the co-gram
+    * self-join), so the comparison itself stays scale-safe. Publishing
+    * est vs exact per pair is the measurement that justifies both the
+    * 1/w index reduction AND the maxDf cap. */
+  def resemblanceEstimate(
+      documents: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Option[Int] = Some(20)): DataFrame = {
+    val idx = cappedIndex(index(documents, k, w), maxDf)
+    val pairs = candidatePairs(idx, minShared)
+    val nf = idx.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val sh = Dedup.shingles(documents) // memoized distinct k-gram frame
+    val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exact |∩| candidate-driven, linear in |pairs| × grams-per-doc; a
+    // 32-bit fingerprint collision can make a pair share fps but no
+    // gram, hence the left join + coalesce instead of an inner join
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val i = coalesce(col("i"), lit(0L))
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
+      .join(ns.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(ns.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared") * lit(1.0) /
+          (col("nfa") + col("nfb") - col("n_shared")), 4).as("est_jac"),
+        round(i * lit(1.0) / (col("na") + col("nb") - i), 4).as("exact_jac"))
   }
 }

@@ -76,6 +76,43 @@ object Round6Queries {
              GROUP BY 1, 2 HAVING count(*) >= 2
              ORDER BY doc_a, doc_b"""))
 
+  /** Winnowing accuracy contract (Winnowing.resemblanceEstimate):
+    * per candidate pair, resemblance estimated from the capped winnowed
+    * sets vs the exact distinct-trigram Jaccard. */
+  private val winnowEst = Q("q_winnow_est",
+    (s, dir) => Winnowing.resemblanceEstimate(table(s, dir, "documents"))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $winnowCtes,
+             idx0 AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+             idx AS (SELECT doc_id, fp FROM idx0
+                     QUALIFY count(*) OVER (PARTITION BY fp) <= 20),
+             pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              count(*) AS n_shared
+                       FROM idx a JOIN idx b
+                         ON a.fp = b.fp AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2 HAVING count(*) >= 2),
+             nf AS (SELECT doc_id, count(*) AS nf FROM idx GROUP BY 1),
+             ws AS (SELECT DISTINCT doc_id, s FROM
+                      (SELECT doc_id, unnest(grams) AS s FROM wg)),
+             ns AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY 1),
+             it AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+                    FROM pairs p
+                    JOIN ws x ON x.doc_id = p.doc_a
+                    JOIN ws y ON y.doc_id = p.doc_b AND y.s = x.s
+                    GROUP BY 1, 2)
+             SELECT p.doc_a, p.doc_b, p.n_shared,
+                    round(p.n_shared * 1.0
+                          / (fa.nf + fb.nf - p.n_shared), 4) AS est_jac,
+                    round(coalesce(it.i, 0) * 1.0
+                          / (na.n + nb.n - coalesce(it.i, 0)), 4) AS exact_jac
+             FROM pairs p
+             JOIN nf fa ON fa.doc_id = p.doc_a
+             JOIN nf fb ON fb.doc_id = p.doc_b
+             JOIN ns na ON na.doc_id = p.doc_a
+             JOIN ns nb ON nb.doc_id = p.doc_b
+             LEFT JOIN it ON it.doc_a = p.doc_a AND it.doc_b = p.doc_b
+             ORDER BY p.doc_a, p.doc_b"""))
+
   /** ANN accuracy contract (Similarity.recallAtK): recall@10 of the
     * IVF single-cell search vs exact brute force, per query vector. */
   private val annRecall = Q("q_ann_recall",
@@ -151,5 +188,5 @@ object Round6Queries {
                           ELSE 0.0 END))) + 0.0, 4) AS js_div
             FROM per ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(winnow, winnowPairs, annRecall, srcDrift)
+  val all: Seq[Q] = Seq(winnow, winnowPairs, winnowEst, annRecall, srcDrift)
 }

@@ -71,6 +71,27 @@ class Round6OpsSpec extends SparkSpec {
       "df cap drops fingerprints hotter than maxDf from the candidate index")
   }
 
+  test("resemblanceEstimate: identical docs score 1.0 on both columns; estimate tracks exact") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                         // identical pair
+      (3L, s"$base lambda mu nu xi omicron pi rho"),  // superset of base
+      (4L, "unrelated words entirely different from the rest here okay"))
+      .toDF("doc_id", "text")
+    val out = Winnowing.resemblanceEstimate(docs, k, w, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val (est12, exact12) = out((1L, 2L))
+    assert(est12 == 1.0 && exact12 == 1.0,
+      "identical docs: winnowed sets and gram sets both identical")
+    assert(out.contains((1L, 3L)), "the superset pair is a candidate")
+    val (est13, exact13) = out((1L, 3L))
+    assert(exact13 > 0.4 && exact13 < 1.0)
+    assert(est13 > 0.0 && est13 < 1.0)
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "the unrelated doc pairs with nothing")
+  }
+
   test("recallAtK: perfect recall when every vector shares one IVF cell, [0,1] always") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(8)(rnd.nextFloat())
