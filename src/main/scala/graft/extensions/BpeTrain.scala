@@ -1,0 +1,115 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE merge-pair learning — the tokenizer-vocabulary step of a
+  * training-data pipeline (SURVEY.md §7.1 step 7 "token counting", taken
+  * to its conclusion: learning the subword vocabulary itself).
+  *
+  * Classic byte-pair encoding (Sennrich et al. 2016): start from
+  * characters, repeatedly merge the most frequent adjacent symbol pair.
+  * The corpus-scale insight this implementation is built around: BPE
+  * never iterates over the corpus — it iterates over the WORD-FREQUENCY
+  * table. One corpus pass builds (word, freq); every merge round then
+  * works on that table, whose size is the vocabulary (|V| ≪ corpus, even
+  * at 100 TB where |V| is a few million), so the expensive part is a
+  * single map-side-combinable aggregation and the loop is cheap.
+  *
+  * Per round, one 1-row argmax is collected to the driver (the chosen
+  * pair) — the same bounded per-iteration driver motion as
+  * [[KMeans]]'s k centroids; everything else stays distributed.
+  *
+  * Determinism (the DuckDB oracle of q_bpe_train reproduces the merge
+  * sequence bit-for-bit): symbol sequences are strings with a
+  * two-space separator and single-space borders, pairs merge via
+  * LITERAL left-to-right replace (identical semantics in both engines,
+  * including the overlapping-run case "a a a" → "(aa) a"), and the
+  * argmax tie-breaks on (count DESC, left ASC, right ASC). */
+object BpeTrain {
+
+  case class Merge(rank: Int, left: String, right: String, pair_freq: Long)
+
+  /** The (seq, freq) working frame: every distinct word as a bordered
+    * two-space-separated character sequence — " f  a  s  t " — with its
+    * corpus frequency. Borders + double separator make a pair occurrence
+    * the unambiguous substring " l  r " (symbols never contain spaces),
+    * so the merge is a plain literal replace. */
+  private def wordSeqs(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit(" "),
+          concat_ws("  ", transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1)))),
+          lit(" ")).as("seq"),
+        col("freq"))
+
+  /** Learn `numMerges` merges; returns one row per merge:
+    * (rank, left, right, pair_freq), rank starting at 1. */
+  def learn(documents: DataFrame, numMerges: Int): Seq[Merge] = {
+    var seqs = wordSeqs(documents).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var continue = rank <= numMerges
+    while (continue) {
+      val syms = split(trim(col("seq")), "  ")
+      // sequence(1, 0) DESCENDS in Spark, so a single-symbol word needs
+      // an explicit empty-pairs guard
+      val pairsArr = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          j => struct(element_at(syms, j).as("l"),
+            element_at(syms, j + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val best = seqs
+        .select(explode(pairsArr).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += Merge(rank, l, r, c)
+        seqs = seqs.select(
+          replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")).as("seq"),
+          col("freq")).localCheckpoint()
+        rank += 1
+        continue = rank <= numMerges
+      }
+    }
+    merges.result()
+  }
+
+  /** [[learn]] as a driver-verifiable DataFrame (q_bpe_train). */
+  def learnDf(spark: SparkSession, documents: DataFrame,
+      numMerges: Int): DataFrame = {
+    import spark.implicits._
+    learn(documents, numMerges).toDF()
+  }
+
+  /** Apply a learned merge list to the corpus vocabulary: each distinct
+    * word's final symbol segmentation under the merges, with the symbol
+    * count — the "apply" half of the tokenizer (subword segmentation is
+    * a per-word lookup at inference; here it is the same fold over the
+    * bounded merge list, one literal replace per merge). */
+  def segment(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val seq0 = concat(lit(" "),
+      concat_ws("  ", transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))),
+      lit(" "))
+    val merged = merges.foldLeft(seq0) { (s, m) =>
+      replace(s, lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))
+    }
+    documents
+      .select(explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat_ws(" ", split(trim(merged), "  ")).as("segmentation"),
+        size(split(trim(merged), "  ")).cast("bigint").as("n_symbols"))
+  }
+}

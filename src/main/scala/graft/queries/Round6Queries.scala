@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
-import graft.extensions.{Similarity, TextAnalysis, Winnowing}
+import graft.extensions.{BpeTrain, Similarity, TextAnalysis, Winnowing}
 
 /** Round-6 surface: winnowing (rolling-hash) document fingerprints and
   * their MOSS-style candidate pairs, the ANN recall@k accuracy contract,
@@ -188,5 +188,66 @@ object Round6Queries {
                           ELSE 0.0 END))) + 0.0, 4) AS js_div
             FROM per ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(winnow, winnowPairs, winnowEst, annRecall, srcDrift)
+  /** Unrolled DuckDB twin of BpeTrain.learn's iteration `n`: each stage
+    * is the same (pair count → argmax → literal replace) round the Spark
+    * loop runs, so the merge SEQUENCE is reproduced bit-for-bit. */
+  private def bpeCtes(n: Int): String = {
+    val s0 =
+      """tok AS (SELECT unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                           t -> t <> '')) AS word
+                 FROM documents),
+         w AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+         s0 AS (SELECT word,
+                       ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+                                i -> substr(word, i, 1)), '  ') || ' ' AS seq,
+                       freq
+                FROM w)"""
+    val stages = (1 to n).map { i =>
+      s"""ss${i - 1} AS (SELECT word, string_split(trim(seq), '  ') AS syms, freq
+                         FROM s${i - 1}),
+          pr$i AS (SELECT unnest(list_transform(range(1, len(syms)), j -> syms[j])) AS l,
+                          unnest(list_transform(range(1, len(syms)), j -> syms[j + 1])) AS r,
+                          freq
+                   FROM ss${i - 1} WHERE len(syms) > 1),
+          b$i AS (SELECT l, r, sum(freq) AS c FROM pr$i GROUP BY 1, 2
+                  ORDER BY c DESC, l, r LIMIT 1),
+          s$i AS (SELECT word,
+                         replace(seq, ' ' || b$i.l || '  ' || b$i.r || ' ',
+                                 ' ' || b$i.l || b$i.r || ' ') AS seq,
+                         freq
+                  FROM s${i - 1} CROSS JOIN b$i)"""
+    }
+    (s0 +: stages).mkString(",\n")
+  }
+
+  /** BPE vocabulary learning (BpeTrain.learn, 4 merges over the
+    * word-frequency table — never the corpus). */
+  private val bpeTrain = Q("q_bpe_train",
+    (s, dir) => BpeTrain.learnDf(s, table(s, dir, "documents"), numMerges = 4)
+      .orderBy("rank"),
+    Some(s"""WITH ${bpeCtes(4)}
+             SELECT * FROM (
+               ${(1 to 4).map(i =>
+                 s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right",
+                            CAST(c AS BIGINT) AS pair_freq FROM b$i""")
+                 .mkString("\n UNION ALL \n")})
+             ORDER BY rank"""))
+
+  /** Subword segmentation under the learned merges (BpeTrain.segment):
+    * per vocabulary word, its symbol sequence and count after the same
+    * 4 merges. */
+  private val bpeSegment = Q("q_bpe_segment",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      BpeTrain.segment(docs, BpeTrain.learn(docs, numMerges = 4))
+        .orderBy("word")
+    },
+    Some(s"""WITH ${bpeCtes(4)}
+             SELECT word, freq,
+                    array_to_string(string_split(trim(seq), '  '), ' ') AS segmentation,
+                    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_symbols
+             FROM s4 ORDER BY word"""))
+
+  val all: Seq[Q] = Seq(winnow, winnowPairs, winnowEst, annRecall, srcDrift,
+    bpeTrain, bpeSegment)
 }
