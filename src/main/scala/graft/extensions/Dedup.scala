@@ -369,6 +369,39 @@ object Dedup {
           .otherwise("test").as("split"))
   }
 
+  /** Cross-source content-overlap matrix — the observability readout
+    * that tells a corpus owner WHICH feeds copy from each other
+    * (complements [[keepCanonical]]'s per-source survivorship): for each
+    * source pair, how many distinct `k`-token text windows appear in
+    * both, and the overlap coefficient |A∩B| / min(|A|, |B|) over the
+    * sources' distinct window sets. Window granularity (Lee et al.'s
+    * exact-substring unit, as in [[TextAnalysis.duplicatedSpans]])
+    * catches shared boilerplate and partial copying that whole-document
+    * hashing misses.
+    *
+    * Scale shape: one distinct over (window-hash, source), then a
+    * self-equi-join on the hash. The join's per-key fan-out is bounded
+    * by |sources|² (a window appears in at most |sources| rows after
+    * the distinct), so no content hotness can blow it up; the pair
+    * matrix is |sources|² rows — driver-trivial at any corpus size. */
+  def sourceOverlap(documents: DataFrame, k: Int = 6): DataFrame = {
+    val hs = documents.select(col("source"),
+      explode(TextAnalysis.wordNgrams(k)).as("win"))
+      .select(md5(col("win").cast("binary")).as("h"), col("source"))
+      .distinct()
+    val totals = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    hs.alias("a")
+      .join(hs.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(totals.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") * lit(1.0) / least(col("na"), col("nb")), 4)
+          .as("overlap_coef"))
+  }
+
   /** MinHash accuracy contract: for every LSH candidate pair, the
     * estimated Jaccard (fraction of agreeing signature components) next
     * to the EXACT shingle Jaccard. This is the measurement that justifies

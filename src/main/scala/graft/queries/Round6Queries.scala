@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
-import graft.extensions.{BpeTrain, Similarity, TextAnalysis, Winnowing}
+import graft.extensions.{BpeTrain, Dedup, Similarity, TextAnalysis, Winnowing}
 
 /** Round-6 surface: winnowing (rolling-hash) document fingerprints and
   * their MOSS-style candidate pairs, the ANN recall@k accuracy contract,
@@ -248,6 +248,36 @@ object Round6Queries {
                     CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_symbols
              FROM s4 ORDER BY word"""))
 
+  /** Cross-source content-overlap matrix (Dedup.sourceOverlap, 6-token
+    * windows): which feeds share boilerplate/copied spans, with the
+    * overlap coefficient over distinct window sets. */
+  private val srcOverlap = Q("q_source_overlap",
+    (s, dir) => Dedup.sourceOverlap(table(s, dir, "documents"))
+      .orderBy("src_a", "src_b"),
+    Some("""WITH wt AS (SELECT source,
+                               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                           t -> t <> '') AS toks
+                        FROM documents),
+                 wins AS (SELECT source,
+                                 unnest(CASE WHEN len(toks) < 6 THEN CAST([] AS VARCHAR[])
+                                        ELSE list_transform(range(1, len(toks) - 4),
+                                               i -> array_to_string(list_slice(toks, i, i + 5), ' '))
+                                        END) AS win
+                          FROM wt),
+                 hs AS (SELECT DISTINCT md5(win) AS h, source FROM wins),
+                 totals AS (SELECT source, count(*) AS n FROM hs GROUP BY 1),
+                 pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                                  count(*) AS n_shared
+                           FROM hs a JOIN hs b
+                             ON a.h = b.h AND a.source < b.source
+                           GROUP BY 1, 2)
+            SELECT src_a, src_b, n_shared,
+                   round(n_shared * 1.0 / least(ta.n, tb.n), 4) AS overlap_coef
+            FROM pairs
+            JOIN totals ta ON ta.source = pairs.src_a
+            JOIN totals tb ON tb.source = pairs.src_b
+            ORDER BY src_a, src_b"""))
+
   val all: Seq[Q] = Seq(winnow, winnowPairs, winnowEst, annRecall, srcDrift,
-    bpeTrain, bpeSegment)
+    bpeTrain, bpeSegment, srcOverlap)
 }

@@ -92,6 +92,21 @@ class Round6OpsSpec extends SparkSpec {
       "the unrelated doc pairs with nothing")
   }
 
+  test("sourceOverlap: copied spans surface per source pair, disjoint feeds stay silent") {
+    val shared = "one two three four five six seven" // two 6-token windows
+    val docs = Seq(
+      (1L, shared, "a"),
+      (2L, s"$shared eight", "b"),              // superset: 3 windows
+      (3L, "totally different words with no overlap at all", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(("a", "b")), "only the copying pair appears")
+    assert(out(("a", "b")) == ((2L, 1.0)),
+      "both of a's windows recur in b: |A∩B|/min(|A|,|B|) = 2/2")
+  }
+
   test("recallAtK: perfect recall when every vector shares one IVF cell, [0,1] always") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(8)(rnd.nextFloat())
