@@ -164,7 +164,9 @@ object Bench {
         // candidate self-join — measure the ratio and the pair-join time
         // on the same corpus each round rather than asserting it
         "winnow_index_ratio" -> {
-          val full = graft.extensions.Dedup.shingles(docs).count().toDouble
+          // same gram definition on both sides (Winnowing.grams, not the
+          // raw case-sensitive Dedup.shingles) — apples to apples
+          val full = graft.extensions.Winnowing.grams(docs).count().toDouble
           val winnowed = graft.extensions.Winnowing
             .fingerprints(docs).agg(sum("n_fps")).head().getLong(0).toDouble
           winnowed / full

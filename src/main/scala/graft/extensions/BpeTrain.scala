@@ -47,6 +47,19 @@ object BpeTrain {
           lit(" ")).as("seq"),
         col("freq"))
 
+  /** Release the blocks behind a localCheckpoint'ed frame. Each merge
+    * round checkpoints a new vocab frame (lineage truncation); without
+    * freeing the predecessor a long vocabulary run (10k+ merges) retains
+    * one materialized copy per round for the session. Defensive match:
+    * if the plan isn't the expected LogicalRDD, do nothing — no worse
+    * than not freeing. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Learn `numMerges` merges; returns one row per merge:
     * (rank, left, right, pair_freq), rank starting at 1. */
   def learn(documents: DataFrame, numMerges: Int): Seq[Merge] = {
@@ -74,9 +87,11 @@ object BpeTrain {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += Merge(rank, l, r, c)
+        val prev = seqs
         seqs = seqs.select(
           replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")).as("seq"),
           col("freq")).localCheckpoint()
+        freeCheckpoint(prev) // new round materialized; predecessor's blocks go
         rank += 1
         continue = rank <= numMerges
       }

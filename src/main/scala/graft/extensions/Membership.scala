@@ -73,6 +73,10 @@ object Membership {
     filterMemo.getOrElseUpdate((spark, key), build)
   }
 
+  /** Destroy one memoized filter (rebuild-and-swap for `refresh`). */
+  private def dropFilter(spark: SparkSession, key: Any): Unit =
+    filterMemo.remove((spark, key)).foreach(_.destroy())
+
   /** Destroy this session's memoized filter broadcasts. */
   def evictFilters(spark: SparkSession): Unit = {
     filterMemo.keys.filter(_._1 eq spark).foreach { k =>
@@ -83,13 +87,25 @@ object Membership {
 
   /** Rows of `big` whose `keyCol` appears in `ref`'s `keyCol` —
     * exactly the left-semi join result; the Bloom filter only prunes
-    * the shuffle. */
+    * the shuffle.
+    *
+    * STALENESS CONTRACT of the memoized filter: the broadcast is keyed
+    * on `ref`'s CANONICALIZED PLAN, not its data. If the reference is a
+    * mutable source (JDBC table, re-written parquet path) whose contents
+    * change under a plan-equal read, the cached filter no longer covers
+    * newly added keys — and since the filter prunes BEFORE the exact
+    * semi-join, missing keys mean silently dropped rows. For mutable
+    * references pass `refresh = true` (rebuild-and-swap: the stale
+    * broadcast is destroyed, the memo stays leak-free) or call
+    * [[evictFilters]] on the maintenance cadence. Immutable snapshot
+    * frames — the intended use — are unaffected. */
   def bloomSemiJoin(
       big: DataFrame,
       ref: DataFrame,
       keyCol: String,
       expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      refresh: Boolean = false): DataFrame = {
     val exactSemi =
       big.join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
     // stat.bloomFilter NPEs on zero reference rows (the aggregate's merge
@@ -97,8 +113,10 @@ object Membership {
     // prefilter pointless — the semi-join alone answers (with no rows)
     if (ref.isEmpty) return exactSemi
     val spark = big.sparkSession
-    val bfBc = memoizedFilter(spark,
-      (ref.queryExecution.analyzed.canonicalized, keyCol, expectedItems, fpp)) {
+    val memoKey =
+      (ref.queryExecution.analyzed.canonicalized, keyCol, expectedItems, fpp)
+    if (refresh) dropFilter(spark, memoKey)
+    val bfBc = memoizedFilter(spark, memoKey) {
       spark.sparkContext.broadcast(
         ref.select(xxhash64(col(keyCol)).as("k"))
           .stat.bloomFilter("k", expectedItems, fpp))

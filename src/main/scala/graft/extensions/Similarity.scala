@@ -116,11 +116,17 @@ object Similarity {
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("e").as("qe"), col("nrm").as("qn"))
+    // localCheckpoint: the brute and IVF branches both consume the
+    // scored frame, and the IVF branch filters BEFORE its qid exchange,
+    // so Spark cannot reuse the exchange between them — without a stage
+    // boundary the corpus × queries scoring (the dominant cost) runs
+    // twice. |rows| = n × |queryIds|, small relative to the scan.
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_r",
         round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4))
       .select("qid", "qlabel", "label", "vec_id", "cos_r")
+      .localCheckpoint()
     val byScore = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col("vec_id"))
     val brute = scored.withColumn("rn", row_number().over(byScore))

@@ -104,6 +104,19 @@ object Winnowing {
         .withColumn("fps", winnowedSet(gramHashes(k), w))
         .select(col("doc_id"), explode(col("fps")).as("fp")))
 
+  /** Distinct (doc_id, s) k-gram frame under the WINNOW normalization
+    * (lowercased, empty-token-filtered [[TextAnalysis.wordNgrams]]) —
+    * the exact-side twin of the fingerprint build, memoized like
+    * [[index]]. NOT [[Dedup.shingles]]: that frame is raw case-sensitive
+    * trigrams, a different gram definition — mixing the two made
+    * [[resemblanceEstimate]]'s exact column disagree with its estimate
+    * (and its oracle) on any corpus with case or whitespace variance,
+    * and silently ignored `k`. */
+  def grams(documents: DataFrame, k: Int = 3): DataFrame =
+    Dedup.sharedFrame(documents, "winnow_grams", k)(
+      documents.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.wordNgrams(k))).as("s")))
+
   /** MOSS-style candidate pairs: documents sharing >= `minShared`
     * winnowed fingerprints, via an inverted-index equi-join on the
     * fingerprint value — the same banded shape as [[Dedup.ngramJaccard]]'s
@@ -167,7 +180,7 @@ object Winnowing {
     val idx = cappedIndex(index(documents, k, w), maxDf)
     val pairs = candidatePairs(idx, minShared)
     val nf = idx.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    val sh = Dedup.shingles(documents) // memoized distinct k-gram frame
+    val sh = grams(documents, k) // memoized, SAME gram definition as idx
     val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // exact |∩| candidate-driven, linear in |pairs| × grams-per-doc; a
     // 32-bit fingerprint collision can make a pair share fps but no

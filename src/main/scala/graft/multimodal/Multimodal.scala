@@ -89,7 +89,14 @@ object Multimodal {
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
           if (img == null) None else Some((img.getWidth, img.getHeight, mime))
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          // NonFatal, not just IOException: ImageIO plugins throw
+          // unchecked exceptions (IllegalArgumentException, CMMException,
+          // NegativeArraySizeException on absurd header dims) on corrupt
+          // bodies whose magic bytes pass the sniff — those are data too,
+          // and one such row must not kill the task
+          case scala.util.control.NonFatal(_) => None
+        }
       }
   }
 
@@ -118,11 +125,14 @@ object Multimodal {
           val fmt = aff.getFormat
           val frames = aff.getFrameLength.toLong
           if (frames < 0 || fmt.getFrameRate <= 0) None
+          // divide in DOUBLE: long / float coerces frames*1000 through a
+          // 24-bit float mantissa, off by up to ~hundreds of ms on
+          // multi-minute clips — poison for metadata-repair equality
           else Some((fmt.getSampleRate.toInt, fmt.getChannels,
-            (frames * 1000L / fmt.getFrameRate).toLong))
+            (frames * 1000L / fmt.getFrameRate.toDouble).toLong))
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
+          case scala.util.control.NonFatal(_) => None
         }
       }
   }

@@ -44,8 +44,12 @@ object ExtensionQueries {
   private val dedupIncremental = Q("q_dedup_incremental",
     (s, dir) => {
       val docs = table(s, dir, "documents")
+      // share=false on BOTH stages: memoizing the filtered index's
+      // signature frame would hide the index build from every bench rep
+      // after the first (and defeat the per-run-build intent here)
       val index = Dedup.bandBuckets(
-        Dedup.shingles(docs.filter(col("doc_id") % 7 =!= 3), share = false))
+        Dedup.shingles(docs.filter(col("doc_id") % 7 =!= 3), share = false),
+        share = false)
       Dedup.lshProbe(index, docs.filter(col("doc_id") % 7 === 3))
         .orderBy("corpus_id", "new_id")
     },

@@ -95,6 +95,14 @@ class MembershipSpec extends SparkSpec {
     // different params build a different filter
     val c = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 200))
     assert(!(a eq c))
+    // refresh=true rebuild-and-swaps: new broadcast, stale one destroyed,
+    // and the memo serves the NEW one afterwards (the mutable-ref escape
+    // hatch of the staleness contract)
+    val d = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 100,
+      refresh = true))
+    assert(!(a eq d), "refresh must not serve the stale broadcast")
+    val e = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 100))
+    assert(d eq e, "post-refresh calls reuse the refreshed broadcast")
   }
 
   /** Direct structural check (not a plan-string-length proxy, which

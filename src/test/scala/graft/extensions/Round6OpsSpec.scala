@@ -92,6 +92,21 @@ class Round6OpsSpec extends SparkSpec {
       "the unrelated doc pairs with nothing")
   }
 
+  test("resemblanceEstimate: exact side uses the winnow gram definition (case-insensitive)") {
+    // regression: the exact column previously came from Dedup.shingles
+    // (raw case-sensitive split) while the estimate used lowercased
+    // grams — case variance made est_jac = 1.0 sit next to exact_jac = 0
+    val docs = Seq(
+      (1L, "The Cat Sat On The Mat Quietly"),
+      (2L, "the cat sat on the mat quietly"))
+      .toDF("doc_id", "text")
+    val out = Winnowing.resemblanceEstimate(docs, k, w, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out((1L, 2L)) == ((1.0, 1.0)),
+      "case-variant copies are identical under BOTH columns' gram definition")
+  }
+
   test("sourceOverlap: copied spans surface per source pair, disjoint feeds stay silent") {
     val shared = "one two three four five six seven" // two 6-token windows
     val docs = Seq(

@@ -50,12 +50,17 @@ class MultimodalSpec extends SparkSpec {
     import spark.implicits._
     val png = Multimodal.syntheticImages(spark, 1).head()
     val truncated = png.payload.take(20) // valid magic, broken body
+    // valid JPEG magic + garbage body: ImageIO plugins can throw
+    // UNCHECKED exceptions here, not just IOException — must quarantine
+    val jpegGarbage = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Array.tabulate[Byte](64)(i => (i * 37).toByte)
     val rows = Seq(
       png.copy(media_id = 1L),
       Multimodal.MediaRow(2L, "image", truncated, png.meta),
       Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3, 4, 5), png.meta),
       Multimodal.MediaRow(4L, "image", null, png.meta),
-      Multimodal.MediaRow(5L, "audio", png.payload, png.meta) // wrong kind: filtered
+      Multimodal.MediaRow(5L, "audio", png.payload, png.meta), // wrong kind: filtered
+      Multimodal.MediaRow(6L, "image", jpegGarbage, png.meta)
     ).toDS()
     val out = Multimodal.decodeImages(rows).collect()
     assert(out.map(_.media_id).toSet == Set(1L))

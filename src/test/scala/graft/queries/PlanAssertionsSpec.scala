@@ -161,10 +161,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
-  test("q_ann_recall: query side broadcasts; no unbroadcast cartesian scoring") {
+  test("q_ann_recall: one checkpointed scored frame feeds both rankings") {
+    // the corpus × queries scoring is materialized once (localCheckpoint
+    // — the broadcast cross-join happens inside that build); the final
+    // plan must consume the ExistingRDD for BOTH window branches and
+    // contain no cartesian scoring of its own
     val p = planString("q_ann_recall")
-    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
   }
 
   test("one-eval discipline: token builds appear exactly once per use in the plan") {
