@@ -39,6 +39,30 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Measured ANN accuracy/latency trade-off: mean recall@10 of
+    * [[graft.extensions.Similarity.ivfSearch]] (k-means cells) vs exact
+    * brute force over a fixed query sample, at nprobe 1/2/4 — the
+    * recall-vs-cells-probed curve an ANN deployment publishes, measured
+    * each round rather than asserted (same discipline as the ngram
+    * levers in [[scaleBench]]). */
+  def annBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import graft.extensions.{KMeans, Similarity}
+    val emb = Tables.table(spark, sfDir, "embeddings").localCheckpoint()
+    val cents = KMeans.fit(emb, k = 8, iters = 3).localCheckpoint()
+    val queryIds = 0L until 8L
+    def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val brute = queryIds.map(qid =>
+      qid -> topIds(Similarity.bruteForceTopK(emb, qid, 10))).toMap
+    (Seq(1, 2, 4).map { nprobe =>
+      val recalls = queryIds.map { qid =>
+        val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
+        (got & brute(qid)).size.toDouble / brute(qid).size
+      }
+      s"ivf_recall_nprobe$nprobe" -> recalls.sum / recalls.size
+    }) :+ ("ivf_queries" -> queryIds.size.toDouble)
+  }
+
   /** Times layout-aware variants against their flat-layout twins.
     * Returns (metric name, seconds-or-count). */
   def layoutBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
@@ -274,7 +298,15 @@ object Bench {
         System.err.println(s"[bench] scale section failed: ${e.getMessage}")
         "{}"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_build":$sharedBuild,"reps":$reps,"layout":$layout,"scale":$scale,"sf":"$sfDir"}""")
+    val ann = try {
+      annBench(spark, sfDir)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ann section failed: ${e.getMessage}")
+        "{}"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_build":$sharedBuild,"reps":$reps,"layout":$layout,"scale":$scale,"ann":$ann,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
