@@ -54,13 +54,18 @@ object Bench {
       df.collect().map(_.getLong(0)).toSet
     val brute = queryIds.map(qid =>
       qid -> topIds(Similarity.bruteForceTopK(emb, qid, 10))).toMap
+    // a query id absent from the corpus (or a <2-vector corpus) yields an
+    // empty brute set; dividing by it would put NaN into the JSON line
+    // and break the whole bench output — drop such ids from the mean
+    val valid = queryIds.filter(qid => brute(qid).nonEmpty)
     (Seq(1, 2, 4).map { nprobe =>
-      val recalls = queryIds.map { qid =>
+      val recalls = valid.map { qid =>
         val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
         (got & brute(qid)).size.toDouble / brute(qid).size
       }
-      s"ivf_recall_nprobe$nprobe" -> recalls.sum / recalls.size
-    }) :+ ("ivf_queries" -> queryIds.size.toDouble)
+      s"ivf_recall_nprobe$nprobe" ->
+        (if (recalls.nonEmpty) recalls.sum / recalls.size else 0.0)
+    }) :+ ("ivf_queries" -> valid.size.toDouble)
   }
 
   /** Times layout-aware variants against their flat-layout twins.

@@ -73,11 +73,20 @@ object Membership {
     filterMemo.getOrElseUpdate((spark, key), build)
   }
 
-  /** Destroy one memoized filter (rebuild-and-swap for `refresh`). */
+  /** Drop one memoized filter (rebuild-and-swap for `refresh`).
+    * `unpersist`, NOT `destroy`: a concurrent query in the same session
+    * may still be executing against the old broadcast, and destroy()
+    * invalidates in-use data mid-flight. unpersist(blocking = false)
+    * removes the executor copies (in-flight tasks re-fetch from the
+    * driver, which keeps its copy until GC/app-end) so the swap is
+    * race-free; the few-MB driver residue is reclaimed at the app-end
+    * destroy in [[evictFilters]]'s listener path. */
   private def dropFilter(spark: SparkSession, key: Any): Unit =
-    filterMemo.remove((spark, key)).foreach(_.destroy())
+    filterMemo.remove((spark, key)).foreach(_.unpersist(blocking = false))
 
-  /** Destroy this session's memoized filter broadcasts. */
+  /** Destroy this session's memoized filter broadcasts. Full teardown —
+    * unlike the `refresh` swap this destroys driver copies too, so don't
+    * race it against in-flight queries still probing a filter. */
   def evictFilters(spark: SparkSession): Unit = {
     filterMemo.keys.filter(_._1 eq spark).foreach { k =>
       filterMemo.remove(k).foreach(_.destroy())

@@ -190,7 +190,12 @@ object Round6Queries {
 
   /** Unrolled DuckDB twin of BpeTrain.learn's iteration `n`: each stage
     * is the same (pair count → argmax → literal replace) round the Spark
-    * loop runs, so the merge SEQUENCE is reproduced bit-for-bit. */
+    * loop runs, so the merge SEQUENCE is reproduced bit-for-bit. Each
+    * stage LEFT-joins its 1-row argmax and coalesces back to the
+    * unchanged seq, so on a degenerate corpus that exhausts merge pairs
+    * before round `n` the chain passes seqs through — matching
+    * BpeTrain.learn's early stop — instead of collapsing to zero rows
+    * on an empty b_i. */
   private def bpeCtes(n: Int): String = {
     val s0 =
       """tok AS (SELECT unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -212,10 +217,10 @@ object Round6Queries {
           b$i AS (SELECT l, r, sum(freq) AS c FROM pr$i GROUP BY 1, 2
                   ORDER BY c DESC, l, r LIMIT 1),
           s$i AS (SELECT word,
-                         replace(seq, ' ' || b$i.l || '  ' || b$i.r || ' ',
-                                 ' ' || b$i.l || b$i.r || ' ') AS seq,
+                         coalesce(replace(seq, ' ' || b$i.l || '  ' || b$i.r || ' ',
+                                          ' ' || b$i.l || b$i.r || ' '), seq) AS seq,
                          freq
-                  FROM s${i - 1} CROSS JOIN b$i)"""
+                  FROM s${i - 1} LEFT JOIN b$i ON true)"""
     }
     (s0 +: stages).mkString(",\n")
   }
