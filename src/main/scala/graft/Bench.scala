@@ -68,6 +68,62 @@ object Bench {
     }) :+ ("ivf_queries" -> valid.size.toDouble)
   }
 
+  /** Per-batch probe cost against a GROWING bucketed on-disk band index —
+    * the steady-state cost of the always-on admission loop (the
+    * reference's poll → diff → upsert cycle, feeder_postgres.py:251-259,
+    * at the near-dup layer). Setup writes the corpus' LSH band index
+    * bucketed by (band, bkey); each simulated micro-batch then times
+    * [[graft.streaming.StreamingDedup.candidates]] + per-batch distinct —
+    * batch-mode execution of the exact plan the micro-batch runs, since a
+    * stream-static join re-plans against the static side's files every
+    * batch — and APPENDS the accepted batch's band rows
+    * ([[graft.plans.Layout.appendBucketed]]) so later batches probe a
+    * larger index, exactly as the admission job grows it. Broadcast is
+    * disabled so the join takes the bucketed sort-merge path a 100 TB
+    * index requires (the zero-index-side-exchange plan is pinned in
+    * StreamingDedupSpec; this section prices it per round). */
+  def streamingBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import graft.extensions.Dedup
+    import graft.streaming.StreamingDedup
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val buckets = 8
+    spark.sql("DROP TABLE IF EXISTS stream_band_idx")
+    val setup = time {
+      graft.plans.Layout.writeBucketed(
+        Dedup.bandBuckets(Dedup.shingles(docs, share = false), share = false),
+        "stream_band_idx", Seq("band", "bkey"), buckets)
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nBatches = 4
+      val perBatch = (1 to nBatches).map { b =>
+        // batch b: a 1/20 slice of the corpus, ids offset so the probe
+        // sees genuinely new documents (guaranteed near-dup hits);
+        // localCheckpoint freezes it so the probe bills only the join
+        val batch = docs
+          .filter(pmod(col("doc_id"), lit(20)) === lit(b - 1))
+          .select((col("doc_id") + lit(b.toLong * 10000000L)).as("doc_id"),
+            col("text"))
+          .localCheckpoint()
+        val t = time {
+          StreamingDedup.candidates(spark.table("stream_band_idx"), batch)
+            .distinct()
+            .write.format("noop").mode("overwrite").save()
+        }
+        graft.plans.Layout.appendBucketed(
+          Dedup.bandBucketsRowLocal(batch),
+          "stream_band_idx", Seq("band", "bkey"), buckets)
+        s"probe_batch_$b" -> t
+      }
+      val idxRows = spark.table("stream_band_idx").count().toDouble
+      Seq("index_build" -> setup) ++ perBatch :+ ("index_rows_final" -> idxRows)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS stream_band_idx")
+    }
+  }
+
   /** Times layout-aware variants against their flat-layout twins.
     * Returns (metric name, seconds-or-count). */
   def layoutBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
@@ -311,7 +367,15 @@ object Bench {
         System.err.println(s"[bench] ann section failed: ${e.getMessage}")
         "{}"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_build":$sharedBuild,"reps":$reps,"layout":$layout,"scale":$scale,"ann":$ann,"sf":"$sfDir"}""")
+    val streaming = try {
+      streamingBench(spark, sfDir)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming section failed: ${e.getMessage}")
+        "{}"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_build":$sharedBuild,"reps":$reps,"layout":$layout,"scale":$scale,"ann":$ann,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,10 +34,33 @@ object Layout {
     * warehouse-managed table — bucketing metadata lives in the catalog). */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(bucketCol), buckets)
+
+  /** Multi-column variant: bucket (and sort) on a composite key — e.g.
+    * an LSH band index on `(band, bkey)` so the per-batch stream-static
+    * probe join reads the index with no exchange
+    * ([[graft.streaming.StreamingDedup]]). A join consumes the bucketing
+    * only when its equi-keys cover ALL bucket columns. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
     df.write
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Append to a bucketed table with the SAME bucket spec — the growing
+    * on-disk index of a continuous admission pipeline (each accepted
+    * micro-batch's rows land in the right buckets; later batches' probe
+    * joins keep reading the index exchange-free). Spark validates the
+    * spec against the catalog and refuses a mismatched append. */
+  def appendBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("append")
       .format("parquet")
       .saveAsTable(table)
 

@@ -25,8 +25,14 @@ import graft.extensions.Dedup
   * having the admission job append each accepted batch's band rows
   * (`Dedup.bandBucketsRowLocal(acceptedDocs)`) makes later batches see
   * earlier stream documents — no restart, no state migration. With the
-  * index bucketed by `(band, bkey)` ([[graft.plans.Layout.writeBucketed]])
-  * the per-batch join needs no index-side shuffle at all.
+  * index bucketed by `(band, bkey)` ([[graft.plans.Layout.writeBucketed]],
+  * appended via [[graft.plans.Layout.appendBucketed]]) the per-batch join
+  * needs no index-side shuffle at all — PINNED in StreamingDedupSpec
+  * ("bucketed on-disk index"): the micro-batch executed plan's sort-merge
+  * join reads the index from a bucketed FileScan with zero exchanges on
+  * that side; the only exchange is the batch-sized stream side. The
+  * per-batch probe cost against a growing on-disk index is measured each
+  * round in the bench `streaming` section.
   *
   * Parity contract: for any micro-batch B, `candidates(index, B)` after
   * per-batch dedup equals `Dedup.lshProbe(index, B)` — pinned in

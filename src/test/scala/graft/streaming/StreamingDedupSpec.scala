@@ -63,6 +63,68 @@ class StreamingDedupSpec extends SparkSpec {
     assert(nonEmpty.values.toSet == Set(exp1, exp2).filter(_.nonEmpty))
   }
 
+  test("bucketed on-disk index: the per-batch probe join plans NO index-side exchange") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+
+    // SparkPlan.collect stops at AQE/query-stage boundaries; walk through
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+
+    // the scaladoc's scale claim, pinned: with the index persisted
+    // bucketed by (band, bkey), each micro-batch's stream-static join
+    // reads the index straight from its buckets — the only exchange in
+    // the plan is the batch-sized stream side
+    val corpus = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    graft.plans.Layout.writeBucketed(
+      Dedup.bandBuckets(Dedup.shingles(corpus, share = false), share = false),
+      "sd_idx_bkt", Seq("band", "bkey"), 4)
+    val near = corpus.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // the 100 TB index never broadcasts
+    val got = mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingDedup.sink(spark.table("sd_idx_bkt"),
+      input.toDF().toDF("doc_id", "text"),
+      (pairs, _) => { val p = pairSet(pairs); got.synchronized { got ++= p } })
+      .start()
+    try {
+      input.addData(near.toIndexedSeq)
+      q.processAllAvailable()
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+        .lastExecution.executedPlan
+      val joins = flatten(exec).collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"probe join must be a sort-merge join:\n$exec")
+      val sides = Seq(joins.head.left, joins.head.right).map(flatten)
+      val idxSide = sides.find(_.exists {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _ => false
+      })
+      assert(idxSide.isDefined, s"no bucketed scan on either join side:\n$exec")
+      assert(!idxSide.get.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"index side must read its buckets exchange-free:\n$exec")
+      val streamSide = sides.find(s => !(s eq idxSide.get)).get
+      assert(streamSide.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+        s"the one exchange is the batch-sized stream side:\n$exec")
+      assert(got.toSet.nonEmpty, "the probe against the bucketed index fired")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sd_idx_bkt")
+    }
+  }
+
   test("streaming plan keeps no state: stateless banding + stream-static join") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
