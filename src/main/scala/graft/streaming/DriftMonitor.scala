@@ -24,9 +24,19 @@ import graft.extensions.TextAnalysis
   * foreachBatch, which also makes the handoff idempotent under
   * micro-batch replay (same id ⇒ same scores).
   *
+  * STALENESS CONTRACT: [[sink]]'s profile is a point-in-time snapshot —
+  * scores measure divergence from the corpus AS OF the profile build,
+  * which is the right baseline for "did my feed break" but drifts from
+  * the living corpus as admissions accumulate. For a moving baseline
+  * use [[sinkWithRefresh]], which rebuilds the profile every
+  * `refreshEvery` micro-batches (staleness is then bounded by
+  * refreshEvery batches); with the plain [[sink]], rebuild on the
+  * pipeline's own maintenance cadence.
+  *
   * Parity contract: for any micro-batch B, the emitted frame equals
-  * `TextAnalysis.driftVsProfile(B, profile)` — pinned in
-  * DriftMonitorSpec (MemoryStream).
+  * `TextAnalysis.driftVsProfile(B, profile)` — with the profile current
+  * as of the last refresh boundary — pinned in DriftMonitorSpec
+  * (MemoryStream), including across a refresh.
   */
 object DriftMonitor {
 
@@ -42,6 +52,52 @@ object DriftMonitor {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         onBatch(TextAnalysis.driftVsProfile(batch, profile), batchId)
       }
+
+  /** Release the blocks behind a localCheckpoint'ed frame (same
+    * defensive shape as BpeTrain's per-round free): a long-running
+    * monitor would otherwise retain one materialized profile per
+    * refresh for the session lifetime. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** [[sink]] with a moving baseline: at every micro-batch whose id is a
+    * multiple of `refreshEvery` (including the first), the corpus
+    * profile is rebuilt from `profileSource` — typically a re-read of
+    * the accumulated corpus path the admission job appends to —
+    * localCheckpoint'ed so every batch joins a materialized frame, and
+    * the predecessor's blocks are freed. Between refreshes, batches
+    * score against the profile from the last boundary: staleness is
+    * bounded by `refreshEvery` batches BY CONSTRUCTION, not by operator
+    * discipline. Keying the cadence on the deterministic micro-batch id
+    * keeps replay after recovery consistent (a replayed batch refreshes
+    * iff the original did; the rebuilt profile reflects the source's
+    * current state, the same as any foreachBatch side-input re-read).
+    * The refresh cost is one corpus aggregation every refreshEvery
+    * batches — amortized, not per-batch. */
+  def sinkWithRefresh(
+      newDocs: DataFrame,
+      profileSource: () => DataFrame,
+      topN: Int,
+      refreshEvery: Int,
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    var profile: DataFrame = null
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (profile == null || batchId % refreshEvery == 0) {
+          val prev = profile
+          profile = TextAnalysis.vocabProfile(profileSource(), topN)
+            .localCheckpoint()
+          if (prev != null) freeCheckpoint(prev)
+        }
+        onBatch(TextAnalysis.driftVsProfile(batch, profile), batchId)
+      }
+  }
 
   /** Alarm filter over a drift frame: sources whose divergence crossed
     * `threshold` (JS is bounded by ln 2 ≈ 0.693; production thresholds
