@@ -124,6 +124,120 @@ object Bench {
     }
   }
 
+  /** The live-corpus composition (EndToEndSpec / StreamingPipelineSpec)
+    * measured end-to-end at the bench SF, so the COMPOSED pipeline's
+    * cost is tracked per round, not just its pieces:
+    *
+    *   snapshot ingest → SCD merge (two dated snapshots of the document
+    *   corpus) → quality gates + dedup + split over the live state →
+    *   persisted serving artifacts (bucketed LSH band index + vocab
+    *   profile) → streaming admission (two MemoryStream micro-batches
+    *   through the gate into BOTH always-on monitors: near-dup
+    *   candidates and per-source drift).
+    *
+    * Each phase is timed separately; counts are emitted so a phase that
+    * silently drops everything (and then benches an empty tail) is
+    * visible in the JSON rather than reading as a speedup. */
+  def capstoneBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.extensions.{CorpusPipeline, Dedup, TextAnalysis}
+    import graft.merge.ScdMerge
+    import graft.streaming.{DriftMonitor, StreamingDedup}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "source", "n_chars").localCheckpoint()
+    val tracked = Seq("text", "source", "n_chars") // n_chars rides along for the quality gate
+
+    // 1. two weekly snapshots: ~6% of keys vanish, ~10% change content,
+    // ~5% are new — the reference's scrape-diff regime at corpus scale
+    val snap2 = docs
+      .filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" refreshed revision marker")))
+        .otherwise(col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("source"), col("n_chars")))
+    var state: DataFrame = null
+    val mergeT = time {
+      val s1 = ScdMerge.applySnapshot(
+        ScdMerge.emptyState(docs), docs, "2024-01-01", "doc_id", tracked)
+      state = ScdMerge.applySnapshot(s1, snap2, "2024-01-08", "doc_id", tracked)
+        .localCheckpoint()
+    }
+    val live = state.filter(col("removed_at").isNull)
+      .select("doc_id", "text", "source", "n_chars")
+
+    // 2. quality gates → exact dedup → near-dup removal → split
+    var cleaned: DataFrame = null
+    val gatesT = time {
+      cleaned = live
+        .join(CorpusPipeline.clean(live).select("doc_id"), "doc_id")
+        .localCheckpoint()
+    }
+
+    // 3. serving artifacts the admission loop probes
+    spark.sql("DROP TABLE IF EXISTS capstone_band_idx")
+    var profile: DataFrame = null
+    val buildT = time {
+      graft.plans.Layout.writeBucketed(
+        Dedup.bandBuckets(
+          Dedup.shingles(cleaned.select("doc_id", "text"), share = false),
+          share = false),
+        "capstone_band_idx", Seq("band", "bkey"), 8)
+      profile = TextAnalysis.vocabProfile(cleaned).localCheckpoint()
+    }
+
+    // 4. streaming admission: one arriving stream, both monitors
+    val arriving = (1 to 2).flatMap { b =>
+      docs.filter(pmod(col("doc_id"), lit(25)) === lit(b - 1))
+        .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"),
+          col("source"))
+        .as[(Long, String, String)].collect().toSeq :+
+        ((30000000L + b, "zz", "junk")) // gated out (< 4 tokens)
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    var candidatePairs = 0L
+    var driftRows = 0L
+    val admitT = try {
+      val input = MemoryStream[(Long, String, String)]
+      val gated = input.toDF().toDF("doc_id", "text", "source")
+        .filter(size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+          t => t =!= "")) >= 4)
+      val q1 = StreamingDedup.sink(spark.table("capstone_band_idx"),
+        gated.select("doc_id", "text"),
+        (pairs, _) => { candidatePairs += pairs.count() }).start()
+      val q2 = DriftMonitor.sink(gated, profile,
+        (drift, _) => { driftRows += drift.count() }).start()
+      try {
+        time {
+          val (h, t) = arriving.splitAt(arriving.size / 2)
+          input.addData(h)
+          q1.processAllAvailable(); q2.processAllAvailable()
+          input.addData(t)
+          q1.processAllAvailable(); q2.processAllAvailable()
+        }
+      } finally { q1.stop(); q2.stop() }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS capstone_band_idx")
+    }
+
+    Seq(
+      "merge" -> mergeT,
+      "gates" -> gatesT,
+      "artifact_build" -> buildT,
+      "admission_2_batches" -> admitT,
+      "live_docs" -> live.count().toDouble,
+      "clean_docs" -> cleaned.count().toDouble,
+      "candidate_pairs" -> candidatePairs.toDouble,
+      "drift_rows" -> driftRows.toDouble)
+  }
+
   /** Times layout-aware variants against their flat-layout twins.
     * Returns (metric name, seconds-or-count). */
   def layoutBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
@@ -385,7 +499,15 @@ object Bench {
         System.err.println(s"[bench] streaming section failed: ${e.getMessage}")
         "{}"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_build":$sharedBuild,"reps":$reps,"layout":$layout,"scale":$scale,"ann":$ann,"streaming":$streaming,"sf":"$sfDir"}""")
+    val capstone = try {
+      capstoneBench(spark, sfDir)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] capstone section failed: ${e.getMessage}")
+        "{}"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_build":$sharedBuild,"reps":$reps,"layout":$layout,"scale":$scale,"ann":$ann,"streaming":$streaming,"capstone":$capstone,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
