@@ -52,7 +52,16 @@ object Winnowing {
     * directly — even via `withColumn`, which CollapseProject undoes —
     * re-executes the full gram+md5 pipeline per WINDOW position,
     * quadratic in document length (measured: 40 s → 1.4 s for the
-    * sf0.1 pair query). */
+    * sf0.1 pair query).
+    *
+    * COST BOUND: each window takes its min over a w-slice, so the build
+    * is O(n·w) per document — declarative, narrow, and the right trade
+    * for the small windows winnowing uses in practice (w ≤ 8; the
+    * SIGMOD'03 guarantee degrades fast beyond that). A deque-style O(n)
+    * sliding minimum needs an order-preserving stateful fold that Spark
+    * SQL's HOFs cannot express without a per-row UDF; revisit only if a
+    * w > 8 use-case appears — at w = 4 the O(n·w) form wins on codegen
+    * alone. */
   private def winnowedSet(hashes: Column, w: Int): Column =
     array_sort(array_distinct(flatten(transform(array(hashes), h => {
       val nWin = size(h) - (w - 1)
