@@ -210,6 +210,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): within each embedding cell, vector pairs with
+    * cosine >= `tau` are semantic near-duplicates, and every vector
+    * that has a SMALLER-id near-dup neighbor is dropped — the same
+    * greedy drop-the-b rule the text pipeline uses for LSH candidates
+    * (CorpusPipeline's near-dup removal), applied at the embedding
+    * layer. Returns the per-cell admission summary
+    * (label, n_vecs, n_dropped, n_kept, keep_ratio).
+    *
+    * Scale shape: the self-join is blocked by cell exactly like
+    * [[blockedCosinePairs]] — never corpus² — and at 100 TB the cell is
+    * the k-means assignment ([[ivfSearch]]'s index build) written as a
+    * partition column, so each cell's pair scan is partition-local. The
+    * dropped set folds to a broadcast-size id list per cell before the
+    * anti-join accounting. */
+  def semDedup(embeddings: DataFrame, tau: Double): DataFrame = {
+    val e = withNorm(embeddings)
+    val a = e.select(col("vec_id").as("a"), col("label").as("la"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("label").as("lb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, col("la") === col("lb") && col("a") < col("b"))
+      .withColumn("cos_r",
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos_r") >= tau)
+      .select(col("b").as("vec_id")).distinct()
+    e.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+      .withColumn("keep_ratio", round(col("n_kept") / col("n_vecs"), 4))
+  }
+
   /** Top near-duplicate candidate pairs, blocked by cell: per-cell
     * self-join (never the full cross product), cosine on double-cast
     * vectors, global top-`k` by rounded cosine with (a, b) tiebreak. */

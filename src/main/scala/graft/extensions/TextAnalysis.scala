@@ -75,6 +75,62 @@ object TextAnalysis {
       size(regexp_extract_all(coalesce(col("text"), lit("")),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"))
 
+  /** Per-document Shannon entropy of the unigram distribution — the
+    * diversity half of a quality filter (a keyboard-mash or template doc
+    * has low entropy at any length; [[qualityScore]]'s ratios miss it).
+    * The histogram is computed ROW-LOCALLY over the sorted distinct
+    * tokens, so the -Σ p·ln p fold has one deterministic left-to-right
+    * evaluation order (bitwise DuckDB oracle) and the whole operator is
+    * a zero-shuffle narrow projection. O(n_tok · n_distinct) per row —
+    * bounded by the corpus' document length ceiling, the same class of
+    * bound as [[Winnowing]]'s O(n·w). The token array and the distinct
+    * set are let-bound lambda variables (one-eval discipline). */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val toksE = filter(split(lower(coalesce(col("text"), lit(""))), " "),
+      t => t =!= "")
+    documents.select(col("doc_id"),
+      element_at(transform(array(toksE), arr => {
+        val n = size(arr)
+        val ds = array_sort(array_distinct(arr))
+        val ent = aggregate(
+          transform(ds, t => size(filter(arr, x => x === t))),
+          lit(0.0),
+          (acc, c) => acc + (c.cast("double") / n) * log(c.cast("double") / n))
+        struct(
+          n.cast("long").as("n_tok"),
+          size(ds).cast("long").as("n_distinct"),
+          when(n > 0, round(-ent, 4) + 0.0).otherwise(lit(0.0)).as("entropy"))
+      }), 1).as("s"))
+      .select(col("doc_id"), col("s.n_tok"), col("s.n_distinct"),
+        col("s.entropy"))
+  }
+
+  /** Mean-IDF novelty score per document: how informative (rare) the
+    * document's tokens are against the corpus — boilerplate scores low,
+    * unique content scores high; the per-doc aggregate of the IDF table
+    * a TF-IDF pipeline already maintains. Two shuffles, both inherent:
+    * the (token → document frequency) build and the per-doc fold; the
+    * corpus-size scalar rides a broadcast. Per-doc summation uses an
+    * EXACT DECIMAL over 6-decimal-rounded IDFs, so the distributed sum
+    * is order-independent and the result bitwise-stable (SURVEY §5.1
+    * discipline) — a double sum here would hash-diverge run to run. */
+  def docNovelty(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("token"))
+    val docFreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    val idf = docFreq.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("n_docs").cast("double") / col("df")), 6)
+          .cast("decimal(18,6)").as("idf"))
+    toks.join(idf, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("idf").as("sum_idf"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_idf").cast("double") / col("n_tok"), 4).as("novelty"))
+  }
+
   /** Within-document token co-occurrence counts over distinct tokens —
     * the inverted-index self-join shape (equi-join on doc_id, never a
     * corpus-wide cross product).

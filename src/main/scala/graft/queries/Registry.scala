@@ -14,7 +14,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ ExtensionQueries.all ++ SqlQueries.all ++
-      Round4Queries.all ++ Round5Queries.all ++ Round6Queries.all
+      Round4Queries.all ++ Round5Queries.all ++ Round6Queries.all ++
+      Round7Queries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,69 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed goldens for the round-7 operators: SemDeDup-style
+  * embedding dedup, unigram entropy, and mean-IDF novelty. */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semDedup drops exactly the vectors with a smaller-id near-dup in their cell") {
+    graft.functions.GraftFunctions.register(spark)
+    // cell 1: vec 1 and 2 identical (cos 1.0), vec 3 orthogonal;
+    // cell 2: vecs 4, 5 orthogonal — nothing dropped
+    val emb = Seq(
+      (1L, 1L, Array(1.0f, 0.0f)),
+      (2L, 1L, Array(1.0f, 0.0f)),
+      (3L, 1L, Array(0.0f, 1.0f)),
+      (4L, 2L, Array(1.0f, 0.0f)),
+      (5L, 2L, Array(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.semDedup(emb, tau = 0.9).orderBy("label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 2L, 0.6667), // vec 2 dropped (near-dup of 1)
+      (2L, 2L, 0L, 2L, 1.0)))
+  }
+
+  test("semDedup tau sweep: lower tau never keeps more") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = (1L to 30L).map(i =>
+      (i, i % 3, Array((i % 5).toFloat + 1f, (i % 7).toFloat, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    def kept(tau: Double) = Similarity.semDedup(emb, tau)
+      .agg(sum("n_kept")).head().getLong(0)
+    assert(kept(0.5) <= kept(0.9) && kept(0.9) <= kept(1.1))
+  }
+
+  test("tokenEntropy: uniform two-token doc scores ln 2; degenerate docs score 0") {
+    val docs = Seq(
+      (1L, "a a b b"), // uniform over 2 -> ln 2
+      (2L, "a a a a"), // single symbol -> 0
+      (3L, ""), // empty -> 0 with zero counts
+      (4L, "a b c d")) // uniform over 4 -> ln 4
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(m(1L) == ((4L, 2L, 0.6931)))
+    assert(m(2L) == ((4L, 1L, 0.0)))
+    assert(m(3L) == ((0L, 0L, 0.0)))
+    assert(m(4L) == ((4L, 4L, 1.3863)))
+  }
+
+  test("docNovelty: shared tokens score 0 IDF, unique tokens ln N") {
+    val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    // df: x=2 -> idf 0; y, z=1 -> idf ln 2 = 0.693147
+    val m = TextAnalysis.docNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) == ((2L, 0.3466)))
+    assert(m(2L) == ((2L, 0.3466)))
+    // all-boilerplate doc scores exactly 0
+    val m2 = TextAnalysis.docNovelty(
+      Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m2 == Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+  }
+}

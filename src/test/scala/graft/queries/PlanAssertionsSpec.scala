@@ -172,6 +172,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q_token_entropy: zero-exchange narrow projection (scan-speed at 100 TB)") {
+    val p = planString("q_token_entropy")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_semdedup: cell-blocked self-join — no cartesian anywhere") {
+    val p = planString("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_doc_novelty: the corpus-size scalar broadcasts; no cartesian") {
+    val p = planString("q_doc_novelty")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("one-eval discipline: token builds appear exactly once per use in the plan") {
     // CollapseProject re-inlines withColumn aliases, silently re-running
     // a projection's base build once per OUTPUT COLUMN (languageId paid
