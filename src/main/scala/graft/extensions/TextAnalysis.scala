@@ -270,6 +270,36 @@ object TextAnalysis {
       .groupBy("doc_id").agg(count_distinct(col("gram")).as("n_shared"))
   }
 
+  /** The leak report a decontamination run publishes — [[decontaminate]]
+    * inverted to the BENCHMARK's perspective: for every held-out doc,
+    * how many corpus documents share an `n`-gram with it and how many
+    * of its distinct grams leaked. The eval-integrity readout: a
+    * benchmark row with high counts is compromised and its eval numbers
+    * inflated. Same scale shape as the forward direction — the bounded
+    * benchmark gram set broadcasts, the corpus side stays a narrow
+    * generate, and the only corpus-derived shuffle is the post-join
+    * per-benchmark-doc aggregation (rows bounded by hits, not corpus).
+    * Zero-leak benchmark docs appear with zero counts: a report that
+    * silently omits the clean rows can't distinguish "clean" from
+    * "not checked". */
+  def contaminationReport(
+      documents: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val corpusGrams = documents
+      .select(col("doc_id").as("corpus_id"), explode(wordNgrams(n)).as("gram"))
+    val benchGrams = benchmark
+      .select(col("doc_id").as("bench_id"), explode(wordNgrams(n)).as("gram"))
+      .distinct()
+    val hits = corpusGrams.join(broadcast(benchGrams), "gram")
+      .groupBy("bench_id")
+      .agg(count_distinct(col("corpus_id")).as("n_corpus_docs"),
+        count_distinct(col("gram")).as("n_leaked_grams"))
+    benchmark.select(col("doc_id").as("bench_id")).distinct()
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
+  }
+
   /** Gopher-style repetition signals: the duplicate-bigram fraction
     * (repeated-n-gram text is boilerplate/spam) and the top-unigram mass
     * ratio. The bigram stats are per-row HOF arithmetic (narrow); the

@@ -199,6 +199,33 @@ object ExtensionQueries {
   /** Shared DuckDB scaffolding: embeddings with double-cast vectors and
     * precomputed norms; dot products as ordered double folds to mirror
     * Spark's aggregate() exactly. */
+  /** Shared recursive-CTE chain for the MinHash-LSH near-dup graph and
+    * its transitive closure (`reach`): q_dedup_cc's per-id component is
+    * `SELECT id, min(r) FROM reach GROUP BY id`; q_cc_sizes aggregates
+    * the same closure into the cluster-size histogram. */
+  private[queries] val duckCcReach =
+    """sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM documents)),
+                 sigs AS (SELECT doc_id, sd.seed,
+                                 min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
+                          FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+                          GROUP BY 1, 2),
+                 buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
+                                    md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                 pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                           FROM buckets x JOIN buckets y
+                             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+                 edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+                 reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+                           UNION
+                           SELECT e.b AS id, reach.r
+                           FROM reach JOIN edges e ON reach.id = e.a)"""
+
   private[queries] val duckNorm =
     """ne AS (SELECT vec_id, label,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -480,27 +507,7 @@ object ExtensionQueries {
         .label(docs.select("doc_id"), pairs)
         .orderBy("id")
     },
-    Some("""WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, s FROM
-                          (SELECT doc_id,
-                                  unnest(list_transform(
-                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
-                           FROM documents)),
-                 sigs AS (SELECT doc_id, sd.seed,
-                                 min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
-                          FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
-                          GROUP BY 1, 2),
-                 buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
-                                    md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
-                             FROM sigs GROUP BY 1, 2),
-                 pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                           FROM buckets x JOIN buckets y
-                             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-                 edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-                 reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
-                           UNION
-                           SELECT e.b AS id, reach.r
-                           FROM reach JOIN edges e ON reach.id = e.a)
+    Some(s"""WITH RECURSIVE $duckCcReach
             SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""))
 
   /** The capstone: full corpus-clean pipeline (quality gate → exact

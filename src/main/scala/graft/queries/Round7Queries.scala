@@ -80,5 +80,64 @@ object Round7Queries {
             FROM tok JOIN idf USING (token)
             GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(semDedup, tokenEntropy, docNovelty)
+  /** Per-benchmark-doc leak report (TextAnalysis.contaminationReport,
+    * 4-grams; benchmark = doc_id % 10 == 0 as in q_decontaminate): the
+    * eval-integrity readout, with zero-leak rows kept so "clean" is
+    * distinguishable from "not checked". */
+  private val contamReport = Q("q_contamination_report",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.contaminationReport(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        n = 4).orderBy("bench_id")
+    },
+    Some("""WITH g AS (SELECT doc_id,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr
+                       FROM documents),
+                 gr AS (SELECT doc_id,
+                               unnest(CASE WHEN len(arr) < 4 THEN CAST([] AS VARCHAR[])
+                                      ELSE list_transform(range(1, len(arr) - 2),
+                                             i -> array_to_string(list_slice(arr, i, i + 3), ' '))
+                                      END) AS gram
+                        FROM g),
+                 cg AS (SELECT doc_id AS corpus_id, gram FROM gr WHERE doc_id % 10 <> 0),
+                 bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM gr WHERE doc_id % 10 = 0),
+                 hits AS (SELECT bench_id,
+                                 count(DISTINCT corpus_id) AS n_corpus_docs,
+                                 count(DISTINCT gram) AS n_leaked_grams
+                          FROM cg JOIN bg USING (gram) GROUP BY 1)
+            SELECT b.bench_id,
+                   CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+                   CAST(coalesce(h.n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams
+            FROM (SELECT DISTINCT doc_id AS bench_id FROM documents
+                  WHERE doc_id % 10 = 0) b
+            LEFT JOIN hits h USING (bench_id)
+            ORDER BY bench_id"""))
+
+  /** Near-dup cluster-size histogram over the MinHash-LSH component
+    * graph (ConnectedComponents.label ∘ Dedup.minHashLsh) — the
+    * dedup-observability readout: how much of the corpus sits in
+    * 2-clusters vs mega-clusters decides the survivor policy. */
+  private val ccSizes = Q("q_cc_sizes",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+      graft.extensions.ConnectedComponents
+        .label(docs.select("doc_id"), graft.extensions.Dedup.minHashLsh(docs))
+        .groupBy("comp").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+             szs AS (SELECT comp, count(*) AS sz FROM comps GROUP BY 1)
+             SELECT CAST(sz AS BIGINT) AS cluster_size,
+                    CAST(count(*) AS BIGINT) AS n_clusters
+             FROM szs GROUP BY sz ORDER BY cluster_size"""))
+
+  val all: Seq[Q] = Seq(semDedup, tokenEntropy, docNovelty, contamReport,
+    ccSizes)
 }

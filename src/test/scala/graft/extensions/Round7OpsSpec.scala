@@ -53,6 +53,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(m(4L) == ((4L, 4L, 1.3863)))
   }
 
+  test("contaminationReport: leaked benchmark docs counted, clean docs kept at zero") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // shares the 4-gram "a b c d" with bench 10
+      (2L, "x y z w v")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "a b c d q"),
+      (20L, "n o p q r")).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationReport(corpus, bench, n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(10L -> ((1L, 1L)), 20L -> ((0L, 0L))))
+  }
+
+  test("cc cluster-size histogram counts the dup pair and the singleton") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val hist = ConnectedComponents
+      .label(docs.select("doc_id"), Dedup.minHashLsh(docs, share = false))
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("docNovelty: shared tokens score 0 IDF, unique tokens ln N") {
     val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
     // df: x=2 -> idf 0; y, z=1 -> idf ln 2 = 0.693147
