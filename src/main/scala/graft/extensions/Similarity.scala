@@ -110,32 +110,40 @@ object Similarity {
     * Rounded scores with vec_id tie-breaks keep both rankings bitwise
     * deterministic, so the per-query recall has a DuckDB oracle
     * (q_ann_recall). */
-  def recallAtK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = withNorm(embeddings)
+  /** The materialized (qid, qlabel, label, vec_id, cos_r) frame scoring
+    * every corpus vector against every query vector — ONE corpus scan
+    * with the |queryIds|-row query side broadcast. localCheckpoint: the
+    * consumers ([[recallAtK]]'s two ranking branches, [[knnClassify]]'s
+    * vote window) filter/partition differently, so Spark cannot reuse an
+    * exchange between them — without a stage boundary the corpus ×
+    * queries scoring (the dominant cost) re-runs per consumer. |rows| =
+    * n × |queryIds|, small relative to the scan. Routed through the
+    * shared-frame memo so repeated calls (bench reps, verify runs, and
+    * the recall + classify pair on the same sample) retain ONE
+    * materialized copy per (embeddings, queryIds), not one per call;
+    * entries drop on app end / Dedup.evictShared. Under the
+    * shareFrames=false opt-out the frame is checkpointed per call, the
+    * pre-memo behavior. */
+  private def scoredFrame(e: DataFrame, queryIds: Seq[Long]): DataFrame = {
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("e").as("qe"), col("nrm").as("qn"))
-    // localCheckpoint: the brute and IVF branches both consume the
-    // scored frame, and the IVF branch filters BEFORE its qid exchange,
-    // so Spark cannot reuse the exchange between them — without a stage
-    // boundary the corpus × queries scoring (the dominant cost) runs
-    // twice. |rows| = n × |queryIds|, small relative to the scan.
-    // Routed through the shared-frame memo so repeated calls (bench
-    // reps, verify runs) retain ONE materialized copy per (embeddings,
-    // queryIds), not one per call; entries drop on app end /
-    // Dedup.evictShared. Under the shareFrames=false opt-out the frame
-    // is checkpointed per call, the pre-memo behavior.
     val scoredBuild = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_r",
         round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4))
       .select("qid", "qlabel", "label", "vec_id", "cos_r")
     val shared = Dedup.sharedFrame(e, "ann_recall_scored", queryIds.toList)(scoredBuild)
-    val scored = shared.queryExecution.logical match {
+    shared.queryExecution.logical match {
       case _: org.apache.spark.sql.execution.LogicalRDD => shared
       case _ => shared.localCheckpoint() // memo opted out: keep the stage boundary
     }
+  }
+
+  def recallAtK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val scored = scoredFrame(e, queryIds)
     val byScore = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col("vec_id"))
     val brute = scored.withColumn("rn", row_number().over(byScore))
@@ -147,6 +155,34 @@ object Similarity {
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 4))
+  }
+
+  /** kNN majority-label classification over the shared scored frame —
+    * the supervised-eval readout of the embedding space (a cluster
+    * structure that can't classify its own members is noise, whatever
+    * its recall curve says). Per query vector: the majority label among
+    * its exact cosine top-`k` neighbors (self excluded), with
+    * deterministic tie-breaks (votes desc, label asc), the vector's own
+    * label, and the hit flag. Shares [[scoredFrame]]'s memoized n ×
+    * |queryIds| frame with [[recallAtK]] — running both contracts on
+    * the same sample scans the corpus once. */
+  def knnClassify(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val scored = scoredFrame(e, queryIds)
+    val byScore = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    val votes = scored.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    val byVotes = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("label"))
+    val truth = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("label").as("true_label"))
+    votes.withColumn("vr", row_number().over(byVotes))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .join(broadcast(truth), "qid")
+      .withColumn("hit", (col("pred_label") === col("true_label")).cast("long"))
   }
 
   /** Per-cell centroids, element-wise: posexplode → per-(cell, position)

@@ -138,6 +138,38 @@ object Round7Queries {
                     CAST(count(*) AS BIGINT) AS n_clusters
              FROM szs GROUP BY sz ORDER BY cluster_size"""))
 
+  /** kNN majority-label classification (Similarity.knnClassify, k=10
+    * over the recallAtK query sample — both contracts share one
+    * memoized scored frame, so the corpus is scanned once). */
+  private val knnClassify = Q("q_knn_classify",
+    (s, dir) => Similarity.knnClassify(table(s, dir, "embeddings"),
+      queryIds = 0L until 8L, k = 10).orderBy("qid"),
+    Some(s"""WITH ${ExtensionQueries.duckNorm},
+             q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn
+                   FROM nn WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+             scored AS (SELECT q.qid, nn.label, nn.vec_id,
+                               round(list_sum(list_transform(range(1, len(e) + 1),
+                                                             i -> e[i] * qe[i]))
+                                     / (nrm * qn), 4) AS cos_r
+                        FROM nn CROSS JOIN q WHERE nn.vec_id <> q.qid),
+             top AS (SELECT qid, label FROM
+                       (SELECT qid, label,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_r DESC, vec_id) AS rn
+                        FROM scored) WHERE rn <= 10),
+             v AS (SELECT qid, label, count(*) AS votes FROM top GROUP BY 1, 2),
+             w AS (SELECT qid, label AS pred_label, votes,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, label) AS vr
+                   FROM v),
+             t AS (SELECT vec_id AS qid, label AS true_label FROM nn
+                   WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7))
+             SELECT w.qid, w.pred_label, CAST(w.votes AS BIGINT) AS votes,
+                    t.true_label,
+                    CAST(CASE WHEN w.pred_label = t.true_label
+                         THEN 1 ELSE 0 END AS BIGINT) AS hit
+             FROM w JOIN t USING (qid) WHERE vr = 1 ORDER BY w.qid"""))
+
   val all: Seq[Q] = Seq(semDedup, tokenEntropy, docNovelty, contamReport,
-    ccSizes)
+    ccSizes, knnClassify)
 }

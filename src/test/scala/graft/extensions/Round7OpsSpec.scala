@@ -53,6 +53,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(m(4L) == ((4L, 4L, 1.3863)))
   }
 
+  test("knnClassify: majority label wins with deterministic tie-breaks") {
+    graft.functions.GraftFunctions.register(spark)
+    // query 0 points along x; two label-1 neighbors nearly parallel,
+    // two label-2 neighbors orthogonal -> k=3 votes 2:1 for label 1
+    val emb = Seq(
+      (0L, 1L, Array(1.0f, 0.0f)),
+      (1L, 1L, Array(0.9f, 0.1f)),
+      (2L, 1L, Array(0.95f, 0.05f)),
+      (3L, 2L, Array(0.0f, 1.0f)),
+      (4L, 2L, Array(0.0f, 0.9f))).toDF("vec_id", "label", "embedding")
+    val r = Similarity.knnClassify(emb, Seq(0L), k = 3).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((0L, 1L, 2L, 1L, 1L)))
+  }
+
   test("contaminationReport: leaked benchmark docs counted, clean docs kept at zero") {
     val corpus = Seq(
       (1L, "a b c d e"), // shares the 4-gram "a b c d" with bench 10
