@@ -56,13 +56,21 @@ object Layout {
     * joins keep reading the index exchange-free). Spark validates the
     * spec against the catalog and refuses a mismatched append. */
   def appendBucketed(
-      df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+      df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
     df.write
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("append")
       .format("parquet")
       .saveAsTable(table)
+    // the writer owns cache invalidation: the session catalog memoizes
+    // the resolved relation (file listing included), so without a
+    // refresh a reader that resolved the table BEFORE this append keeps
+    // probing the old file set — the admission loop's later batches
+    // would silently miss earlier admissions (StreamingDedupSpec pins
+    // the growth-visibility contract)
+    df.sparkSession.catalog.refreshTable(table)
+  }
 
   /** Sorted parquet write — the "secondary index" substitute (SURVEY §4):
     * globally ordering on the hot predicate column clusters each key into

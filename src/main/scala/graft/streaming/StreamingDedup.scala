@@ -24,7 +24,15 @@ import graft.extensions.Dedup
   * each micro-batch, so pointing `index` at a parquet directory and
   * having the admission job append each accepted batch's band rows
   * (`Dedup.bandBucketsRowLocal(acceptedDocs)`) makes later batches see
-  * earlier stream documents — no restart, no state migration. With the
+  * earlier stream documents — no restart, no state migration.
+  * FRESHNESS CONTRACT for a CATALOG-table index: the session catalog
+  * memoizes the resolved relation (file listing included), so the
+  * appending side must `refreshTable` after each append
+  * ([[graft.plans.Layout.appendBucketed]] does) and a reader in a
+  * DIFFERENT session — e.g. inside foreachBatch, which runs under a
+  * session clone — refreshes its own session before resolving by name
+  * (StreamingDedupSpec's growth test pins the end-to-end loop:
+  * admit batch 0, probe batch 1, hit with no restart). With the
   * index bucketed by `(band, bkey)` ([[graft.plans.Layout.writeBucketed]],
   * appended via [[graft.plans.Layout.appendBucketed]]) the per-batch join
   * needs no index-side shuffle at all — PINNED in StreamingDedupSpec

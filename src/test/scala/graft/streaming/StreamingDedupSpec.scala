@@ -125,6 +125,57 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("growing index: an admitted batch's bands are visible to the next batch, no restart") {
+    implicit val sqlCtx = spark.sqlContext
+    // the scaladoc's index-growth claim, end-to-end: the admission loop
+    // appends each accepted batch's band rows into the bucketed table,
+    // and because a stream-static join re-lists the static side's files
+    // every micro-batch, a later batch's probe sees earlier stream
+    // documents with no restart and no state migration
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.plans.Layout.writeBucketed(
+      Dedup.bandBuckets(Dedup.shingles(corpus, share = false), share = false),
+      "sd_grow_idx", Seq("band", "bkey"), 4)
+
+    val input = MemoryStream[(Long, String)]
+    val perBatch = mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          // the reader refreshes ITS session's cached relation before
+          // probing: appendBucketed refreshes the writer's session, but
+          // foreachBatch runs under a session clone, so a by-name index
+          // reader in another session re-lists explicitly (the
+          // index-freshness contract in StreamingDedup's scaladoc)
+          spark.catalog.refreshTable("sd_grow_idx")
+          val pairs = StreamingDedup
+            .candidates(spark.table("sd_grow_idx"), batch).distinct()
+          perBatch.synchronized { perBatch(id) = pairSet(pairs) }
+          // admission: the accepted batch joins the index
+          graft.plans.Layout.appendBucketed(
+            Dedup.bandBucketsRowLocal(batch),
+            "sd_grow_idx", Seq("band", "bkey"), 4)
+      }
+      .start()
+    try {
+      // batch 0: a brand-new doc — matches nothing, gets admitted
+      input.addData((100L, "one two three four five six"))
+      q.processAllAvailable()
+      // batch 1: a copy of the batch-0 doc — must surface AGAINST THE
+      // APPENDED ROWS (the original corpus never contained doc 100)
+      input.addData((200L, "one two three four five six"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sd_grow_idx")
+    }
+    assert(perBatch(0L).isEmpty, "a novel doc matches nothing")
+    assert(perBatch(1L) == Set((100L, 200L)),
+      "the batch-1 probe must hit the doc admitted in batch 0")
+  }
+
   test("streaming plan keeps no state: stateless banding + stream-static join") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
