@@ -126,9 +126,10 @@ object BpeTrain {
   }
 
   /** [[learn]] with the driver round-trips amortized: each round ranks
-    * pairs ONCE, collects a bounded candidate window, keeps the longest
-    * prefix that is pairwise non-[[conflicts]]-free (capped at
-    * `batchSize`), and applies the whole batch in one replace pass —
+    * pairs ONCE, collects a bounded candidate window, greedily selects
+    * the top `batchSize` pairwise non-[[conflicts]]ing pairs (interfering
+    * candidates are skipped), and applies the whole batch in one replace
+    * pass —
     * numMerges/batchSize Spark jobs instead of numMerges. At a
     * production 32k-merge vocabulary that is the difference between ~1k
     * scheduler round-trips and 32k sequential jobs (hours of pure

@@ -259,8 +259,8 @@ object Similarity {
     * [[blockedCosinePairs]] — never corpus² — and at 100 TB the cell is
     * the k-means assignment ([[ivfSearch]]'s index build) written as a
     * partition column, so each cell's pair scan is partition-local. The
-    * dropped set folds to a broadcast-size id list per cell before the
-    * anti-join accounting. */
+    * dropped-id set is distinct-folded (bounded by the corpus, tiny in
+    * practice) before the accounting join marks survivors. */
   def semDedup(embeddings: DataFrame, tau: Double): DataFrame = {
     val e = withNorm(embeddings)
     val a = e.select(col("vec_id").as("a"), col("label").as("la"),

@@ -108,9 +108,12 @@ object TextAnalysis {
   /** Mean-IDF novelty score per document: how informative (rare) the
     * document's tokens are against the corpus — boilerplate scores low,
     * unique content scores high; the per-doc aggregate of the IDF table
-    * a TF-IDF pipeline already maintains. Two shuffles, both inherent:
-    * the (token → document frequency) build and the per-doc fold; the
-    * corpus-size scalar rides a broadcast. Per-doc summation uses an
+    * a TF-IDF pipeline already maintains. All shuffles are inherent to
+    * the semantics: the document-frequency build (a (doc, token)
+    * distinct plus a token-keyed count), the IDF join back (broadcast
+    * when the vocab fits, token-keyed otherwise), and the per-doc
+    * fold; the corpus-size scalar rides a broadcast. Per-doc summation
+    * uses an
     * EXACT DECIMAL over 6-decimal-rounded IDFs, so the distributed sum
     * is order-independent and the result bitwise-stable (SURVEY §5.1
     * discipline) — a double sum here would hash-diverge run to run. */

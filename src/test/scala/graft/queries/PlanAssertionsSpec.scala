@@ -190,6 +190,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_contamination_report: benchmark gram set broadcasts; corpus side stays narrow") {
+    val p = planString("q_contamination_report")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_knn_classify: consumes the shared scored checkpoint, no second corpus scan") {
+    val p = planString("q_knn_classify")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("one-eval discipline: token builds appear exactly once per use in the plan") {
     // CollapseProject re-inlines withColumn aliases, silently re-running
     // a projection's base build once per OUTPUT COLUMN (languageId paid
