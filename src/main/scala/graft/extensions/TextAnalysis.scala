@@ -454,6 +454,41 @@ object TextAnalysis {
       .select(col("doc_id"), col(stratumCol), col("bucket"))
   }
 
+  /** Mixture-enforcing sampler — closes the loop [[mixingWeights]]
+    * opens: sources OVER-represented relative to their α-tempered
+    * target weight are deterministically downsampled (content-stable
+    * md5 bucketing, the same admission function as
+    * [[stratifiedSample]]); under-represented sources pass whole — the
+    * rate caps at 1 because upsampling is a repeat-epochs decision in
+    * the trainer, not a filter. Output: per source, the applied rate
+    * and the admitted count (zero-admission sources kept, same
+    * report-completeness rule as the leak report).
+    *
+    * Determinism: the rate derives from the 4-decimal rounded
+    * share/weight pair, the bucket threshold is an explicit
+    * floor(rate·buckets + 0.5) — no engine-specific round-half
+    * semantics — and admission is a pure function of doc_id. Scale
+    * shape: one pass over the corpus against a broadcast |sources|-row
+    * rate dim; the weights build is [[mixingWeights]]'s bounded
+    * aggregation. */
+  def mixtureSample(
+      documents: DataFrame, alpha: Double = 0.5, buckets: Int = 100): DataFrame = {
+    val rates = mixingWeights(documents, alpha)
+      .select(col("source"),
+        least(lit(1.0), round(col("weight") / col("share"), 4)).as("rate"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long"),
+      lit(buckets))
+    val admitted = documents.join(broadcast(rates), "source")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < floor(col("rate") * buckets + lit(0.5)))
+      .groupBy("source").agg(count(lit(1)).as("n_admitted"))
+    rates.join(admitted, Seq("source"), "left")
+      .select(col("source"), col("rate"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+  }
+
   /** Bigram language-model quality score — the perplexity-proxy filter of
     * real pretraining pipelines (a cheap stand-in for a KenLM pass): train
     * an add-k-smoothed bigram model ON the corpus itself, then score each

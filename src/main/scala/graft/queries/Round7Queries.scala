@@ -170,6 +170,37 @@ object Round7Queries {
                          THEN 1 ELSE 0 END AS BIGINT) AS hit
              FROM w JOIN t USING (qid) WHERE vr = 1 ORDER BY w.qid"""))
 
+  /** Mixture-enforcing sampler (TextAnalysis.mixtureSample, α=0.5):
+    * q_mix_weights' target weights applied as deterministic per-source
+    * admission rates. */
+  private val sampleMixture = Q("q_sample_mixture",
+    (s, dir) => TextAnalysis.mixtureSample(table(s, dir, "documents"))
+      .orderBy("source"),
+    Some("""WITH per AS (SELECT source, count(*) AS n_docs,
+                                sum(n_chars) AS n_chars
+                         FROM documents GROUP BY 1),
+                 t AS (SELECT source,
+                              CAST(n_chars AS BIGINT) AS n_chars,
+                              sqrt(CAST(n_chars AS DOUBLE)) AS t
+                       FROM per),
+                 tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_tot,
+                                list_sum(list(t ORDER BY source)) AS t_tot
+                         FROM t),
+                 r AS (SELECT source,
+                              least(1.0, round(round(t / t_tot, 4)
+                                               / round(n_chars * 1.0 / chars_tot, 4), 4))
+                                AS rate
+                       FROM t, tot),
+                 adm AS (SELECT d.source, count(*) AS n_admitted
+                         FROM documents d JOIN r USING (source)
+                         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                    AS BIGINT) % 100 < floor(rate * 100 + 0.5)
+                         GROUP BY 1)
+            SELECT r.source, r.rate,
+                   CAST(coalesce(adm.n_admitted, 0) AS BIGINT) AS n_admitted
+            FROM r LEFT JOIN adm USING (source)
+            ORDER BY r.source"""))
+
   val all: Seq[Q] = Seq(semDedup, tokenEntropy, docNovelty, contamReport,
-    ccSizes, knnClassify)
+    ccSizes, knnClassify, sampleMixture)
 }

@@ -93,6 +93,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(hist == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("mixtureSample: over-represented source downsampled to weight/share, under-represented passes whole") {
+    // big: 90 docs x 100 chars (share 0.9, sqrt-weight 0.75 -> rate 0.8333)
+    // small: 10 docs x 100 chars (share 0.1, weight 0.25 -> rate caps at 1)
+    val docs = ((1L to 90L).map(i => (i, "big", 100L)) ++
+      (91L to 100L).map(i => (i, "small", 100L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.mixtureSample(docs).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out("big")._1 == 0.8333)
+    assert(out("small") == ((1.0, 10L)), "rate 1 admits every doc")
+    val bigAdmitted = out("big")._2
+    assert(bigAdmitted > 0 && bigAdmitted < 90,
+      s"the 0.8333 rate must genuinely drop some of the 90 docs, admitted $bigAdmitted")
+  }
+
   test("docNovelty: shared tokens score 0 IDF, unique tokens ln N") {
     val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
     // df: x=2 -> idf 0; y, z=1 -> idf ln 2 = 0.693147
