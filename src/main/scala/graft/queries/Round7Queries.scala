@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.Tables.table
-import graft.extensions.{Similarity, TextAnalysis}
+import graft.extensions.{ConnectedComponents, Dedup, Similarity, TextAnalysis}
 
 /** Round-7 surface: semantic (embedding-layer) deduplication, and two
   * per-document quality signals a pretraining pipeline gates on —
@@ -88,8 +90,8 @@ object Round7Queries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       TextAnalysis.contaminationReport(
-        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
-        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
         n = 4).orderBy("bench_id")
     },
     Some("""WITH g AS (SELECT doc_id,
@@ -122,10 +124,10 @@ object Round7Queries {
     * 2-clusters vs mega-clusters decides the survivor policy. */
   private val ccSizes = Q("q_cc_sizes",
     (s, dir) => {
-      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.functions.{count, lit}
       val docs = table(s, dir, "documents")
-      graft.extensions.ConnectedComponents
-        .label(docs.select("doc_id"), graft.extensions.Dedup.minHashLsh(docs))
+      ConnectedComponents
+        .label(docs.select("doc_id"), Dedup.minHashLsh(docs))
         .groupBy("comp").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
