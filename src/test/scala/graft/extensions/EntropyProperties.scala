@@ -51,3 +51,43 @@ object EntropyProperties extends Properties("TokenEntropy") {
       h1 == h2 && n2 == toks.size.toLong * k
     }
 }
+
+/** Invariants for the mean-IDF novelty score: 0 <= novelty <=
+  * ln(n_docs) (a token in every doc scores 0, a token unique to one
+  * doc scores the ln N ceiling), and an all-identical corpus scores
+  * exactly 0 everywhere — boilerplate has no novelty. */
+object NoveltyProperties extends Properties("DocNovelty") {
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val word: Gen[String] = for {
+    len <- Gen.choose(1, 3)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  private val corpus: Gen[List[List[String]]] = for {
+    n <- Gen.choose(2, 5)
+    docs <- Gen.listOfN(n, Gen.nonEmptyListOf(word))
+  } yield docs
+
+  property("0 <= novelty <= ln(n_docs) + rounding slack") =
+    forAll(corpus) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val bound = math.log(docs.size.toDouble) + 5e-4
+      TextAnalysis.docNovelty(df).collect()
+        .forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= bound)
+    }
+
+  property("an all-identical corpus has zero novelty everywhere") =
+    forAll(Gen.nonEmptyListOf(word), Gen.choose(2, 5)) { (toks, n) =>
+      val df = (1 to n).map(i => (i.toLong, toks.mkString(" ")))
+        .toDF("doc_id", "text")
+      TextAnalysis.docNovelty(df).collect().forall(_.getDouble(2) == 0.0)
+    }
+}
