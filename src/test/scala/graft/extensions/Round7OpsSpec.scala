@@ -108,6 +108,23 @@ class Round7OpsSpec extends SparkSpec {
       s"the 0.8333 rate must genuinely drop some of the 90 docs, admitted $bigAdmitted")
   }
 
+  test("degenerate inputs: empty frames and single-source corpora stay well-formed") {
+    graft.functions.GraftFunctions.register(spark)
+    val noVecs = Seq.empty[(Long, Long, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.semDedup(noVecs, 0.5).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.tokenEntropy(noDocs).count() == 0)
+    assert(TextAnalysis.docNovelty(noDocs).count() == 0)
+    assert(TextAnalysis.contaminationReport(noDocs, noDocs, 4).count() == 0)
+    // single source: share = weight = 1 -> rate 1, everything admitted
+    val one = Seq((1L, "only", 10L), (2L, "only", 20L))
+      .toDF("doc_id", "source", "n_chars")
+    val m = TextAnalysis.mixtureSample(one).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(m.toSeq == Seq(("only", 1.0, 2L)))
+  }
+
   test("docNovelty: shared tokens score 0 IDF, unique tokens ln N") {
     val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
     // df: x=2 -> idf 0; y, z=1 -> idf ln 2 = 0.693147
