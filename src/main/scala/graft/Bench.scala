@@ -347,18 +347,8 @@ object Bench {
     val prevShare = spark.conf.getOption("spark.graft.dedup.shareFrames")
     spark.conf.set("spark.graft.dedup.shareFrames", "false")
     try {
-      // production-shape BPE: 256 merges learned over the Zipf corpus's
-      // word-frequency table with 64-merge batched rounds — prices the
-      // learnBatched driver-round-trip amortization each round (a
-      // sequential 256-merge run is 256 full aggregations; batched is
-      // ~4-6). Run FIRST so the merge count is verifiable in the output.
-      val bpeT0 = System.nanoTime()
-      val bpeMerges = graft.extensions.BpeTrain.learnBatched(docs, 256, 64)
-      val bpeSec = (System.nanoTime() - bpeT0) / 1e9
-      Seq(
+      val levers = Seq(
         "docs" -> nDocs,
-        "bpe256_batched64" -> bpeSec,
-        "bpe256_merges" -> bpeMerges.size.toDouble,
         "ngram_plain" -> time(
           graft.extensions.Dedup.ngramJaccard(docs, 0.3).count()),
         "ngram_maxdf" -> time(
@@ -382,6 +372,18 @@ object Bench {
         },
         "winnow_pairs" -> time(
           graft.extensions.Winnowing.sharedFingerprintPairs(docs).count()))
+      // production-shape BPE: 256 merges learned over the Zipf corpus's
+      // word-frequency table with 64-merge batched rounds — prices the
+      // learnBatched driver-round-trip amortization each round (a
+      // sequential 256-merge run is 256 full aggregations; batched is
+      // 4). Runs LAST: its 3M-word vocab frames churn enough heap to
+      // perturb the ngram lever timings when run before them.
+      val bpeT0 = System.nanoTime()
+      val bpeMerges = graft.extensions.BpeTrain.learnBatched(docs, 256, 64)
+      val bpeSec = (System.nanoTime() - bpeT0) / 1e9
+      levers ++ Seq(
+        "bpe256_batched64" -> bpeSec,
+        "bpe256_merges" -> bpeMerges.size.toDouble)
     } finally {
       prevShare match {
         case Some(v) => spark.conf.set("spark.graft.dedup.shareFrames", v)
