@@ -108,6 +108,28 @@ class Round7OpsSpec extends SparkSpec {
       s"the 0.8333 rate must genuinely drop some of the 90 docs, admitted $bigAdmitted")
   }
 
+  test("semDedup composes with k-means cells — the 100 TB cell-assignment path") {
+    graft.functions.GraftFunctions.register(spark)
+    // two tight clusters far apart; one exact duplicate planted in each.
+    // The scaladoc's scale story: at 100 TB the cell is the k-means
+    // assignment, not a given label — so run the composition here:
+    // fit -> assign -> semDedup over the ASSIGNED cells.
+    val emb = Seq(
+      (1L, Array(10.0f, 0.0f)), (2L, Array(10.0f, 0.0f)), // dup pair, cluster A
+      (3L, Array(11.0f, 1.0f)),
+      (4L, Array(0.0f, 10.0f)), (5L, Array(0.0f, 10.0f)), // dup pair, cluster B
+      (6L, Array(1.0f, 11.0f))).map { case (id, v) => (id, 0L, v) }
+      .toDF("vec_id", "label", "embedding")
+    val cents = KMeans.fit(emb, k = 2, iters = 5)
+    val cells = KMeans.assign(emb, cents)
+      .select(col("vec_id"), col("cell_id").cast("long").as("label"),
+        col("e").as("embedding"))
+    val out = Similarity.semDedup(cells, tau = 0.9999)
+      .agg(sum("n_vecs"), sum("n_dropped")).head()
+    assert(out.getLong(0) == 6L)
+    assert(out.getLong(1) == 2L, "exactly the two planted duplicates drop")
+  }
+
   test("degenerate inputs: empty frames and single-source corpora stay well-formed") {
     graft.functions.GraftFunctions.register(spark)
     val noVecs = Seq.empty[(Long, Long, Array[Float])]
