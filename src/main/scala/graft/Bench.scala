@@ -58,6 +58,12 @@ object Bench {
     // empty brute set; dividing by it would put NaN into the JSON line
     // and break the whole bench output — drop such ids from the mean
     val valid = queryIds.filter(qid => brute(qid).nonEmpty)
+    // IVF-realistic index build: k=64 cells, 3 Lloyd iterations. fit is
+    // eager (each iteration collects the k×dim centroid table), so this
+    // times the real per-iteration work — since round 8 a row-local
+    // argmin projection (zero shuffle; Round8OpsSpec pins the plan)
+    // instead of the old n×k crossJoin + window shuffle.
+    val idxBuild = time(KMeans.fit(emb, k = 64, iters = 3))
     (Seq(1, 2, 4).map { nprobe =>
       val recalls = valid.map { qid =>
         val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
@@ -65,7 +71,8 @@ object Bench {
       }
       s"ivf_recall_nprobe$nprobe" ->
         (if (recalls.nonEmpty) recalls.sum / recalls.size else 0.0)
-    }) :+ ("ivf_queries" -> valid.size.toDouble)
+    }) ++ Seq("ivf_queries" -> valid.size.toDouble,
+      "index_build_k64" -> idxBuild)
   }
 
   /** Per-batch probe cost against a GROWING bucketed on-disk band index —

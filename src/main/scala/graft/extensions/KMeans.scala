@@ -1,20 +1,20 @@
 package graft.extensions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic Lloyd's k-means over an embedding column — the IVF
   * "train" step feeding [[Similarity.ivfSearch]].
   *
-  * Scale shape per iteration: one broadcast of the k×dim centroid table
-  * (tiny), one narrow argmin pass over the vectors, one
+  * Scale shape per iteration: the k×dim centroid table (tiny, bounded
+  * by k, never by data) is collected and inlined, one ROW-LOCAL argmin
+  * pass over the vectors (zero shuffle — see [[assign]]), one
   * (cell, position) aggregation — i.e. the cost of a groupBy, times
-  * `iters`. Only the centroid table (bounded by k, never by data) is
-  * collected to the driver between iterations; the vectors themselves
-  * never move. Init is the k lowest vec_ids: deterministic, so results
-  * are reproducible run to run (k-means++ would trade determinism for
-  * quality; at 100 TB you'd init from a seeded sample instead).
+  * `iters`. Only the centroid table is collected to the driver between
+  * iterations; the vectors themselves never move. Init is the k lowest
+  * vec_ids: deterministic, so results are reproducible run to run
+  * (k-means++ would trade determinism for quality; at 100 TB you'd init
+  * from a seeded sample instead).
   */
 object KMeans {
 
@@ -24,17 +24,41 @@ object KMeans {
   private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
-  /** Assign each vector to its nearest centroid.
+  /** Assign each vector to its nearest centroid — ROW-LOCALLY. The
+    * centroid table is collected once (bounded: k×dim doubles, the same
+    * bound [[fit]] already relies on between iterations) and inlined as
+    * an array-of-structs literal, so the argmin is a single narrow
+    * projection: score all k cells per row, min-fold. Zero Exchange,
+    * zero join — at IVF-realistic k (4k–65k cells) the previous
+    * crossJoin + row_number window shuffled an n×k expanded frame every
+    * Lloyd iteration, which is the difference between an index build
+    * that scans the corpus `iters` times and one that shuffles
+    * `iters`×k corpora.
+    *
+    * Ties break to the smallest cell_id: the literal is sorted by
+    * cell_id and the fold keeps the incumbent on equal distance —
+    * identical to the old `orderBy(d2, cell_id)` window ranking, so
+    * assignments (and every downstream centroid) are bit-for-bit
+    * unchanged.
     * @param centroids (cell_id, centroid array<double>) */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("cell_id").cast("int"), asDouble(col("centroid")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assign needs at least one centroid")
+    val centLit = typedLit(cents.toSeq) // array<struct<_1:int,_2:array<double>>>
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val c = centroids.select(col("cell_id"), asDouble(col("centroid")).as("ce"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell_id"))
-    e.crossJoin(broadcast(c))
-      .withColumn("d2", dist2(col("e"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cell_id"))
+    // one-eval discipline: each cell's d2 is computed once inside the
+    // scoring transform; the min-fold then only compares struct fields
+    val scored = transform(centLit, c => struct(
+      c.getField("_1").as("cell_id"),
+      dist2(col("e"), c.getField("_2")).as("d2")))
+    val best = aggregate(scored,
+      struct(lit(-1).as("cell_id"), lit(Double.MaxValue).as("d2")),
+      (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
+    e.select(col("vec_id"), col("e"), best.getField("cell_id").as("cell_id"))
   }
 
   /** Element-wise mean per cell, re-assembled into centroid arrays. */
