@@ -378,7 +378,20 @@ object Bench {
           winnowed / full
         },
         "winnow_pairs" -> time(
-          graft.extensions.Winnowing.sharedFingerprintPairs(docs).count()))
+          graft.extensions.Winnowing.sharedFingerprintPairs(docs).count()),
+        // long-doc skew probe for the entropy fold: one 8k-token doc with
+        // 4k distinct tokens (the cooccur methodology). The pre-round-8
+        // per-distinct-token rescan did ~33M comparisons on this row; the
+        // sorted run-length fold is one O(n log n) pass — priced each
+        // round so the quadratic shape cannot silently return
+        "entropy_8k_doc" -> {
+          val doc = docs.sparkSession.range(1).select(
+            col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(1), lit(8192)),
+              i => concat(lit("t"), pmod(i, lit(4096))))).as("text"))
+          time(graft.extensions.TextAnalysis.tokenEntropy(doc)
+            .write.format("noop").mode("overwrite").save())
+        })
       // production-shape BPE: 256 merges learned over the Zipf corpus's
       // word-frequency table with 64-merge batched rounds — prices the
       // learnBatched driver-round-trip amortization each round (a

@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,28 +78,54 @@ object TextAnalysis {
   /** Per-document Shannon entropy of the unigram distribution — the
     * diversity half of a quality filter (a keyboard-mash or template doc
     * has low entropy at any length; [[qualityScore]]'s ratios miss it).
-    * The histogram is computed ROW-LOCALLY over the sorted distinct
-    * tokens, so the -Σ p·ln p fold has one deterministic left-to-right
-    * evaluation order (bitwise DuckDB oracle) and the whole operator is
-    * a zero-shuffle narrow projection. O(n_tok · n_distinct) per row —
-    * bounded by the corpus' document length ceiling, the same class of
-    * bound as [[Winnowing]]'s O(n·w). The token array and the distinct
-    * set are let-bound lambda variables (one-eval discipline). */
+    * The histogram is a single run-length pass over the SORTED token
+    * array: sort once (O(n log n) per row), then fold runs left to
+    * right, adding each run's -p·ln p term when the next run starts
+    * (the final run lands in the finish lambda). Runs arrive in sorted
+    * order, so the fold's term order — and therefore the double sum —
+    * is bit-identical to summing over the sorted distinct set, keeping
+    * the bitwise DuckDB oracle; the whole operator stays a zero-shuffle
+    * narrow projection (plan-pinned). The previous shape re-scanned the
+    * token array once per DISTINCT token (O(n_tok · n_distinct) per
+    * row) — the same per-row quadratic class whose measured cost on one
+    * 8k-token document sank the naive co-occurrence plan (see
+    * [[cooccurrence]]); the sorted fold removes the hazard instead of
+    * capping it, and the bench `scale` section prices an 8k-token doc
+    * each round. The sorted array is a let-bound lambda variable
+    * (one-eval discipline). */
   def tokenEntropy(documents: DataFrame): DataFrame = {
     val toksE = filter(split(lower(coalesce(col("text"), lit(""))), " "),
       t => t =!= "")
     documents.select(col("doc_id"),
-      element_at(transform(array(toksE), arr => {
+      element_at(transform(array(array_sort(toksE)), arr => {
         val n = size(arr)
-        val ds = array_sort(array_distinct(arr))
-        val ent = aggregate(
-          transform(ds, t => size(filter(arr, x => x === t))),
-          lit(0.0),
-          (acc, c) => acc + (c.cast("double") / n) * log(c.cast("double") / n))
+        def term(run: Column) =
+          (run.cast("double") / n) * log(run.cast("double") / n)
+        val fold = aggregate(
+          arr,
+          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+            lit(0.0).as("ent"), lit(0L).as("nd")),
+          (acc, t) =>
+            when(acc.getField("prev").isNull, // first token: open run 1
+              struct(t.as("prev"), lit(1L).as("run"),
+                lit(0.0).as("ent"), lit(1L).as("nd")))
+            .when(t === acc.getField("prev"), // same run: extend
+              struct(t.as("prev"), (acc.getField("run") + 1L).as("run"),
+                acc.getField("ent").as("ent"), acc.getField("nd").as("nd")))
+            .otherwise( // new run: bank the finished run's term
+              struct(t.as("prev"), lit(1L).as("run"),
+                (acc.getField("ent") + term(acc.getField("run"))).as("ent"),
+                (acc.getField("nd") + 1L).as("nd"))),
+          acc => struct(
+            acc.getField("nd").as("nd"),
+            when(acc.getField("run") > 0L,
+              acc.getField("ent") + term(acc.getField("run")))
+              .otherwise(lit(0.0)).as("ent")))
         struct(
           n.cast("long").as("n_tok"),
-          size(ds).cast("long").as("n_distinct"),
-          when(n > 0, round(-ent, 4) + 0.0).otherwise(lit(0.0)).as("entropy"))
+          fold.getField("nd").cast("long").as("n_distinct"),
+          when(n > 0, round(-fold.getField("ent"), 4) + 0.0)
+            .otherwise(lit(0.0)).as("entropy"))
       }), 1).as("s"))
       .select(col("doc_id"), col("s.n_tok"), col("s.n_distinct"),
         col("s.entropy"))
