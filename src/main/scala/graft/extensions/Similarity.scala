@@ -246,6 +246,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic sub-block ids bounding every cell's pair scan: rank
+    * within the cell by vec_id, chunk ranks into `maxCellSize`-sized
+    * blocks. Unlike a secondary hash (expected-size bound only), rank
+    * chunking guarantees NO block ever exceeds maxCellSize — the
+    * quadratic bound is hard, proven by SemDedupBlockProperties. Costs
+    * one rank window over the frame (linear, spillable); the ordering
+    * is total (vec_id unique), so block membership is reproducible run
+    * to run. */
+  private[extensions] def cellBlocks(e: DataFrame, maxCellSize: Int): DataFrame = {
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
+    val rank = row_number().over(Window.partitionBy("label").orderBy("vec_id"))
+    e.withColumn("blk", ((rank - 1) / maxCellSize).cast("int"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): within each embedding cell, vector pairs with
     * cosine >= `tau` are semantic near-duplicates, and every vector
@@ -260,14 +274,32 @@ object Similarity {
     * the k-means assignment ([[ivfSearch]]'s index build) written as a
     * partition column, so each cell's pair scan is partition-local. The
     * dropped-id set is distinct-folded (bounded by the corpus, tiny in
-    * practice) before the accounting join marks survivors. */
-  def semDedup(embeddings: DataFrame, tau: Double): DataFrame = {
+    * practice) before the accounting join marks survivors.
+    *
+    * `maxCellSize` guards the within-cell scan: the pair join is
+    * quadratic in the LARGEST cell, so one skewed mega-cell (a
+    * near-empty-text cluster, say) would otherwise recreate the
+    * all-pairs blowup the blocking exists to prevent. Cells over the
+    * cap are rank-chunked into sub-blocks ([[cellBlocks]]) and pairs
+    * are scanned within a sub-block only — a hard maxCellSize² bound
+    * per task. Within an oversized cell this is an approximation
+    * (cross-block near-dups are not compared), the standard SemDeDup
+    * trade: past the cap you are pruning a pathological cluster, not
+    * enumerating it; tighten by re-clustering (fit more cells —
+    * [[graft.extensions.KMeans]]) rather than raising the cap. At the
+    * default no test/oracle cell comes near the cap, so results are
+    * unchanged; the accounting join is keyed on vec_id and never sees
+    * blocks. */
+  def semDedup(
+      embeddings: DataFrame, tau: Double, maxCellSize: Int = 4096): DataFrame = {
     val e = withNorm(embeddings)
-    val a = e.select(col("vec_id").as("a"), col("label").as("la"),
-      col("e").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b"), col("label").as("lb"),
-      col("e").as("eb"), col("nrm").as("nb"))
-    val dropped = a.join(b, col("la") === col("lb") && col("a") < col("b"))
+    val blocked = cellBlocks(e, maxCellSize)
+    val a = blocked.select(col("vec_id").as("a"), col("label").as("la"),
+      col("blk").as("bla"), col("e").as("ea"), col("nrm").as("na"))
+    val b = blocked.select(col("vec_id").as("b"), col("label").as("lb"),
+      col("blk").as("blb"), col("e").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, col("la") === col("lb") &&
+        col("bla") === col("blb") && col("a") < col("b"))
       .withColumn("cos_r",
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("cos_r") >= tau)

@@ -35,6 +35,64 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
 
+  test("semDedup maxCellSize caps the pair scan: a 10-identical-vector mega-cell rank-chunks into blocks of <= 3") {
+    graft.functions.GraftFunctions.register(spark)
+    // one cell, 10 identical vectors, cap 3 -> blocks {1,2,3},{4,5,6},
+    // {7,8,9},{10}: each block keeps its smallest id -> 6 dropped. The
+    // uncapped run would keep only vec 1 (9 dropped) — the delta IS the
+    // documented cross-block approximation.
+    val emb = (1L to 10L).map(i => (i, 0L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val capped = Similarity.semDedup(emb, tau = 0.9, maxCellSize = 3)
+      .select("n_vecs", "n_dropped").as[(Long, Long)].head()
+    assert(capped == ((10L, 6L)))
+    val uncapped = Similarity.semDedup(emb, tau = 0.9)
+      .select("n_vecs", "n_dropped").as[(Long, Long)].head()
+    assert(uncapped == ((10L, 9L)))
+  }
+
+  test("semDedup under-cap results are unchanged by the guard; no cartesian appears") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = (1L to 30L).map(i =>
+      (i, i % 3, Array((i % 5).toFloat + 1f, (i % 7).toFloat, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val loose = Similarity.semDedup(emb, 0.9).orderBy("label").collect().toSeq
+    val tight = Similarity.semDedup(emb, 0.9, maxCellSize = 10)
+      .orderBy("label").collect().toSeq
+    assert(loose == tight, "every cell is at the cap (10) — identical pairs")
+    val p = Similarity.semDedup(emb, 0.9, maxCellSize = 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semDedup composes with fitted k-means cells under an active cap") {
+    graft.functions.GraftFunctions.register(spark)
+    // fit's deterministic init seeds from the two lowest vec_ids, so ids
+    // 1 and 2 anchor the two clusters; each cluster carries an exact dup
+    // pair at adjacent ids (same rank chunk at cap 3) plus a filler, so
+    // every fitted cell has 4 members and the cap=3 guard genuinely
+    // engages (blocks of 3+1 per cell)
+    val emb = (Seq(
+      (1L, Array(10.0f, 0.0f)), (2L, Array(0.0f, 10.0f)), // seeds A, B
+      (3L, Array(10.0f, 0.5f)), (4L, Array(10.0f, 0.5f)), // dup pair, A
+      (5L, Array(0.5f, 10.0f)), (6L, Array(0.5f, 10.0f)), // dup pair, B
+      (7L, Array(11.0f, 2.0f)), (8L, Array(2.0f, 11.0f)))) // fillers
+      .map { case (id, v) => (id, 0L, v) }
+      .toDF("vec_id", "label", "embedding")
+    val cents = KMeans.fit(emb, k = 2, iters = 5)
+    val cells = KMeans.assign(emb, cents)
+      .select(col("vec_id"), col("cell_id").cast("long").as("label"),
+        col("e").as("embedding"))
+    assert(cells.groupBy("label").count().select(max("count"))
+      .head().getLong(0) == 4L, "both fitted cells recover their 4 members")
+    val out = Similarity.semDedup(cells, tau = 0.9999, maxCellSize = 3)
+      .agg(sum("n_vecs"), sum("n_dropped")).head()
+    assert(out.getLong(0) == 8L)
+    assert(out.getLong(1) == 2L,
+      "exactly the planted adjacent-id duplicates drop inside their rank chunks")
+  }
+
   test("KMeans.assign matches the windowed-argmin reference shape exactly") {
     // the old crossJoin + row_number plan, kept here as the semantic
     // oracle: the row-local fold must reproduce its assignment for every
@@ -59,4 +117,56 @@ class Round8OpsSpec extends SparkSpec {
       .select("vec_id", "cell_id").as[(Long, Int)].collect().toMap
     assert(rowLocal == reference)
   }
+}
+
+/** The semDedup cell-size guard's quadratic bound, as an invariant: for
+  * ANY cell-size profile, rank chunking never emits a block over
+  * maxCellSize, so no pair task ever sees more than
+  * maxCellSize·(maxCellSize-1)/2 < maxCellSize² candidates — a HARD
+  * bound, unlike hash sub-blocking's expected-size bound. Case counts
+  * kept small — each case runs a real Spark job. */
+object SemDedupBlockProperties
+    extends org.scalacheck.Properties("SemDedupBlocks") {
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Test.Parameters
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = graft.SparkSpec.session
+  import spark.implicits._
+
+  private val profile: Gen[List[Int]] = for {
+    nCells <- Gen.choose(1, 4)
+    sizes <- Gen.listOfN(nCells, Gen.choose(1, 12))
+  } yield sizes
+
+  property("no rank-chunked block ever exceeds maxCellSize") =
+    Prop.forAll(profile, Gen.choose(2, 5)) { (sizes, cap) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, cell) =>
+        (1 to sz).map(i => (cell.toLong * 1000 + i, cell.toLong))
+      }
+      val e = rows.toDF("vec_id", "label")
+      val maxBlock = Similarity.cellBlocks(e, cap)
+        .groupBy("label", "blk").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .head().getLong(0)
+      maxBlock <= cap.toLong
+    }
+
+  property("blocks partition each cell exactly; under-cap cells stay whole") =
+    Prop.forAll(profile, Gen.choose(2, 5)) { (sizes, cap) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, cell) =>
+        (1 to sz).map(i => (cell.toLong * 1000 + i, cell.toLong))
+      }
+      val e = rows.toDF("vec_id", "label")
+      val perCell = Similarity.cellBlocks(e, cap)
+        .groupBy("label")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.countDistinct("blk").as("nblk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      perCell.forall { case (cell, n, nblk) =>
+        nblk == (n + cap - 1) / cap // ceil(n/cap) blocks, no row lost
+      } && perCell.map(_._2).sum == rows.size.toLong
+    }
 }
