@@ -279,11 +279,27 @@ object TextAnalysis {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Benchmark-gram dims up to this count take the broadcast-hint path;
+    * above it the join degrades to a plain shuffle — the [[Membership]]
+    * discipline (degrade, never OOM the driver). ~10⁶ distinct grams ≈
+    * tens of MB broadcast; a production decontamination pass (every
+    * eval suite × 13-grams) can run to hundreds of MB, where an
+    * unconditional hint would kill the driver rather than slow the
+    * join. */
+  private[extensions] val BroadcastGramLimit = 1000000L
+
+  /** The hint, made conditional: one count job over the (already
+    * distinct, benchmark-sized) gram dim decides; the corpus side is
+    * untouched either way. */
+  private def maybeBroadcastGrams(grams: DataFrame, limit: Long): DataFrame =
+    if (grams.count() <= limit) broadcast(grams) else grams
+
   /** (doc_id, n_shared) for contaminated docs only — references
     * `documents` ONCE, so pipeline callers that anti-join the result back
     * ([[CorpusPipeline.cleanFull]]) don't double-evaluate their input. */
   private[extensions] def contaminationHits(
-      documents: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+      documents: DataFrame, benchmark: DataFrame, n: Int,
+      broadcastGramLimit: Long = BroadcastGramLimit): DataFrame = {
     // dedup AFTER the broadcast join, not before: a pre-join
     // `docGrams.distinct()` would shuffle the corpus' ENTIRE exploded
     // gram set just to deduplicate it, when only the matched (hit) rows
@@ -295,7 +311,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(wordNgrams(n)).as("gram"))
     val benchGrams = benchmark
       .select(explode(wordNgrams(n)).as("gram")).distinct()
-    docGrams.join(broadcast(benchGrams), "gram")
+    docGrams.join(maybeBroadcastGrams(benchGrams, broadcastGramLimit), "gram")
       .groupBy("doc_id").agg(count_distinct(col("gram")).as("n_shared"))
   }
 
@@ -305,20 +321,25 @@ object TextAnalysis {
     * of its distinct grams leaked. The eval-integrity readout: a
     * benchmark row with high counts is compromised and its eval numbers
     * inflated. Same scale shape as the forward direction — the bounded
-    * benchmark gram set broadcasts, the corpus side stays a narrow
-    * generate, and the only corpus-derived shuffle is the post-join
-    * per-benchmark-doc aggregation (rows bounded by hits, not corpus).
+    * benchmark gram set broadcasts WHEN BOUNDED (one count job on the
+    * dim decides, `broadcastGramLimit`; past the limit the join
+    * degrades to a shuffle instead of OOMing the driver), the corpus
+    * side stays a narrow generate, and the only corpus-derived shuffle
+    * is the post-join per-benchmark-doc aggregation (rows bounded by
+    * hits, not corpus).
     * Zero-leak benchmark docs appear with zero counts: a report that
     * silently omits the clean rows can't distinguish "clean" from
     * "not checked". */
   def contaminationReport(
-      documents: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+      documents: DataFrame, benchmark: DataFrame, n: Int,
+      broadcastGramLimit: Long = BroadcastGramLimit): DataFrame = {
     val corpusGrams = documents
       .select(col("doc_id").as("corpus_id"), explode(wordNgrams(n)).as("gram"))
     val benchGrams = benchmark
       .select(col("doc_id").as("bench_id"), explode(wordNgrams(n)).as("gram"))
       .distinct()
-    val hits = corpusGrams.join(broadcast(benchGrams), "gram")
+    val hits = corpusGrams
+      .join(maybeBroadcastGrams(benchGrams, broadcastGramLimit), "gram")
       .groupBy("bench_id")
       .agg(count_distinct(col("corpus_id")).as("n_corpus_docs"),
         count_distinct(col("gram")).as("n_leaked_grams"))

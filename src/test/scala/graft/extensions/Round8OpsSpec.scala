@@ -93,6 +93,38 @@ class Round8OpsSpec extends SparkSpec {
       "exactly the planted adjacent-id duplicates drop inside their rank chunks")
   }
 
+  test("contaminationReport: bounded gram dims broadcast, oversized ones degrade to a shuffle join — same answer") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // shares the 4-gram "a b c d" with bench 10
+      (2L, "x y z w v")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "a b c d q"),
+      (20L, "n o p q r")).toDF("doc_id", "text")
+    def collectReport(limit: Long) =
+      TextAnalysis.contaminationReport(corpus, bench, n = 4,
+        broadcastGramLimit = limit)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = Map(10L -> ((1L, 1L)), 20L -> ((0L, 0L)))
+    assert(collectReport(Long.MaxValue) == expected)
+    assert(collectReport(0L) == expected, "the shuffle path is the same report")
+    // pin both plan shapes with auto-broadcast off, so the hint (and
+    // only the hint) decides: hinted -> BroadcastHashJoin survives;
+    // unhinted -> every join takes the sort-merge path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = TextAnalysis.contaminationReport(corpus, bench, 4)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"), hinted)
+      val plain = TextAnalysis.contaminationReport(corpus, bench, 4,
+        broadcastGramLimit = 0L).queryExecution.executedPlan.toString
+      assert(!plain.contains("BroadcastHashJoin"), plain)
+      assert(plain.contains("SortMergeJoin"), plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("KMeans.assign matches the windowed-argmin reference shape exactly") {
     // the old crossJoin + row_number plan, kept here as the semantic
     // oracle: the row-local fold must reproduce its assignment for every
