@@ -198,11 +198,17 @@ object Bench {
       profile = TextAnalysis.vocabProfile(cleaned).localCheckpoint()
     }
 
-    // 4. streaming admission: one arriving stream, both monitors
+    // 4. streaming admission: one arriving stream, both monitors.
+    // MemoryStream feeds from driver memory, so the arriving slice is
+    // collected — capped (orderBy + limit: deterministic) so the
+    // driver's share stays bounded at ANY bench SF, not just sf0.1
+    // (4000 docs/batch; the 1/25 slice stays under the cap through
+    // sf2.0, so bench numbers are unchanged where they're comparable)
     val arriving = (1 to 2).flatMap { b =>
       docs.filter(pmod(col("doc_id"), lit(25)) === lit(b - 1))
         .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"),
           col("source"))
+        .orderBy("doc_id").limit(4000)
         .as[(Long, String, String)].collect().toSeq :+
         ((30000000L + b, "zz", "junk")) // gated out (< 4 tokens)
     }
@@ -234,6 +240,31 @@ object Bench {
       spark.sql("DROP TABLE IF EXISTS capstone_band_idx")
     }
 
+    // 5. the embedding leg of the same pipeline — IVF train over the
+    // corpus embeddings, then SemDeDup admission within the FITTED
+    // cells (the composed scale path: cell = k-means assignment, not a
+    // testdata label) — so the semantic-dedup half gets the same
+    // per-round cost tracking as the text half. keep_ratio is emitted
+    // so a run that silently drops everything reads as what it is.
+    import graft.extensions.{KMeans, Similarity}
+    val emb = Tables.table(spark, sfDir, "embeddings").localCheckpoint()
+    var cents: DataFrame = null
+    val kmFitT = time { cents = KMeans.fit(emb, k = 8, iters = 3) }
+    var semKept = 0L
+    var semVecs = 0L
+    val semT = time {
+      val cells = KMeans.assign(emb, cents)
+        .select(col("vec_id"), col("cell_id").cast("long").as("label"),
+          col("e").as("embedding"))
+      // tau matches q_semdedup's oracle regime (0.3): at the testdata's
+      // within-cluster cosine spread a 0.7 tau drops nothing, and a leg
+      // that always reports keep_ratio 1.0 can't flag a regression
+      val sums = Similarity.semDedup(cells, tau = 0.3)
+        .agg(sum("n_vecs"), sum("n_kept")).head()
+      semVecs = sums.getLong(0)
+      semKept = sums.getLong(1)
+    }
+
     Seq(
       "merge" -> mergeT,
       "gates" -> gatesT,
@@ -242,7 +273,12 @@ object Bench {
       "live_docs" -> live.count().toDouble,
       "clean_docs" -> cleaned.count().toDouble,
       "candidate_pairs" -> candidatePairs.toDouble,
-      "drift_rows" -> driftRows.toDouble)
+      "drift_rows" -> driftRows.toDouble,
+      "emb_kmeans_fit" -> kmFitT,
+      "emb_semdedup" -> semT,
+      "emb_vecs" -> semVecs.toDouble,
+      "emb_keep_ratio" ->
+        (if (semVecs > 0) semKept.toDouble / semVecs else 0.0))
   }
 
   /** Times layout-aware variants against their flat-layout twins.
@@ -462,6 +498,11 @@ object Bench {
       graft.extensions.Dedup.minHashLsh(docs)
       graft.extensions.Dedup.minHashLsh(docs, fastHash = true)
       graft.extensions.Winnowing.index(docs)
+      // q_json_nested's synthesized JSON input: billing the to_json
+      // construction to the parse query made it the suite's slowest row
+      // (~2.9 s, mostly input synthesis); materialized here instead so
+      // the measured row times the from_json parse under test
+      graft.queries.CoreQueries.jsonNestedInput(spark, sfDir)
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)

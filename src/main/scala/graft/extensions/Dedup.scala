@@ -489,10 +489,10 @@ object Dedup {
     df.queryExecution.analyzed.canonicalized
 
   /** Package hook into the shared-frame memo for sibling modules
-    * ([[Winnowing]]): same session keying, same localCheckpoint stage
-    * boundary, same app-end eviction and `spark.graft.dedup.shareFrames`
-    * opt-out. */
-  private[extensions] def sharedFrame(
+    * ([[Winnowing]], the query registry's q_json_nested input build):
+    * same session keying, same localCheckpoint stage boundary, same
+    * app-end eviction and `spark.graft.dedup.shareFrames` opt-out. */
+  private[graft] def sharedFrame(
       df: DataFrame, tag: String, params: Any*)(
       build: => DataFrame): DataFrame = {
     val spark = df.sparkSession
