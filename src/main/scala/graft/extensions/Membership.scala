@@ -61,6 +61,14 @@ object Membership {
     TrieMap.empty[(SparkSession, Any), Broadcast[BloomFilter]]
   private val evictionHooked = TrieMap.empty[SparkSession, Boolean]
 
+  /** Broadcasts swapped out by a `refresh`, awaiting destruction: an
+    * unpersist'ed broadcast keeps its driver copy until app end, so a
+    * long-lived session refreshing on a tight cadence would accumulate
+    * one ~MB bitset per refresh on the driver heap. Retired entries are
+    * destroyed one refresh cycle later (see [[dropFilter]]). */
+  private val retired =
+    TrieMap.empty[SparkSession, List[Broadcast[BloomFilter]]]
+
   private def memoizedFilter(spark: SparkSession, key: Any)(
       build: => Broadcast[BloomFilter]): Broadcast[BloomFilter] = {
     evictionHooked.getOrElseUpdate(spark, {
@@ -74,15 +82,24 @@ object Membership {
   }
 
   /** Drop one memoized filter (rebuild-and-swap for `refresh`).
-    * `unpersist`, NOT `destroy`: a concurrent query in the same session
-    * may still be executing against the old broadcast, and destroy()
-    * invalidates in-use data mid-flight. unpersist(blocking = false)
-    * removes the executor copies (in-flight tasks re-fetch from the
-    * driver, which keeps its copy until GC/app-end) so the swap is
-    * race-free; the few-MB driver residue is reclaimed at the app-end
-    * destroy in [[evictFilters]]'s listener path. */
-  private def dropFilter(spark: SparkSession, key: Any): Unit =
-    filterMemo.remove((spark, key)).foreach(_.unpersist(blocking = false))
+    * `unpersist`, NOT `destroy`, for the filter being swapped: a
+    * concurrent query in the same session may still be executing
+    * against the old broadcast, and destroy() invalidates in-use data
+    * mid-flight. unpersist(blocking = false) removes the executor
+    * copies (in-flight tasks re-fetch from the driver) so the swap is
+    * race-free; the broadcast then parks on the session's [[retired]]
+    * list. Broadcasts retired by an EARLIER refresh are destroyed here
+    * — by the next refresh, every query that could have captured them
+    * has had a full refresh cycle to finish, so the grace period is one
+    * refresh (plus the unconditional app-end destroy), and driver heap
+    * no longer grows with refresh count. */
+  private def dropFilter(spark: SparkSession, key: Any): Unit = {
+    retired.remove(spark).foreach(_.foreach(_.destroy()))
+    filterMemo.remove((spark, key)).foreach { b =>
+      b.unpersist(blocking = false)
+      retired.updateWith(spark)(l => Some(b :: l.getOrElse(Nil)))
+    }
+  }
 
   /** Destroy this session's memoized filter broadcasts. Full teardown —
     * unlike the `refresh` swap this destroys driver copies too, so don't
@@ -91,6 +108,7 @@ object Membership {
     filterMemo.keys.filter(_._1 eq spark).foreach { k =>
       filterMemo.remove(k).foreach(_.destroy())
     }
+    retired.remove(spark).foreach(_.foreach(_.destroy()))
     evictionHooked.remove(spark)
   }
 

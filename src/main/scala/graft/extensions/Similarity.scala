@@ -123,7 +123,17 @@ object Similarity {
     * materialized copy per (embeddings, queryIds), not one per call;
     * entries drop on app end / Dedup.evictShared. Under the
     * shareFrames=false opt-out the frame is checkpointed per call, the
-    * pre-memo behavior. */
+    * pre-memo behavior.
+    *
+    * STATIC-INPUT CONTRACT (same as the shingles memo): the memo key is
+    * the CANONICALIZED INPUT PLAN, not the data. If the embeddings are
+    * file-backed and the files change in-session (an append, a
+    * rewrite), a plan-equal re-read silently serves the stale
+    * checkpointed frame — [[recallAtK]] and [[knnClassify]] then score
+    * against the corpus AS OF the first call. For mutable inputs, call
+    * `Dedup.evictShared(spark)` on the maintenance cadence (or opt out
+    * via shareFrames=false); immutable snapshot frames — the intended
+    * use — are unaffected. */
   private def scoredFrame(e: DataFrame, queryIds: Seq[Long]): DataFrame = {
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
@@ -140,6 +150,9 @@ object Similarity {
     }
   }
 
+  /** NOTE: shares [[scoredFrame]]'s memoized frame — see its
+    * STATIC-INPUT CONTRACT for mutable (file-backed, changing)
+    * embedding sources. */
   def recallAtK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings)
@@ -165,7 +178,8 @@ object Similarity {
     * deterministic tie-breaks (votes desc, label asc), the vector's own
     * label, and the hit flag. Shares [[scoredFrame]]'s memoized n ×
     * |queryIds| frame with [[recallAtK]] — running both contracts on
-    * the same sample scans the corpus once. */
+    * the same sample scans the corpus once; see scoredFrame's
+    * STATIC-INPUT CONTRACT for mutable embedding sources. */
   def knnClassify(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = withNorm(embeddings)
     val scored = scoredFrame(e, queryIds)

@@ -73,11 +73,18 @@ object DriftMonitor {
     * score against the profile from the last boundary: staleness is
     * bounded by `refreshEvery` batches BY CONSTRUCTION, not by operator
     * discipline. Keying the cadence on the deterministic micro-batch id
-    * keeps replay after recovery consistent (a replayed batch refreshes
-    * iff the original did; the rebuilt profile reflects the source's
-    * current state, the same as any foreachBatch side-input re-read).
-    * The refresh cost is one corpus aggregation every refreshEvery
-    * batches — amortized, not per-batch. */
+    * keeps steady-state replay consistent (a batch at a boundary id
+    * refreshes on replay too), with one COLD-START exception: the
+    * in-memory profile does not survive a driver restart, so the first
+    * batch after recovery always rebuilds, even at a non-boundary id —
+    * a replayed batch can therefore score against a fresher profile
+    * than its original emission. That is inherent to any foreachBatch
+    * side input re-read from a moving source (the rebuilt profile
+    * reflects the source's CURRENT state either way); pipelines that
+    * need boundary-exact replay should persist the profile keyed by
+    * boundary id and reload it here instead of rebuilding. The refresh
+    * cost is one corpus aggregation every refreshEvery batches —
+    * amortized, not per-batch. */
   def sinkWithRefresh(
       newDocs: DataFrame,
       profileSource: () => DataFrame,

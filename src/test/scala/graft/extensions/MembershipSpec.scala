@@ -105,6 +105,27 @@ class MembershipSpec extends SparkSpec {
     assert(d eq e, "post-refresh calls reuse the refreshed broadcast")
   }
 
+  test("retired broadcasts are destroyed one refresh cycle later — driver heap stays bounded") {
+    val bigDist = spark.range(1, 8).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id")).as("s"))
+    val refDist = spark.range(1, 4).select(concat(lit("w"), col("id")).as("s"))
+    def probeLit(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed
+        .collect { case n => n.expressions }.flatten
+        .flatMap(e => e.collect { case p: graft.functions.BloomProbe => p })
+        .head.bf
+    // fresh memo entry for this test (expectedItems distinguishes keys)
+    val a = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 300))
+    val d = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 300,
+      refresh = true)) // a retired: unpersist'ed, driver copy intact
+    assert(a.value != null, "grace period: last retiree still readable")
+    val e = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 300,
+      refresh = true)) // d retired; a (previous cycle) destroyed
+    assert(!(d eq e))
+    intercept[Exception] { a.value } // destroyed after its grace cycle
+    assert(d.value != null, "most recent retiree keeps its grace cycle")
+  }
+
   /** Direct structural check (not a plan-string-length proxy, which
     * Spark's literal truncation could fool): the analyzed plan contains
     * the BloomProbe expression and NO oversized binary literal — a
