@@ -252,17 +252,27 @@ object Bench {
     val kmFitT = time { cents = KMeans.fit(emb, k = 8, iters = 3) }
     var semKept = 0L
     var semVecs = 0L
+    var semKeptCapped = 0L
+    val cells = KMeans.assign(emb, cents)
+      .select(col("vec_id"), col("cell_id").cast("long").as("label"),
+        col("e").as("embedding"))
+    // tau matches q_semdedup's oracle regime (0.3): at the testdata's
+    // within-cluster cosine spread a 0.7 tau drops nothing, and a leg
+    // that always reports keep_ratio 1.0 can't flag a regression
     val semT = time {
-      val cells = KMeans.assign(emb, cents)
-        .select(col("vec_id"), col("cell_id").cast("long").as("label"),
-          col("e").as("embedding"))
-      // tau matches q_semdedup's oracle regime (0.3): at the testdata's
-      // within-cluster cosine spread a 0.7 tau drops nothing, and a leg
-      // that always reports keep_ratio 1.0 can't flag a regression
       val sums = Similarity.semDedup(cells, tau = 0.3)
         .agg(sum("n_vecs"), sum("n_kept")).head()
       semVecs = sums.getLong(0)
       semKept = sums.getLong(1)
+    }
+    // the cell-size guard's accuracy contract, measured: at cap 64 the
+    // fitted cells (~|corpus|/8 vectors each at bench SF) genuinely
+    // sub-block, and cross-block pairs go unseen — the keep-ratio delta
+    // vs the uncapped run IS the approximation cost, priced per round
+    // the way MinHash/winnowing/ANN price theirs
+    val semCapT = time {
+      semKeptCapped = Similarity.semDedup(cells, tau = 0.3, maxCellSize = 64)
+        .agg(sum("n_kept")).head().getLong(0)
     }
 
     Seq(
@@ -276,9 +286,12 @@ object Bench {
       "drift_rows" -> driftRows.toDouble,
       "emb_kmeans_fit" -> kmFitT,
       "emb_semdedup" -> semT,
+      "emb_semdedup_cap64" -> semCapT,
       "emb_vecs" -> semVecs.toDouble,
       "emb_keep_ratio" ->
-        (if (semVecs > 0) semKept.toDouble / semVecs else 0.0))
+        (if (semVecs > 0) semKept.toDouble / semVecs else 0.0),
+      "emb_keep_ratio_cap64" ->
+        (if (semVecs > 0) semKeptCapped.toDouble / semVecs else 0.0))
   }
 
   /** Times layout-aware variants against their flat-layout twins.

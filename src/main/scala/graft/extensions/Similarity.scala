@@ -304,20 +304,28 @@ object Similarity {
     * default no test/oracle cell comes near the cap, so results are
     * unchanged; the accounting join is keyed on vec_id and never sees
     * blocks. */
-  def semDedup(
-      embeddings: DataFrame, tau: Double, maxCellSize: Int = 4096): DataFrame = {
-    val e = withNorm(embeddings)
+  /** The distinct-folded set of vec_ids with a smaller-id near-dup in
+    * their (sub-blocked) cell — the shared core of [[semDedup]]'s
+    * accounting and [[semDedupSurvivors]]' admission. */
+  private def semDropped(
+      e: DataFrame, tau: Double, maxCellSize: Int): DataFrame = {
     val blocked = cellBlocks(e, maxCellSize)
     val a = blocked.select(col("vec_id").as("a"), col("label").as("la"),
       col("blk").as("bla"), col("e").as("ea"), col("nrm").as("na"))
     val b = blocked.select(col("vec_id").as("b"), col("label").as("lb"),
       col("blk").as("blb"), col("e").as("eb"), col("nrm").as("nb"))
-    val dropped = a.join(b, col("la") === col("lb") &&
+    a.join(b, col("la") === col("lb") &&
         col("bla") === col("blb") && col("a") < col("b"))
       .withColumn("cos_r",
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("cos_r") >= tau)
       .select(col("b").as("vec_id")).distinct()
+  }
+
+  def semDedup(
+      embeddings: DataFrame, tau: Double, maxCellSize: Int = 4096): DataFrame = {
+    val e = withNorm(embeddings)
+    val dropped = semDropped(e, tau, maxCellSize)
     e.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
@@ -326,16 +334,34 @@ object Similarity {
       .withColumn("keep_ratio", round(col("n_kept") / col("n_vecs"), 4))
   }
 
+  /** The survivor LIST the admission pipeline actually consumes —
+    * [[semDedup]]'s greedy smaller-id-survivor rule materialized per
+    * vector instead of summarized per cell: every vector without a
+    * smaller-id near-dup in its (sub-blocked) cell, as (vec_id, label).
+    * Same scale shape as semDedup with the accounting join turned
+    * anti. */
+  def semDedupSurvivors(
+      embeddings: DataFrame, tau: Double, maxCellSize: Int = 4096): DataFrame = {
+    val e = withNorm(embeddings)
+    e.join(semDropped(e, tau, maxCellSize), Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+  }
+
   /** Top near-duplicate candidate pairs, blocked by cell: per-cell
     * self-join (never the full cross product), cosine on double-cast
-    * vectors, global top-`k` by rounded cosine with (a, b) tiebreak. */
-  def blockedCosinePairs(embeddings: DataFrame, k: Int): DataFrame = {
-    val e = withNorm(embeddings)
+    * vectors, global top-`k` by rounded cosine with (a, b) tiebreak.
+    * Carries the same `maxCellSize` guard as [[semDedup]] (and the same
+    * inert-under-the-cap contract): one skewed mega-cell would
+    * otherwise pin a pair task quadratically. */
+  def blockedCosinePairs(
+      embeddings: DataFrame, k: Int, maxCellSize: Int = 4096): DataFrame = {
+    val e = cellBlocks(withNorm(embeddings), maxCellSize)
     val a = e.select(col("vec_id").as("a"), col("label").as("la"),
-      col("e").as("ea"), col("nrm").as("na"))
+      col("blk").as("bla"), col("e").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b"), col("label").as("lb"),
-      col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("la") === col("lb") && col("a") < col("b"))
+      col("blk").as("blb"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("la") === col("lb") &&
+        col("bla") === col("blb") && col("a") < col("b"))
       .withColumn("cos_r", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .select("a", "b", "cos_r")
       .orderBy(col("cos_r").desc, col("a"), col("b"))

@@ -49,6 +49,12 @@ class Round8OpsSpec extends SparkSpec {
     val uncapped = Similarity.semDedup(emb, tau = 0.9)
       .select("n_vecs", "n_dropped").as[(Long, Long)].head()
     assert(uncapped == ((10L, 9L)))
+    // the survivor list is the summary, materialized: block heads only
+    val kept = Similarity.semDedupSurvivors(emb, tau = 0.9, maxCellSize = 3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 7L, 10L))
+    assert(Similarity.semDedupSurvivors(emb, tau = 0.9)
+      .select("vec_id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("semDedup under-cap results are unchanged by the guard; no cartesian appears") {
