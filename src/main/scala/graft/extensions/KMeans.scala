@@ -47,9 +47,11 @@ object KMeans {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    require(cents.nonEmpty, "assign needs at least one centroid")
-    val centLit = typedLit(cents.toSeq) // array<struct<_1:int,_2:array<double>>>
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    // no centroids -> no assignments (the pre-round-8 crossJoin shape's
+    // behavior; an empty-corpus fit reaches here)
+    if (cents.isEmpty) return e.withColumn("cell_id", lit(0)).limit(0)
+    val centLit = typedLit(cents.toSeq) // array<struct<_1:int,_2:array<double>>>
     // one-eval discipline: each cell's d2 is computed once inside the
     // scoring transform; the min-fold then only compares struct fields
     val scored = transform(centLit, c => struct(

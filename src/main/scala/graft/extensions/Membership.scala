@@ -64,10 +64,13 @@ object Membership {
   /** Broadcasts swapped out by a `refresh`, awaiting destruction: an
     * unpersist'ed broadcast keeps its driver copy until app end, so a
     * long-lived session refreshing on a tight cadence would accumulate
-    * one ~MB bitset per refresh on the driver heap. Retired entries are
-    * destroyed one refresh cycle later (see [[dropFilter]]). */
+    * one ~MB bitset per refresh on the driver heap. Keyed like the memo
+    * (per filter, not per session) so one key's refresh can never cut
+    * short ANOTHER key's grace cycle; at most one retiree per key is
+    * ever held. Destroyed one same-key refresh cycle later (see
+    * [[dropFilter]]). */
   private val retired =
-    TrieMap.empty[SparkSession, List[Broadcast[BloomFilter]]]
+    TrieMap.empty[(SparkSession, Any), Broadcast[BloomFilter]]
 
   private def memoizedFilter(spark: SparkSession, key: Any)(
       build: => Broadcast[BloomFilter]): Broadcast[BloomFilter] = {
@@ -87,17 +90,17 @@ object Membership {
     * against the old broadcast, and destroy() invalidates in-use data
     * mid-flight. unpersist(blocking = false) removes the executor
     * copies (in-flight tasks re-fetch from the driver) so the swap is
-    * race-free; the broadcast then parks on the session's [[retired]]
-    * list. Broadcasts retired by an EARLIER refresh are destroyed here
-    * — by the next refresh, every query that could have captured them
-    * has had a full refresh cycle to finish, so the grace period is one
-    * refresh (plus the unconditional app-end destroy), and driver heap
-    * no longer grows with refresh count. */
+    * race-free; the broadcast then parks in the [[retired]] slot for
+    * its key. The broadcast retired by THIS KEY's previous refresh is
+    * destroyed here — by the next same-key refresh, every query that
+    * could have captured it has had a full refresh cycle to finish, so
+    * the grace period is one refresh (plus the unconditional app-end
+    * destroy), and driver heap no longer grows with refresh count. */
   private def dropFilter(spark: SparkSession, key: Any): Unit = {
-    retired.remove(spark).foreach(_.foreach(_.destroy()))
+    retired.remove((spark, key)).foreach(_.destroy())
     filterMemo.remove((spark, key)).foreach { b =>
       b.unpersist(blocking = false)
-      retired.updateWith(spark)(l => Some(b :: l.getOrElse(Nil)))
+      retired.put((spark, key), b)
     }
   }
 
@@ -108,7 +111,9 @@ object Membership {
     filterMemo.keys.filter(_._1 eq spark).foreach { k =>
       filterMemo.remove(k).foreach(_.destroy())
     }
-    retired.remove(spark).foreach(_.foreach(_.destroy()))
+    retired.keys.filter(_._1 eq spark).foreach { k =>
+      retired.remove(k).foreach(_.destroy())
+    }
     evictionHooked.remove(spark)
   }
 

@@ -24,6 +24,14 @@ class Round8OpsSpec extends SparkSpec {
     assert(!p.contains("Window"), p) // the old n×k argmin ranking is gone
   }
 
+  test("KMeans degenerate inputs: empty corpus fits to empty, empty centroids assign nothing") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(KMeans.fit(noVecs, k = 3, iters = 2).count() == 0)
+    val some = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val noCents = Seq.empty[(Int, Array[Double])].toDF("cell_id", "centroid")
+    assert(KMeans.assign(some, noCents).count() == 0)
+  }
+
   test("KMeans.assign picks the nearest cell; ties break to the smallest cell_id") {
     val emb = Seq(
       (1L, Array(0.9f, 0.1f)), // near cell 0
