@@ -20,9 +20,14 @@ object KMeans {
 
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
-  /** Squared L2 distance between two array<double> columns. */
+  /** Squared L2 distance between two array<double> columns — the native
+    * [[graft.functions.SquaredL2]] expression (one fused codegen'd loop,
+    * no zipped intermediate), bit-identical to the declarative
+    * `aggregate(zip_with(...))` fold it replaced (same left-to-right
+    * sum; Round8OpsSpec's windowed-reference parity test re-derives the
+    * HOF form and must agree on every assignment). */
   private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    call_function("squared_l2", a, b)
 
   /** Assign each vector to its nearest centroid — ROW-LOCALLY. The
     * centroid table is collected once (bounded: k×dim doubles, the same
@@ -42,6 +47,7 @@ object KMeans {
     * unchanged.
     * @param centroids (cell_id, centroid array<double>) */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val cents = centroids
       .select(col("cell_id").cast("int"), asDouble(col("centroid")))
       .collect()
