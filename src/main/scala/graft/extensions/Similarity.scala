@@ -229,17 +229,31 @@ object Similarity {
       nprobe: Int): DataFrame = {
 
     val e = withNorm(embeddings)
-    val c = centroidVectors.select(col("cell_id"), asDouble(col("centroid")).as("ce"))
+    val c = centroidVectors
+      .select(col("cell_id").cast("int").as("cell_id"),
+        asDouble(col("centroid")).as("ce"))
       .withColumn("cnrm", norm(col("ce")))
 
-    // index build: nearest centroid per vector (broadcast the centroids)
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell_id"))
-    val assigned = e.crossJoin(broadcast(c))
-      .withColumn("csim", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cell_id"))
+    // index build: nearest centroid per vector — ROW-LOCAL argmax over
+    // the collected (bounded: k×dim) centroid table, the same de-weak
+    // as KMeans.assign: the old crossJoin + row_number window shuffled
+    // the n×k expanded frame. Ties break to the smallest cell_id
+    // (literal sorted, strict > keeps the incumbent — identical to the
+    // old orderBy(csim desc, cell_id) ranking, NaN-largest semantics
+    // included since Spark orders and compares NaN the same way).
+    val centArr = c.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val centLit = typedLit(centArr.toSeq)
+    val scored = transform(centLit, cc => struct(
+      cc.getField("_1").as("cell_id"),
+      (dot(col("e"), cc.getField("_2")) / (col("nrm") * cc.getField("_3")))
+        .as("csim")))
+    val best = aggregate(scored,
+      struct(lit(-1).as("cell_id"), lit(Double.NegativeInfinity).as("csim")),
+      (acc, s) => when(s.getField("csim") > acc.getField("csim"), s).otherwise(acc))
+    val assigned = e.select(col("vec_id"), col("e"), col("nrm"),
+      best.getField("cell_id").as("cell_id"))
 
     // query: nprobe closest cells, then exact search within them
     val q = e.filter(col("vec_id") === queryId)

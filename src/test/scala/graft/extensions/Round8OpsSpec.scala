@@ -107,6 +107,20 @@ class Round8OpsSpec extends SparkSpec {
       "exactly the planted adjacent-id duplicates drop inside their rank chunks")
   }
 
+  test("ivfSearch index build is row-local: no Window (the old n×k argmax ranking) in the plan") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = (0L to 29L)
+      .map(i => (i, 0L, Array((i % 3).toFloat + 1f, (i % 5).toFloat, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = Seq(
+      (0, Array(1.0, 0.0, 0.0)),
+      (1, Array(0.0, 1.0, 0.0))).toDF("cell_id", "centroid")
+    val q = Similarity.ivfSearch(emb, cents, queryId = 0L, k = 5, nprobe = 1)
+    assert(q.count() <= 5)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+  }
+
   test("contaminationReport: bounded gram dims broadcast, oversized ones degrade to a shuffle join — same answer") {
     val corpus = Seq(
       (1L, "a b c d e"), // shares the 4-gram "a b c d" with bench 10
