@@ -453,6 +453,39 @@ object Dedup {
           .as("exact_jac"))
   }
 
+  /** Asymmetric shingle CONTAINMENT over the MinHash-LSH candidate
+    * pairs: cont_a = |A∩B|/|A| (how much of a sits inside b), cont_b =
+    * |A∩B|/|B| — Broder's companion measure to resemblance, and the
+    * DIRECTION a survivor policy needs that Jaccard cannot give: a
+    * short document quoted whole inside a long one scores low Jaccard
+    * (the union is large) but cont≈1 on the short side, so "drop the
+    * CONTAINED doc" catches quote/re-post/boilerplate-wrapped subsets
+    * that resemblance-threshold dedup walks past.
+    *
+    * Same scale shape as [[jaccardEstimate]]: candidates from the
+    * banded LSH join (memoized — a pipeline running both pays the
+    * signature build once), exact intersections candidate-DRIVEN
+    * (|pairs| × shingles-per-doc, never the O(df²) co-shingle
+    * self-join). A band collision without shared shingles keeps its
+    * pair row with zero containment (LEFT join) rather than silently
+    * vanishing. */
+  def containment(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+    val pairs = minHashLsh(documents)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    pairs
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("na"), 4).as("cont_a"),
+        round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("nb"), 4).as("cont_b"))
+  }
+
   /** Shared intermediate frames: the dedup family (minhash, simhash,
     * ngram-Jaccard, connected components) recomputes the same
     * deterministic frames — the distinct-shingle frame, the MinHash

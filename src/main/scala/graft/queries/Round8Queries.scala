@@ -61,5 +61,49 @@ object Round8Queries {
              WHERE d.vec_id IS NULL
              ORDER BY nn.vec_id"""))
 
-  val all: Seq[Q] = Seq(semDedupCapped, semDedupKeep)
+  /** The md5 MinHash-LSH candidate machinery, verbatim from
+    * q_minhash_est's oracle (Round4Queries) — sh / sigs / buckets /
+    * pairs over the case-sensitive word-3-gram shingles. */
+  private val duckMinhashPairs =
+    """sh AS (SELECT DISTINCT doc_id, s FROM
+                (SELECT doc_id,
+                        unnest(list_transform(
+                          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                          i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                 FROM documents)),
+       sigs AS (SELECT doc_id, sd.seed,
+                       min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+                GROUP BY 1, 2),
+       buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
+                          md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+                   FROM sigs GROUP BY 1, 2),
+       pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM buckets x JOIN buckets y
+                   ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+
+  /** Broder containment over the LSH candidate pairs
+    * (Dedup.containment): the asymmetric direction of a near-dup —
+    * which side is the subset — that symmetric Jaccard can't give a
+    * survivor policy. */
+  private val containmentQ = Q("q_containment",
+    (s, dir) => graft.extensions.Dedup.containment(table(s, dir, "documents"))
+      .orderBy("a", "b"),
+    Some(s"""WITH $duckMinhashPairs,
+             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             inter AS (SELECT p.a, p.b, count(*) AS i
+                       FROM pairs p
+                         JOIN sh x ON x.doc_id = p.a
+                         JOIN sh y ON y.doc_id = p.b AND y.s = x.s
+                       GROUP BY 1, 2)
+             SELECT p.a, p.b,
+                    round(coalesce(i, 0) * 1.0 / sza.n, 4) AS cont_a,
+                    round(coalesce(i, 0) * 1.0 / szb.n, 4) AS cont_b
+             FROM pairs p
+               JOIN sz sza ON sza.doc_id = p.a
+               JOIN sz szb ON szb.doc_id = p.b
+               LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+             ORDER BY p.a, p.b"""))
+
+  val all: Seq[Q] = Seq(semDedupCapped, semDedupKeep, containmentQ)
 }

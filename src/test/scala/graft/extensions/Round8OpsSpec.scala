@@ -107,6 +107,27 @@ class Round8OpsSpec extends SparkSpec {
       "exactly the planted adjacent-id duplicates drop inside their rank chunks")
   }
 
+  test("containment is asymmetric: a doc quoted whole inside a longer one scores cont=1 on the short side only") {
+    // doc 2 = doc 1 plus a tail: every shingle of 1 appears in 2
+    // (cont_a = 1.0) but not vice versa; they must be LSH candidates,
+    // which exact inclusion of the full shingle set does not guarantee
+    // for any tail — this tail is chosen so at least one band's four
+    // signature mins are unchanged (deterministic under md5)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon" // 20 words, 18 shingles
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " phi chi"), // +2 shingles; 18 of its 20 come from doc 1
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Dedup.containment(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.contains((1L, 2L)), s"subset pair must surface as a candidate: $out")
+    val (contA, contB) = out((1L, 2L))
+    assert(contA == 1.0, "every shingle of the short doc is in the long one")
+    assert(contB == 0.9, "18 of the long doc's 20 shingles come from the short one")
+  }
+
   test("ivfSearch index build is row-local: no Window (the old n×k argmax ranking) in the plan") {
     graft.functions.GraftFunctions.register(spark)
     val emb = (0L to 29L)
