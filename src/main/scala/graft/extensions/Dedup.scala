@@ -486,6 +486,30 @@ object Dedup {
         round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("nb"), 4).as("cont_b"))
   }
 
+  /** Leakage-safe fold assignment: every near-dup CONNECTED COMPONENT
+    * lands wholly in one of `nFolds` folds, so a train/eval split drawn
+    * from folds can never put a near-duplicate of a training document
+    * into eval — the group-split discipline an eval-integrity pipeline
+    * needs ON TOP of n-gram decontamination (decontaminate catches
+    * verbatim leakage against a KNOWN benchmark; this prevents
+    * self-inflicted leakage between the corpus' own splits). Fold =
+    * deterministic md5 bucket of the component representative
+    * ([[ConnectedComponents.label]]'s min-id ∘ [[minHashLsh]]), so
+    * re-runs are fold-stable and a document later joining an existing
+    * component inherits that component's fold. Cost: the CC labeling
+    * (bounded large-star/small-star iterations) plus one narrow bucket
+    * projection — no new shuffle class. */
+  def leakageSafeSplit(documents: DataFrame, nFolds: Int = 10): DataFrame = {
+    require(nFolds >= 2, s"nFolds must be >= 2, got $nFolds")
+    val comps = ConnectedComponents.label(
+      documents.select("doc_id"), minHashLsh(documents))
+    comps.select(col("id").as("doc_id"), col("comp"),
+      pmod(
+        conv(substring(md5(col("comp").cast("string").cast("binary")), 1, 4),
+          16, 10).cast("long"),
+        lit(nFolds)).as("fold"))
+  }
+
   /** Shared intermediate frames: the dedup family (minhash, simhash,
     * ngram-Jaccard, connected components) recomputes the same
     * deterministic frames — the distinct-shingle frame, the MinHash

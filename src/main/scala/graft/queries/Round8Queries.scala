@@ -105,5 +105,21 @@ object Round8Queries {
                LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
              ORDER BY p.a, p.b"""))
 
-  val all: Seq[Q] = Seq(semDedupCapped, semDedupKeep, containmentQ)
+  /** Leakage-safe fold split (Dedup.leakageSafeSplit, 10 folds): whole
+    * near-dup components share a fold, so splits drawn from folds can't
+    * leak a near-duplicate of a training doc into eval. Oracle shares
+    * q_dedup_cc's recursive closure CTE and q_sample_mixture's md5
+    * bucket idiom. */
+  private val splitLeakage = Q("q_split_leakage",
+    (s, dir) => graft.extensions.Dedup
+      .leakageSafeSplit(table(s, dir, "documents")).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id)
+             SELECT doc_id, comp,
+                    CAST(CAST(concat('0x', substr(md5(CAST(comp AS VARCHAR)), 1, 4))
+                              AS BIGINT) % 10 AS BIGINT) AS fold
+             FROM comps ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(semDedupCapped, semDedupKeep, containmentQ,
+    splitLeakage)
 }

@@ -128,6 +128,19 @@ class Round8OpsSpec extends SparkSpec {
     assert(contB == 0.9, "18 of the long doc's 20 shingles come from the short one")
   }
 
+  test("leakageSafeSplit keeps near-dup components whole: the dup pair shares a fold, folds stay in range") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, nFolds = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 3)
+    assert(out(1L) == out(2L), "dup pair: same component, same fold")
+    assert(out(1L)._1 == 1L, "component representative is the min id")
+    assert(out.values.forall { case (_, f) => f >= 0 && f < 5 })
+  }
+
   test("ivfSearch index build is row-local: no Window (the old n×k argmax ranking) in the plan") {
     graft.functions.GraftFunctions.register(spark)
     val emb = (0L to 29L)
