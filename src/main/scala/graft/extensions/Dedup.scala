@@ -486,6 +486,20 @@ object Dedup {
         round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("nb"), 4).as("cont_b"))
   }
 
+  /** Memoized connected-component labels over the MinHash near-dup
+    * graph — the (id, comp) table that dedup observability and
+    * splitting consume (q_dedup_cc, q_cc_sizes, [[leakageSafeSplit]]).
+    * [[ConnectedComponents.label]] iterates localCheckpoint'ed jobs to
+    * a fixpoint, so each caller would otherwise pay the whole iteration
+    * chain again; the memo keeps ONE labeled table per input plan —
+    * at cluster scale, the persisted component table a dedup pipeline
+    * maintains between stages (the same discipline as the shingle /
+    * signature frames). */
+  def ccLabels(documents: DataFrame): DataFrame =
+    sharedFrame(documents, "cc_labels")(
+      ConnectedComponents.label(documents.select("doc_id"),
+        minHashLsh(documents)))
+
   /** Leakage-safe fold assignment: every near-dup CONNECTED COMPONENT
     * lands wholly in one of `nFolds` folds, so a train/eval split drawn
     * from folds can never put a near-duplicate of a training document
@@ -501,8 +515,7 @@ object Dedup {
     * projection — no new shuffle class. */
   def leakageSafeSplit(documents: DataFrame, nFolds: Int = 10): DataFrame = {
     require(nFolds >= 2, s"nFolds must be >= 2, got $nFolds")
-    val comps = ConnectedComponents.label(
-      documents.select("doc_id"), minHashLsh(documents))
+    val comps = ccLabels(documents)
     comps.select(col("id").as("doc_id"), col("comp"),
       pmod(
         conv(substring(md5(col("comp").cast("string").cast("binary")), 1, 4),

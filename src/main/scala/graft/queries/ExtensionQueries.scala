@@ -500,13 +500,7 @@ object ExtensionQueries {
     * min-label propagation to a fixpoint; the oracle is a recursive CTE
     * computing reachability minima. */
   private val dedupCc = Q("q_dedup_cc",
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLsh(docs)
-      graft.extensions.ConnectedComponents
-        .label(docs.select("doc_id"), pairs)
-        .orderBy("id")
-    },
+    (s, dir) => Dedup.ccLabels(table(s, dir, "documents")).orderBy("id"),
     Some(s"""WITH RECURSIVE $duckCcReach
             SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""))
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions.col
 
 import graft.Tables.table
-import graft.extensions.{ConnectedComponents, Dedup, Similarity, TextAnalysis}
+import graft.extensions.{Dedup, Similarity, TextAnalysis}
 
 /** Round-7 surface: semantic (embedding-layer) deduplication, and two
   * per-document quality signals a pretraining pipeline gates on —
@@ -125,9 +125,7 @@ object Round7Queries {
   private val ccSizes = Q("q_cc_sizes",
     (s, dir) => {
       import org.apache.spark.sql.functions.{count, lit}
-      val docs = table(s, dir, "documents")
-      ConnectedComponents
-        .label(docs.select("doc_id"), Dedup.minHashLsh(docs))
+      Dedup.ccLabels(table(s, dir, "documents"))
         .groupBy("comp").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
