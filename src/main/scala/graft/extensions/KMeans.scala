@@ -43,8 +43,16 @@ object KMeans {
     * Ties break to the smallest cell_id: the literal is sorted by
     * cell_id and the fold keeps the incumbent on equal distance —
     * identical to the old `orderBy(d2, cell_id)` window ranking, so
-    * assignments (and every downstream centroid) are bit-for-bit
-    * unchanged.
+    * NON-DEGENERATE assignments (and every downstream centroid) are
+    * bit-for-bit unchanged. Degenerate rows — null embedding, null
+    * element, dim mismatch, where EVERY centroid distance is NULL —
+    * are DROPPED from the assignment (the fold's -1 sentinel is
+    * filtered out) rather than silently landing in a cell: the old
+    * window's NULLS-FIRST ranking "assigned" such rows to the smallest
+    * cell_id on no evidence, and a -1 sentinel would leak a phantom
+    * cell into every downstream groupBy. Quarantine semantics, same as
+    * the multimodal decoders: an unassignable vector is data, not an
+    * exception, and not a fake member of cell 0 either.
     * @param centroids (cell_id, centroid array<double>) */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
@@ -67,6 +75,7 @@ object KMeans {
       struct(lit(-1).as("cell_id"), lit(Double.MaxValue).as("d2")),
       (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
     e.select(col("vec_id"), col("e"), best.getField("cell_id").as("cell_id"))
+      .filter(col("cell_id") =!= -1) // degenerate rows: see scaladoc
   }
 
   /** Element-wise mean per cell, re-assembled into centroid arrays. */

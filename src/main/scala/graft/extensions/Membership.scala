@@ -66,11 +66,25 @@ object Membership {
     * long-lived session refreshing on a tight cadence would accumulate
     * one ~MB bitset per refresh on the driver heap. Keyed like the memo
     * (per filter, not per session) so one key's refresh can never cut
-    * short ANOTHER key's grace cycle; at most one retiree per key is
-    * ever held. Destroyed one same-key refresh cycle later (see
-    * [[dropFilter]]). */
+    * short ANOTHER key's grace cycle. Each retiree carries its
+    * retirement timestamp and is destroyed only once a WALL-CLOCK grace
+    * ([[RetireGraceMsConf]], default 5 min) has elapsed — a grace
+    * counted in refresh CALLS would let two quick same-key refreshes
+    * (two callers at startup, a tight maintenance loop) destroy a
+    * broadcast created moments earlier while an in-flight or retained
+    * query plan still references it, the exact race unpersist-only code
+    * avoids. Retirees younger than the grace stay parked (worst-case
+    * heap: refresh-rate × grace window, bounded for any sane cadence)
+    * until a later same-key refresh ages them out or app end destroys
+    * them unconditionally. */
   private val retired =
-    TrieMap.empty[(SparkSession, Any), Broadcast[BloomFilter]]
+    TrieMap.empty[(SparkSession, Any), List[(Broadcast[BloomFilter], Long)]]
+
+  /** Session conf key for the retired-broadcast destruction grace in
+    * milliseconds. Default 300000 (5 min) — long enough for any
+    * in-flight query that captured the old broadcast to finish. */
+  val RetireGraceMsConf = "spark.graft.bloom.retireGraceMs"
+  private val DefaultRetireGraceMs = 300000L
 
   private def memoizedFilter(spark: SparkSession, key: Any)(
       build: => Broadcast[BloomFilter]): Broadcast[BloomFilter] = {
@@ -90,18 +104,26 @@ object Membership {
     * against the old broadcast, and destroy() invalidates in-use data
     * mid-flight. unpersist(blocking = false) removes the executor
     * copies (in-flight tasks re-fetch from the driver) so the swap is
-    * race-free; the broadcast then parks in the [[retired]] slot for
-    * its key. The broadcast retired by THIS KEY's previous refresh is
-    * destroyed here — by the next same-key refresh, every query that
-    * could have captured it has had a full refresh cycle to finish, so
-    * the grace period is one refresh (plus the unconditional app-end
-    * destroy), and driver heap no longer grows with refresh count. */
+    * race-free; the broadcast then parks in this key's [[retired]] list
+    * with its retirement timestamp. Retirees whose wall-clock grace
+    * ([[RetireGraceMsConf]]) has elapsed are destroyed here; younger
+    * ones stay parked for a later refresh or the app-end destroy —
+    * destruction is gated on TIME, never on refresh count, so
+    * back-to-back refreshes cannot invalidate a broadcast an in-flight
+    * query still references. */
   private def dropFilter(spark: SparkSession, key: Any): Unit = {
-    retired.remove((spark, key)).foreach(_.destroy())
-    filterMemo.remove((spark, key)).foreach { b =>
+    val graceMs = spark.conf.getOption(RetireGraceMsConf)
+      .map(_.toLong).getOrElse(DefaultRetireGraceMs)
+    val now = System.currentTimeMillis()
+    val (aged, young) = retired.remove((spark, key)).getOrElse(Nil)
+      .partition { case (_, t) => now - t >= graceMs }
+    aged.foreach(_._1.destroy())
+    val swapped = filterMemo.remove((spark, key)).map { b =>
       b.unpersist(blocking = false)
-      retired.put((spark, key), b)
+      (b, now)
     }
+    val keep = young ++ swapped
+    if (keep.nonEmpty) retired.put((spark, key), keep)
   }
 
   /** Destroy this session's memoized filter broadcasts. Full teardown —
@@ -112,7 +134,7 @@ object Membership {
       filterMemo.remove(k).foreach(_.destroy())
     }
     retired.keys.filter(_._1 eq spark).foreach { k =>
-      retired.remove(k).foreach(_.destroy())
+      retired.remove(k).foreach(_.foreach(_._1.destroy()))
     }
     evictionHooked.remove(spark)
   }

@@ -252,8 +252,13 @@ object Similarity {
     val best = aggregate(scored,
       struct(lit(-1).as("cell_id"), lit(Double.NegativeInfinity).as("csim")),
       (acc, s) => when(s.getField("csim") > acc.getField("csim"), s).otherwise(acc))
+    // degenerate rows (all-NULL csim: null embedding/element, dim
+    // mismatch) keep the fold's -1 sentinel — filtered out, same
+    // quarantine semantics as KMeans.assign: an unscorable vector must
+    // not surface as a phantom -1 cell in the probe join
     val assigned = e.select(col("vec_id"), col("e"), col("nrm"),
       best.getField("cell_id").as("cell_id"))
+      .filter(col("cell_id") =!= -1)
 
     // query: nprobe closest cells, then exact search within them
     val q = e.filter(col("vec_id") === queryId)

@@ -290,9 +290,18 @@ object TextAnalysis {
 
   /** The hint, made conditional: one count job over the (already
     * distinct, benchmark-sized) gram dim decides; the corpus side is
-    * untouched either way. */
-  private def maybeBroadcastGrams(grams: DataFrame, limit: Long): DataFrame =
-    if (grams.count() <= limit) broadcast(grams) else grams
+    * untouched either way. The gram dim is localCheckpoint'ed FIRST so
+    * the sizing count and the join consume one materialization — the
+    * r8 shape ran the benchmark's explode + distinct once for the
+    * count and again inside the join, scanning the benchmark twice per
+    * call. (Construction is eager either way — the count must run
+    * before the join strategy can be chosen; the checkpoint is bounded
+    * by the benchmark gram dim, the side already small enough to
+    * consider broadcasting.) */
+  private def maybeBroadcastGrams(grams: DataFrame, limit: Long): DataFrame = {
+    val m = grams.localCheckpoint()
+    if (m.count() <= limit) broadcast(m) else m
+  }
 
   /** (doc_id, n_shared) for contaminated docs only — references
     * `documents` ONCE, so pipeline callers that anti-join the result back

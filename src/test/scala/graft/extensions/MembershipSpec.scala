@@ -105,7 +105,8 @@ class MembershipSpec extends SparkSpec {
     assert(d eq e, "post-refresh calls reuse the refreshed broadcast")
   }
 
-  test("retired broadcasts are destroyed one refresh cycle later — driver heap stays bounded") {
+  test("retired broadcasts survive back-to-back refreshes (time-gated " +
+    "grace, not call-counted) and are destroyed once the grace elapses") {
     val bigDist = spark.range(1, 8).select(col("id").as("doc_id"),
       concat(lit("w"), col("id")).as("s"))
     val refDist = spark.range(1, 4).select(concat(lit("w"), col("id")).as("s"))
@@ -114,16 +115,30 @@ class MembershipSpec extends SparkSpec {
         .collect { case n => n.expressions }.flatten
         .flatMap(e => e.collect { case p: graft.functions.BloomProbe => p })
         .head.bf
-    // fresh memo entry for this test (expectedItems distinguishes keys)
+    // fresh memo entry for this test (expectedItems distinguishes keys).
+    // Default grace (5 min): two refreshes in quick succession — the
+    // race the call-counted grace had — must NOT destroy either retiree;
+    // an in-flight plan referencing them stays valid.
     val a = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 300))
     val d = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 300,
       refresh = true)) // a retired: unpersist'ed, driver copy intact
-    assert(a.value != null, "grace period: last retiree still readable")
     val e = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 300,
-      refresh = true)) // d retired; a (previous cycle) destroyed
+      refresh = true)) // d retired too; a PARKED — grace hasn't elapsed
     assert(!(d eq e))
-    intercept[Exception] { a.value } // destroyed after its grace cycle
-    assert(d.value != null, "most recent retiree keeps its grace cycle")
+    assert(a.value != null, "quick re-refresh must not destroy a young retiree")
+    assert(d.value != null, "quick re-refresh must not destroy a young retiree")
+    // Tiny grace: once the wall-clock grace HAS elapsed, the next
+    // same-key refresh ages the parked retirees out (heap stays bounded).
+    spark.conf.set(Membership.RetireGraceMsConf, "50")
+    try {
+      Thread.sleep(80)
+      val f = probeLit(Membership.bloomSemiJoin(bigDist, refDist, "s", 300,
+        refresh = true)) // a and d aged out; e retires NOW (young, parked)
+      assert(f.value != null)
+      intercept[Exception] { a.value } // destroyed after its grace elapsed
+      intercept[Exception] { d.value }
+      assert(e.value != null, "the just-retired broadcast keeps its grace")
+    } finally spark.conf.unset(Membership.RetireGraceMsConf)
   }
 
   /** Direct structural check (not a plan-string-length proxy, which
