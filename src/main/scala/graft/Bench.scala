@@ -64,6 +64,11 @@ object Bench {
     // argmin projection (zero shuffle; Round8OpsSpec pins the plan)
     // instead of the old n×k crossJoin + window shuffle.
     val idxBuild = time(KMeans.fit(emb, k = 64, iters = 3))
+    // the IVF-REALISTIC k regime (the scaladoc's 4k–65k cells claim,
+    // measured): the round-9 broadcast NearestCell expression keeps the
+    // per-row cost one fused k×dim loop and the centroid table off the
+    // plan — this row pins that large-k holds up, round over round
+    val idxBuild4k = time(KMeans.fit(emb, k = 4096, iters = 3))
     (Seq(1, 2, 4).map { nprobe =>
       val recalls = valid.map { qid =>
         val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
@@ -72,7 +77,8 @@ object Bench {
       s"ivf_recall_nprobe$nprobe" ->
         (if (recalls.nonEmpty) recalls.sum / recalls.size else 0.0)
     }) ++ Seq("ivf_queries" -> valid.size.toDouble,
-      "index_build_k64" -> idxBuild)
+      "index_build_k64" -> idxBuild,
+      "index_build_k4096" -> idxBuild4k)
   }
 
   /** Per-batch probe cost against a GROWING bucketed on-disk band index —

@@ -20,25 +20,23 @@ object KMeans {
 
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
-  /** Squared L2 distance between two array<double> columns — the native
-    * [[graft.functions.SquaredL2]] expression (one fused codegen'd loop,
-    * no zipped intermediate), bit-identical to the declarative
-    * `aggregate(zip_with(...))` fold it replaced (same left-to-right
-    * sum; Round8OpsSpec's windowed-reference parity test re-derives the
-    * HOF form and must agree on every assignment). */
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    call_function("squared_l2", a, b)
-
   /** Assign each vector to its nearest centroid — ROW-LOCALLY. The
     * centroid table is collected once (bounded: k×dim doubles, the same
-    * bound [[fit]] already relies on between iterations) and inlined as
-    * an array-of-structs literal, so the argmin is a single narrow
-    * projection: score all k cells per row, min-fold. Zero Exchange,
-    * zero join — at IVF-realistic k (4k–65k cells) the previous
-    * crossJoin + row_number window shuffled an n×k expanded frame every
-    * Lloyd iteration, which is the difference between an index build
-    * that scans the corpus `iters` times and one that shuffles
-    * `iters`×k corpora.
+    * bound [[fit]] already relies on between iterations) and shipped as
+    * a BROADCAST consumed by the native
+    * [[graft.functions.NearestCell]] expression, so the argmin is a
+    * single narrow projection: one fused k×dim loop per row. Zero
+    * Exchange, zero join — at IVF-realistic k (4k–65k cells) the
+    * previous crossJoin + row_number window shuffled an n×k expanded
+    * frame every Lloyd iteration, which is the difference between an
+    * index build that scans the corpus `iters` times and one that
+    * shuffles `iters`×k corpora. (The round-8 intermediate — a typedLit
+    * array-of-structs scored by interpreted HOF lambdas — was already
+    * row-local but plan-embedded: at large k the literal rides every
+    * stage's task binary and the lambdas evaluate interpretively per
+    * (row, cell). The broadcast expression keeps the zero-shuffle plan
+    * and drops both costs; `ann.index_build_k4096` prices the large-k
+    * regime each round.)
     *
     * Ties break to the smallest cell_id: the literal is sorted by
     * cell_id and the fold keeps the incumbent on equal distance —
@@ -65,17 +63,12 @@ object KMeans {
     // no centroids -> no assignments (the pre-round-8 crossJoin shape's
     // behavior; an empty-corpus fit reaches here)
     if (cents.isEmpty) return e.withColumn("cell_id", lit(0)).limit(0)
-    val centLit = typedLit(cents.toSeq) // array<struct<_1:int,_2:array<double>>>
-    // one-eval discipline: each cell's d2 is computed once inside the
-    // scoring transform; the min-fold then only compares struct fields
-    val scored = transform(centLit, c => struct(
-      c.getField("_1").as("cell_id"),
-      dist2(col("e"), c.getField("_2")).as("d2")))
-    val best = aggregate(scored,
-      struct(lit(-1).as("cell_id"), lit(Double.MaxValue).as("d2")),
-      (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
-    e.select(col("vec_id"), col("e"), best.getField("cell_id").as("cell_id"))
-      .filter(col("cell_id") =!= -1) // degenerate rows: see scaladoc
+    graft.functions.NearestCell.nearestCellCol(
+      e, cents.map { case (id, v) => (id, v.toArray, 0.0) },
+      cosine = false, col("e"), lit(0.0)) { nearest =>
+      e.select(col("vec_id"), col("e"), nearest.as("cell_id"))
+        .filter(col("cell_id") =!= -1) // degenerate rows: see scaladoc
+    }
   }
 
   /** Element-wise mean per cell, re-assembled into centroid arrays. */

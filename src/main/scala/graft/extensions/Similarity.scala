@@ -235,30 +235,26 @@ object Similarity {
       .withColumn("cnrm", norm(col("ce")))
 
     // index build: nearest centroid per vector — ROW-LOCAL argmax over
-    // the collected (bounded: k×dim) centroid table, the same de-weak
+    // the collected (bounded: k×dim) centroid table, broadcast and
+    // consumed by the native NearestCell expression (same de-weak path
     // as KMeans.assign: the old crossJoin + row_number window shuffled
-    // the n×k expanded frame. Ties break to the smallest cell_id
-    // (literal sorted, strict > keeps the incumbent — identical to the
-    // old orderBy(csim desc, cell_id) ranking, NaN-largest semantics
-    // included since Spark orders and compares NaN the same way).
+    // the n×k expanded frame; the round-8 typedLit fold was row-local
+    // but plan-embedded and interpreted). Ties break to the smallest
+    // cell_id (table sorted, strict > keeps the incumbent — identical
+    // to the old orderBy(csim desc, cell_id) ranking, NaN-largest and
+    // null-on-zero-divisor semantics included). Degenerate rows
+    // (all-NULL csim: null embedding/element, dim mismatch) keep the
+    // fold's -1 sentinel — filtered out, same quarantine semantics as
+    // KMeans.assign: an unscorable vector must not surface as a
+    // phantom -1 cell in the probe join.
     val centArr = c.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
-    val centLit = typedLit(centArr.toSeq)
-    val scored = transform(centLit, cc => struct(
-      cc.getField("_1").as("cell_id"),
-      (dot(col("e"), cc.getField("_2")) / (col("nrm") * cc.getField("_3")))
-        .as("csim")))
-    val best = aggregate(scored,
-      struct(lit(-1).as("cell_id"), lit(Double.NegativeInfinity).as("csim")),
-      (acc, s) => when(s.getField("csim") > acc.getField("csim"), s).otherwise(acc))
-    // degenerate rows (all-NULL csim: null embedding/element, dim
-    // mismatch) keep the fold's -1 sentinel — filtered out, same
-    // quarantine semantics as KMeans.assign: an unscorable vector must
-    // not surface as a phantom -1 cell in the probe join
-    val assigned = e.select(col("vec_id"), col("e"), col("nrm"),
-      best.getField("cell_id").as("cell_id"))
-      .filter(col("cell_id") =!= -1)
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .toSeq
+    val assigned = graft.functions.NearestCell.nearestCellCol(
+      e, centArr, cosine = true, col("e"), col("nrm")) { nearest =>
+      e.select(col("vec_id"), col("e"), col("nrm"), nearest.as("cell_id"))
+        .filter(col("cell_id") =!= -1)
+    }
 
     // query: nprobe closest cells, then exact search within them
     val q = e.filter(col("vec_id") === queryId)
