@@ -54,12 +54,24 @@ object CorpusPipeline {
     * per reference (measured 20 s vs 3 s at sf0.1). At cluster scale
     * this is the natural stage boundary a pipeline persists to storage
     * between gating and dedup. */
+  /** @param containmentTau when set, the near-dup stage's drop
+    *   DIRECTION is decided by containment instead of position: a
+    *   candidate pair whose a-side is the contained one (cont_a ≥ tau,
+    *   cont_b < tau) drops a — the quote, the re-post, the
+    *   boilerplate-wrapped subset — where the default rule blindly
+    *   drops b and can keep the fragment over its container
+    *   (Round9OpsSpec pins exactly that reversal). Mutual or sub-tau
+    *   containment falls back to the usual drop-b rule, so symmetric
+    *   near-dups behave as before. Computed from the stage's own
+    *   shingles and LSH pairs ([[Dedup.containmentFrom]]) — no extra
+    *   signature build, only the candidate-driven intersection joins. */
   def cleanFull(
       documents: DataFrame,
       benchmark: DataFrame,
       t: Thresholds = Thresholds(),
       maxDupBigram: Double = 0.2,
-      contamGram: Int = 5): DataFrame = {
+      contamGram: Int = 5,
+      containmentTau: Option[Double] = None): DataFrame = {
     val quality = TextAnalysis.qualityScore(documents)
       .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
         col("stop_ratio") <= t.maxStopRatio)
@@ -80,14 +92,17 @@ object CorpusPipeline {
     // shareShingles=false: the checkpointed frame's plan is unique per
     // run, so session-memoizing shingles keyed on it would only grow the
     // memo without ever hitting
-    dedupAndSplit(decon, decon, t, shareShingles = false)
+    dedupAndSplit(decon, decon, t, shareShingles = false,
+      containmentTau = containmentTau)
   }
 
   /** Shared tail of [[clean]]/[[cleanFull]]: exact dedup → LSH near-dup
-    * removal → split, over `gated` (a filtered view of `documents`). */
+    * removal (± containment gate) → split, over `gated` (a filtered
+    * view of `documents`). */
   private def dedupAndSplit(
       documents: DataFrame, gated: DataFrame, t: Thresholds,
-      shareShingles: Boolean = true): DataFrame = {
+      shareShingles: Boolean = true,
+      containmentTau: Option[Double] = None): DataFrame = {
     // exact dedup: keep the smallest doc_id per content hash
     val keepers = gated
       .groupBy(md5(lower(coalesce(col("text"), lit(""))).cast("binary")).as("h"))
@@ -101,11 +116,23 @@ object CorpusPipeline {
     // identical rows (per-doc shingles are independent), but the scan +
     // explode + distinct shuffle happens once per session instead of once
     // per pipeline; the keeper-id side is small and broadcasts.
-    val nearDupB = Dedup.minHashLshFromShingles(
-        Dedup.shingles(documents, share = shareShingles)
-          .join(exactDeduped.select("doc_id"), "doc_id"))
-      .select(col("b").as("doc_id")).distinct()
-    val surviving = exactDeduped.join(nearDupB, Seq("doc_id"), "left_anti")
+    val sh = Dedup.shingles(documents, share = shareShingles)
+      .join(exactDeduped.select("doc_id"), "doc_id")
+    val pairs = Dedup.minHashLshFromShingles(sh)
+    // optional containment gate: same drop-one-per-pair cardinality,
+    // but the DIRECTION follows the content — the contained side goes,
+    // whichever position it holds (see cleanFull scaladoc). The SAME
+    // shingles and LSH pairs feed the containment scores, so the gate
+    // adds only the candidate-driven intersection joins.
+    val removed = containmentTau match {
+      case Some(tau) =>
+        Dedup.containmentFrom(sh, pairs)
+          .select(when(col("cont_a") >= tau && col("cont_b") < tau, col("a"))
+            .otherwise(col("b")).as("doc_id"))
+          .distinct()
+      case None => pairs.select(col("b").as("doc_id")).distinct()
+    }
+    val surviving = exactDeduped.join(removed, Seq("doc_id"), "left_anti")
 
     // deterministic content-independent split
     surviving.select(col("doc_id"),

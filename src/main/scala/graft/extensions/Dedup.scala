@@ -469,9 +469,14 @@ object Dedup {
     * self-join). A band collision without shared shingles keeps its
     * pair row with zero containment (LEFT join) rather than silently
     * vanishing. */
-  def containment(documents: DataFrame): DataFrame = {
-    val sh = shingles(documents)
-    val pairs = minHashLsh(documents)
+  def containment(documents: DataFrame): DataFrame =
+    containmentFrom(shingles(documents), minHashLsh(documents))
+
+  /** [[containment]] over an existing shingle frame and candidate-pair
+    * set — the entry point for pipelines that already hold both
+    * ([[CorpusPipeline]]'s containment gate reuses the near-dup stage's
+    * filtered shingles and LSH pairs instead of re-deriving them). */
+  def containmentFrom(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
@@ -485,6 +490,51 @@ object Dedup {
         round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("na"), 4).as("cont_a"),
         round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("nb"), 4).as("cont_b"))
   }
+
+  /** The survivor policy [[containment]]'s direction exists for: drop
+    * the CONTAINED document — the quote, the re-post, the
+    * boilerplate-wrapped subset — keeping its container. A pair (a, b)
+    * with cont_a ≥ `tau` (≥ tau of a's shingles sit inside b) drops a;
+    * cont_b ≥ tau drops b; MUTUAL containment (both ≥ tau — near-equal
+    * content) falls back to the usual smaller-id rule and drops b. This
+    * is what resemblance-threshold dedup provably misses: a short doc
+    * quoted whole inside a long one scores LOW Jaccard (the union is
+    * the long doc) but cont = 1.0 on the short side — Round9OpsSpec
+    * pins exactly that fixture through ngramJaccard (survives) and this
+    * policy (dropped).
+    *
+    * Greedy single-pass like [[Similarity.semDedup]]: a dropped
+    * container still drops its containees (chains don't resurrect) —
+    * deterministic and order-independent. Candidates come from the
+    * banded LSH join, so detection inherits LSH recall: a containment
+    * pair only surfaces if some band collides (certain for exact dups,
+    * probabilistic at low resemblance — the standard sketch trade).
+    *
+    * Returns the full (doc_id, kept) assignment — every corpus row,
+    * shingle-less singletons included (kept: nothing to contain), so
+    * the corpus filter is one `kept` predicate and no row silently
+    * vanishes (the [[keepCanonical]] totality contract).
+    *
+    * Scale shape: [[containment]]'s candidate-driven joins plus one
+    * distinct fold of the dropped ids and one left anti-ish marker join
+    * — no new shuffle class, never O(df²). */
+  def dedupByContainment(documents: DataFrame, tau: Double = 0.97): DataFrame =
+    markContained(documents, containment(documents), tau)
+
+  /** Shared tail of [[dedupByContainment]] and the pipeline gate: mark
+    * every doc against the dropped-id fold of a containment frame. */
+  private[extensions] def containedIds(cont: DataFrame, tau: Double): DataFrame =
+    cont.filter(col("cont_a") >= tau && col("cont_b") < tau)
+      .select(col("a").as("doc_id"))
+      .unionByName(
+        cont.filter(col("cont_b") >= tau).select(col("b").as("doc_id")))
+      .distinct()
+
+  private def markContained(
+      documents: DataFrame, cont: DataFrame, tau: Double): DataFrame =
+    documents.select("doc_id")
+      .join(containedIds(cont, tau).withColumn("d", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("d").isNull.as("kept"))
 
   /** Memoized connected-component labels over the MinHash near-dup
     * graph — the (id, comp) table that dedup observability and

@@ -64,7 +64,7 @@ object Round8Queries {
   /** The md5 MinHash-LSH candidate machinery, verbatim from
     * q_minhash_est's oracle (Round4Queries) — sh / sigs / buckets /
     * pairs over the case-sensitive word-3-gram shingles. */
-  private val duckMinhashPairs =
+  private[queries] val duckMinhashPairs =
     """sh AS (SELECT DISTINCT doc_id, s FROM
                 (SELECT doc_id,
                         unnest(list_transform(

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.Tables.table
+import graft.extensions.Dedup
+
+/** Round-9 surface: the containment SIGNAL becomes a containment
+  * SURVIVOR POLICY (q_containment told you which side is the subset;
+  * q_dedup_containment drops it), and the leakage-safe folds become the
+  * train/eval artifact a pipeline actually ships. Same contract as
+  * every row: rounded floats, total-order sort keys, bitwise DuckDB
+  * oracles. */
+object Round9Queries {
+
+  /** [[Dedup.dedupByContainment]] at tau 0.97 — a threshold the sf0.01
+    * candidate set genuinely straddles, so all three branches engage:
+    * contained-a drops (cont_a ≥ τ > cont_b), contained-b drops, and
+    * mutual containment falling back to the smaller-id rule. Oracle
+    * reuses q_containment's candidate/intersection CTEs verbatim. */
+  private val dedupContainment = Q("q_dedup_containment",
+    (s, dir) => Dedup.dedupByContainment(table(s, dir, "documents"),
+      tau = 0.97).orderBy("doc_id"),
+    Some(s"""WITH ${Round8Queries.duckMinhashPairs},
+             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             inter AS (SELECT p.a, p.b, count(*) AS i
+                       FROM pairs p
+                         JOIN sh x ON x.doc_id = p.a
+                         JOIN sh y ON y.doc_id = p.b AND y.s = x.s
+                       GROUP BY 1, 2),
+             cont AS (SELECT p.a, p.b,
+                             round(coalesce(i, 0) * 1.0 / sza.n, 4) AS ca,
+                             round(coalesce(i, 0) * 1.0 / szb.n, 4) AS cb
+                      FROM pairs p
+                        JOIN sz sza ON sza.doc_id = p.a
+                        JOIN sz szb ON szb.doc_id = p.b
+                        LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b),
+             dr AS (SELECT DISTINCT doc_id FROM (
+                      SELECT a AS doc_id FROM cont WHERE ca >= 0.97 AND cb < 0.97
+                      UNION ALL
+                      SELECT b AS doc_id FROM cont WHERE cb >= 0.97))
+             SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
+             FROM documents d LEFT JOIN dr USING (doc_id)
+             ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] = Seq(dedupContainment)
+}
