@@ -544,7 +544,21 @@ object Dedup {
     * chain again; the memo keeps ONE labeled table per input plan —
     * at cluster scale, the persisted component table a dedup pipeline
     * maintains between stages (the same discipline as the shingle /
-    * signature frames). */
+    * signature frames).
+    *
+    * STATIC-INPUT CONTRACT (the [[Similarity]] scoredFrame note,
+    * restated for this consumer because the failure is nastier): the
+    * memo key is the CANONICALIZED INPUT PLAN, not the data. If the
+    * documents are file-backed and the files change in-session, a
+    * plan-equal re-read silently serves the component table AS OF the
+    * first call — and since [[leakageSafeSplit]] folds BY COMPONENT, a
+    * late-arriving document would be folded against stale components:
+    * it could land in an eval fold while its (newly ingested) near-dup
+    * sits in train — precisely the leak this operator exists to
+    * prevent. For mutable corpora call [[evictShared]] on the ingest
+    * cadence (the maintenance hook; DedupScaleSpec documents it) or
+    * opt out via `spark.graft.dedup.shareFrames=false`. Immutable
+    * snapshot frames — the intended use — are unaffected. */
   def ccLabels(documents: DataFrame): DataFrame =
     sharedFrame(documents, "cc_labels")(
       ConnectedComponents.label(documents.select("doc_id"),
@@ -562,7 +576,12 @@ object Dedup {
     * re-runs are fold-stable and a document later joining an existing
     * component inherits that component's fold. Cost: the CC labeling
     * (bounded large-star/small-star iterations) plus one narrow bucket
-    * projection — no new shuffle class. */
+    * projection — no new shuffle class.
+    *
+    * Inherits [[ccLabels]]' STATIC-INPUT CONTRACT: folds served from a
+    * stale memoized component table would silently mis-fold documents
+    * ingested after the first call — for mutable corpora, evict on the
+    * ingest cadence ([[evictShared]]) or disable frame sharing. */
   def leakageSafeSplit(documents: DataFrame, nFolds: Int = 10): DataFrame = {
     require(nFolds >= 2, s"nFolds must be >= 2, got $nFolds")
     val comps = ccLabels(documents)
@@ -571,6 +590,48 @@ object Dedup {
         conv(substring(md5(col("comp").cast("string").cast("binary")), 1, 4),
           16, 10).cast("long"),
         lit(nFolds)).as("fold"))
+  }
+
+  /** The train/eval artifact a data pipeline actually ships —
+    * [[leakageSafeSplit]]'s folds composed with the mixture sampler's
+    * per-source admission ([[TextAnalysis.mixtureAdmitted]]):
+    *
+    *   - folds ≥ `evalFoldMin` → `eval` — mixture-EXEMPT, because eval
+    *     wants the raw distribution (downsampling eval to the training
+    *     mix would bias every per-source metric toward the mix);
+    *   - folds below it, mixture-admitted → `train`;
+    *   - folds below it, not admitted → `dropped` (over-represented
+    *     source mass the α-tempered mix rejects).
+    *
+    * Leak-safety survives the composition: assignment to eval depends
+    * only on the fold, folds are per near-dup COMPONENT, so a
+    * near-duplicate of any training (or dropped) document can never
+    * land in eval — pinned as a corpus-wide property in Round9OpsSpec
+    * on top of the fixture case. Total over the corpus (every doc gets
+    * exactly one assignment), deterministic in both engines
+    * (q_split_assign).
+    *
+    * Scale shape: the CC labeling plus one broadcast-rate narrow pass
+    * and one left join on doc_id — no new shuffle class; inherits
+    * [[ccLabels]]' static-input contract. */
+  def trainEvalSplit(
+      documents: DataFrame,
+      nFolds: Int = 10,
+      evalFoldMin: Int = 8,
+      alpha: Double = 0.5,
+      buckets: Int = 100): DataFrame = {
+    require(evalFoldMin >= 1 && evalFoldMin < nFolds,
+      s"evalFoldMin must split $nFolds folds non-trivially, got $evalFoldMin")
+    val folds = leakageSafeSplit(documents, nFolds)
+    val admitted = TextAnalysis.mixtureAdmitted(documents, alpha, buckets)
+      .select(col("doc_id"), lit(1).as("adm"))
+    folds
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .join(admitted, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("fold"),
+        when(col("fold") >= evalFoldMin, "eval")
+          .when(col("adm").isNotNull, "train")
+          .otherwise("dropped").as("assignment"))
   }
 
   /** Shared intermediate frames: the dedup family (minhash, simhash,

@@ -529,21 +529,43 @@ object TextAnalysis {
     * aggregation. */
   def mixtureSample(
       documents: DataFrame, alpha: Double = 0.5, buckets: Int = 100): DataFrame = {
-    val rates = mixingWeights(documents, alpha)
-      .select(col("source"),
-        least(lit(1.0), round(col("weight") / col("share"), 4)).as("rate"))
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("long"),
-      lit(buckets))
-    val admitted = documents.join(broadcast(rates), "source")
-      .withColumn("bucket", bucket)
-      .filter(col("bucket") < floor(col("rate") * buckets + lit(0.5)))
+    val rates = mixtureRates(documents, alpha)
+    val admitted = admittedBy(documents, rates, buckets)
       .groupBy("source").agg(count(lit(1)).as("n_admitted"))
     rates.join(admitted, Seq("source"), "left")
       .select(col("source"), col("rate"),
         coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
   }
+
+  /** The per-source admission-rate dim of [[mixtureSample]]. */
+  private def mixtureRates(documents: DataFrame, alpha: Double): DataFrame =
+    mixingWeights(documents, alpha)
+      .select(col("source"),
+        least(lit(1.0), round(col("weight") / col("share"), 4)).as("rate"))
+
+  /** The admitted (doc_id, source) rows under a rate dim — one narrow
+    * pass against the broadcast rates, the same md5-bucket admission
+    * function as [[stratifiedSample]]. */
+  private def admittedBy(
+      documents: DataFrame, rates: DataFrame, buckets: Int): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long"),
+      lit(buckets))
+    documents.join(broadcast(rates), "source")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < floor(col("rate") * buckets + lit(0.5)))
+      .select("doc_id", "source")
+  }
+
+  /** [[mixtureSample]]'s admission decision PER DOCUMENT — the row-level
+    * predicate the summary aggregates, exposed for composition
+    * ([[Dedup.trainEvalSplit]] intersects it with the leakage-safe
+    * folds). Deterministic: a pure function of (doc_id, per-source
+    * rate), so re-runs and both oracle engines admit the same rows. */
+  def mixtureAdmitted(
+      documents: DataFrame, alpha: Double = 0.5, buckets: Int = 100): DataFrame =
+    admittedBy(documents, mixtureRates(documents, alpha), buckets)
 
   /** Bigram language-model quality score — the perplexity-proxy filter of
     * real pretraining pipelines (a cheap stand-in for a KenLM pass): train

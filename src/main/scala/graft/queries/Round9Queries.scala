@@ -41,5 +41,45 @@ object Round9Queries {
              FROM documents d LEFT JOIN dr USING (doc_id)
              ORDER BY d.doc_id"""))
 
-  val all: Seq[Q] = Seq(dedupContainment)
+  /** [[Dedup.trainEvalSplit]] — the end-to-end split artifact: folds
+    * 8–9 are eval (mixture-exempt), folds 0–7 intersect the mixture
+    * sampler's admission into train, the rest drop. Oracle composes
+    * q_split_leakage's recursive-CC fold CTE with q_sample_mixture's
+    * rate/admission machinery verbatim. */
+  private val splitAssign = Q("q_split_assign",
+    (s, dir) => Dedup.trainEvalSplit(table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             folds AS (SELECT doc_id,
+                              CAST(CAST(concat('0x', substr(md5(CAST(comp AS VARCHAR)), 1, 4))
+                                        AS BIGINT) % 10 AS BIGINT) AS fold
+                       FROM comps),
+             per AS (SELECT source, sum(n_chars) AS n_chars
+                     FROM documents GROUP BY 1),
+             t AS (SELECT source,
+                          CAST(n_chars AS BIGINT) AS n_chars,
+                          sqrt(CAST(n_chars AS DOUBLE)) AS t
+                   FROM per),
+             tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_tot,
+                            list_sum(list(t ORDER BY source)) AS t_tot
+                     FROM t),
+             r AS (SELECT source,
+                          least(1.0, round(round(t / t_tot, 4)
+                                           / round(n_chars * 1.0 / chars_tot, 4), 4))
+                            AS rate
+                   FROM t, tot),
+             adm AS (SELECT d.doc_id FROM documents d JOIN r USING (source)
+                     WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                AS BIGINT) % 100 < floor(rate * 100 + 0.5))
+             SELECT f.doc_id, d.source, f.fold,
+                    CASE WHEN f.fold >= 8 THEN 'eval'
+                         WHEN adm.doc_id IS NOT NULL THEN 'train'
+                         ELSE 'dropped' END AS assignment
+             FROM folds f
+               JOIN documents d USING (doc_id)
+               LEFT JOIN adm USING (doc_id)
+             ORDER BY f.doc_id"""))
+
+  val all: Seq[Q] = Seq(dedupContainment, splitAssign)
 }

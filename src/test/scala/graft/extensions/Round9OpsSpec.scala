@@ -48,6 +48,63 @@ class Round9OpsSpec extends SparkSpec {
     assert(kept == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true), kept)
   }
 
+  test("trainEvalSplit: total assignment; a near-dup pair never straddles the eval boundary") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "web", 35L),
+      (2L, "alpha beta gamma delta epsilon zeta", "web", 35L), // exact dup of 1
+      (3L, "one two three four five six", "web", 27L),
+      (4L, "seven eight nine ten eleven twelve", "books", 34L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Dedup.trainEvalSplit(docs, nFolds = 5, evalFoldMin = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 4, "every corpus row gets exactly one assignment")
+    assert(out.values.forall { case (_, a) =>
+      Set("train", "eval", "dropped")(a) })
+    val (f1, a1) = out(1L); val (f2, a2) = out(2L)
+    assert(f1 == f2, "dup pair shares its component's fold")
+    assert((a1 == "eval") == (a2 == "eval"),
+      s"near-dups are both eval or both non-eval, got $a1/$a2")
+  }
+
+  test("trainEvalSplit on the harness corpus: NO near-dup candidate pair crosses train/eval") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val assign = Dedup.trainEvalSplit(docs)
+      .select(col("doc_id"), (col("assignment") === "eval").as("is_eval"))
+    val pairs = Dedup.minHashLsh(docs)
+    val crossing = pairs
+      .join(assign.select(col("doc_id").as("a"), col("is_eval").as("ea")), "a")
+      .join(assign.select(col("doc_id").as("b"), col("is_eval").as("eb")), "b")
+      .filter(col("ea") =!= col("eb"))
+      .count()
+    assert(crossing == 0L,
+      "a near-duplicate of a non-eval doc leaked into eval")
+    // and the artifact is total over the corpus
+    assert(Dedup.trainEvalSplit(docs).count() == docs.count())
+  }
+
+  test("evictShared is the maintenance hook for mutable corpora: stale ccLabels until evicted") {
+    // the STATIC-INPUT CONTRACT, demonstrated end-to-end: a plan-equal
+    // re-read of a REWRITTEN file serves the memoized component table
+    // until the documented maintenance hook (evictShared) runs
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccmemo").toString
+    Seq((1L, "alpha beta gamma delta"), (2L, "unrelated text entirely here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    def labels() = Dedup.ccLabels(spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = labels()
+    assert(before.keySet == Set(1L, 2L))
+    // corpus mutates under the same plan: doc 3 arrives as a dup of 1
+    Seq((1L, "alpha beta gamma delta"), (2L, "unrelated text entirely here"),
+      (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    assert(labels().keySet == Set(1L, 2L),
+      "without eviction the memo serves the corpus AS OF the first call")
+    Dedup.evictShared(spark)
+    val after = labels()
+    assert(after.keySet == Set(1L, 2L, 3L), "post-evict labeling sees the new doc")
+    assert(after(3L) == after(1L), "the arriving dup joins doc 1's component")
+  }
+
   test("CorpusPipeline containment gate reverses the drop direction: the quote goes, its container survives") {
     // thresholds wide open so the quality/repetition/decontam gates pass
     // everything and only the dedup tail differs
