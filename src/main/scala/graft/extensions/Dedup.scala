@@ -291,6 +291,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Generic Hamming-banded near-dup pairs over ANY 64-bit fingerprint
+    * column — the [[simHashPairs]] machinery factored out so every
+    * Hamming-space signal (text SimHash, image aHash/dHash —
+    * [[Multimodal.imageHashPairs]]) shares one banding operator.
+    *
+    * `numBands` equal-width bands of the 64-bit hash become bucket
+    * keys; candidates share at least one band; exact
+    * `bit_count(xor) ≤ maxHamming` then filters. With
+    * `numBands > maxHamming` (the default: maxHamming+1, rounded up to
+    * a divisor of 64) the pigeonhole principle makes the candidate set
+    * COMPLETE — ≤ maxHamming differing bits cannot touch every band —
+    * so banding is purely an optimization, never a recall trade
+    * (MultimodalSpec pins banded ≡ brute-force). [[simHashPairs]]'s own
+    * 2×32 banding predates this and stays as-is for oracle stability
+    * (its candidate set is complete only to hamming 1; its oracle
+    * replicates that banding exactly).
+    *
+    * Scale shape: one narrow band explode (numBands rows/doc), one
+    * bucket-keyed self-join — the all-pairs comparison never
+    * materializes; the cheap bit_count prunes before the distinct. */
+  def hammingBandPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      numBands: Int = 4): DataFrame = {
+    require(numBands > maxHamming,
+      s"completeness needs numBands > maxHamming, got $numBands <= $maxHamming")
+    require(64 % numBands == 0 && numBands > 0,
+      s"numBands must divide 64, got $numBands")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bands = hashes
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        explode(expr(
+          s"""transform(sequence(0, ${numBands - 1}),
+                        b -> named_struct(
+                          'i', CAST(b AS INT),
+                          'bv', shiftright(h, b * $width) & $mask))""")).as("band"))
+      .select(col("id"), col("h"), col("band.i"), col("band.bv"))
+    bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        expr("CAST(bit_count(x.h ^ y.h) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Canonical-document selection — the "choose the survivor" step a
     * user runs AFTER near-dup detection: cluster documents by their
     * 64-bit SimHash fingerprint (identical fingerprint ⇒ near-identical

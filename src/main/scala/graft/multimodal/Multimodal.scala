@@ -98,6 +98,84 @@ object Multimodal {
           case scala.util.control.NonFatal(_) => None
         }
       }
+
+    /** Box-averaged Rec.601 luminance grid (gw × gh, row-major) over the
+      * decoded pixels — the deterministic downscale perceptual hashing
+      * needs: pure integer bucketing + double means, no Graphics2D
+      * interpolation whose kernel could vary across JDK image pipelines.
+      * Cells inherit ceil/floor pixel spans via index scaling, so any
+      * image size ≥ grid size works; smaller images repeat pixels. */
+    private[multimodal] def luminanceGrid(
+        img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+      val w = img.getWidth; val h = img.getHeight
+      val grid = new Array[Double](gw * gh)
+      var gy = 0
+      while (gy < gh) {
+        val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          grid(gy * gw + gx) = if (n == 0) 0.0 else sum / n
+          gx += 1
+        }
+        gy += 1
+      }
+      grid
+    }
+
+    /** Average hash: 8×8 luminance grid, bit i set iff cell i exceeds
+      * the grid mean — the classic aHash. None when the payload doesn't
+      * decode. Robust to re-encode/resize/brightness-preserving noise;
+      * a 1-pixel perturbation moves one cell's mean by ~Δ/cellPx and
+      * typically flips 0 bits (MultimodalSpec pins the planted case). */
+    def aHash(p: Array[Byte]): Option[Long] =
+      decodeImage(p).map { img =>
+        val g = luminanceGrid(img, 8, 8)
+        val mean = g.sum / g.length
+        var bits = 0L
+        var i = 0
+        while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+        bits
+      }
+
+    /** Difference hash: 9×8 luminance grid, bit (row, col) set iff the
+      * cell is brighter than its right neighbour — gradient direction,
+      * which survives global brightness/contrast shifts that move
+      * aHash's mean. */
+    def dHash(p: Array[Byte]): Option[Long] =
+      decodeImage(p).map { img =>
+        val g = luminanceGrid(img, 9, 8)
+        var bits = 0L
+        var row = 0
+        while (row < 8) {
+          var colI = 0
+          while (colI < 8) {
+            if (g(row * 9 + colI) > g(row * 9 + colI + 1))
+              bits |= (1L << (row * 8 + colI))
+            colI += 1
+          }
+          row += 1
+        }
+        bits
+      }
+
+    private def decodeImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      sniffMime(p).flatMap { _ =>
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
   }
 
   /** Real JVM audio decode (WAV/PCM — the one container the JDK ships a
@@ -179,6 +257,44 @@ object Multimodal {
       }
     }
   }
+
+  case class ImageHashes(media_id: Long, ahash: Long, dhash: Long)
+
+  /** Per-partition batch PERCEPTUAL HASHING of image rows — the dedup
+    * feature extractor: each decodable image yields its 64-bit aHash
+    * and dHash over the box-averaged luminance grid
+    * ([[ImageCodec.aHash]]/[[ImageCodec.dHash]]); undecodable payloads
+    * drop (quarantine semantics, like [[decodeImages]]). One decode per
+    * row feeds both hashes. The output frame is the input to
+    * [[imageHashPairs]] — at 100 TB it is the persisted per-image
+    * fingerprint table a media pipeline maintains beside the corpus,
+    * exactly as the text side persists its LSH band index. */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHashes] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        for {
+          a <- ImageCodec.aHash(r.payload)
+          d <- ImageCodec.dHash(r.payload)
+        } yield ImageHashes(r.media_id, a, d)
+      }
+    }
+  }
+
+  /** Image near-duplicate candidate pairs: Hamming-banded self-join
+    * over a perceptual-hash column ([[Dedup.hammingBandPairs]] — the
+    * SAME band machinery as text SimHash, with numBands > maxHamming
+    * so the banding is complete, never a recall trade). `useDHash`
+    * selects the gradient hash (brightness-shift robust) over the
+    * mean hash. Extends the dedup family to the image modality: decode
+    * → fingerprint → banded pairing, no all-pairs comparison anywhere. */
+  def imageHashPairs(
+      hashes: Dataset[ImageHashes],
+      maxHamming: Int = 3,
+      useDHash: Boolean = false): DataFrame =
+    graft.extensions.Dedup.hammingBandPairs(hashes.toDF(),
+      "media_id", if (useDHash) "dhash" else "ahash", maxHamming)
 
   /** Per-partition batch decode — the mapInPandas-shaped hot path. The
     * iterator is consumed lazily: rows stream through without

@@ -81,5 +81,30 @@ object Round9Queries {
                LEFT JOIN adm USING (doc_id)
              ORDER BY f.doc_id"""))
 
-  val all: Seq[Q] = Seq(dedupContainment, splitAssign)
+  /** [[Dedup.hammingBandPairs]] — the generic 64-bit Hamming banding
+    * shared by text SimHash and image perceptual hashes
+    * ([[graft.multimodal.Multimodal.imageHashPairs]]) — oracled over
+    * the documents' simhash column with the COMPLETE 4×16-bit banding
+    * (numBands > maxHamming ⇒ pigeonhole-complete candidates, so this
+    * row verifies the full ≤3-Hamming pair set, not a banding-shaped
+    * subset; media payloads aren't DuckDB-readable, so the shared band
+    * operator is pinned on the text fingerprint both engines can
+    * compute). */
+  private val hammingPairs = Q("q_hamming_pairs_b4",
+    (s, dir) => Dedup.hammingBandPairs(
+      Dedup.simHash(table(s, dir, "documents")), "doc_id", "simhash",
+      maxHamming = 3, numBands = 4).orderBy("a", "b"),
+    Some(s"""WITH ${ExtensionQueries.simhashCtes},
+             bands AS (SELECT doc_id, simhash, bi.i,
+                              (simhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
+                       FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                             x.simhash AS ha, y.simhash AS hb
+                      FROM bands x JOIN bands y
+                        ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
+             SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+             ORDER BY a, b"""))
+
+  val all: Seq[Q] = Seq(dedupContainment, splitAssign, hammingPairs)
 }

@@ -107,6 +107,73 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AudioCodec.sniffMime(null).isEmpty)
   }
 
+  /** A real PNG with seed-derived pixels; `perturb` flips the low bits
+    * of ONE pixel's blue channel — the 1-bit-perturbed near-identical
+    * image of the dedup contract. 32×24 so each 8×8-grid cell averages
+    * ~12 pixels and a single-pixel tweak moves its cell mean by well
+    * under a luminance step. */
+  private def seededPng(seed: Int, perturb: Boolean = false): Array[Byte] = {
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((seed * 2654435761L + x * 31 + y * 17) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    if (perturb) img.setRGB(5, 5, img.getRGB(5, 5) ^ 0x03)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual hashes: a 1-pixel perturbation stays near; distinct images stay far") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.ImageCodec.aHash(seededPng(1)).get
+    val near = Multimodal.ImageCodec.aHash(seededPng(1, perturb = true)).get
+    val far = Multimodal.ImageCodec.aHash(seededPng(9)).get
+    assert(ham(base, near) <= 2, s"1-pixel tweak moved aHash by ${ham(base, near)} bits")
+    assert(ham(base, far) > 3, s"distinct images must not collide: ${ham(base, far)}")
+    val dBase = Multimodal.ImageCodec.dHash(seededPng(1)).get
+    val dNear = Multimodal.ImageCodec.dHash(seededPng(1, perturb = true)).get
+    val dFar = Multimodal.ImageCodec.dHash(seededPng(9)).get
+    assert(ham(dBase, dNear) <= 2)
+    assert(ham(dBase, dFar) > 3)
+    // undecodable payloads quarantine, not crash
+    assert(Multimodal.ImageCodec.aHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.ImageCodec.aHash(null).isEmpty)
+  }
+
+  test("imageHashPairs finds the planted near-dup via banding — no cartesian, candidates complete") {
+    import spark.implicits._
+    val rows = (Seq(
+      Multimodal.MediaRow(1L, "image", seededPng(1), Multimodal.MediaMeta(None, None, None, None)),
+      Multimodal.MediaRow(2L, "image", seededPng(1, perturb = true), Multimodal.MediaMeta(None, None, None, None)),
+      Multimodal.MediaRow(3L, "audio", seededPng(1), Multimodal.MediaMeta(None, None, None, None))) ++ // wrong kind: excluded
+      (4L to 18L).map(i => Multimodal.MediaRow(i, "image", seededPng(i.toInt * 7),
+        Multimodal.MediaMeta(None, None, None, None)))).toDS()
+    val hashes = Multimodal.imageHashes(rows).cache()
+    val pairs = Multimodal.imageHashPairs(hashes, maxHamming = 3)
+    val got = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"planted near-identical pair missed: $got")
+    // completeness: numBands(4) > maxHamming(3) makes banding pure
+    // optimization — the candidate set must equal brute force
+    val hs = hashes.collect().map(h => h.media_id -> h.ahash)
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"banded $got != brute $brute")
+    // the banded plan never materializes all pairs
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("media parquet roundtrip preserves payload bytes and metadata struct") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
     val media = Multimodal.syntheticMedia(spark, 10).toDF()
