@@ -190,6 +190,97 @@ object Multimodal {
         Some("audio/wav")
       else None
 
+    /** Decoded mono PCM samples in [-1, 1] — the raw material of
+      * [[envelopeHash]]. Channels average to mono; 8-bit (signed or
+      * unsigned) and 16-bit little/big-endian signed PCM are handled —
+      * the formats `javax.sound.sampled` actually emits for WAV. None
+      * on non-WAV, corrupt, or exotic-format payloads (quarantine
+      * semantics). */
+    private[multimodal] def pcmSamples(p: Array[Byte]): Option[Array[Double]] =
+      sniffMime(p).flatMap { _ =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(p))
+          val fmt = ais.getFormat
+          import javax.sound.sampled.AudioFormat.Encoding._
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val enc = fmt.getEncoding
+          val ok = ch >= 1 && ((bits == 8 || bits == 16) &&
+            (enc == PCM_SIGNED || enc == PCM_UNSIGNED))
+          if (!ok) None
+          else {
+            val raw = ais.readAllBytes()
+            val bytesPerSample = bits / 8
+            val frameBytes = bytesPerSample * ch
+            val nFrames = raw.length / frameBytes
+            val out = new Array[Double](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = f * frameBytes + c * bytesPerSample
+                val v =
+                  if (bits == 8) {
+                    if (enc == PCM_UNSIGNED) ((raw(off) & 0xff) - 128) / 128.0
+                    else raw(off) / 128.0
+                  } else {
+                    val (lo, hi) =
+                      if (fmt.isBigEndian) (raw(off + 1), raw(off))
+                      else (raw(off), raw(off + 1))
+                    (((hi << 8) | (lo & 0xff)).toShort) / 32768.0
+                  }
+                acc += v
+                c += 1
+              }
+              out(f) = acc / ch
+              f += 1
+            }
+            Some(out)
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case scala.util.control.NonFatal(_) => None
+        }
+      }
+
+    /** 64-bit energy-envelope difference hash — the audio sibling of
+      * [[ImageCodec.dHash]]: the clip's mono PCM splits into 65 equal
+      * windows, each reduced to RMS energy, and bit i is set iff window
+      * i is louder than window i+1. Gradient DIRECTION, so the
+      * fingerprint survives uniform gain, re-encoding, and small edits
+      * (one perturbed sample moves one window's RMS by ~Δ/√windowLen);
+      * clips need ≥ 65 samples (None below — nothing to envelope).
+      * Near-dup pairing rides the same [[graft.extensions.Dedup
+      * .hammingBandPairs]] operator as text SimHash and image hashes.
+      * CAVEAT the spec pins: a FLAT envelope (a pure constant-amplitude
+      * tone) makes every comparison a numeric coin-flip — envelope
+      * hashing fingerprints dynamics, which real recordings have and
+      * synthetic test tones must be given (amplitude modulation). */
+    def envelopeHash(p: Array[Byte]): Option[Long] =
+      pcmSamples(p).filter(_.length >= 65).map { s =>
+        val windows = 65
+        val energies = new Array[Double](windows)
+        var w = 0
+        while (w < windows) {
+          val i0 = (w.toLong * s.length / windows).toInt
+          val i1 = math.max(((w + 1).toLong * s.length / windows).toInt, i0 + 1)
+          var acc = 0.0
+          var i = i0
+          while (i < i1 && i < s.length) { acc += s(i) * s(i); i += 1 }
+          energies(w) = math.sqrt(acc / math.max(i1 - i0, 1))
+          w += 1
+        }
+        var bits = 0L
+        var b = 0
+        while (b < 64) {
+          if (energies(b) > energies(b + 1)) bits |= (1L << b)
+          b += 1
+        }
+        bits
+      }
+
     /** Decode payload bytes → (sampleRate, channels, durationMs); None
       * for non-WAV or corrupt payloads. Duration comes from the frame
       * count and frame rate the JDK parser reports — measured from the
@@ -295,6 +386,30 @@ object Multimodal {
       useDHash: Boolean = false): DataFrame =
     graft.extensions.Dedup.hammingBandPairs(hashes.toDF(),
       "media_id", if (useDHash) "dhash" else "ahash", maxHamming)
+
+  case class AudioHash(media_id: Long, ehash: Long)
+
+  /** Per-partition batch perceptual hashing of audio rows — the audio
+    * member of the modality-dedup family ([[imageHashes]]' sibling):
+    * each decodable WAV yields its 64-bit energy-envelope hash
+    * ([[AudioCodec.envelopeHash]]); undecodable or sub-65-sample
+    * payloads drop (quarantine). */
+  def audioHashes(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap(r => AudioCodec.envelopeHash(r.payload)
+        .map(AudioHash(r.media_id, _)))
+    }
+  }
+
+  /** Audio near-duplicate candidate pairs —
+    * [[graft.extensions.Dedup.hammingBandPairs]] over the envelope
+    * hash, the same complete 64-bit band machinery as text SimHash and
+    * image hashes. */
+  def audioHashPairs(
+      hashes: Dataset[AudioHash], maxHamming: Int = 3): DataFrame =
+    graft.extensions.Dedup.hammingBandPairs(hashes.toDF(),
+      "media_id", "ehash", maxHamming)
 
   /** Per-partition batch decode — the mapInPandas-shaped hot path. The
     * iterator is consumed lazily: rows stream through without

@@ -174,6 +174,75 @@ class MultimodalSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  /** An 8-bit mono WAV with a seed-derived AMPLITUDE-MODULATED tone —
+    * envelope hashing fingerprints dynamics, so the test signal must
+    * have some (a constant-amplitude tone has a flat envelope and its
+    * gradient bits are numeric coin flips; the envelopeHash scaladoc
+    * carries that caveat). `perturbAt` nudges one sample by one
+    * quantization step; `gain` scales uniformly. */
+  private def seededWav(seed: Int, perturbAt: Int = -1, gain: Double = 1.0): Array[Byte] = {
+    val n = 4000
+    val pcm = Array.tabulate[Byte](n) { j =>
+      val amp = 0.3 + 0.7 * math.abs(math.sin(j * 0.003 + seed))
+      val v = math.sin(j * 0.25 + seed) * amp * 100 * gain
+      v.toByte
+    }
+    if (perturbAt >= 0) pcm(perturbAt) = (pcm(perturbAt) + 2).toByte
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio envelope hash: perturbation and uniform gain stay near; different clips stay far") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.AudioCodec.envelopeHash(seededWav(1)).get
+    val near = Multimodal.AudioCodec.envelopeHash(seededWav(1, perturbAt = 777)).get
+    val half = Multimodal.AudioCodec.envelopeHash(seededWav(1, gain = 0.5)).get
+    val far = Multimodal.AudioCodec.envelopeHash(seededWav(4)).get
+    assert(ham(base, near) <= 2, s"1-sample nudge moved the hash ${ham(base, near)} bits")
+    assert(ham(base, half) <= 2,
+      s"gradient direction must survive uniform gain, moved ${ham(base, half)}")
+    assert(ham(base, far) > 3, s"distinct clips must not collide: ${ham(base, far)}")
+    // quarantine: non-WAV, corrupt, and too-short-to-envelope payloads
+    assert(Multimodal.AudioCodec.envelopeHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.AudioCodec.envelopeHash(null).isEmpty)
+    val tiny = { // genuine WAV, 32 samples < 65 windows
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](32)), fmt, 32L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.AudioCodec.envelopeHash(tiny).isEmpty)
+  }
+
+  test("audioHashPairs: banded pairing finds the planted near-dup clip, complete vs brute force") {
+    import spark.implicits._
+    val meta = Multimodal.MediaMeta(None, None, None, None)
+    val rows = (Seq(
+      Multimodal.MediaRow(1L, "audio", seededWav(1), meta),
+      Multimodal.MediaRow(2L, "audio", seededWav(1, perturbAt = 777), meta),
+      Multimodal.MediaRow(3L, "image", seededWav(1), meta)) ++ // wrong kind
+      (4L to 15L).map(i => Multimodal.MediaRow(i, "audio",
+        seededWav(i.toInt * 5), meta))).toDS()
+    val hashes = Multimodal.audioHashes(rows).cache()
+    val got = Multimodal.audioHashPairs(hashes, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"planted near-identical clip pair missed: $got")
+    val hs = hashes.collect().map(h => h.media_id -> h.ehash)
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"banded $got != brute $brute")
+  }
+
   test("media parquet roundtrip preserves payload bytes and metadata struct") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
     val media = Multimodal.syntheticMedia(spark, 10).toDF()
