@@ -89,6 +89,51 @@ object Bench {
     // per-row cost one fused k×dim loop and the centroid table off the
     // plan — this row pins that large-k holds up, round over round
     val idxBuild4k = timeMed(reps)(KMeans.fit(emb, k = 4096, iters = 3))
+    // product quantization: train/encode cost and the recall@10-vs-
+    // exact-L2 accuracy contract (ADC ranks L2, so the exact baseline
+    // here is L2 too, not the cosine brute map above). Two recall rows
+    // publish the REAL operating curve: raw ADC (coarse — at this
+    // corpus' tight in-cluster neighborhoods quantization washes out
+    // fine ranks) and the shipped shortlist-200 re-rank, which
+    // recovers the exact top-10 while the corpus scan still touches
+    // only m-byte codes; code_bytes_ratio is the memory story — dim
+    // floats down to m bytes per vector (32× here)
+    import graft.extensions.ProductQuantization
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val m = 8
+    var pqCb: ProductQuantization.Codebooks = null
+    val pqTrainT = timeMed(reps) {
+      pqCb = ProductQuantization.train(emb, dim, m = m, ksub = 256)
+    }
+    val pqEncodeT = timeMed(reps) {
+      ProductQuantization.encode(emb, pqCb)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val codes = ProductQuantization.encode(emb, pqCb).localCheckpoint()
+    val qVecs = emb.filter(col("vec_id").isin(valid: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val pqRecallPairs = valid.map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      val exact = emb.filter(col("vec_id") =!= qid)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          call_function("squared_l2",
+            col("embedding").cast("array<double>"), col("qe")).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val raw = topIds(ProductQuantization.searchAdc(
+        codes.filter(col("vec_id") =!= qid), pqCb, qVecs(qid), 10))
+      val reranked = topIds(ProductQuantization.searchAdcRerank(
+        codes.filter(col("vec_id") =!= qid), emb.filter(col("vec_id") =!= qid),
+        pqCb, qVecs(qid), 10, shortlist = 200))
+      if (exact.isEmpty) (0.0, 0.0)
+      else ((raw & exact).size.toDouble / exact.size,
+        (reranked & exact).size.toDouble / exact.size)
+    }
+    val pqRecalls = pqRecallPairs.map(_._1)
+    val pqRecallsRr = pqRecallPairs.map(_._2)
     (Seq(1, 2, 4).map { nprobe =>
       val recalls = valid.map { qid =>
         val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
@@ -98,7 +143,14 @@ object Bench {
         (if (recalls.nonEmpty) recalls.sum / recalls.size else 0.0)
     }) ++ Seq("ivf_queries" -> valid.size.toDouble,
       "index_build_k64" -> idxBuild,
-      "index_build_k4096" -> idxBuild4k)
+      "index_build_k4096" -> idxBuild4k,
+      "pq_train_m8k256" -> pqTrainT,
+      "pq_encode" -> pqEncodeT,
+      "pq_recall10_adc" ->
+        (if (pqRecalls.nonEmpty) pqRecalls.sum / pqRecalls.size else 0.0),
+      "pq_recall10_rerank200" ->
+        (if (pqRecallsRr.nonEmpty) pqRecallsRr.sum / pqRecallsRr.size else 0.0),
+      "pq_code_bytes_ratio" -> (dim * 4.0 / m))
   }
 
   /** Per-batch probe cost against a GROWING bucketed on-disk band index —
