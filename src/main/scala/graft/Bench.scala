@@ -134,6 +134,26 @@ object Bench {
     }
     val pqRecalls = pqRecallPairs.map(_._1)
     val pqRecallsRr = pqRecallPairs.map(_._2)
+    // the composed IVF-PQ pipeline (coarse cells × compressed scan ×
+    // re-rank) — its recall factors into the two contracts above
+    val pqAssigned = KMeans.assign(emb, cents).select("vec_id", "cell_id")
+      .localCheckpoint()
+    val ivfPqRecalls = valid.map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      val exact = emb.filter(col("vec_id") =!= qid)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          call_function("squared_l2",
+            col("embedding").cast("array<double>"), col("qe")).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val got = topIds(ProductQuantization.ivfPqSearch(
+        codes.filter(col("vec_id") =!= qid), pqAssigned,
+        emb.filter(col("vec_id") =!= qid), cents, pqCb, qVecs(qid),
+        kTop = 10, nprobe = 2, shortlist = 200))
+      if (exact.isEmpty) 0.0 else (got & exact).size.toDouble / exact.size
+    }
     (Seq(1, 2, 4).map { nprobe =>
       val recalls = valid.map { qid =>
         val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
@@ -150,6 +170,8 @@ object Bench {
         (if (pqRecalls.nonEmpty) pqRecalls.sum / pqRecalls.size else 0.0),
       "pq_recall10_rerank200" ->
         (if (pqRecallsRr.nonEmpty) pqRecallsRr.sum / pqRecallsRr.size else 0.0),
+      "ivfpq_recall10_np2" ->
+        (if (ivfPqRecalls.nonEmpty) ivfPqRecalls.sum / ivfPqRecalls.size else 0.0),
       "pq_code_bytes_ratio" -> (dim * 4.0 / m))
   }
 

@@ -141,6 +141,53 @@ object ProductQuantization {
       .limit(kTop)
   }
 
+  /** IVF-PQ: the full production ANN composition — coarse cells prune
+    * WHICH vectors a query scans ([[Similarity.ivfSearch]]'s
+    * partition-pruning shape, L2 metric here to match ADC), PQ codes
+    * shrink WHAT the scan touches, and the shortlist re-rank restores
+    * exactness within the probed cells. The query picks its `nprobe`
+    * nearest coarse centroids DRIVER-SIDE (the centroid table is
+    * bounded k×dim — the same collect [[KMeans.fit]] already relies
+    * on), candidate codes are the probed cells' rows only (at 100 TB
+    * the cell is a partition column and this filter is partition
+    * pruning), then [[searchAdc]] + exact re-rank run on that slice.
+    * Recall decomposes into the two published contracts: cell recall
+    * (ivf_recall_nprobe*) × shortlist recall (pq_recall10_*) — both
+    * priced per round in the bench ann section.
+    *
+    * @param assigned (vec_id, cell_id) coarse assignment, e.g.
+    *                 [[KMeans.assign]] output on the same centroids */
+  def ivfPqSearch(
+      codes: DataFrame,
+      assigned: DataFrame,
+      embeddings: DataFrame,
+      coarseCentroids: DataFrame,
+      cb: Codebooks,
+      query: Array[Double],
+      kTop: Int,
+      nprobe: Int,
+      shortlist: Int = 100): DataFrame = {
+    val cents = coarseCentroids
+      .select(col("cell_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val probeCells = cents
+      .flatMap { case (id, c) =>
+        if (c.length != query.length) None
+        else {
+          var acc = 0.0; var i = 0
+          while (i < c.length) { val d = query(i) - c(i); acc += d * d; i += 1 }
+          Some((id, acc))
+        }
+      }
+      .sortBy { case (id, d) => (d, id) }
+      .take(nprobe).map(_._1).toSeq
+    val cand = codes.join(
+      assigned.filter(col("cell_id").isin(probeCells: _*)).select("vec_id"),
+      "vec_id")
+    searchAdcRerank(cand, embeddings, cb, query, kTop, shortlist)
+  }
+
   /** The decompressed vector a code stands for — concatenated
     * codewords. Test/debug surface backing the ADC identity. */
   def reconstruct(code: Seq[Int], cb: Codebooks): Array[Double] =

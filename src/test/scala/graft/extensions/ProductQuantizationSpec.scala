@@ -80,6 +80,29 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(reranked == exact)
   }
 
+  test("IVF-PQ: nprobe=1 scans only the query's cell; covering nprobe + shortlist is exact") {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = KMeans.fit(emb, k = 3, iters = 5).localCheckpoint()
+    val assigned = KMeans.assign(emb, cents).select("vec_id", "cell_id")
+    val codes = ProductQuantization.encode(emb, cb)
+    val q = Array(10.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0) // anchor-0 query
+    // nprobe=1: only cluster 0's members (ids ≡ 0 mod 3) are reachable
+    val np1 = ProductQuantization.ivfPqSearch(codes, assigned, emb, cents,
+      cb, q, kTop = 10, nprobe = 1, shortlist = 30)
+      .select("vec_id").as[Long].collect().toSet
+    assert(np1.nonEmpty && np1.forall(_ % 3 == 0), s"leaked outside the probed cell: $np1")
+    // covering everything (nprobe = k, shortlist = corpus) ⇒ exact L2 top-k
+    val full = ProductQuantization.ivfPqSearch(codes, assigned, emb, cents,
+      cb, q, kTop = 5, nprobe = 3, shortlist = 30)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = emb.select(col("vec_id"),
+        call_function("squared_l2", col("embedding").cast("array<double>"),
+          typedLit(q.toSeq)).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+  }
+
   test("degenerate rows quarantine: a null element yields no code, not a crash") {
     val bad = Seq(
       (1L, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
