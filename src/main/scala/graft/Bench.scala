@@ -596,6 +596,48 @@ object Bench {
     }
   }
 
+  /** Prices the modality-dedup family per round: decode + perceptual
+    * hash throughput over GENUINE containers (PNG via javax.imageio,
+    * WAV via javax.sound — the same codecs production rows hit), and
+    * the banded pair join with planted exact duplicates (every
+    * id-offset copy must pair with its original at hamming 0, so
+    * `*_pairs_found` also regression-tests recall end-to-end at bench
+    * scale). Payloads are localCheckpoint'ed first — the rows time
+    * decode/hash/join, not synthesis. */
+  def multimodalBench(spark: SparkSession, reps: Int = 3): Seq[(String, Double)] = {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val n = 2000
+    val imgsBase = Multimodal.syntheticPhotos(spark, n)
+    val imgs = imgsBase
+      .union(imgsBase.map(r => r.copy(media_id = r.media_id + n)))
+      .localCheckpoint()
+    val wavsBase = Multimodal.syntheticModulatedWavs(spark, n)
+    val wavs = wavsBase
+      .union(wavsBase.map(r => r.copy(media_id = r.media_id + n)))
+      .localCheckpoint()
+    val imgHashT = timeMed(reps) {
+      Multimodal.imageHashes(imgs).write.format("noop").mode("overwrite").save()
+    }
+    val imgHashes = Multimodal.imageHashes(imgs).localCheckpoint()
+    val imgPairsT = timeMed(reps)(Multimodal.imageHashPairs(imgHashes).count())
+    val imgPairs = Multimodal.imageHashPairs(imgHashes).count().toDouble
+    val wavHashT = timeMed(reps) {
+      Multimodal.audioHashes(wavs).write.format("noop").mode("overwrite").save()
+    }
+    val wavHashes = Multimodal.audioHashes(wavs).localCheckpoint()
+    val wavPairsT = timeMed(reps)(Multimodal.audioHashPairs(wavHashes).count())
+    val wavPairs = Multimodal.audioHashPairs(wavHashes).count().toDouble
+    Seq(
+      "media_rows_per_kind" -> (2.0 * n),
+      s"img_hash_${2 * n}" -> imgHashT,
+      "img_pairs_join" -> imgPairsT,
+      "img_pairs_found" -> imgPairs,
+      s"wav_hash_${2 * n}" -> wavHashT,
+      "wav_pairs_join" -> wavPairsT,
+      "wav_pairs_found" -> wavPairs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine (the target box runs local[32]); AQE
@@ -721,7 +763,15 @@ object Bench {
         System.err.println(s"[bench] capstone section failed: ${e.getMessage}")
         "{}"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_build":$sharedBuild,"reps":$reps,"layout":$layout,"scale":$scale,"ann":$ann,"streaming":$streaming,"capstone":$capstone,"sf":"$sfDir"}""")
+    val multimodal = try {
+      multimodalBench(spark, reps)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] multimodal section failed: ${e.getMessage}")
+        "{}"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_build":$sharedBuild,"reps":$reps,"layout":$layout,"scale":$scale,"ann":$ann,"streaming":$streaming,"capstone":$capstone,"multimodal":$multimodal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -501,6 +501,75 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 32×24 seed-patterned PNGs — the DEDUP-SUITABLE
+    * synthetic corpus: enough pixels that each 8×8 luminance cell
+    * averages ~12 of them, so distinct seeds land far apart in Hamming
+    * space (the tiny [[syntheticImages]] rows exist for decode-plumbing
+    * tests and collide heavily under perceptual hashing — few pixels,
+    * few shapes). Used by the bench multimodal section. */
+  /** splitmix64-style avalanche — a plain linear blend of (seed, x, y)
+    * keeps cross-seed structure (a constant luminance offset preserves
+    * every gradient, so perceptual hashes collide corpus-wide). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def syntheticPhotos(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 32; val h = 24
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (mix64(i * 10007L + y * 37L + x) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(i, "image", bos.toByteArray,
+        MediaMeta(Some(w), Some(h), None, Some("image/png")))
+    }
+  }
+
+  /** Deterministic amplitude-MODULATED 8-bit mono WAVs — envelope
+    * hashing fingerprints dynamics, which [[syntheticWavs]]' pure
+    * constant-amplitude tones don't have (flat envelope ⇒ coin-flip
+    * gradient bits; the [[AudioCodec.envelopeHash]] caveat). Used by
+    * the bench multimodal section. */
+  def syntheticModulatedWavs(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val nSamples = 4000
+      // per-(seed, envelope-window) pseudo-random amplitude: a phase
+      // shift (sin(... + i)) only yields ~2π distinguishable envelope
+      // shapes across seeds — hashed window amplitudes keep distinct
+      // clips far apart in Hamming space
+      val pcm = Array.tabulate[Byte](nSamples) { j =>
+        val win = j * 65 / nSamples
+        val amp = 0.3 + 0.7 *
+          ((mix64(i * 131L + win) & 0xffff).toDouble / 65536.0)
+        (math.sin(j * 0.25 + i) * amp * 100).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(i, "audio", bos.toByteArray,
+        MediaMeta(None, None, Some(nSamples * 1000L / 8000), Some("audio/wav")))
+    }
+  }
+
   /** Deterministic synthetic media frame for tests/demos. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
