@@ -311,19 +311,22 @@ object Dedup {
     * Scale shape: one narrow band explode (numBands rows/doc), one
     * bucket-keyed self-join — the all-pairs comparison never
     * materializes; the cheap bit_count prunes before the distinct. */
-  def hammingBandPairs(
+  /** The (id, h, i, bv) band rows of a 64-bit hash frame — the
+    * self-join input of [[hammingBandPairs]] and the PERSISTED INDEX of
+    * streaming media admission ([[graft.streaming.StreamingMediaDedup]]
+    * — the [[bandBuckets]]/[[lshProbe]] relationship, in Hamming
+    * space). Pure narrow projection (numBands rows per hash), so it is
+    * STREAMING-SAFE on an arriving side. */
+  def hammingBands(
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
-      maxHamming: Int = 3,
       numBands: Int = 4): DataFrame = {
-    require(numBands > maxHamming,
-      s"completeness needs numBands > maxHamming, got $numBands <= $maxHamming")
-    require(64 % numBands == 0 && numBands > 0,
+    require(numBands > 0 && 64 % numBands == 0,
       s"numBands must divide 64, got $numBands")
     val width = 64 / numBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val bands = hashes
+    hashes
       .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
       .select(col("id"), col("h"),
         explode(expr(
@@ -332,6 +335,17 @@ object Dedup {
                           'i', CAST(b AS INT),
                           'bv', shiftright(h, b * $width) & $mask))""")).as("band"))
       .select(col("id"), col("h"), col("band.i"), col("band.bv"))
+  }
+
+  def hammingBandPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      numBands: Int = 4): DataFrame = {
+    require(numBands > maxHamming,
+      s"completeness needs numBands > maxHamming, got $numBands <= $maxHamming")
+    val bands = hammingBands(hashes, idCol, hashCol, numBands)
     bands.alias("x")
       .join(bands.alias("y"),
         col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
