@@ -106,5 +106,54 @@ object Round9Queries {
              FROM cand WHERE bit_count(xor(ha, hb)) <= 3
              ORDER BY a, b"""))
 
-  val all: Seq[Q] = Seq(dedupContainment, splitAssign, hammingPairs)
+  /** [[graft.extensions.EmbeddingDrift]] — the cell-distribution JS
+    * monitor of the embedding leg, oracled over the testdata's
+    * pre-clustered labels (the same label-as-cell trick as q_ann_ivf;
+    * the fitted-cells path is the identical code on a KMeans.assign
+    * frame): baseline = the full corpus' label histogram, "batch" = the
+    * vec_id % 5 slice. Same sorted-fold JS determinism as
+    * q_src_drift. */
+  private val embDrift = Q("q_emb_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = table(s, dir, "embeddings")
+      graft.extensions.EmbeddingDrift.driftVsProfile(
+        emb.filter(col("vec_id") % 5 === 0).select(col("label").as("cell")),
+        graft.extensions.EmbeddingDrift.cellProfile(
+          emb.select(col("label").as("cell"))))
+    },
+    Some("""WITH base AS (SELECT label AS cell, count(*) AS corpus_cnt
+                          FROM embeddings GROUP BY 1),
+                 bc AS (SELECT label AS cell, count(*) AS batch_cnt
+                        FROM embeddings WHERE vec_id % 5 = 0 GROUP BY 1),
+                 grid AS (SELECT base.cell,
+                                 coalesce(bc.batch_cnt, 0) AS batch_cnt,
+                                 base.corpus_cnt
+                          FROM base LEFT JOIN bc USING (cell)),
+                 per AS (SELECT CAST(sum(batch_cnt) AS BIGINT) AS n_vecs,
+                                CAST(sum(CASE WHEN batch_cnt > 0 THEN 1 ELSE 0 END)
+                                     AS BIGINT) AS n_cells_hit,
+                                CAST(sum(corpus_cnt) AS BIGINT) AS corpus_total,
+                                list(struct_pack(cell := cell,
+                                                 batch_cnt := batch_cnt,
+                                                 corpus_cnt := corpus_cnt)
+                                     ORDER BY cell) AS terms
+                         FROM grid)
+            SELECT n_cells_hit, n_vecs,
+                   round(list_sum(list_transform(terms, t ->
+                     (CASE WHEN t.batch_cnt > 0
+                        THEN 0.5 * (t.batch_cnt * 1.0 / greatest(n_vecs, 1))
+                             * ln((t.batch_cnt * 1.0 / greatest(n_vecs, 1))
+                                  / (((t.batch_cnt * 1.0 / greatest(n_vecs, 1))
+                                      + (t.corpus_cnt * 1.0 / greatest(corpus_total, 1))) / 2.0))
+                        ELSE 0.0 END)
+                     + (CASE WHEN t.corpus_cnt > 0
+                          THEN 0.5 * (t.corpus_cnt * 1.0 / greatest(corpus_total, 1))
+                               * ln((t.corpus_cnt * 1.0 / greatest(corpus_total, 1))
+                                    / (((t.batch_cnt * 1.0 / greatest(n_vecs, 1))
+                                        + (t.corpus_cnt * 1.0 / greatest(corpus_total, 1))) / 2.0))
+                          ELSE 0.0 END))) + 0.0, 4) AS js_div
+            FROM per"""))
+
+  val all: Seq[Q] = Seq(dedupContainment, splitAssign, hammingPairs, embDrift)
 }

@@ -95,6 +95,29 @@ object StreamingSemDedup {
       .select("vec_id", "cell_id", "e", "nrm")
   }
 
+  /** Drift-monitor sink for the embedding leg — [[DriftMonitor]]'s
+    * representation-level twin: each micro-batch is cell-assigned
+    * row-locally (the same stateless narrow projection as admission)
+    * and its cell histogram scored against the corpus baseline
+    * ([[graft.extensions.EmbeddingDrift.driftVsProfile]]) inside
+    * foreachBatch. An encoder change or topic shift moves the JS
+    * number within one batch, before any text-level signal. The
+    * profile is a point-in-time snapshot (the DriftMonitor staleness
+    * contract); rebuild on the re-clustering cadence. */
+  def driftSink(
+      profile: DataFrame,
+      centroids: DataFrame,
+      arriving: DataFrame,
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    assignWithNorm(arriving, centroids)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(graft.extensions.EmbeddingDrift.driftVsProfile(
+          batch.select(col("cell_id").cast("long").as("cell")), profile),
+          batchId)
+      }
+
   /** foreachBatch sink: assigns the arriving stream to cells (narrow,
     * stateless) and hands each micro-batch's ADMITTED rows to `onBatch`
     * with the batch id (idempotent under replay: same id ⇒ same rows ⇒

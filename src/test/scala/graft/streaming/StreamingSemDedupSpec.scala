@@ -92,6 +92,38 @@ class StreamingSemDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftSink scores each micro-batch against the cell baseline — parity with the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.extensions.EmbeddingDrift
+    val baseline = EmbeddingDrift.cellProfile(
+      StreamingSemDedup.assignWithNorm(corpus, cents)
+        .select(col("cell_id").cast("long").as("cell")))
+      .localCheckpoint()
+    // a batch collapsed into cluster A's cell: drift must be positive
+    // and equal the batch-mode score of the same vectors
+    val batch = Seq((401L, vec(10.0, 0.2)), (402L, vec(11.0, 0.0)),
+      (403L, vec(9.5, 0.1)))
+    val input = MemoryStream[(Long, Array[Double])]
+    val arriving = input.toDF().toDF("vec_id", "embedding")
+    var got: Option[(Long, Long, Double)] = None
+    val q = StreamingSemDedup.driftSink(baseline, cents, arriving,
+      (drift, _) => {
+        val r = drift.head()
+        got = Some((r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }).start()
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+    } finally q.stop()
+    val exp = EmbeddingDrift.driftVsProfile(
+      StreamingSemDedup.assignWithNorm(batch.toDF("vec_id", "embedding"), cents)
+        .select(col("cell_id").cast("long").as("cell")),
+      baseline).head()
+    assert(got.contains((exp.getLong(0), exp.getLong(1), exp.getDouble(2))),
+      s"stream $got != batch (${exp.getLong(0)}, ${exp.getLong(1)}, ${exp.getDouble(2)})")
+    assert(got.get._3 > 0.1, s"a collapsed batch must score positive drift: $got")
+  }
+
   test("the streaming side stays stateless and narrow: no state store, no stream-side aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[Double])]
