@@ -43,7 +43,11 @@ object EmbeddingDrift {
       sum("corpus_cnt").as("corpus_total"),
       array_sort(collect_list(struct(col("cell"), col("batch_cnt"),
         col("corpus_cnt")))).as("terms"))
-    per.select(col("n_cells_hit"), col("batch_total").as("n_vecs"),
+    // coalesce: a fully-empty grid (empty profile AND empty batch)
+    // aggregates to NULL sums — the summary row must stay readable
+    // (0, 0, 0.0), not NPE its consumer
+    per.select(coalesce(col("n_cells_hit"), lit(0L)).as("n_cells_hit"),
+      coalesce(col("batch_total"), lit(0L)).as("n_vecs"),
       round(aggregate(col("terms"), lit(0.0), (acc, t) => {
         val p = t.getField("batch_cnt") * lit(1.0) /
           greatest(col("batch_total"), lit(1L))

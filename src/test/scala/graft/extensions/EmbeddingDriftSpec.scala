@@ -36,5 +36,8 @@ class EmbeddingDriftSpec extends SparkSpec {
     val (hits, n, js) = drift(Seq.empty, Seq(0L, 1L))
     assert((hits, n) == ((0L, 0L)))
     assert(!js.isNaN && js >= 0.0)
+    // the degenerate empty-both case stays readable, never NULL/NPE
+    val (h0, n0, js0) = drift(Seq.empty, Seq.empty)
+    assert((h0, n0, js0) == ((0L, 0L, 0.0)))
   }
 }
