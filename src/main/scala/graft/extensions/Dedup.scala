@@ -556,6 +556,52 @@ object Dedup {
         round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("nb"), 4).as("cont_b"))
   }
 
+  /** Incremental containment — [[dedupByContainment]]'s direction for
+    * the ADMISSION path: arriving documents' LSH candidates against the
+    * persisted corpus index ([[lshProbe]]), scored with exact
+    * containment so the admission loop can drop a quote/re-post of an
+    * EXISTING corpus document at arrival time (cont_new ≥ tau on the
+    * arriving side), the case the resemblance-only probe admits.
+    * Returns (corpus_id, new_id, cont_corpus, cont_new); zero-overlap
+    * band collisions keep their row (LEFT join), the [[containment]]
+    * totality rule.
+    *
+    * Scale shape: candidate-driven like the batch twin — |pairs| ×
+    * shingles-per-doc, never O(df²). The one corpus-sized input is
+    * `corpusShingles` (the session-shared [[shingles]] frame, or at
+    * cluster scale the persisted shingle table bucketed by doc_id so
+    * the per-pair intersection join reads it shuffle-free — the same
+    * layout discipline as the band index). Per-batch cost ∝ batch
+    * candidates; callable inside foreachBatch exactly like
+    * [[graft.streaming.StreamingSemDedup.admitBatch]]. */
+  def containmentProbe(
+      corpusShingles: DataFrame,
+      index: DataFrame,
+      newDocs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val pairs = lshProbe(index, newDocs, numHashes, rowsPerBand)
+    val newSh = shingles(newDocs, share = false)
+    val szCorpus = corpusShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val szNew = newSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(newSh.select(col("doc_id").as("new_id"), col("s")), Seq("new_id"))
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"), col("s")),
+        Seq("corpus_id", "s"))
+      .groupBy("corpus_id", "new_id").agg(count(lit(1)).as("i"))
+    pairs
+      .join(szCorpus.select(col("doc_id").as("corpus_id"), col("n").as("nc")),
+        "corpus_id")
+      .join(szNew.select(col("doc_id").as("new_id"), col("n").as("nn")),
+        "new_id")
+      .join(inter, Seq("corpus_id", "new_id"), "left")
+      .select(col("corpus_id"), col("new_id"),
+        round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("nc"), 4)
+          .as("cont_corpus"),
+        round(coalesce(col("i"), lit(0L)) * lit(1.0) / col("nn"), 4)
+          .as("cont_new"))
+  }
+
   /** The survivor policy [[containment]]'s direction exists for: drop
     * the CONTAINED document — the quote, the re-post, the
     * boilerplate-wrapped subset — keeping its container. A pair (a, b)

@@ -105,6 +105,34 @@ class Round9OpsSpec extends SparkSpec {
     assert(after(3L) == after(1L), "the arriving dup joins doc 1's component")
   }
 
+  test("containmentProbe: an arriving quote of a corpus doc scores cont_new=1 at admission time") {
+    // corpus holds the long container; the SHORT quote arrives later —
+    // the resemblance-only probe surfaces it as a mere candidate, the
+    // containment probe identifies WHICH side is the subset so the
+    // admission loop can drop the arrival
+    val corpus = Seq(
+      (1L, base + " " + quoteTail), // the container (65 words)
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val corpusSh = Dedup.shingles(corpus, share = false).localCheckpoint()
+    val index = Dedup.bandBuckets(corpusSh, share = false).localCheckpoint()
+    val arriving = Seq((101L, base)).toDF("doc_id", "text") // the quote
+    val got = Dedup.containmentProbe(corpusSh, index, arriving).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.contains((1L, 101L)), s"the quote pair must surface: $got")
+    val (contCorpus, contNew) = got((1L, 101L))
+    assert(contNew == 1.0, "every shingle of the arriving quote is in the corpus doc")
+    assert(contCorpus < 0.3, "the container is NOT inside the quote")
+    // parity with the batch twin: same pair, same numbers, from
+    // containment() over the merged corpus
+    val merged = corpus.unionByName(arriving)
+    val batch = Dedup.containment(merged).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(batch.get((1L, 101L)).contains((contCorpus, contNew)),
+      s"probe must equal the batch containment direction: $batch")
+  }
+
   test("CorpusPipeline containment gate reverses the drop direction: the quote goes, its container survives") {
     // thresholds wide open so the quality/repetition/decontam gates pass
     // everything and only the dedup tail differs
