@@ -342,8 +342,29 @@ object Bench {
         }
       } finally { q1.stop(); q2.stop() }
     }
-    val admitT = try median((1 to reps).map(_ => admissionPass()))
-    finally {
+    // containment-aware admission, priced: the same arriving slice
+    // scored by the incremental containment probe (batch-mode — the
+    // plan a foreachBatch admission runs), so the newest survivor
+    // policy's per-batch cost is tracked per round like the
+    // resemblance probe's. cont_hits counts candidate rows with a
+    // decisive direction (either side >= 0.97).
+    var contHits = 0L
+    val (admitT, contProbeT) = try {
+      val a = median((1 to reps).map(_ => admissionPass()))
+      val corpusSh = Dedup.shingles(cleaned.select("doc_id", "text"),
+        share = false).localCheckpoint()
+      val oneBatch = spark.createDataset(arriving.take(4000))(
+        org.apache.spark.sql.Encoders.product[(Long, String, String)])
+        .toDF("doc_id", "text", "source").select("doc_id", "text")
+        .localCheckpoint()
+      val c = timeMed(reps) {
+        contHits = Dedup.containmentProbe(
+            corpusSh, spark.table("capstone_band_idx"), oneBatch)
+          .filter(col("cont_corpus") >= 0.97 || col("cont_new") >= 0.97)
+          .count()
+      }
+      (a, c)
+    } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS capstone_band_idx")
     }
@@ -411,6 +432,8 @@ object Bench {
       "gates" -> gatesT,
       "artifact_build" -> buildT,
       "admission_2_batches" -> admitT,
+      "containment_probe_batch" -> contProbeT,
+      "containment_hits" -> contHits.toDouble,
       "live_docs" -> live.count().toDouble,
       "clean_docs" -> cleaned.count().toDouble,
       "candidate_pairs" -> candidatePairs.toDouble,
