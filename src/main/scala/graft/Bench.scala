@@ -154,6 +154,32 @@ object Bench {
         kTop = 10, nprobe = 2, shortlist = 200))
       if (exact.isEmpty) 0.0 else (got & exact).size.toDouble / exact.size
     }
+    // the ivfSearch scaladoc's 100 TB claim, MEASURED instead of
+    // asserted: with the cell assignment written as a PARTITION COLUMN,
+    // a one-cell probe touches only that cell's directory — the same
+    // evidence discipline as the layout section's year pruning
+    // (files-read counts from the filesystem, not vibes)
+    val cellDir = java.nio.file.Files
+      .createTempDirectory("graft-emb-cells").toString
+    KMeans.assign(emb, cents)
+      .write.partitionBy("cell_id").mode("overwrite").parquet(cellDir)
+    val cellPart = spark.read.parquet(cellDir)
+    val probeCell = cellPart.select("cell_id").head().getInt(0)
+    val cellFlat = KMeans.assign(emb, cents).localCheckpoint()
+    val cellScanFlat = timeMed(reps)(
+      cellFlat.filter(col("cell_id") === probeCell)
+        .agg(count(lit(1))).collect())
+    val cellScanPruned = timeMed(reps)(
+      cellPart.filter(col("cell_id") === probeCell)
+        .agg(count(lit(1))).collect())
+    def parquetFiles(p: java.nio.file.Path) = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(f => f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val cellFilesTotal = parquetFiles(java.nio.file.Paths.get(cellDir))
+    val cellFilesRead = parquetFiles(
+      java.nio.file.Paths.get(cellDir, s"cell_id=$probeCell"))
     (Seq(1, 2, 4).map { nprobe =>
       val recalls = valid.map { qid =>
         val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
@@ -162,6 +188,10 @@ object Bench {
       s"ivf_recall_nprobe$nprobe" ->
         (if (recalls.nonEmpty) recalls.sum / recalls.size else 0.0)
     }) ++ Seq("ivf_queries" -> valid.size.toDouble,
+      "cellpart_scan_flat" -> cellScanFlat,
+      "cellpart_scan_pruned" -> cellScanPruned,
+      "cellpart_files_total" -> cellFilesTotal.toDouble,
+      "cellpart_files_read" -> cellFilesRead.toDouble,
       "index_build_k64" -> idxBuild,
       "index_build_k4096" -> idxBuild4k,
       "pq_train_m8k256" -> pqTrainT,
