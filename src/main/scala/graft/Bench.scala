@@ -547,6 +547,28 @@ object Bench {
     val scanSorted = keyScan(s"$tmp/orders_sorted")
     val scanUnsorted = keyScan(s"$tmp/orders_unsorted")
 
+    // storage-codec economics — the other big 100 TB layout lever
+    // (storage cost vs decode CPU), measured: the same table written
+    // under snappy (Spark's default; fast, larger) and zstd (smaller,
+    // slightly more decode CPU), with on-disk bytes from the
+    // filesystem and the same full-scan aggregate timed on each
+    def dirBytes(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val lineitem = Tables.table(spark, sfDir, "lineitem")
+    val codecRows = Seq("snappy", "zstd").flatMap { codec =>
+      val p = s"$tmp/lineitem_$codec"
+      lineitem.write.option("compression", codec).mode("overwrite").parquet(p)
+      val scanT = timeMed(reps)(
+        spark.read.parquet(p)
+          .agg(sum(col("l_quantity")), count(lit(1))).collect())
+      Seq(s"codec_${codec}_bytes" -> dirBytes(p).toDouble,
+        s"codec_${codec}_scan" -> scanT)
+    }
+
     Seq(
       "setup_write" -> setup,
       "scan_flat" -> flatScan,
@@ -561,7 +583,7 @@ object Bench {
       "rowgroups_total_unsorted" -> rgTotalUnsorted.toDouble,
       "rowgroups_hit_unsorted" -> rgHitUnsorted.toDouble,
       "keyscan_sorted" -> scanSorted,
-      "keyscan_unsorted" -> scanUnsorted)
+      "keyscan_unsorted" -> scanUnsorted) ++ codecRows
   }
 
   /** Continuous scale-lever measurement: the ngram-Jaccard df levers
