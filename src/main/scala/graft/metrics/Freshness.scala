@@ -46,4 +46,45 @@ object Freshness {
     g.daysSinceUpdate.foreach(gauge("days_since_update", _))
     sb.toString
   }
+
+  /** Atomic exposition publish — the node_exporter TEXTFILE COLLECTOR
+    * contract, the standard no-HTTP form of the reference's exporter
+    * (metrics_exporter.py serves gauges over HTTP; the harness has no
+    * HTTP surface, and the textfile collector reads `.prom` files the
+    * job publishes instead): write to a temp file in the SAME
+    * directory, then rename over the target — rename within a
+    * directory is atomic on POSIX, so a scraper never reads a torn
+    * half-written exposition. */
+  def publishProm(path: java.nio.file.Path, text: String): Unit = {
+    val dir = Option(path.getParent).getOrElse(java.nio.file.Paths.get("."))
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".prom-", ".tmp")
+    java.nio.file.Files.write(tmp,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The reference's export LOOP (`while True: compute; serve; sleep`,
+    * metrics_exporter.py:99-151), Spark-first: any ticking stream (a
+    * `rate` source at the export cadence in production; a MemoryStream
+    * of ticks in tests) drives a foreachBatch that recomputes the
+    * gauges from the CURRENT state — `state` is by-name, so a
+    * table-backed frame re-reads the merge job's latest files each
+    * tick — and republishes the exposition atomically. Per-tick cost is
+    * the one-pass [[compute]] aggregate; no streaming state. */
+  def promSink(
+      ticks: DataFrame,
+      state: => DataFrame,
+      asOf: () => String,
+      path: java.nio.file.Path,
+      prefix: String = "graft")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ticks.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          publishProm(path, prometheusText(compute(state, asOf()), prefix))
+      }
 }
