@@ -35,7 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Data columns are read as strings (the CSV truth — normalization is
   * [[graft.ingest.Normalize]]'s job downstream); `snapshot_date` is a
-  * DateType derived from the dir name. The CSV parsing here is
+  * DateType derived from the dir name. SCHEMA EVOLUTION across
+  * snapshots is handled per file: each partition resolves the
+  * requested columns against ITS OWN header (never by position), so a
+  * column the feed added later reads as NULL from older dirs and a
+  * reordered header cannot shift cells — the week-to-week reality of
+  * a live feed, pinned in SnapshotSourceSpec. The CSV parsing here is
   * deliberately minimal (no quoted-comma support) — the exemplar's point
   * is the connector surface, not a CSV parser; production would delegate
   * record parsing to Spark's CSV reader.

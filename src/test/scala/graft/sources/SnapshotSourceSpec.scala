@@ -71,6 +71,35 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("SCHEMA EVOLUTION across dated snapshots: per-file header resolution " +
+    "fills missing columns with NULL and survives reordering") {
+    // the dated-snapshot reality this source exists for: the feed adds a
+    // column one week and reshuffles its header the next — each file's
+    // cells must resolve by ITS OWN header (the reader's header.indexOf
+    // per partition), never by position in the union schema
+    val r = Files.createTempDirectory("snapevo").toFile.getAbsolutePath
+    def write(date: String, header: String, rows: Seq[String]): Unit = {
+      new java.io.File(s"$r/$date").mkdirs()
+      val w = new java.io.PrintWriter(s"$r/$date/result.csv")
+      w.println(header); rows.foreach(w.println); w.close()
+    }
+    write("2021-01-01", "id,name", Seq("1,old")) // before the column existed
+    write("2021-01-08", "id,name,salary", Seq("1,mid,100")) // column added
+    write("2021-01-15", "salary,id,name", Seq("200,1,new")) // feed reordered
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("path", r)
+      .schema("id STRING, name STRING, salary STRING, snapshot_date DATE")
+      .load()
+      .select($"name", $"salary",
+        date_format($"snapshot_date", "yyyy-MM-dd").as("d"))
+      .collect().map(row => (row.getString(0), row.getString(1), row.getString(2)))
+      .toSet
+    assert(back == Set(
+      ("old", null, "2021-01-01"), // pre-evolution rows: NULL, not shifted cells
+      ("mid", "100", "2021-01-08"),
+      ("new", "200", "2021-01-15")), s"got $back")
+  }
+
   test("column pruning reaches the reader") {
     val df = load().select("name")
     val scan = df.queryExecution.executedPlan.collectFirst {
