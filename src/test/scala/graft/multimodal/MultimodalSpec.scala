@@ -243,6 +243,57 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, s"banded $got != brute $brute")
   }
 
+  test("decodeVideo: REAL MJPEG-AVI payloads yield frame counts and measured dims via the RIFF walker") {
+    val media = Multimodal.syntheticMjpegAvis(spark, 6, framesPer = 4)
+    val decoded = Multimodal.decodeVideo(media).collect().sortBy(_.media_id)
+    assert(decoded.length == 6, "every genuine MJPEG-AVI decodes")
+    decoded.foreach { v =>
+      assert(v.n_frames == 4)
+      assert(v.width == 16 && v.height == 12,
+        "dimensions measured from the FRAME BYTES, not the metadata struct")
+      assert(v.mime == "video/x-msvideo")
+    }
+  }
+
+  test("VideoCodec: truncated and non-AVI payloads quarantine; truncation keeps earlier frames") {
+    import spark.implicits._
+    val good = Multimodal.syntheticMjpegAvis(spark, 1, framesPer = 4).head()
+    // cut inside the last frame: the walker must stop cleanly and keep
+    // the complete frames before the cut
+    val truncated = good.payload.take(good.payload.length - 10)
+    val framesT = Multimodal.VideoCodec.frames(truncated)
+    assert(framesT.nonEmpty && framesT.length < 4,
+      s"truncation keeps complete earlier frames, got ${framesT.length}")
+    assert(Multimodal.VideoCodec.frames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.VideoCodec.frames(null).isEmpty)
+    assert(Multimodal.VideoCodec.decode(
+      "RIFF0000AVI somegarbagewithoutchunks".getBytes).isEmpty)
+    val rows = Seq(
+      good.copy(media_id = 1L),
+      Multimodal.MediaRow(2L, "video", truncated, good.meta), // partial: still decodes
+      Multimodal.MediaRow(3L, "video", Array[Byte](9, 9, 9), good.meta), // junk: dropped
+      Multimodal.MediaRow(4L, "image", good.payload, good.meta)) // wrong kind: filtered
+      .toDS()
+    val got = Multimodal.decodeVideo(rows).collect().map(_.media_id).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("sampleFramesMjpeg emits genuinely decodable, evenly-sampled frames") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMjpegAvis(spark, 3, framesPer = 6)
+    val frames = Multimodal.sampleFramesMjpeg(media, n = 3).collect()
+    val byId = frames.groupBy(_.getLong(0))
+    assert(byId.keySet == Set(0L, 1L, 2L))
+    byId.values.foreach { fs =>
+      assert(fs.length == 3, "n evenly-spaced frames per video")
+      fs.foreach { r =>
+        assert(r.getInt(3) == 16 && r.getInt(4) == 12)
+        // the emitted bytes are a real standalone JPEG
+        assert(Multimodal.ImageCodec.decode(r.getAs[Array[Byte]](2)).isDefined)
+      }
+    }
+  }
+
   test("media parquet roundtrip preserves payload bytes and metadata struct") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
     val media = Multimodal.syntheticMedia(spark, 10).toDF()
