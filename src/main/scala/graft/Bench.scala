@@ -703,6 +703,19 @@ object Bench {
     val wavHashes = Multimodal.audioHashes(wavs).localCheckpoint()
     val wavPairsT = timeMed(reps)(Multimodal.audioHashPairs(wavHashes).count())
     val wavPairs = Multimodal.audioHashPairs(wavHashes).count().toDouble
+    // video: fewer rows (each payload is framesPer JPEGs), planted
+    // re-posts like the other kinds
+    val nVid = 500
+    val vidsBase = Multimodal.syntheticMjpegAvis(spark, nVid)
+    val vids = vidsBase
+      .union(vidsBase.map(r => r.copy(media_id = r.media_id + nVid)))
+      .localCheckpoint()
+    val vidHashT = timeMed(reps) {
+      Multimodal.videoHashes(vids).write.format("noop").mode("overwrite").save()
+    }
+    val vidHashes = Multimodal.videoHashes(vids).localCheckpoint()
+    val vidPairsT = timeMed(reps)(Multimodal.videoHashPairs(vidHashes).count())
+    val vidPairs = Multimodal.videoHashPairs(vidHashes).count().toDouble
     Seq(
       "media_rows_per_kind" -> (2.0 * n),
       s"img_hash_${2 * n}" -> imgHashT,
@@ -710,7 +723,10 @@ object Bench {
       "img_pairs_found" -> imgPairs,
       s"wav_hash_${2 * n}" -> wavHashT,
       "wav_pairs_join" -> wavPairsT,
-      "wav_pairs_found" -> wavPairs)
+      "wav_pairs_found" -> wavPairs,
+      s"vid_hash_${2 * nVid}" -> vidHashT,
+      "vid_pairs_join" -> vidPairsT,
+      "vid_pairs_found" -> vidPairs)
   }
 
   def main(args: Array[String]): Unit = {

@@ -505,6 +505,34 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_jpeg", "width", "height")
   }
 
+  case class VideoHash(media_id: Long, vhash: Long)
+
+  /** Per-partition batch perceptual hashing of MJPEG-AVI video rows —
+    * the keyframe-hash approach: the FIRST decodable frame's aHash
+    * stands for the clip (cheap, and re-encodes/container rewraps of
+    * the same footage keep their first frame). With it, near-dup
+    * detection spans ALL THREE media kinds through the one shared
+    * Hamming band operator. Undecodable payloads drop. */
+  def videoHashes(media: Dataset[MediaRow]): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        VideoCodec.frames(r.payload).iterator
+          .flatMap(ImageCodec.aHash)
+          .nextOption()
+          .map(VideoHash(r.media_id, _))
+      }
+    }
+  }
+
+  /** Video near-duplicate candidate pairs over the keyframe hash —
+    * [[graft.extensions.Dedup.hammingBandPairs]], complete banding. */
+  def videoHashPairs(
+      hashes: Dataset[VideoHash], maxHamming: Int = 3): DataFrame =
+    graft.extensions.Dedup.hammingBandPairs(hashes.toDF(),
+      "media_id", "vhash", maxHamming)
+
   case class AudioHash(media_id: Long, ehash: Long)
 
   /** Per-partition batch perceptual hashing of audio rows — the audio

@@ -294,6 +294,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoHashes + videoHashPairs: a re-posted clip pairs with its original; distinct clips don't") {
+    import spark.implicits._
+    val base = Multimodal.syntheticMjpegAvis(spark, 8, framesPer = 3)
+    // the primary video-dedup case: the same file re-posted under a new id
+    val repost = base.filter(_.media_id == 2L)
+      .map(r => r.copy(media_id = 100L))
+    val all = base.union(repost)
+    val hashes = Multimodal.videoHashes(all).cache()
+    assert(hashes.count() == 9, "every decodable clip gets a keyframe hash")
+    val got = Multimodal.videoHashPairs(hashes)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 100L)), s"the re-post must pair with its original: $got")
+    val hs = hashes.collect().map(h => h.media_id -> h.vhash)
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"banded $got != brute $brute")
+  }
+
   test("media parquet roundtrip preserves payload bytes and metadata struct") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
     val media = Multimodal.syntheticMedia(spark, 10).toDF()
