@@ -15,17 +15,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects at
-    * schema inference — probed on Spark 4.1.2 (graft.NanosProbe): a plain
-    * read fails with [PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64
-    * (TIMESTAMP(NANOS,false)); Spark has no nanosecond TimestampType.
-    * The one native escape, `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (SPARK-40819), infers ts as plain BIGINT — exactly what the explicit
-    * schema below declares, minus the mutable session-wide conf flip. So
-    * we read the physical INT64 nanos with an explicit schema — SURVEY
-    * §1.3: always declare schemas, never infer — and rebuild a session-TZ
-    * TimestampType at microsecond precision (`ts div 1000` keeps the math
-    * in exact integer space). Revisit if Spark gains TIMESTAMP(NANOS). */
+  /** Harness generations have shipped `events.ts` as BOTH parquet
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) — the round-9 testdata
+    * regeneration silently switched nanos → micros, which turned the
+    * previously-required nanos workaround into a 1000× timestamp error.
+    * So the loader resolves the layout per file instead of assuming:
+    * a plain read handles MICROS (and any other Spark-native layout)
+    * directly; if inference rejects the file ([PARQUET_TYPE_ILLEGAL]
+    * Illegal Parquet type: INT64 (TIMESTAMP(NANOS,false)) — probed on
+    * Spark 4.1.2 by graft.NanosProbe; Spark has no nanosecond
+    * TimestampType), we fall back to reading the physical INT64 nanos
+    * with this explicit schema and rebuilding a session-TZ TimestampType
+    * at microsecond precision (`ts div 1000` keeps the math in exact
+    * integer space). The one native escape for nanos,
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (SPARK-40819), infers
+    * plain BIGINT — the same shape minus the mutable session-wide conf
+    * flip. The final `cast("timestamp")` normalizes an inferred
+    * TIMESTAMP_NTZ (MICROS with isAdjustedToUTC=false under
+    * inferTimestampNTZ) to the session-TZ TimestampType both paths and
+    * all downstream queries expect. */
   private val eventsRawSchema =
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
@@ -68,9 +76,19 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      val path = s"$dir/events.parquet"
+      try
+        // MICROS (or any Spark-native timestamp layout): schema inference
+        // succeeds eagerly at read time; normalize a possible NTZ to the
+        // session-TZ TimestampType (no-op when already LTZ)
+        spark.read.parquet(path).withColumn("ts", col("ts").cast("timestamp"))
+      catch {
+        case scala.util.control.NonFatal(e)
+            if e.getMessage != null && e.getMessage.contains("Illegal Parquet type") =>
+          spark.read.schema(eventsRawSchema).parquet(path)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
