@@ -480,6 +480,94 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Cross-doc duplicated window positions with each window's canonical
+    * owner (the smallest doc_id containing it) — the shared front half of
+    * [[exactSubstrSpans]] and [[exactSubstrClean]]. A window counts as
+    * duplicated only when it recurs in ≥2 DISTINCT docs; intra-doc
+    * repetition is [[repetition]]'s domain. */
+  private def dupWindowPositions(documents: DataFrame, k: Int): DataFrame = {
+    val wins = documents
+      .select(col("doc_id"), posexplode(wordNgrams(k)).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("win"))
+    val owners = wins.groupBy("win")
+      .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") > 1)
+      .select("win", "owner")
+    wins.join(owners, "win").select("doc_id", "pos", "owner")
+  }
+
+  /** Gaps-and-islands merge of duplicated window positions into maximal
+    * token spans: windows whose [pos, pos+k) token intervals overlap or
+    * touch (next pos ≤ prev pos + k) fuse into one span. Output one row
+    * per (doc, span): [span_start, span_end) in 0-based token indices.
+    * Merged spans are disjoint by construction (a new run only opens
+    * past the previous interval's end), so downstream token counts can
+    * sum span lengths without double counting. */
+  private def mergeWindowSpans(dupPos: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    dupPos
+      .withColumn("new_run",
+        when(prev.isNull || col("pos") > prev + k, 1L).otherwise(0L))
+      .withColumn("run", sum(col("new_run"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "run")
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  /** Exact-substring duplicated SPANS — the removal-ready half of
+    * [[duplicatedSpans]] (which only counts): maximal cross-doc
+    * duplicated regions per document, merged from overlapping k-token
+    * duplicated windows (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — ExactSubstr at fixed
+    * window granularity; reference analog: the repeated-template habr
+    * bodies `get_habr.py:21-35` whose boilerplate survives doc-level
+    * dedup). Output: [span_start, span_end) 0-based token intervals plus
+    * the window count each span fused.
+    *
+    * Scale shape: one shuffle on the window key (df + owner agg, content
+    * -derived keys so no skew), an equi-join back, then one doc-keyed
+    * sort for the islands merge — the per-doc Window partitions on
+    * doc_id, and the span groupBy reuses that partitioning (grouping
+    * keys ⊇ partition key ⇒ no extra Exchange). At 100 TB hash the
+    * window string (xxhash64) before the shuffle — the
+    * [[duplicatedSpans]] lever, same collision caveat. */
+  def exactSubstrSpans(documents: DataFrame, k: Int = 6): DataFrame =
+    mergeWindowSpans(dupWindowPositions(documents, k), k)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_windows"))
+
+  /** Exact-substring REMOVAL policy — keep one canonical copy: a
+    * duplicated window's tokens are removable in every doc EXCEPT its
+    * owner (smallest doc_id containing that window), so each duplicated
+    * window's text provably survives at exactly its owner's position.
+    * Per doc: token count, tokens inside merged removable spans, and the
+    * kept fraction — the budget line a span-level scrub ships. Docs with
+    * nothing removable keep_frac 1.0 (report-completeness rule, as the
+    * leak report). Ownership is per WINDOW: a doc can own one window of
+    * a merged span and still lose the span's other tokens — mutual
+    * sharing trims both sides, matching Lee et al.'s remove-everywhere
+    * default softened only by the per-window owner guarantee. */
+  def exactSubstrClean(documents: DataFrame, k: Int = 6): DataFrame = {
+    val removable = dupWindowPositions(documents, k)
+      .filter(col("doc_id") =!= col("owner"))
+    val removed = mergeWindowSpans(removable, k)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("n_removed"))
+    val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    val nRem = coalesce(col("n_removed"), lit(0L))
+    documents.select(col("doc_id"), size(arr).cast("long").as("n_tok"))
+      .join(removed, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"), nRem.as("n_removed"),
+        when(col("n_tok") > 0,
+          round((col("n_tok") - nRem) * lit(1.0) / col("n_tok"), 4))
+          .otherwise(lit(1.0)).as("keep_frac"))
+  }
+
   /** Deterministic stratified sampling — the data-mixing step that turns
     * raw source proportions into a training mix: each stratum keeps the
     * fraction `rates(stratum)` of its rows, chosen by an md5 bucket of the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.table
-import graft.extensions.Dedup
+import graft.extensions.{Dedup, TextAnalysis}
 
 /** Round-9 surface: the containment SIGNAL becomes a containment
   * SURVIVOR POLICY (q_containment told you which side is the subset;
@@ -155,5 +155,74 @@ object Round9Queries {
                           ELSE 0.0 END))) + 0.0, 4) AS js_div
             FROM per"""))
 
-  val all: Seq[Q] = Seq(dedupContainment, splitAssign, hammingPairs, embDrift)
+  /** Shared CTE chain for the exact-substring rows: positioned 6-token
+    * windows, cross-doc duplicated ones with their min-doc_id owner, and
+    * the gaps-and-islands merge into maximal [start, end) token spans —
+    * the DuckDB twin of [[TextAnalysis.exactSubstrSpans]]'s front half.
+    * `extraDp` narrows the duplicated-position set (the clean row drops
+    * owner-held positions). */
+  private def duckSubstrSpans(extraDp: String): String =
+    s"""ag AS (SELECT doc_id,
+                      list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                  t -> t <> '') AS arr
+               FROM documents),
+        w AS (SELECT doc_id,
+                     unnest(CASE WHEN len(arr) < 6 THEN []
+                            ELSE list_transform(range(1, CAST(len(arr) AS INTEGER) - 4),
+                                   i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                                                    win := array_to_string(arr[i : i + 5], ' ')))
+                            END) AS pw
+              FROM ag),
+        ww AS (SELECT doc_id, pw.pos AS pos, pw.win AS win FROM w),
+        own AS (SELECT win, min(doc_id) AS owner
+                FROM ww GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+        dp AS (SELECT ww.doc_id, ww.pos FROM ww JOIN own USING (win)$extraDp),
+        fl AS (SELECT doc_id, pos,
+                      CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 6
+                           THEN 1 ELSE 0 END AS new_run
+               FROM dp),
+        rn AS (SELECT doc_id, pos,
+                      sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING) AS run
+               FROM fl),
+        sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 6 AS span_end,
+                      CAST(count(*) AS BIGINT) AS n_windows
+               FROM rn GROUP BY doc_id, run)"""
+
+  /** [[TextAnalysis.exactSubstrSpans]] — maximal cross-doc duplicated
+    * token spans (the removal-ready geometry q_dup_spans only counts):
+    * overlapping duplicated 6-token windows fused gaps-and-islands
+    * style into disjoint [start, end) intervals. */
+  private val substrSpans = Q("q_substr_spans",
+    (s, dir) => TextAnalysis.exactSubstrSpans(table(s, dir, "documents"))
+      .orderBy("doc_id", "span_start"),
+    Some(s"""WITH ${duckSubstrSpans("")}
+             SELECT doc_id, span_start, span_end,
+                    span_end - span_start AS span_tokens, n_windows
+             FROM sp
+             ORDER BY doc_id, span_start"""))
+
+  /** [[TextAnalysis.exactSubstrClean]] — the keep-one-canonical-copy
+    * removal budget: tokens inside merged spans of duplicated windows
+    * this doc does NOT own (owner = min doc_id per window), with the
+    * kept fraction per doc. Oracle shares q_substr_spans' CTE chain,
+    * narrowing dp to non-owner positions. */
+  private val substrClean = Q("q_substr_clean",
+    (s, dir) => TextAnalysis.exactSubstrClean(table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH ${duckSubstrSpans(" WHERE ww.doc_id <> own.owner")},
+             rm AS (SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS n_removed
+                    FROM sp GROUP BY doc_id),
+             nt AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tok FROM ag)
+             SELECT nt.doc_id, nt.n_tok,
+                    coalesce(rm.n_removed, 0) AS n_removed,
+                    CASE WHEN nt.n_tok > 0
+                         THEN round((nt.n_tok - coalesce(rm.n_removed, 0)) * 1.0 / nt.n_tok, 4)
+                         ELSE 1.0 END AS keep_frac
+             FROM nt LEFT JOIN rm USING (doc_id)
+             ORDER BY nt.doc_id"""))
+
+  val all: Seq[Q] = Seq(dedupContainment, splitAssign, hammingPairs, embDrift,
+    substrSpans, substrClean)
 }
