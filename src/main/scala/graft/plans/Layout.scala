@@ -72,6 +72,57 @@ object Layout {
     df.sparkSession.catalog.refreshTable(table)
   }
 
+  /** Compact a bucketed table back to one file per bucket — the
+    * OPTIMIZE-style maintenance pass a continuously-appended index needs:
+    * every [[appendBucketed]] micro-batch lands ≥1 new file per touched
+    * bucket, so after B batches a probe join opens O(B·buckets) small
+    * files and footer/open cost dominates the scan (the classic streaming
+    * small-file problem — at 100 TB an always-on admission loop appends
+    * thousands of batches between maintenance windows). Rewrites the
+    * table with the SAME bucket spec, pre-partitioned on the bucket
+    * columns into exactly `buckets` tasks: `repartition(buckets, cols)`
+    * and bucket-id assignment share the same hash(cols) pmod buckets
+    * function, so each task holds exactly one bucket's rows and writes
+    * exactly one file — `buckets` files total, bucketing metadata and
+    * the zero-exchange probe plan preserved.
+    *
+    * Single-writer maintenance op (the reference's analog: the nightly
+    * rebuild in periodic_run.py): the swap is drop-then-rename through
+    * the session catalog, not atomic — run it from the writer that owns
+    * the index, between batches, like the admission loop's own appends.
+    * Readers in the writer session see the compacted table after the
+    * final refresh; cross-session readers re-resolve by name (the
+    * [[graft.streaming.StreamingDedup]] reader contract). */
+  def compactBucketed(
+      spark: SparkSession, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
+    val tmp = table + "__compact"
+    // Read the table's FILES, not the table: the catalog relation carries
+    // the bucket spec, so the planner sees the repartition below as
+    // already-satisfied and elides it — after which the auto-bucketed-scan
+    // rule regroups the (fragmented) files by size, tasks see mixed
+    // buckets, and each task writes one file per bucket it holds — the
+    // very fragmentation this pass exists to undo. The raw-file read
+    // keeps the shuffle; repartition's HashPartitioning and the writer's
+    // bucket-id assignment share pmod(murmur3(cols), buckets), so each
+    // task holds exactly one bucket and writes exactly one file.
+    val location = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    // saveAsTable materializes the full snapshot BEFORE the source table
+    // is dropped; the sortBy keeps appendBucketed's within-bucket order
+    spark.read.parquet(location)
+      .repartition(buckets, bucketCols.map(col): _*)
+      .write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Sorted parquet write — the "secondary index" substitute (SURVEY §4):
     * globally ordering on the hot predicate column clusters each key into
     * few row groups, so parquet min/max stats let a reader skip the rest.

@@ -64,6 +64,39 @@ class LayoutSkewSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compactBucketed: appends fragment the index, compaction restores one file per bucket, rows and shuffle-free probe preserved") {
+    val cols = Seq("band", "bkey") // the streaming LSH index's composite key
+    def batch(seed: Long) =
+      (1L to 200L).map(i => (i % 3, i % 11, seed * 1000 + i))
+        .toDF("band", "bkey", "doc_id")
+    Layout.writeBucketed(batch(0), "cmp_idx", cols, 4)
+    (1L to 3L).foreach(s => Layout.appendBucketed(batch(s), "cmp_idx", cols, 4))
+    val dir = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, "cmp_idx")
+    def parquetFiles() = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.table("cmp_idx").collect().map(_.toSeq).sortBy(_.toString)
+    assert(parquetFiles() > 4, s"appends must fragment: ${parquetFiles()} files")
+    Layout.compactBucketed(spark, "cmp_idx", cols, 4)
+    assert(parquetFiles() == 4,
+      s"one file per bucket after compaction, got ${parquetFiles()}")
+    val after = spark.table("cmp_idx").collect().map(_.toSeq).sortBy(_.toString)
+    assert(before.toSeq == after.toSeq, "compaction must not change table contents")
+    // the probe join still consumes the bucketing: only the (unbucketed)
+    // probe side shuffles
+    val probe = (1L to 50L).map(i => (i % 3, i % 11)).toDF("band", "bkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val j = spark.table("cmp_idx").join(probe, cols)
+      // string form: executedPlan.collect does not traverse into the
+      // AdaptiveSparkPlan wrapper
+      val planStr = j.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(planStr).length == 1, planStr)
+      assert(planStr.contains("Bucketed: true"), planStr)
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedCount equals plain groupBy count on a skewed frame") {
     val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "b")).toDF("k")
     val salted = Skew.saltedCount(df, $"k", parts = 8)
