@@ -256,7 +256,44 @@ object Bench {
         s"probe_batch_$b" -> t
       }
       val idxRows = spark.table("stream_band_idx").count().toDouble
-      Seq("index_build" -> setup) ++ perBatch :+ ("index_rows_final" -> idxRows)
+      // maintenance: the index is now 5 writes deep (initial + 4 appends)
+      // — price the OPTIMIZE-style rewrite and the probe either side of
+      // it, with the file counts that are the structural evidence. The
+      // compact row is rep-honest despite mutating state: every rep
+      // rewrites the identical full row set (only rep 1 reads the
+      // fragmented layout, and reading is the cheap half of a rewrite).
+      val locStr = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("stream_band_idx"))
+        .location.toString
+      val locUri = java.net.URI.create(locStr)
+      val locDir = if (locUri.getScheme == null) new java.io.File(locStr)
+        else new java.io.File(locUri)
+      def idxFiles() = locDir.listFiles().count(_.getName.endsWith(".parquet")).toDouble
+      val probeBatch = docs
+        .filter(pmod(col("doc_id"), lit(20)) === lit(nBatches))
+        .select((col("doc_id") + lit((nBatches + 1).toLong * 10000000L)).as("doc_id"),
+          col("text"))
+        .localCheckpoint()
+      def probeOnce(): Double = timeMed(reps) {
+        StreamingDedup.candidates(spark.table("stream_band_idx"), probeBatch)
+          .distinct()
+          .write.format("noop").mode("overwrite").save()
+      }
+      val filesFragmented = idxFiles()
+      val probeFragmented = probeOnce()
+      val compact = timeMed(reps) {
+        graft.plans.Layout.compactBucketed(
+          spark, "stream_band_idx", Seq("band", "bkey"), buckets)
+      }
+      val filesCompacted = idxFiles()
+      val probeCompacted = probeOnce()
+      Seq("index_build" -> setup) ++ perBatch ++ Seq(
+        "index_rows_final" -> idxRows,
+        "index_files_fragmented" -> filesFragmented,
+        "probe_fragmented" -> probeFragmented,
+        "index_compact" -> compact,
+        "index_files_compacted" -> filesCompacted,
+        "probe_compacted" -> probeCompacted)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS stream_band_idx")
