@@ -568,6 +568,36 @@ object TextAnalysis {
           .otherwise(lit(1.0)).as("keep_frac"))
   }
 
+  /** Apply the [[exactSubstrClean]] policy to the text itself — the
+    * artifact a span-level scrub actually ships: tokens inside merged
+    * non-owned duplicated spans are cut, survivors re-joined with single
+    * spaces (tokenization is the same lower/split/drop-empties as every
+    * text operator, so reconstruction is deterministic in both engines;
+    * original inter-token whitespace is not preserved — the scrub
+    * canonicalizes, as C4-style cleaners do). Docs with nothing
+    * removable emit their canonicalized text unchanged.
+    *
+    * Scale shape: [[exactSubstrClean]]'s two shuffles plus one per-doc
+    * span-list collect (bounded: spans per doc ≤ windows per doc), then
+    * a narrow indexed-filter HOF over the token array — the rebuild
+    * never shuffles the text twice. */
+  def exactSubstrApply(documents: DataFrame, k: Int = 6): DataFrame = {
+    val removable = dupWindowPositions(documents, k)
+      .filter(col("doc_id") =!= col("owner"))
+    val spans = mergeWindowSpans(removable, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val arr = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    val spansOrEmpty = coalesce(col("spans"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    documents.join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(arr, (t, i) =>
+          !exists(spansOrEmpty, s =>
+            i.cast("long") >= s.getField("span_start") &&
+              i.cast("long") < s.getField("span_end")))).as("clean_text"))
+  }
+
   /** Deterministic stratified sampling — the data-mixing step that turns
     * raw source proportions into a training mix: each stratum keeps the
     * fraction `rates(stratum)` of its rows, chosen by an md5 bucket of the
