@@ -81,14 +81,15 @@ object ProductQuantization {
       .filter(!array_contains(col("code"), -1))
   }
 
-  /** ADC top-k: squared-L2 ranking of every code against `query`,
-    * ascending (smaller = closer), vec_id tie-break. The m×ksub
-    * distance table is computed driver-side and inlined (a few KB —
-    * small enough that the plan-literal concern of large centroid
-    * tables does not apply); scoring is one fused fold of m lookups
-    * per row, no vector arithmetic at scan time. */
-  def searchAdc(codes: DataFrame, cb: Codebooks, query: Array[Double],
-      kTop: Int): DataFrame = {
+  /** Every code's ADC score against `query` — the un-truncated scan
+    * behind [[searchAdc]], exposed so the oracle row (q_pq_adc) can pin
+    * the full encode→ADC surface per vector, not just a top-k slice.
+    * The m×ksub distance table is computed driver-side and inlined (a
+    * few KB — small enough that the plan-literal concern of large
+    * centroid tables does not apply); scoring is one fused fold of m
+    * lookups per row, no vector arithmetic at scan time. Passes the
+    * `code` column through for callers that want the codes themselves. */
+  def adcScores(codes: DataFrame, cb: Codebooks, query: Array[Double]): DataFrame = {
     require(query.length == cb.dim,
       s"query dim ${query.length} != trained dim ${cb.dim}")
     val table: Seq[Seq[Double]] = (0 until cb.m).map { j =>
@@ -107,10 +108,17 @@ object ProductQuantization {
     val adist = aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0),
       (acc, j) => acc +
         element_at(element_at(tbl, j + 1), element_at(col("code"), j + 1) + 1))
-    codes.select(col("vec_id"), adist.as("adist"))
+    codes.select(col("vec_id"), col("code"), adist.as("adist"))
+  }
+
+  /** ADC top-k: squared-L2 ranking of every code against `query`,
+    * ascending (smaller = closer), vec_id tie-break. */
+  def searchAdc(codes: DataFrame, cb: Codebooks, query: Array[Double],
+      kTop: Int): DataFrame =
+    adcScores(codes, cb, query)
+      .select(col("vec_id"), col("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(kTop)
-  }
 
   /** ADC shortlist + exact re-rank — how PQ search actually ships
     * (Jégou et al. §V): the compressed scan ranks ALL codes cheaply,

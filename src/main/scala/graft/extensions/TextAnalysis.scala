@@ -461,11 +461,19 @@ object TextAnalysis {
     * Scale shape: explode windows → one count-distinct aggregation on
     * the window key → equi-join back → per-doc counts. Everything keys
     * on content-derived window values (uniformly distributed, no skew);
-    * at 100 TB hash the window string (xxhash64) before the shuffle to
-    * move 8-byte keys instead of ~40-byte strings — same lever as
-    * [[Dedup.ngramJaccard]]'s encodeShingles, same collision caveat. */
-  def duplicatedSpans(documents: DataFrame, k: Int = 6): DataFrame = {
-    val wins = documents.select(col("doc_id"), explode(wordNgrams(k)).as("win"))
+    * at 100 TB set `hashWindows = true` to xxhash64 the window string
+    * before the shuffle and move 8-byte keys instead of ~40-byte
+    * strings — same lever as [[Dedup.ngramJaccard]]'s encodeShingles,
+    * same collision caveat (a 64-bit collision can merge two distinct
+    * windows; at 2^32 distinct windows the birthday bound puts one
+    * collision in ~half of corpora — acceptable for a dup-REMOVAL
+    * signal, not for an exactness proof). */
+  def duplicatedSpans(
+      documents: DataFrame, k: Int = 6, hashWindows: Boolean = false): DataFrame = {
+    val raw = documents.select(col("doc_id"), explode(wordNgrams(k)).as("win"))
+    val wins =
+      if (hashWindows) raw.select(col("doc_id"), xxhash64(col("win")).as("win"))
+      else raw
     val dup = wins.groupBy("win")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("win")
@@ -484,11 +492,19 @@ object TextAnalysis {
     * owner (the smallest doc_id containing it) — the shared front half of
     * [[exactSubstrSpans]] and [[exactSubstrClean]]. A window counts as
     * duplicated only when it recurs in ≥2 DISTINCT docs; intra-doc
-    * repetition is [[repetition]]'s domain. */
-  private def dupWindowPositions(documents: DataFrame, k: Int): DataFrame = {
+    * repetition is [[repetition]]'s domain.
+    *
+    * `hashWindows` keys the df/owner shuffle and the join-back on
+    * xxhash64(win) instead of the raw ~k·7-byte window string — at 100
+    * TB the shuffle volume drops ~5× while ownership (min doc_id) and
+    * every downstream span stays keyed per window. Collision caveat as
+    * [[duplicatedSpans]]; hashed ≡ raw is pinned in ExactSubstrSpec. */
+  private def dupWindowPositions(
+      documents: DataFrame, k: Int, hashWindows: Boolean = false): DataFrame = {
+    val winKey = if (hashWindows) xxhash64(col("win")) else col("win")
     val wins = documents
       .select(col("doc_id"), posexplode(wordNgrams(k)).as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("win"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), winKey.as("win"))
     val owners = wins.groupBy("win")
       .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
       .filter(col("nd") > 1)
@@ -532,28 +548,36 @@ object TextAnalysis {
     * -derived keys so no skew), an equi-join back, then one doc-keyed
     * sort for the islands merge — the per-doc Window partitions on
     * doc_id, and the span groupBy reuses that partitioning (grouping
-    * keys ⊇ partition key ⇒ no extra Exchange). At 100 TB hash the
-    * window string (xxhash64) before the shuffle — the
-    * [[duplicatedSpans]] lever, same collision caveat. */
-  def exactSubstrSpans(documents: DataFrame, k: Int = 6): DataFrame =
-    mergeWindowSpans(dupWindowPositions(documents, k), k)
+    * keys ⊇ partition key ⇒ no extra Exchange). At 100 TB set
+    * `hashWindows = true` — the [[dupWindowPositions]] lever, priced
+    * per round as scale.substr_hashed. */
+  def exactSubstrSpans(
+      documents: DataFrame, k: Int = 6, hashWindows: Boolean = false): DataFrame =
+    mergeWindowSpans(dupWindowPositions(documents, k, hashWindows), k)
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"),
         col("n_windows"))
 
   /** Exact-substring REMOVAL policy — keep one canonical copy: a
     * duplicated window's tokens are removable in every doc EXCEPT its
-    * owner (smallest doc_id containing that window), so each duplicated
-    * window's text provably survives at exactly its owner's position.
-    * Per doc: token count, tokens inside merged removable spans, and the
-    * kept fraction — the budget line a span-level scrub ships. Docs with
+    * owner (smallest doc_id containing that window). Per doc: token
+    * count, tokens inside merged removable spans, and the kept
+    * fraction — the budget line a span-level scrub ships. Docs with
     * nothing removable keep_frac 1.0 (report-completeness rule, as the
-    * leak report). Ownership is per WINDOW: a doc can own one window of
-    * a merged span and still lose the span's other tokens — mutual
-    * sharing trims both sides, matching Lee et al.'s remove-everywhere
-    * default softened only by the per-window owner guarantee. */
-  def exactSubstrClean(documents: DataFrame, k: Int = 6): DataFrame = {
-    val removable = dupWindowPositions(documents, k)
+    * leak report). Ownership is per WINDOW, not per span: a doc can own
+    * one window of a merged span and still lose the span's other
+    * tokens — mutual sharing trims both sides, and when an owner's
+    * NON-owned neighbor windows merge into a span covering its owned
+    * window, even the owned window's tokens are removed from the owner
+    * (its text then survives only where OTHER docs own overlapping
+    * windows). So ownership bounds the budget — an owned window is
+    * never itself the REASON tokens leave its owner — but is not a
+    * per-position survival guarantee; that matches Lee et al.'s
+    * remove-everywhere default, softened per window rather than per
+    * position. */
+  def exactSubstrClean(
+      documents: DataFrame, k: Int = 6, hashWindows: Boolean = false): DataFrame = {
+    val removable = dupWindowPositions(documents, k, hashWindows)
       .filter(col("doc_id") =!= col("owner"))
     val removed = mergeWindowSpans(removable, k)
       .groupBy("doc_id")
@@ -581,8 +605,9 @@ object TextAnalysis {
     * span-list collect (bounded: spans per doc ≤ windows per doc), then
     * a narrow indexed-filter HOF over the token array — the rebuild
     * never shuffles the text twice. */
-  def exactSubstrApply(documents: DataFrame, k: Int = 6): DataFrame = {
-    val removable = dupWindowPositions(documents, k)
+  def exactSubstrApply(
+      documents: DataFrame, k: Int = 6, hashWindows: Boolean = false): DataFrame = {
+    val removable = dupWindowPositions(documents, k, hashWindows)
       .filter(col("doc_id") =!= col("owner"))
     val spans = mergeWindowSpans(removable, k)
       .groupBy("doc_id")

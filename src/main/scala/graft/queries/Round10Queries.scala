@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.extensions.ProductQuantization
+
+/** Round-10 surface: the PQ encode→ADC path gets an oracle row (its
+  * recall numbers were bench-only through r9), and the training-set
+  * composition ships end-to-end. Same contract as every row: rounded
+  * floats, total-order sort keys, bitwise DuckDB oracles. */
+object Round10Queries {
+
+  /** The q_pq_adc fixture codebook: `ProductQuantization.train` output
+    * over the sf0.01 embeddings (dim 64, m = 4, ksub = 8 — small enough
+    * that the SQL twin stays readable), frozen to 6-decimal literals.
+    * Freezing is what makes the row tri-scale oracle-expressible: both
+    * engines parse the SAME decimal strings to the SAME doubles, so
+    * encode's per-subspace argmin and every ADC sum are bit-identical
+    * cross-engine regardless of which sf dir the row runs against (a
+    * live re-train would bake engine-side float summation order into
+    * the codebook and the oracle could not reproduce it). Training
+    * itself stays pinned by ProductQuantizationSpec's determinism
+    * cases; this row pins encode + ADC per VECTOR, not a top-k slice. */
+  private val pqBooks: Array[Array[Array[Double]]] = Array(
+    Array(
+      Array(0.032731, 0.020331, 0.018672, -0.104637, 0.067687, 0.003588, -0.019214, -0.030954, 0.107691, -0.024289, -0.009554, -0.023913, -0.032819, -0.004041, -0.018863, 0.007343),
+      Array(-0.059579, 0.008481, 0.042492, 0.009491, 0.033809, 0.03184, -0.11344, 0.013058, -0.004647, 0.018914, -0.038005, 0.00444, 0.053611, -0.094094, 0.08464, 0.01189),
+      Array(-0.015591, -0.030614, -0.090524, 0.029291, -0.027344, 2.6E-4, 0.004614, -0.011988, -0.025396, -0.137812, -0.006119, -0.03801, -0.036495, 0.049397, -0.011996, 0.058605),
+      Array(-0.017893, 0.033771, 0.037413, -0.003871, 0.034957, 0.010068, 0.041599, -0.018927, -0.047465, 0.044048, -0.032903, 0.110237, 0.035192, 0.149064, 0.014486, 0.021437),
+      Array(-0.014483, -0.025418, 0.069092, -0.001474, -0.008272, -0.170373, 0.088588, 0.058571, -0.021414, 0.103484, 0.054743, -0.01217, 0.030706, -0.032241, 0.06915, 0.02876),
+      Array(0.032151, -0.081863, 0.052313, 0.019363, 0.037386, 0.025603, -0.013311, 0.069015, -0.032002, 0.012452, 0.101084, -0.022984, 0.031042, -0.0357, -0.125841, 0.008771),
+      Array(-0.049273, -0.023747, -0.060866, -0.014508, -0.097187, 0.066125, -0.06366, 0.002176, 0.061568, 0.125748, 0.064605, 0.032845, -0.040756, 0.083091, -0.032837, -0.007852),
+      Array(0.116457, 0.037219, -0.035086, 0.055303, -0.034455, 0.05117, -0.00788, 0.03369, -0.086046, -0.021108, -0.00566, 0.005664, -0.07183, -0.046903, -0.008487, -0.10531)),
+    Array(
+      Array(0.011532, -0.010213, 0.026105, 0.02957, -0.075699, -0.09244, 0.013461, -0.029634, -0.005214, 0.080445, 0.04981, 0.028053, 0.012155, 0.135774, 0.009836, 0.121717),
+      Array(7.12E-4, 0.063366, 0.034427, -0.077928, -0.010563, 0.067102, 0.055902, -0.150582, 0.052652, 0.059565, -0.058216, -0.023536, -0.059603, 0.039113, -0.093132, 0.062342),
+      Array(-0.111851, 0.012046, -0.061976, -0.053471, 0.035941, 0.079778, 0.07023, -0.028284, -0.046186, -0.046062, 0.03197, -0.050354, 0.028721, 0.06676, -0.045996, -0.100333),
+      Array(-0.028115, -0.019316, 0.038887, 0.055504, -0.006054, 0.003031, -0.01633, -7.89E-4, -0.036021, 0.060976, 0.002406, -0.057123, -0.098274, -0.069603, -0.024858, -0.016624),
+      Array(0.035417, 0.037674, 0.048892, -0.033309, -0.044923, 0.064546, -5.97E-4, 0.08905, 0.00166, -0.054011, 0.066225, -0.012447, 0.074151, -0.076075, 7.68E-4, 0.065335),
+      Array(0.032463, -0.097208, -0.056228, 0.022123, 0.026278, -0.006243, -0.045543, 0.058712, 0.107973, 0.058961, -0.005352, 0.005181, 0.06362, 0.065813, 0.024126, -0.059548),
+      Array(0.002268, 0.061207, -0.003197, 0.009695, 0.046606, -0.063413, -0.043747, -0.05593, -0.068139, -0.044104, -0.032329, 0.079505, 0.02845, -0.029828, -0.001873, -0.043882),
+      Array(0.046597, 0.00969, -0.041196, 0.006129, -0.030554, 0.009538, 0.073276, 0.002976, -0.005221, 0.003929, -0.049799, 0.082205, -0.0618, -0.032873, 0.14216, -0.036528)),
+    Array(
+      Array(-0.06746, -0.093119, 0.069563, -0.028099, -0.014197, -0.005701, -0.010081, 3.76E-4, 0.03063, 0.038994, -0.031065, -0.047239, -0.003978, 0.01049, 0.029358, -0.110404),
+      Array(0.02303, 0.023921, 0.028769, 0.024414, -0.044552, -0.046126, 0.080264, -0.136245, -0.008954, -0.067882, 0.078585, -0.048717, 0.0275, -0.049966, -0.027665, -0.026241),
+      Array(0.024718, 0.01478, -1.43E-4, 0.03946, 0.004579, 0.072566, 0.00379, 0.040282, 0.022508, 0.015559, 0.133473, 0.048015, -0.065878, 0.011812, -0.026162, -0.071613),
+      Array(0.134447, 0.057453, -0.018606, 0.014439, 0.038009, -0.021694, -0.022206, -0.030433, 0.004685, -0.092573, -0.081688, 0.048185, -0.008489, 0.023584, -0.001381, -0.036777),
+      Array(-0.034746, 0.007854, 0.037194, -0.078251, -0.034728, 0.018653, -0.078281, -0.044713, 0.009831, 0.004277, -0.064902, -0.019667, 0.026427, 0.042836, -0.080908, 0.102952),
+      Array(0.023167, -0.007375, -0.05933, 0.08573, 0.03122, 0.056187, -0.010047, 0.048357, -0.064591, 0.084986, -0.083891, 0.012222, -0.038814, -0.06906, 0.063919, 0.031243),
+      Array(-0.066934, -0.063826, -0.028439, 0.085859, 0.126985, 0.017789, 0.021115, 0.023901, 0.048414, -0.086587, 0.027251, -0.114361, 0.060946, 0.024579, 0.045517, 0.102755),
+      Array(-0.002719, -0.021708, -0.002464, -0.056877, -0.060513, -0.085111, 0.035649, 0.066025, -0.022205, -0.042203, 0.047087, 0.033354, -0.036923, 0.028959, 0.021001, 0.070848)),
+    Array(
+      Array(0.01485, 0.021617, 0.019244, -0.001515, 0.011271, -0.061751, 0.038213, -0.077433, -0.00543, -0.004994, -0.024343, -0.077745, -0.08995, -0.030793, 0.021236, -0.125707),
+      Array(-0.09544, -0.06115, 0.015062, -7.92E-4, 0.010365, 0.026562, -0.002114, 0.032701, 0.040433, -0.01942, 0.059635, 0.059343, -0.017985, 0.024843, -0.080567, -0.072133),
+      Array(0.101607, 0.069233, 0.085974, -0.067829, 0.04702, -0.045523, 0.039079, 0.048952, 0.066287, 0.015668, 0.021843, 0.098336, 0.067789, -9.72E-4, 0.031184, 0.025792),
+      Array(0.09061, -0.098358, -0.036599, -0.119033, -0.022114, 0.014434, -0.06311, -0.009265, -0.029472, -0.045573, 0.034667, -0.093662, 0.03315, 0.022692, -0.009132, -0.045058),
+      Array(-0.050136, 0.023827, -0.007918, 0.022032, 0.026396, 0.031486, 0.077202, -0.050989, 0.041278, -0.064425, -0.012853, -0.059497, 0.002629, 0.036685, 0.0401, 0.08127),
+      Array(-0.004837, 0.019023, 0.071541, -0.005679, -0.019622, 0.042448, -0.098532, -0.114968, -0.046451, 0.018759, 0.02615, 0.068792, -0.044234, 0.027533, -0.065734, 0.015155),
+      Array(0.026662, -0.035786, -0.090298, 0.059183, 0.007294, -0.002218, 0.011748, 0.070652, -0.054708, 0.033117, -0.032477, 0.006345, -0.004914, 0.022205, 0.06255, 0.013428),
+      Array(-0.059239, -0.01131, 0.083762, 0.048885, -0.009876, -0.057347, -0.02247, 0.073281, 0.026463, 0.077963, -0.109301, -0.043258, 0.091733, -0.08873, -0.042394, -0.011046)))
+
+  /** The fixture query vector (sf0.01 vec_id 0's embedding, 6-decimal
+    * frozen — same cross-engine-identical-literals rationale). */
+  private val pqQueryVec: Array[Double] = Array(
+    0.05425, 0.105594, -0.037544, -0.252478, 0.19969, -0.097039, -0.078031, -0.014797, 0.163755, 0.027956, 0.040269, -0.028215, -0.192553, -0.069572, -0.026978, -0.032001,
+    -0.022106, 0.084172, 0.006909, 0.119693, -0.245103, -0.167462, 0.15094, -0.049542, -0.076805, 0.294556, 0.076402, -0.075097, 0.031133, 0.224788, 0.111507, 0.269965,
+    -0.169972, -0.256706, 0.007775, -0.03472, -0.008654, 0.022719, 0.012217, 0.043055, 0.085207, -0.013976, -0.144771, -0.036479, 0.02464, 0.108901, 0.062057, -0.137374,
+    0.143419, -0.12813, 0.02091, 0.241185, 0.078125, -0.125382, 0.054494, 0.006351, 0.046549, 0.038426, -0.175942, -0.12576, -0.054357, 0.011889, 0.105388, -0.258038)
+
+  private lazy val pqCb = ProductQuantization.Codebooks(64, 4, pqBooks)
+
+  private def sqlList(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+
+  private lazy val pqCbValues: String = (for {
+    j <- 0 until 4
+    c <- pqBooks(j).indices
+  } yield s"($j, $c, ${sqlList(pqBooks(j)(c).toSeq)})").mkString(",\n             ")
+
+  /** [[ProductQuantization.encode]] ∘ [[ProductQuantization.adcScores]]
+    * against the frozen codebook/query: every vector's m-byte code and
+    * its ADC distance. Pins the per-subspace argmin (ties → lowest
+    * code, the NearestCell strict-< rule, twinned by the oracle's
+    * ORDER BY d2, c) and the two-level left-to-right ADC summation
+    * (subspace fold inside, j-fold outside — the oracle's
+    * list_sum(list(... ORDER BY j)) reproduces the order, so the
+    * doubles agree bitwise before the 4-decimal rounding). */
+  private val pqAdc = Q("q_pq_adc",
+    (s, dir) => {
+      val codes = ProductQuantization.encode(table(s, dir, "embeddings"), pqCb)
+      ProductQuantization.adcScores(codes, pqCb, pqQueryVec)
+        .select(col("vec_id"),
+          element_at(col("code"), 1).as("c0"),
+          element_at(col("code"), 2).as("c1"),
+          element_at(col("code"), 3).as("c2"),
+          element_at(col("code"), 4).as("c3"),
+          round(col("adist"), 4).as("adist"))
+    },
+    Some(s"""WITH cb(j, c, w) AS (VALUES
+             $pqCbValues),
+             q(qv) AS (VALUES (${sqlList(pqQueryVec.toSeq)})),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings
+                   WHERE embedding IS NOT NULL AND len(embedding) = 64
+                     AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+             sub AS (SELECT vec_id, j, c,
+                            list_sum(list_transform(range(1, 17),
+                              i -> (e[CAST(j * 16 + i AS INTEGER)] - w[CAST(i AS INTEGER)])
+                                   * (e[CAST(j * 16 + i AS INTEGER)] - w[CAST(i AS INTEGER)])))
+                              AS d2
+                     FROM e CROSS JOIN cb),
+             best AS (SELECT vec_id, j, c, d2,
+                             row_number() OVER (PARTITION BY vec_id, j
+                                                ORDER BY d2, c) AS rn
+                      FROM sub),
+             code AS (SELECT vec_id, j, c FROM best WHERE rn = 1),
+             qd AS (SELECT cb.j, cb.c,
+                           list_sum(list_transform(range(1, 17),
+                             i -> (qv[CAST(cb.j * 16 + i AS INTEGER)] - w[CAST(i AS INTEGER)])
+                                  * (qv[CAST(cb.j * 16 + i AS INTEGER)] - w[CAST(i AS INTEGER)])))
+                             AS qd2
+                    FROM cb, q),
+             ad AS (SELECT code.vec_id,
+                           list_sum(list(qd.qd2 ORDER BY code.j)) AS adist
+                    FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+                    GROUP BY code.vec_id),
+             cw AS (SELECT vec_id,
+                           max(CASE WHEN j = 0 THEN c END) AS c0,
+                           max(CASE WHEN j = 1 THEN c END) AS c1,
+                           max(CASE WHEN j = 2 THEN c END) AS c2,
+                           max(CASE WHEN j = 3 THEN c END) AS c3
+                    FROM code GROUP BY vec_id)
+             SELECT cw.vec_id, c0, c1, c2, c3,
+                    round(adist, 4) + 0.0 AS adist
+             FROM cw JOIN ad USING (vec_id)"""))
+
+  val all: Seq[Q] = Seq(pqAdc)
+}

@@ -101,6 +101,59 @@ class ExactSubstrSpec extends SparkSpec {
       s"merged spans must cover exactly the duplicated windows: $bySpans vs $byCounts")
   }
 
+  test("exactSubstrApply ships exactly the clean budget: token counts and owner round-trips") {
+    val docs = quoteDocs.union(Seq(
+      (7L, "p1 p2 p3 p4 p5 p6 q1 q2 q3 q4 q5 q6"),
+      (8L, "p1 p2 p3 p4 p5 p6 z9 z8 z7 z6 z5 q1 q2 q3 q4 q5 q6"))
+      .toDF("doc_id", "text"))
+    val budget = clean(docs) // doc_id -> (n_tok, n_removed, keep_frac)
+    val applied = TextAnalysis.exactSubstrApply(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val canon = docs.select(col("doc_id"),
+      concat_ws(" ", filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied.keySet == budget.keySet)
+    budget.foreach { case (id, (nTok, nRemoved, _)) =>
+      val kept =
+        if (applied(id).isEmpty) 0L
+        else applied(id).split(" ").length.toLong
+      assert(kept == nTok - nRemoved,
+        s"doc $id: clean_text carries $kept tokens, budget says ${nTok - nRemoved}")
+      if (nRemoved == 0L)
+        assert(applied(id) == canon(id),
+          s"doc $id removed nothing but its text changed: '${applied(id)}'")
+    }
+    // and something was genuinely scrubbed (the fixture plants removals)
+    assert(budget.values.exists(_._2 > 0L))
+  }
+
+  test("hashWindows parity: hashed spans/clean/apply ≡ raw on the sf0.01 corpus") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted
+    assert(rows(TextAnalysis.exactSubstrSpans(docs, hashWindows = true))
+      .sameElements(rows(TextAnalysis.exactSubstrSpans(docs))))
+    assert(rows(TextAnalysis.exactSubstrClean(docs, hashWindows = true))
+      .sameElements(rows(TextAnalysis.exactSubstrClean(docs))))
+    assert(rows(TextAnalysis.exactSubstrApply(docs, hashWindows = true))
+      .sameElements(rows(TextAnalysis.exactSubstrApply(docs))))
+    assert(rows(TextAnalysis.duplicatedSpans(docs, hashWindows = true))
+      .sameElements(rows(TextAnalysis.duplicatedSpans(docs))))
+  }
+
+  test("hashWindows swaps the shuffle key for an 8-byte hash — no string window survives the exchange") {
+    val plan = TextAnalysis.exactSubstrSpans(quoteDocs, hashWindows = true)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("xxhash64"), plan)
+    // same exchange budget as the raw plan (the lever changes key WIDTH,
+    // not plan shape)
+    val exec = TextAnalysis.exactSubstrSpans(quoteDocs, hashWindows = true)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(exec).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$exec")
+  }
+
   test("plan shape: no cartesian product; the span groupBy reuses the window's doc partitioning") {
     val plan = TextAnalysis.exactSubstrSpans(quoteDocs)
       .queryExecution.executedPlan.toString
