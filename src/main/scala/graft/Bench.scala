@@ -403,6 +403,32 @@ val mergeT = timeMed(reps, "merge") {
         .join(CorpusPipeline.clean(live).select("doc_id"), "doc_id")
         .localCheckpoint()
     }
+    // the same gates leg with the containment survivor policy ENGAGED
+    // (tau matches q_dedup_containment's 0.97 regime): near-dup pairs
+    // drop the contained side — the quote, the re-post — instead of
+    // blindly dropping b. Priced beside the default leg per round, and
+    // the policy delta published: containment_dropped counts docs the
+    // default (resemblance drop-b) rule KEPT that the containment rule
+    // drops — the quote-over-container mistakes the gate exists to fix.
+    var cleanedCont: DataFrame = null
+    val gatesContT = timeMed(reps, "gates_containment") {
+      cleanedCont = live
+        .join(CorpusPipeline.clean(live, containmentTau = Some(0.97))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint()
+    }
+    val contDropped = cleaned.select("doc_id")
+      .exceptAll(cleanedCont.select("doc_id")).count()
+    // the ship-it artifact end-to-end (q_training_set's chain: leakage
+    // -safe assignment ∘ exact-substring scrub ∘ fixed-budget packing)
+    // priced as one capstone phase, with its shipped-row count so a
+    // policy change that silently drops the corpus reads as what it is
+    val fullDocs = Tables.table(spark, sfDir, "documents")
+    val trainingSetT = timeMed(reps, "training_set") {
+      graft.extensions.TrainingSet.compose(fullDocs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val trainingRows = graft.extensions.TrainingSet.compose(fullDocs).count()
 
     // 3. serving artifacts the admission loop probes (drop-before-write
     // keeps the repped body idempotent)
@@ -550,12 +576,16 @@ val semAdmitT = timeMed(reps, "emb_admit_2_batches") {
     Seq(
       "merge" -> mergeT,
       "gates" -> gatesT,
-      "artifact_build" -> buildT,
+      "gates_containment" -> gatesContT,
+      "containment_dropped" -> contDropped.toDouble,
+      "training_set" -> trainingSetT,
+      "training_set_rows" -> trainingRows.toDouble,
       "admission_2_batches" -> admitT,
       "containment_probe_batch" -> contProbeT,
       "containment_hits" -> contHits.toDouble,
       "live_docs" -> live.count().toDouble,
       "clean_docs" -> cleaned.count().toDouble,
+      "clean_docs_containment" -> cleanedCont.count().toDouble,
       "candidate_pairs" -> candidatePairs.toDouble,
       "drift_rows" -> driftRows.toDouble,
       "emb_kmeans_fit" -> kmFitT,

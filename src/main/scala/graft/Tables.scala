@@ -74,6 +74,22 @@ object Tables {
     memo.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
   }
 
+  /** The nanos-fallback trigger: the stable error CONDITION
+    * (`PARQUET_TYPE_ILLEGAL`, error-conditions.json — what Spark raises
+    * for INT64 (TIMESTAMP(NANOS,false)) schema inference), with the
+    * message substring only as a secondary guard for non-SparkThrowable
+    * wrappers — error text changes across versions/locales while the
+    * condition stays stable. */
+  private def illegalParquetType(e: Throwable): Boolean = {
+    val cond = e match {
+      case st: org.apache.spark.SparkThrowable => Option(st.getCondition)
+      case _ => None
+    }
+    cond.contains("PARQUET_TYPE_ILLEGAL") ||
+      (cond.isEmpty && e.getMessage != null &&
+        e.getMessage.contains("Illegal Parquet type"))
+  }
+
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
@@ -84,8 +100,7 @@ object Tables {
         // session-TZ TimestampType (no-op when already LTZ)
         spark.read.parquet(path).withColumn("ts", col("ts").cast("timestamp"))
       catch {
-        case scala.util.control.NonFatal(e)
-            if e.getMessage != null && e.getMessage.contains("Illegal Parquet type") =>
+        case scala.util.control.NonFatal(e) if illegalParquetType(e) =>
           spark.read.schema(eventsRawSchema).parquet(path)
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       }

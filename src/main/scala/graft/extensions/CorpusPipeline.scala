@@ -27,13 +27,18 @@ object CorpusPipeline {
       maxStopRatio: Double = 0.12,
       trainHexBound: String = "c") // md5 first hex < bound → train (c = 75%)
 
-  def clean(documents: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
+  /** @param containmentTau as [[cleanFull]]'s: when set, the near-dup
+    *   stage drops the CONTAINED side of each candidate pair instead of
+    *   blindly dropping b. */
+  def clean(documents: DataFrame, t: Thresholds = Thresholds(),
+      containmentTau: Option[Double] = None): DataFrame = {
     // 1. quality gate (TextAnalysis metrics, filtered before anything heavy)
     val quality = TextAnalysis.qualityScore(documents)
       .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
         col("stop_ratio") <= t.maxStopRatio)
       .select("doc_id")
-    dedupAndSplit(documents, documents.join(quality, "doc_id"), t)
+    dedupAndSplit(documents, documents.join(quality, "doc_id"), t,
+      containmentTau = containmentTau)
   }
 
   /** [[clean]] plus the two remaining gates a pretraining pipeline runs —

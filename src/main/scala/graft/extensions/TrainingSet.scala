@@ -1,0 +1,58 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ship-it artifact — the final training set a data pipeline
+  * actually delivers to a trainer, composed end-to-end from operators
+  * that are each oracle-verified on their own:
+  *
+  *   [[Dedup.trainEvalSplit]]  (leakage-safe fold ∘ mixture admission)
+  *   ∘ [[TextAnalysis.exactSubstrApply]]  (span-level scrub of the TEXT)
+  *   ∘ [[Packing.packChunks]]  (fixed-budget sequence packing)
+  *
+  * The composition is where interface drift hides: packing runs on the
+  * SCRUBBED text, so a scrub that changes token counts silently
+  * re-chunks everything downstream — q_training_set pins exactly that
+  * coupling (the oracle derives the packed token counts through the
+  * INDEPENDENT n_tok − n_removed route, so apply/clean divergence
+  * surfaces as a hash mismatch; ExactSubstrSpec pins the same identity
+  * unit-side).
+  *
+  * Policy: `dropped` docs (mixture-rejected) never ship; docs scrubbed
+  * to emptiness don't ship either (a chunk of zero tokens is not a
+  * training sequence). Shard = assignment:shardCol, so train and eval
+  * pack into disjoint shard streams and a loader never mixes them.
+  *
+  * Scale shape: the CC labeling (bounded star iterations) + the
+  * exact-substring window shuffle (`hashWindows` moves 8-byte keys at
+  * 100 TB) + two doc_id equi-joins + ONE windowed cumulative sum on the
+  * shard key — no new shuffle class beyond the composed pieces;
+  * assignment rides the shard string so the packed output needs no
+  * extra join back. */
+object TrainingSet {
+
+  def compose(
+      documents: DataFrame,
+      budget: Int = 64,
+      k: Int = 6,
+      hashWindows: Boolean = false,
+      nFolds: Int = 10,
+      evalFoldMin: Int = 8,
+      alpha: Double = 0.5,
+      buckets: Int = 100,
+      shardCol: String = "lang"): DataFrame = {
+    val assign = Dedup.trainEvalSplit(documents, nFolds, evalFoldMin, alpha, buckets)
+    val scrub = TextAnalysis.exactSubstrApply(documents, k, hashWindows)
+    val shipped = documents.select(col("doc_id"), col(shardCol))
+      .join(assign.select("doc_id", "assignment"), "doc_id")
+      .filter(col("assignment") =!= "dropped")
+      .join(scrub, "doc_id")
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"),
+        concat_ws(":", col("assignment"), col(shardCol)).as("shard"),
+        col("clean_text").as("text"))
+    Packing.packChunks(shipped, budget, "shard")
+      .withColumn("assignment", substring_index(col("shard"), ":", 1))
+  }
+}

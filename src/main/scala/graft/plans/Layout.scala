@@ -92,7 +92,16 @@ object Layout {
     * the index, between batches, like the admission loop's own appends.
     * Readers in the writer session see the compacted table after the
     * final refresh; cross-session readers re-resolve by name (the
-    * [[graft.streaming.StreamingDedup]] reader contract). */
+    * [[graft.streaming.StreamingDedup]] reader contract).
+    *
+    * RECOVERY: if the process dies between the DROP and the RENAME, no
+    * table exists under `table` but the full compacted snapshot
+    * survives under `<table>__compact` — rename it back
+    * (`ALTER TABLE <table>__compact RENAME TO <table>`) and the index
+    * is whole; re-running compactBucketed afterwards is safe (the tmp
+    * write is mode=overwrite). A swap failure with the writer still
+    * alive raises IllegalStateException naming that path rather than
+    * leaving the gap silent. */
   def compactBucketed(
       spark: SparkSession, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
     val tmp = table + "__compact"
@@ -119,7 +128,14 @@ object Layout {
       .format("parquet")
       .saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"compactBucketed swap failed between DROP and RENAME: '$table' is " +
+            s"gone but the full compacted snapshot is intact under '$tmp' — " +
+            s"ALTER TABLE $tmp RENAME TO $table restores it", e)
+    }
     spark.catalog.refreshTable(table)
   }
 

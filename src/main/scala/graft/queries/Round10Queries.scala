@@ -134,5 +134,72 @@ object Round10Queries {
                     round(adist, 4) + 0.0 AS adist
              FROM cw JOIN ad USING (vec_id)"""))
 
-  val all: Seq[Q] = Seq(pqAdc)
+  /** [[graft.extensions.TrainingSet.compose]] — the ship-it artifact:
+    * leakage-safe train/eval assignment ∘ exact-substring scrub ∘
+    * fixed-budget packing, as one row. The oracle rebuilds the chain
+    * from the INDEPENDENT halves (q_split_assign's recursive-CC fold +
+    * mixture CTEs for the assignment; q_substr_clean's span CTEs for
+    * the scrubbed token count n_tok − n_removed; q_pack_chunks' shard
+    * cumsum for the geometry) — the Spark side packs the actual
+    * exactSubstrApply TEXT, so any drift between the applied scrub and
+    * its budget arithmetic breaks the hash. */
+  private val trainingSet = Q("q_training_set",
+    (s, dir) => graft.extensions.TrainingSet.compose(table(s, dir, "documents"))
+      .orderBy("shard", "doc_id"),
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             folds AS (SELECT doc_id,
+                              CAST(CAST(concat('0x', substr(md5(CAST(comp AS VARCHAR)), 1, 4))
+                                        AS BIGINT) % 10 AS BIGINT) AS fold
+                       FROM comps),
+             per AS (SELECT source, sum(n_chars) AS n_chars
+                     FROM documents GROUP BY 1),
+             t AS (SELECT source,
+                          CAST(n_chars AS BIGINT) AS n_chars,
+                          sqrt(CAST(n_chars AS DOUBLE)) AS t
+                   FROM per),
+             tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_tot,
+                            list_sum(list(t ORDER BY source)) AS t_tot
+                     FROM t),
+             r AS (SELECT source,
+                          least(1.0, round(round(t / t_tot, 4)
+                                           / round(n_chars * 1.0 / chars_tot, 4), 4))
+                            AS rate
+                   FROM t, tot),
+             adm AS (SELECT d.doc_id FROM documents d JOIN r USING (source)
+                     WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                AS BIGINT) % 100 < floor(rate * 100 + 0.5)),
+             asg AS (SELECT f.doc_id,
+                            CASE WHEN f.fold >= 8 THEN 'eval'
+                                 WHEN adm.doc_id IS NOT NULL THEN 'train'
+                                 ELSE 'dropped' END AS assignment
+                     FROM folds f LEFT JOIN adm USING (doc_id)),
+             ${Round9Queries.duckSubstrSpans(" WHERE ww.doc_id <> own.owner")},
+             srm AS (SELECT doc_id,
+                            CAST(sum(span_end - span_start) AS BIGINT) AS n_removed
+                     FROM sp GROUP BY doc_id),
+             ship AS (SELECT ag.doc_id,
+                             asg.assignment || ':' || d.lang AS shard,
+                             asg.assignment,
+                             CAST(len(ag.arr) - coalesce(srm.n_removed, 0) AS BIGINT)
+                               AS n_tok
+                      FROM ag
+                        JOIN asg USING (doc_id)
+                        JOIN documents d USING (doc_id)
+                        LEFT JOIN srm USING (doc_id)
+                      WHERE asg.assignment <> 'dropped'
+                        AND len(ag.arr) - coalesce(srm.n_removed, 0) > 0),
+             cum AS (SELECT doc_id, shard, assignment, n_tok,
+                            sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS end_tok
+                     FROM ship)
+             SELECT doc_id, shard, assignment, n_tok,
+                    CAST(end_tok AS BIGINT) AS end_tok,
+                    CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+                    CAST(floor((end_tok - n_tok) / 64) AS BIGINT) AS chunk_first,
+                    CAST(floor((end_tok - 1) / 64) AS BIGINT) AS chunk_last
+             FROM cum ORDER BY shard, doc_id"""))
+
+  val all: Seq[Q] = Seq(pqAdc, trainingSet)
 }

@@ -161,7 +161,7 @@ object Round9Queries {
     * the DuckDB twin of [[TextAnalysis.exactSubstrSpans]]'s front half.
     * `extraDp` narrows the duplicated-position set (the clean row drops
     * owner-held positions). */
-  private def duckSubstrSpans(extraDp: String): String =
+  private[queries] def duckSubstrSpans(extraDp: String): String =
     s"""ag AS (SELECT doc_id,
                       list_filter(string_split(lower(coalesce(text, '')), ' '),
                                   t -> t <> '') AS arr

@@ -1,0 +1,56 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-10 composition surface: the TrainingSet ship-it artifact —
+  * policy (who ships), budget fidelity (packed token counts equal the
+  * scrub budget), and per-shard packing geometry, on the sf0.001
+  * corpus. */
+class Round10OpsSpec extends SparkSpec {
+
+  private lazy val docs = graft.Tables
+    .table(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val packed = TrainingSet.compose(docs).collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+  // (doc_id, shard, n_tok, end_tok, start_tok, chunk_first, chunk_last, assignment)
+
+  test("policy: exactly the non-dropped, non-empty-scrub docs ship, under their assignment") {
+    val assign = Dedup.trainEvalSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val cleanBudget = TextAnalysis.exactSubstrClean(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    val expected = assign.collect {
+      case (id, a) if a != "dropped" && cleanBudget(id) > 0 => id -> a
+    }
+    assert(packed.map(p => p._1 -> p._8).toMap == expected)
+    assert(packed.nonEmpty)
+  }
+
+  test("budget fidelity: each packed n_tok equals the scrub budget's n_tok - n_removed") {
+    val cleanBudget = TextAnalysis.exactSubstrClean(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    packed.foreach { p =>
+      assert(p._3 == cleanBudget(p._1),
+        s"doc ${p._1}: packed ${p._3} tokens, budget says ${cleanBudget(p._1)}")
+    }
+  }
+
+  test("geometry: shard streams are gapless cumulative spans with correct chunk bounds") {
+    packed.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var cursor = 0L
+      sorted.foreach { case (id, _, nTok, endTok, startTok, cf, cl, _) =>
+        assert(startTok == cursor, s"$shard doc $id starts at $startTok, stream is at $cursor")
+        assert(endTok == startTok + nTok)
+        assert(cf == startTok / 64 && cl == (endTok - 1) / 64,
+          s"$shard doc $id chunk bounds ($cf,$cl)")
+        cursor = endTok
+      }
+    }
+    // shard = assignment:lang — train and eval never share a stream
+    assert(packed.forall(p => p._2.startsWith(p._8 + ":")))
+  }
+}
