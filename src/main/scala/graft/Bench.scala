@@ -387,7 +387,7 @@ object Bench {
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
           col("source"), col("n_chars")))
     var state: DataFrame = null
-val mergeT = timeMed(reps, "merge") {
+    val mergeT = timeMed(reps, "merge") {
       val s1 = ScdMerge.applySnapshot(
         ScdMerge.emptyState(docs), docs, "2024-01-01", "doc_id", tracked)
       state = ScdMerge.applySnapshot(s1, snap2, "2024-01-08", "doc_id", tracked)
@@ -535,7 +535,7 @@ val mergeT = timeMed(reps, "merge") {
     // tau matches q_semdedup's oracle regime (0.3): at the testdata's
     // within-cluster cosine spread a 0.7 tau drops nothing, and a leg
     // that always reports keep_ratio 1.0 can't flag a regression
-val semT = timeMed(reps, "emb_semdedup") {
+    val semT = timeMed(reps, "emb_semdedup") {
       val sums = Similarity.semDedup(cells, tau = 0.3)
         .agg(sum("n_vecs"), sum("n_kept")).head()
       semVecs = sums.getLong(0)
@@ -546,7 +546,7 @@ val semT = timeMed(reps, "emb_semdedup") {
     // sub-block, and cross-block pairs go unseen — the keep-ratio delta
     // vs the uncapped run IS the approximation cost, priced per round
     // the way MinHash/winnowing/ANN price theirs
-val semCapT = timeMed(reps, "emb_semdedup_cap64") {
+    val semCapT = timeMed(reps, "emb_semdedup_cap64") {
       semKeptCapped = Similarity.semDedup(cells, tau = 0.3, maxCellSize = 64)
         .agg(sum("n_kept")).head().getLong(0)
     }
@@ -558,11 +558,11 @@ val semCapT = timeMed(reps, "emb_semdedup_cap64") {
     // build priced separately; two 1/25 batches probed per rep.
     var semAdmitted = 0L
     var semIdx: DataFrame = null
-val semIdxBuildT = timeMed(reps, "emb_admit_index_build") {
+    val semIdxBuildT = timeMed(reps, "emb_admit_index_build") {
       semIdx = StreamingSemDedup.survivorIndex(emb, cents, tau = 0.3)
         .localCheckpoint()
     }
-val semAdmitT = timeMed(reps, "emb_admit_2_batches") {
+    val semAdmitT = timeMed(reps, "emb_admit_2_batches") {
       semAdmitted = 0L
       (1 to 2).foreach { b =>
         val batch = emb.filter(pmod(col("vec_id"), lit(25)) === lit(b - 1))
@@ -635,11 +635,11 @@ val semAdmitT = timeMed(reps, "emb_admit_2_batches") {
     // Exchange on either side (pinned in LayoutSkewSpec; timed here)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-val shuffledJoin = timeMed(reps, "join_shuffled") {
+    val shuffledJoin = timeMed(reps, "join_shuffled") {
       orders.join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1))).count()
     }
-val bucketedJoin = timeMed(reps, "join_bucketed") {
+    val bucketedJoin = timeMed(reps, "join_bucketed") {
       spark.table("orders_bkt")
         .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1))).count()
@@ -793,7 +793,7 @@ val bucketedJoin = timeMed(reps, "join_bucketed") {
       // 4). Runs LAST: its 3M-word vocab frames churn enough heap to
       // perturb the ngram lever timings when run before them.
       var bpeMerges = Seq.empty[graft.extensions.BpeTrain.Merge]
-val bpeSec = timeMed(reps, "bpe256_batched64") {
+      val bpeSec = timeMed(reps, "bpe256_batched64") {
         bpeMerges = graft.extensions.BpeTrain.learnBatched(docs, 256, 64)
       }
       levers ++ Seq(
@@ -827,13 +827,13 @@ val bpeSec = timeMed(reps, "bpe256_batched64") {
     val wavs = wavsBase
       .union(wavsBase.map(r => r.copy(media_id = r.media_id + n)))
       .localCheckpoint()
-val imgHashT = timeMed(reps, s"img_hash_${2 * n}") {
+    val imgHashT = timeMed(reps, s"img_hash_${2 * n}") {
       Multimodal.imageHashes(imgs).write.format("noop").mode("overwrite").save()
     }
     val imgHashes = Multimodal.imageHashes(imgs).localCheckpoint()
     val imgPairsT = timeMed(reps, "img_pairs_join")(Multimodal.imageHashPairs(imgHashes).count())
     val imgPairs = Multimodal.imageHashPairs(imgHashes).count().toDouble
-val wavHashT = timeMed(reps, s"wav_hash_${2 * n}") {
+    val wavHashT = timeMed(reps, s"wav_hash_${2 * n}") {
       Multimodal.audioHashes(wavs).write.format("noop").mode("overwrite").save()
     }
     val wavHashes = Multimodal.audioHashes(wavs).localCheckpoint()
@@ -846,7 +846,7 @@ val wavHashT = timeMed(reps, s"wav_hash_${2 * n}") {
     val vids = vidsBase
       .union(vidsBase.map(r => r.copy(media_id = r.media_id + nVid)))
       .localCheckpoint()
-val vidHashT = timeMed(reps, s"vid_hash_${2 * nVid}") {
+    val vidHashT = timeMed(reps, s"vid_hash_${2 * nVid}") {
       Multimodal.videoHashes(vids).write.format("noop").mode("overwrite").save()
     }
     val vidHashes = Multimodal.videoHashes(vids).localCheckpoint()
