@@ -201,5 +201,110 @@ object Round10Queries {
                     CAST(floor((end_tok - 1) / 64) AS BIGINT) AS chunk_last
              FROM cum ORDER BY shard, doc_id"""))
 
-  val all: Seq[Q] = Seq(pqAdc, trainingSet)
+  /** [[graft.extensions.TextAnalysis.exactSubstrApply]] — the scrubbed
+    * TEXT itself (q_substr_clean pins the budget; this pins the
+    * artifact): tokens inside merged non-owned duplicated spans cut,
+    * survivors single-space-rejoined. The oracle reconstructs
+    * clean_text with an indexed token filter (nested-lambda span test)
+    * over the shared substr CTE chain. */
+  private val substrApply = Q("q_substr_apply",
+    (s, dir) => graft.extensions.TextAnalysis
+      .exactSubstrApply(table(s, dir, "documents")).orderBy("doc_id"),
+    Some(s"""WITH ${Round9Queries.duckSubstrSpans(" WHERE ww.doc_id <> own.owner")},
+             sps AS (SELECT doc_id,
+                            list(struct_pack(s := span_start, e := span_end)) AS spans
+                     FROM sp GROUP BY doc_id),
+             ct AS (SELECT ag.doc_id,
+                           -- coalesce: DuckDB's array_to_string([]) is NULL
+                           -- where Spark's concat_ws is '' (fully-scrubbed docs)
+                           coalesce(array_to_string(
+                             list_filter(
+                               list_transform(range(0, CAST(len(ag.arr) AS INTEGER)),
+                                 i -> CASE WHEN len(list_filter(coalesce(sps.spans, []),
+                                                  sp -> i >= sp.s AND i < sp.e)) = 0
+                                           THEN ag.arr[i + 1] ELSE NULL END),
+                               x -> x IS NOT NULL), ' '), '') AS clean_text
+                    FROM ag LEFT JOIN sps USING (doc_id))
+             SELECT doc_id, clean_text FROM ct ORDER BY doc_id"""))
+
+  /** [[ProductQuantization.ivfPqSearch]] — the full production-ANN
+    * composition oracled end-to-end: coarse cells prune WHICH vectors
+    * the query scans (testdata labels as cells, their centroids the
+    * 3-decimal-rounded element-wise means both engines compute
+    * identically — the q_centroids contract), the frozen PQ codebook
+    * shrinks WHAT the scan touches (the q_pq_adc fixture), and the
+    * shortlist-200 exact re-rank restores exactness within the probed
+    * cells. nprobe=2 matches the bench's ivfpq_recall10_np2 regime —
+    * on this corpus' overlapping clusters the query's own cell is the
+    * THIRD-nearest centroid, so the row also pins the honest miss
+    * behavior (probe recall < 1), not just the happy path. */
+  private val ivfPq = Q("q_ivfpq",
+    (s, dir) => {
+      import graft.extensions.Similarity
+      val emb = table(s, dir, "embeddings")
+      val codes = ProductQuantization.encode(emb, pqCb)
+      val assigned = emb.select(col("vec_id"), col("label").cast("int").as("cell_id"))
+      val coarse = Similarity.centroids(emb)
+        .groupBy(col("label").cast("int").as("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+      ProductQuantization.ivfPqSearch(codes, assigned, emb, coarse, pqCb,
+          pqQueryVec, kTop = 10, nprobe = 2, shortlist = 200)
+        .select(col("vec_id"), (round(col("d2"), 4) + 0.0).as("d2"))
+    },
+    Some(s"""WITH cb(j, c, w) AS (VALUES
+             $pqCbValues),
+             q(qv) AS (VALUES (${sqlList(pqQueryVec.toSeq)})),
+             cents AS (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 3) + 0.0 AS cv
+                       FROM (SELECT label, unnest(embedding) AS v,
+                                    generate_subscripts(embedding, 1) AS pos
+                             FROM embeddings)
+                       GROUP BY 1, 2),
+             carr AS (SELECT label, list(cv ORDER BY pos) AS cent
+                      FROM cents GROUP BY label),
+             probe AS (SELECT label FROM carr, q
+                       WHERE len(cent) = len(qv)
+                       ORDER BY list_sum(list_transform(range(1, len(qv) + 1),
+                                  i -> (qv[CAST(i AS INTEGER)] - cent[CAST(i AS INTEGER)])
+                                       * (qv[CAST(i AS INTEGER)] - cent[CAST(i AS INTEGER)]))),
+                                label
+                       LIMIT 2),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings
+                   WHERE embedding IS NOT NULL AND len(embedding) = 64
+                     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                     AND label IN (SELECT label FROM probe)),
+             sub AS (SELECT vec_id, j, c,
+                            list_sum(list_transform(range(1, 17),
+                              i -> (e[CAST(j * 16 + i AS INTEGER)] - w[CAST(i AS INTEGER)])
+                                   * (e[CAST(j * 16 + i AS INTEGER)] - w[CAST(i AS INTEGER)])))
+                              AS d2
+                     FROM e CROSS JOIN cb),
+             best AS (SELECT vec_id, j, c, d2,
+                             row_number() OVER (PARTITION BY vec_id, j
+                                                ORDER BY d2, c) AS rn
+                      FROM sub),
+             code AS (SELECT vec_id, j, c FROM best WHERE rn = 1),
+             qd AS (SELECT cb.j, cb.c,
+                           list_sum(list_transform(range(1, 17),
+                             i -> (qv[CAST(cb.j * 16 + i AS INTEGER)] - w[CAST(i AS INTEGER)])
+                                  * (qv[CAST(cb.j * 16 + i AS INTEGER)] - w[CAST(i AS INTEGER)])))
+                             AS qd2
+                    FROM cb, q),
+             ad AS (SELECT code.vec_id,
+                           list_sum(list(qd.qd2 ORDER BY code.j)) AS adist
+                    FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c
+                    GROUP BY code.vec_id),
+             short AS (SELECT vec_id FROM ad ORDER BY adist, vec_id LIMIT 200),
+             rr AS (SELECT e.vec_id,
+                           list_sum(list_transform(range(1, len(qv) + 1),
+                             i -> (e.e[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)])
+                                  * (e.e[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)])))
+                             AS d2
+                    FROM e JOIN short USING (vec_id), q)
+             SELECT vec_id, round(d2, 4) + 0.0 AS d2
+             FROM rr ORDER BY d2, vec_id LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq)
 }
