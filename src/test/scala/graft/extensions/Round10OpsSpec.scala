@@ -53,4 +53,27 @@ class Round10OpsSpec extends SparkSpec {
     // shard = assignment:lang — train and eval never share a stream
     assert(packed.forall(p => p._2.startsWith(p._8 + ":")))
   }
+
+  test("plan: PQ encode + ADC is a zero-exchange, zero-join chain over the scan") {
+    val emb = graft.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val books = Array.tabulate(2)(j =>
+      Array(Array.fill(32)(0.1 * (j + 1)), Array.fill(32)(-0.1 * (j + 1))))
+    val cb = ProductQuantization.Codebooks(64, 2, books)
+    val df = ProductQuantization.adcScores(
+      ProductQuantization.encode(emb, cb), cb, Array.fill(64)(0.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("plan: the training-set composition never materializes a cartesian product") {
+    val plan = TrainingSet.compose(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop node allowed is the mixture-rate build's
+    // cross against the broadcast ONE-ROW totals frame
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj <= 1, s"expected <=1 broadcast NLJ (one-row totals cross), got $nlj:\n$plan")
+  }
 }
