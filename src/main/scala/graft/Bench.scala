@@ -920,6 +920,10 @@ object Bench {
       // the CC label table shared by q_dedup_cc / q_cc_sizes /
       // q_split_leakage — the iterated labeling runs once, here
       graft.extensions.Dedup.ccLabels(docs)
+      // the duplicated-window-position frame shared by q_substr_apply /
+      // q_substr_clean / q_substr_spans / q_training_set (its two
+      // content-keyed shuffles run once per corpus)
+      graft.extensions.TextAnalysis.exactSubstrSpans(docs).count()
       // q_json_nested's synthesized JSON input: billing the to_json
       // construction to the parse query made it the suite's slowest row
       // (~2.9 s, mostly input synthesis); materialized here instead so

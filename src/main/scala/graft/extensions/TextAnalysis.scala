@@ -498,19 +498,28 @@ object TextAnalysis {
     * xxhash64(win) instead of the raw ~k·7-byte window string — at 100
     * TB the shuffle volume drops ~5× while ownership (min doc_id) and
     * every downstream span stays keyed per window. Collision caveat as
-    * [[duplicatedSpans]]; hashed ≡ raw is pinned in ExactSubstrSpec. */
+    * [[duplicatedSpans]]; hashed ≡ raw is pinned in ExactSubstrSpec.
+    *
+    * Session-memoized via [[Dedup.sharedFrame]] (the shingles
+    * discipline, incl. its STATIC-INPUT CONTRACT and the
+    * `spark.graft.dedup.shareFrames` opt-out): spans, clean, apply and
+    * the training-set composition all consume this same frame, so its
+    * two shuffles run once per (corpus, k, hashWindows) instead of
+    * once per caller — at cluster scale the persisted window-position
+    * table between pipeline stages. */
   private def dupWindowPositions(
-      documents: DataFrame, k: Int, hashWindows: Boolean = false): DataFrame = {
-    val winKey = if (hashWindows) xxhash64(col("win")) else col("win")
-    val wins = documents
-      .select(col("doc_id"), posexplode(wordNgrams(k)).as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), winKey.as("win"))
-    val owners = wins.groupBy("win")
-      .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
-      .filter(col("nd") > 1)
-      .select("win", "owner")
-    wins.join(owners, "win").select("doc_id", "pos", "owner")
-  }
+      documents: DataFrame, k: Int, hashWindows: Boolean = false): DataFrame =
+    Dedup.sharedFrame(documents, "dup_window_positions", k, hashWindows) {
+      val winKey = if (hashWindows) xxhash64(col("win")) else col("win")
+      val wins = documents
+        .select(col("doc_id"), posexplode(wordNgrams(k)).as(Seq("pos", "win")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), winKey.as("win"))
+      val owners = wins.groupBy("win")
+        .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+        .filter(col("nd") > 1)
+        .select("win", "owner")
+      wins.join(owners, "win").select("doc_id", "pos", "owner")
+    }
 
   /** Gaps-and-islands merge of duplicated window positions into maximal
     * token spans: windows whose [pos, pos+k) token intervals overlap or

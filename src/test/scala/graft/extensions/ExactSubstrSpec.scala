@@ -142,26 +142,38 @@ class ExactSubstrSpec extends SparkSpec {
       .sameElements(rows(TextAnalysis.duplicatedSpans(docs))))
   }
 
+  // the plan tests disable the shared-frame memo: a memoized call
+  // returns the checkpointed frame (LogicalRDD), hiding the build
+  // plan these assertions exist to inspect
+  private def withoutSharing[T](body: => T): T = {
+    spark.conf.set("spark.graft.dedup.shareFrames", "false")
+    try body finally spark.conf.unset("spark.graft.dedup.shareFrames")
+  }
+
   test("hashWindows swaps the shuffle key for an 8-byte hash — no string window survives the exchange") {
-    val plan = TextAnalysis.exactSubstrSpans(quoteDocs, hashWindows = true)
-      .queryExecution.optimizedPlan.toString
-    assert(plan.contains("xxhash64"), plan)
-    // same exchange budget as the raw plan (the lever changes key WIDTH,
-    // not plan shape)
-    val exec = TextAnalysis.exactSubstrSpans(quoteDocs, hashWindows = true)
-      .queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(exec).length
-    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$exec")
+    withoutSharing {
+      val plan = TextAnalysis.exactSubstrSpans(quoteDocs, hashWindows = true)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("xxhash64"), plan)
+      // same exchange budget as the raw plan (the lever changes key WIDTH,
+      // not plan shape)
+      val exec = TextAnalysis.exactSubstrSpans(quoteDocs, hashWindows = true)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(exec).length
+      assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$exec")
+    }
   }
 
   test("plan shape: no cartesian product; the span groupBy reuses the window's doc partitioning") {
-    val plan = TextAnalysis.exactSubstrSpans(quoteDocs)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    // window-key agg + join-back + one doc_id sort for the islands merge;
-    // the final (doc_id, run) aggregation must NOT add a fourth shuffle
-    // (HashPartitioning(doc_id) already clusters the grouping keys)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$plan")
+    withoutSharing {
+      val plan = TextAnalysis.exactSubstrSpans(quoteDocs)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      // window-key agg + join-back + one doc_id sort for the islands merge;
+      // the final (doc_id, run) aggregation must NOT add a fourth shuffle
+      // (HashPartitioning(doc_id) already clusters the grouping keys)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$plan")
+    }
   }
 }
