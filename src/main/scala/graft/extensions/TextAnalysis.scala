@@ -458,26 +458,24 @@ object TextAnalysis {
     * text recurs in ≥2 distinct docs, and the duplicated fraction
     * (window positions counted with multiplicity).
     *
-    * Scale shape: explode windows → one count-distinct aggregation on
-    * the window key → equi-join back → per-doc counts. Everything keys
-    * on content-derived window values (uniformly distributed, no skew);
-    * at 100 TB set `hashWindows = true` to xxhash64 the window string
-    * before the shuffle and move 8-byte keys instead of ~40-byte
-    * strings — same lever as [[Dedup.ngramJaccard]]'s encodeShingles,
-    * same collision caveat (a 64-bit collision can merge two distinct
-    * windows; at 2^32 distinct windows the birthday bound puts one
-    * collision in ~half of corpora — acceptable for a dup-REMOVAL
-    * signal, not for an exactness proof). */
+    * Scale shape: one per-doc count over the SHARED duplicated-window-
+    * position frame ([[dupWindowPositions]] — a row there is exactly a
+    * window position whose text recurs in ≥2 distinct docs, so the
+    * per-doc row count IS the duplicated-window count with
+    * multiplicity) plus a narrow window-total projection and a
+    * doc_id left join. The window shuffles run once per (corpus, k,
+    * hashWindows) across this, [[exactSubstrSpans]]/[[exactSubstrClean]]
+    * /[[exactSubstrApply]] and the training-set composition. At 100 TB
+    * set `hashWindows = true` to xxhash64 the window string before the
+    * shuffle and move 8-byte keys instead of ~40-byte strings — same
+    * lever as [[Dedup.ngramJaccard]]'s encodeShingles, same collision
+    * caveat (a 64-bit collision can merge two distinct windows; at 2^32
+    * distinct windows the birthday bound puts one collision in ~half of
+    * corpora — acceptable for a dup-REMOVAL signal, not for an
+    * exactness proof). */
   def duplicatedSpans(
       documents: DataFrame, k: Int = 6, hashWindows: Boolean = false): DataFrame = {
-    val raw = documents.select(col("doc_id"), explode(wordNgrams(k)).as("win"))
-    val wins =
-      if (hashWindows) raw.select(col("doc_id"), xxhash64(col("win")).as("win"))
-      else raw
-    val dup = wins.groupBy("win")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("win")
-    val hits = wins.join(dup, "win")
+    val hits = dupWindowPositions(documents, k, hashWindows)
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     val nDup = coalesce(col("n_dup"), lit(0L))
     documents.select(col("doc_id"), size(wordNgrams(k)).cast("long").as("n_windows"))
