@@ -669,6 +669,30 @@ object Bench {
     val scanSorted = keyScan(s"$tmp/orders_sorted", "keyscan_sorted")
     val scanUnsorted = keyScan(s"$tmp/orders_unsorted", "keyscan_unsorted")
 
+    // z-order demo — the TWO-predicate layout lever: the A-sorted
+    // layout skips perfectly on its sort key and not at all on an
+    // uncorrelated second key (every row group spans the full B range);
+    // the Morton-interleaved twin trades a few groups of A-locality for
+    // locality on BOTH. Footer row-group stats are the evidence, same
+    // ground-truth discipline as the sorted/unsorted rows above.
+    val ordersPriced = orders.withColumn("_price_l",
+      col("o_totalprice").cast("long"))
+    val probeB = orders
+      .agg((max(col("o_totalprice")) / 2).cast("long")).head().getLong(0)
+    val zorderSetup = time {
+      graft.plans.Layout.writeSorted(ordersPriced, s"$tmp/orders_sorted2", "o_custkey")
+      graft.plans.Layout.writeZOrdered(
+        ordersPriced, s"$tmp/orders_z", "o_custkey", "_price_l")
+    }
+    val (rgTotS2, rgHitS2A) = graft.plans.Layout.rowGroupStats(
+      spark, s"$tmp/orders_sorted2", "o_custkey", probeKey)
+    val (_, rgHitS2B) = graft.plans.Layout.rowGroupStats(
+      spark, s"$tmp/orders_sorted2", "_price_l", probeB)
+    val (rgTotZ, rgHitZA) = graft.plans.Layout.rowGroupStats(
+      spark, s"$tmp/orders_z", "o_custkey", probeKey)
+    val (_, rgHitZB) = graft.plans.Layout.rowGroupStats(
+      spark, s"$tmp/orders_z", "_price_l", probeB)
+
     // storage-codec economics — the other big 100 TB layout lever
     // (storage cost vs decode CPU), measured: the same table written
     // under snappy (Spark's default; fast, larger) and zstd (smaller,
@@ -705,7 +729,14 @@ object Bench {
       "rowgroups_total_unsorted" -> rgTotalUnsorted.toDouble,
       "rowgroups_hit_unsorted" -> rgHitUnsorted.toDouble,
       "keyscan_sorted" -> scanSorted,
-      "keyscan_unsorted" -> scanUnsorted) ++ codecRows
+      "keyscan_unsorted" -> scanUnsorted,
+      "zorder_setup_write" -> zorderSetup,
+      "rowgroups_total_sorted2" -> rgTotS2.toDouble,
+      "rowgroups_hit_sorted_keyA" -> rgHitS2A.toDouble,
+      "rowgroups_hit_sorted_keyB" -> rgHitS2B.toDouble,
+      "rowgroups_total_zorder" -> rgTotZ.toDouble,
+      "rowgroups_hit_zorder_keyA" -> rgHitZA.toDouble,
+      "rowgroups_hit_zorder_keyB" -> rgHitZB.toDouble) ++ codecRows
   }
 
   /** Continuous scale-lever measurement: the ngram-Jaccard df levers
@@ -806,6 +837,90 @@ object Bench {
         case Some(v) => spark.conf.set("spark.graft.dedup.shareFrames", v)
         case None => spark.conf.unset("spark.graft.dedup.shareFrames")
       }
+    }
+  }
+
+  /** The runtime half of the skew story — [[graft.plans.Skew]] salts
+    * the groupBy half; join-side skew is AQE's job
+    * (spark.sql.adaptive.skewJoin, on in [[GraftSession]] and here) and
+    * this section proves the feature actually engages rather than
+    * asserting the conf: a 50%-hot-key join (every even id collapses to
+    * key 0 — one reducer partition holds half the fact side), broadcast
+    * disabled so the shuffled join cannot dodge the hot partition,
+    * priced with skew splitting on vs off. Evidence is structural, not
+    * a timing inference: the final adaptive plan's AQEShuffleRead nodes
+    * are walked and their PartialReducerPartitionSpec slices counted —
+    * `skew_on_splits` > 0 means AQE cut the hot partition into
+    * advisory-sized slices that run in parallel; `skew_off_splits` is 0
+    * by construction. Thresholds are scaled to bench bytes (the 256 MB
+    * default assumes cluster-sized partitions; the factor-over-median
+    * trigger and advisory slice size keep their production shape). */
+  def skewJoinBench(
+      spark: SparkSession, reps: Int = 3,
+      n: Long = 2000000L): Seq[(String, Double)] = {
+    import org.apache.spark.sql.execution.{PartialReducerPartitionSpec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+    val left = spark.range(n).select(
+      when(pmod(col("id"), lit(2L)) === 0, lit(0L)).otherwise(col("id")).as("k"),
+      sha2(concat(lit("p"), col("id")), 256).as("pad")) // ~64 B payload/row
+    val right = spark.range(200000L).select(col("id").as("k"),
+      (col("id") * 7L).as("v"))
+    // global agg consumes the join without imposing an output
+    // partitioning, so OptimizeSkewedJoin is free to split
+    def joined = left.join(right, "k")
+      .agg(sum(length(col("pad"))).as("bytes"), count(lit(1)).as("rows"))
+    // query stages are LEAF nodes holding their subtree in .plan — a
+    // plain collect() on the final plan never reaches the
+    // AQEShuffleRead below ResultQueryStage (same walk as
+    // [[shuffleBytesOf]])
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    def splitsOf(df: org.apache.spark.sql.DataFrame): Double =
+      walk(df.queryExecution.executedPlan).collect {
+        case r: AQEShuffleReadExec =>
+          r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
+      }.sum.toDouble
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // skew detection is median-relative: with too few reducer
+      // partitions the hot partition IS the median and nothing reads as
+      // skewed — pin enough partitions that the median reflects the
+      // non-hot keys (a leaked shuffle.partitions=2 from another
+      // session once silently defeated the split)
+      conf.set("spark.sql.adaptive.enabled", "true")
+      if (conf.get("spark.sql.shuffle.partitions").toInt < 8)
+        conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+      def run(on: Boolean, name: String): (Double, Double) = {
+        conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)
+        val sec = timeMed(reps, name)(joined.collect())
+        val probe = joined // fresh Dataset: its executedPlan is this run's
+        probe.collect()
+        (sec, splitsOf(probe))
+      }
+      val (onSec, onSplits) = run(on = true, "skew_on")
+      val (offSec, offSplits) = run(on = false, "skew_off")
+      Seq(
+        "hot_rows" -> (n / 2).toDouble,
+        "skew_on" -> onSec, "skew_on_splits" -> onSplits,
+        "skew_off" -> offSec, "skew_off_splits" -> offSplits)
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
     }
   }
 
@@ -971,7 +1086,8 @@ object Bench {
     val streaming = section("streaming")(streamingBench(spark, sfDir, reps))
     val capstone = section("capstone")(capstoneBench(spark, sfDir, reps))
     val multimodal = section("multimodal")(multimodalBench(spark, reps))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"sf":"$sfDir"}""")
+    val skewjoin = section("skewjoin")(skewJoinBench(spark, reps))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

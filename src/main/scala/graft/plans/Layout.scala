@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers — the 100 TB story (SURVEY §4, §7.4).
@@ -149,6 +149,74 @@ object Layout {
       df: DataFrame, path: String, sortCol: String,
       rowGroupBytes: Long = 128 * 1024, files: Int = 4): Unit =
     df.orderBy(col(sortCol)).coalesce(files)
+      .write.option("parquet.block.size", rowGroupBytes)
+      .mode("overwrite").parquet(path)
+
+  /** Morton (Z-order) bit interleave of two pre-normalized `bits`-bit
+    * non-negative ints: a's bits land at even positions, b's at odd.
+    * Built from the standard spread-bits ladder (x |= x<<8 … masked) as
+    * plain Column arithmetic — shifts/masks stay inside whole-stage
+    * codegen, no UDF and no custom Expression needed. Public knowledge:
+    * Morton 1966; the lever Delta/Iceberg expose as Z-ORDER clustering. */
+  def zInterleave(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 16, s"bits must be in 1..16: $bits")
+    def spread(x: Column): Column = {
+      // 16-bit spread over a long: after each step the mask confines
+      // every bit to its final even slot
+      val s8 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s4 = s8.bitwiseOR(shiftleft(s8, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s2 = s4.bitwiseOR(shiftleft(s4, 2)).bitwiseAND(lit(0x33333333L))
+      s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val mask = lit((1L << bits) - 1L)
+    spread(a.cast("long").bitwiseAND(mask))
+      .bitwiseOR(shiftleft(spread(b.cast("long").bitwiseAND(mask)), 1))
+  }
+
+  /** Z-ordered write: cluster `df` on the interleaved rank of TWO
+    * columns so parquet row-group min/max stats skip on EITHER
+    * predicate. A linear sort ([[writeSorted]]) gives perfect skipping
+    * on its one key and none on any other; interleaving trades a few
+    * groups of per-key locality for ~√ locality on both — the
+    * multi-dimensional data-skipping lever (Delta/Iceberg Z-ORDER, from
+    * Morton 1966), here as one extra narrow projection before the same
+    * sorted write. Columns are min/max-normalized to `bits`-bit ranks
+    * from a 2-row bounds aggregate (one cheap pre-pass; rank
+    * normalization via ntile would be exact under skew but costs a
+    * window — bounds are the standard choice and match how uniform TPC
+    * keys distribute). The z column is dropped before writing; only the
+    * data columns and their footer stats ship. */
+  /** `df` plus a `_z` column: the Morton interleave of the two columns'
+    * min/max-normalized `bits`-bit ranks. The bounds come from a 2-row
+    * aggregate (one cheap pre-pass; rank normalization via ntile would
+    * be exact under skew but costs a window — bounds are the standard
+    * choice and match how uniform TPC keys distribute). Exposed
+    * separately from [[writeZOrdered]] so the z computation itself is
+    * oracle-verifiable (q_zvalue). */
+  def zValue(
+      df: DataFrame, colA: String, colB: String, bits: Int = 16): DataFrame = {
+    val topRank = (1 << bits) - 1
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def norm(c: Column, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit(topRank),
+        floor((c.cast("double") - lit(lo)) / lit(span) * lit(topRank)))
+        .cast("long")
+    }
+    df.withColumn("_z",
+      zInterleave(norm(col(colA), b.getDouble(0), b.getDouble(1)),
+        norm(col(colB), b.getDouble(2), b.getDouble(3)), bits))
+  }
+
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      rowGroupBytes: Long = 128 * 1024, files: Int = 4,
+      bits: Int = 16): Unit =
+    zValue(df, colA, colB, bits)
+      .orderBy(col("_z")).coalesce(files)
+      .drop("_z")
       .write.option("parquet.block.size", rowGroupBytes)
       .mode("overwrite").parquet(path)
 

@@ -127,8 +127,14 @@ class LayoutSkewSpec extends SparkSpec {
     // The shared test session is plain; validate the builder's conf map
     // without constructing a second context.
     val b = graft.GraftSession.builder("local[1]", 2)
-    // building against the existing context reuses it but applies conf
+    // building against the existing context reuses it but applies conf —
+    // including shuffle.partitions=2, which must not leak to later
+    // suites (it silently defeated skew detection in
+    // SkewJoinEvidenceSpec: with 2 reducer partitions the median is
+    // half the data and nothing reads as skewed)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val s = b.getOrCreate()
-    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    try assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }
