@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,85 @@ object Packing {
       .withColumn("chunk_first", floor(col("start_tok") / budget).cast("long"))
       .withColumn("chunk_last",
         floor((col("end_tok") - 1) / budget).cast("long"))
+  }
+
+  /** Distributed total-order row number (0-based) over `sortCols` —
+    * the enumeration primitive [[shardAssign]] needs WITHOUT the
+    * single-partition `Window.orderBy` trap (an unpartitioned window
+    * moves the whole frame to one task; at 100 TB that is the job).
+    *
+    * Shape: range-partition on the sort key, freeze ONE materialization
+    * (localCheckpoint — counts and ranks must see the same placement),
+    * collect the per-partition row counts (≤ numShufflePartitions rows),
+    * broadcast the prefix offsets as a map literal, and add a
+    * within-partition row_number. Total order is exact regardless of
+    * where the range boundaries fall: ranges are disjoint in key space
+    * and each partition is ranked by the same keys. Call on a NARROW
+    * metadata projection (id + sort key, ~16 B/row — a few GB per
+    * billion rows) and join the rank back by id; ranking a wide frame
+    * checkpoints the wide payload for no reason. */
+  def globalRowNumber(
+      df: DataFrame, sortCols: Seq[Column], rnCol: String = "rn"): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets: Map[Int, Long] = {
+      val counts = ranged.groupBy("_gr_pid").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      var acc = 0L
+      counts.sortBy(_._1).map { case (pid, c) =>
+        val off = acc; acc += c; pid -> off
+      }.toMap
+    }
+    val w = Window.partitionBy("_gr_pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn(rnCol,
+        row_number().over(w).cast("long") - 1L +
+          coalesce(element_at(typedLit(offsets), col("_gr_pid")), lit(0L)))
+      .drop("_gr_pid")
+  }
+
+  /** Token-balanced shard assignment — the trainer-facing placement
+    * step between cleaning and [[packChunks]]: `numShards` data-parallel
+    * workers each want the SAME total token count, or the slowest shard
+    * paces every step. Greedy LPT is inherently sequential; the
+    * distributed stand-in is sorted serpentine round-robin: rank docs by
+    * (n_tok desc, doc_id), deal rank r to lane r mod S, and REVERSE the
+    * lane order on every other pass — the lane that just received the
+    * largest doc of one pass receives the smallest of the next, so
+    * per-pass imbalance cancels instead of accumulating (plain
+    * round-robin hands lane 0 the largest doc of EVERY pass).
+    * Deterministic, oracle-expressible, and fully parallel: one
+    * metadata-only [[globalRowNumber]] plus arithmetic.
+    *
+    * Output: (doc_id, n_tok, shard) — join back by doc_id to carry
+    * text, then `packChunks(joined, budget, "shard")` packs each shard
+    * independently. */
+  def shardAssign(documents: DataFrame, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val meta = documents.select(col("doc_id"), nTok.as("n_tok"))
+    val lane = pmod(col("rn"), lit(numShards.toLong))
+    val pass = floor(col("rn") / numShards)
+    globalRowNumber(meta, Seq(col("n_tok").desc, col("doc_id")))
+      .select(col("doc_id"), col("n_tok"),
+        when(pmod(pass, lit(2L)) === 0, lane)
+          .otherwise(lit(numShards - 1L) - lane).cast("int").as("shard"))
+  }
+
+  /** Per-shard balance report over a [[shardAssign]] result: doc count,
+    * token total, and the balance factor tok_sum · S / Σ tok_sum
+    * (1.0 = perfect). The grand total comes from a broadcast 1-row
+    * aggregate, not an unpartitioned window. */
+  def shardBalance(assigned: DataFrame, numShards: Int): DataFrame = {
+    val perShard = assigned.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+    val total = perShard.agg(sum("tok_sum").as("_tot"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("tok_sum"),
+        round(col("tok_sum") * lit(numShards.toDouble) / col("_tot"), 4)
+          .as("balance"))
   }
 
   /** Sliding-window chunking — the long-document splitter for context-

@@ -306,5 +306,98 @@ object Round10Queries {
              SELECT vec_id, round(d2, 4) + 0.0 AS d2
              FROM rr ORDER BY d2, vec_id LIMIT 10"""))
 
-  val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq)
+  /** [[graft.extensions.Packing.shardAssign]] — token-balanced
+    * serpentine placement over the distributed global row number. The
+    * oracle's plain `row_number() OVER (ORDER BY ...)` and the Spark
+    * side's range-partition + offset enumeration must agree EXACTLY or
+    * every downstream shard flips — this row is the total-order
+    * correctness pin for [[graft.extensions.Packing.globalRowNumber]]
+    * itself (ties broken by doc_id; 8 shards; serpentine = reverse lane
+    * order on odd passes). */
+  private val shardAssignQ = Q("q_shard_assign",
+    (s, dir) => graft.extensions.Packing
+      .shardAssign(table(s, dir, "documents"), 8)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+            r AS (SELECT doc_id, n_tok,
+                    row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rn
+                  FROM t)
+            SELECT doc_id, n_tok,
+                   CAST(CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+                             ELSE 7 - rn % 8 END AS INTEGER) AS shard
+            FROM r ORDER BY doc_id"""))
+
+  /** [[graft.extensions.Packing.shardBalance]] — the per-shard budget
+    * line: doc count, token total, and tok_sum·S/Σ (1.0 = perfect).
+    * Pins that serpentine dealing actually balances (every balance
+    * factor rounds to ~1) and that the broadcast grand-total path
+    * divides bitwise like the oracle's window. */
+  private val shardBalanceQ = Q("q_shard_balance",
+    (s, dir) => {
+      val assigned = graft.extensions.Packing
+        .shardAssign(table(s, dir, "documents"), 8)
+      graft.extensions.Packing.shardBalance(assigned, 8).orderBy("shard")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+            r AS (SELECT doc_id, n_tok,
+                    row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rn
+                  FROM t),
+            a AS (SELECT doc_id, n_tok,
+                    CAST(CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+                              ELSE 7 - rn % 8 END AS INTEGER) AS shard
+                  FROM r),
+            b AS (SELECT shard, count(*) AS n_docs, sum(n_tok) AS tok_sum
+                  FROM a GROUP BY shard)
+            SELECT shard, n_docs, tok_sum,
+                   round(tok_sum * 8.0 / sum(tok_sum) OVER (), 4) AS balance
+            FROM b ORDER BY shard"""))
+
+  /** [[graft.plans.Layout.zValue]] — the Morton key behind
+    * writeZOrdered, oracle-verified per row: both engines normalize the
+    * two keys to 16-bit ranks with the SAME left-to-right double
+    * arithmetic ((c−lo)/span·65535, floored, capped) and run the same
+    * spread-bits ladder, so the interleaved longs match bitwise. Pins
+    * the layout lever's math itself, not just its skipping outcome
+    * (ZOrderSpec pins that). */
+  private val zValueQ = Q("q_zvalue",
+    (s, dir) => graft.plans.Layout
+      .zValue(table(s, dir, "orders"), "o_custkey", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("_z").as("zval"))
+      .orderBy("o_orderkey"),
+    Some("""WITH b AS (SELECT CAST(min(o_custkey) AS DOUBLE) AS loA,
+                              CAST(max(o_custkey) AS DOUBLE) AS hiA,
+                              CAST(min(o_totalprice) AS DOUBLE) AS loB,
+                              CAST(max(o_totalprice) AS DOUBLE) AS hiB
+                       FROM orders),
+            n AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                    CAST(least(65535, floor((CAST(o_custkey AS DOUBLE) - loA)
+                      / (CASE WHEN hiA > loA THEN hiA - loA ELSE 1 END)
+                      * 65535)) AS BIGINT) AS ra,
+                    CAST(least(65535, floor((CAST(o_totalprice AS DOUBLE) - loB)
+                      / (CASE WHEN hiB > loB THEN hiB - loB ELSE 1 END)
+                      * 65535)) AS BIGINT) AS rb
+                  FROM orders, b),
+            s8 AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                     ((ra | (ra << 8)) & 16711935) AS xa,
+                     ((rb | (rb << 8)) & 16711935) AS xb FROM n),
+            s4 AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                     ((xa | (xa << 4)) & 252645135) AS xa,
+                     ((xb | (xb << 4)) & 252645135) AS xb FROM s8),
+            s2 AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                     ((xa | (xa << 2)) & 858993459) AS xa,
+                     ((xb | (xb << 2)) & 858993459) AS xb FROM s4),
+            s1 AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                     ((xa | (xa << 1)) & 1431655765) AS xa,
+                     ((xb | (xb << 1)) & 1431655765) AS xb FROM s2)
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   (xa | (xb << 1)) AS zval
+            FROM s1 ORDER BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq,
+    shardAssignQ, shardBalanceQ, zValueQ)
 }

@@ -202,6 +202,32 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_zvalue: the Morton key is a narrow projection — no hash shuffle, no join") {
+    // the bounds pre-pass is its own bounded 2-row job at construction;
+    // the per-row interleave must stay inside codegen (the only
+    // exchange is the presentation ORDER BY's rangepartitioning)
+    // (AQE hides codegen spans pre-execution — assert the shape:
+    // Project straight over the FileScan, nothing between)
+    val p = planString("q_zvalue")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Project"), p)
+    assert(p.contains("FileScan parquet"), p)
+  }
+
+  test("q_shard_assign: one pid-keyed hash exchange over the checkpointed metadata frame") {
+    // the range partition + pid stamp live behind the localCheckpoint
+    // (Scan ExistingRDD); this plan adds ONE hash exchange for the
+    // per-partition rank window and the serpentine arithmetic — no
+    // join, no single-partition window
+    val p = planString("q_shard_assign")
+    assert(p.contains("Scan ExistingRDD"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, p)
+    assert(p.contains("hashpartitioning(_gr_pid"), p)
+    assert(p.contains("windowspecdefinition(_gr_pid"), p) // never unpartitioned
+  }
+
   test("one-eval discipline: token builds appear exactly once per use in the plan") {
     // CollapseProject re-inlines withColumn aliases, silently re-running
     // a projection's base build once per OUTPUT COLUMN (languageId paid
