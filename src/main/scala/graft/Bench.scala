@@ -947,6 +947,19 @@ object Bench {
     val imgHashT = timeMed(reps, s"img_hash_${2 * n}") {
       Multimodal.imageHashes(imgs).write.format("noop").mode("overwrite").save()
     }
+    // resize throughput + the bytes ratio the derived table ships at —
+    // decode, bilinear scale of the 32x24 photos into 16x16 bounds
+    // (16x12 out, area ratio 0.25), PNG re-encode per row
+    val imgResizeT = timeMed(reps, s"img_resize_${2 * n}") {
+      Multimodal.resizeImages(imgs, 16, 16)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val resizeBytesRatio = {
+      val resized = Multimodal.resizeImages(imgs, 16, 16)
+        .agg(sum(length(col("payload")))).head().getLong(0).toDouble
+      val orig = imgs.agg(sum(length(col("payload")))).head().getLong(0).toDouble
+      resized / orig
+    }
     val imgHashes = Multimodal.imageHashes(imgs).localCheckpoint()
     val imgPairsT = timeMed(reps, "img_pairs_join")(Multimodal.imageHashPairs(imgHashes).count())
     val imgPairs = Multimodal.imageHashPairs(imgHashes).count().toDouble
@@ -972,6 +985,8 @@ object Bench {
     Seq(
       "media_rows_per_kind" -> (2.0 * n),
       s"img_hash_${2 * n}" -> imgHashT,
+      s"img_resize_${2 * n}" -> imgResizeT,
+      "img_resize_bytes_ratio" -> resizeBytesRatio,
       "img_pairs_join" -> imgPairsT,
       "img_pairs_found" -> imgPairs,
       s"wav_hash_${2 * n}" -> wavHashT,

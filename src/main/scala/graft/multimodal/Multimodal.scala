@@ -178,6 +178,34 @@ object Multimodal {
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
         catch { case scala.util.control.NonFatal(_) => None }
       }
+
+    /** Decode, scale to fit `maxW`×`maxH` preserving aspect ratio
+      * (floor-rounded, min 1 px, never upscaled), re-encode PNG.
+      * Bilinear interpolation; RGB target so palette/gray sources
+      * normalize. Returns (width, height, png bytes). */
+    def resizePng(
+        p: Array[Byte], maxW: Int, maxH: Int): Option[(Int, Int, Array[Byte])] =
+      decodeImage(p).flatMap { img =>
+        try {
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+          val w = math.max(1, (img.getWidth * scale).toInt)
+          val h = math.max(1, (img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          if (javax.imageio.ImageIO.write(out, "png", buf))
+            Some((w, h, buf.toByteArray))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
   }
 
   /** Real JVM audio decode (WAV/PCM — the one container the JDK ships a
@@ -420,6 +448,35 @@ object Multimodal {
         AudioCodec.decode(r.payload).map { case (rate, ch, durMs) =>
           AudioInfo(r.media_id, "audio/wav", rate, ch, durMs,
             if (r.payload == null) 0L else r.payload.length.toLong)
+        }
+      }
+    }
+  }
+
+  case class ResizedImage(media_id: Long, width: Int, height: Int,
+                          payload: Array[Byte])
+
+  /** Per-partition batch IMAGE RESIZE — the preprocessing step a
+    * vision-training pipeline runs before feature extraction: each
+    * decodable image is scaled to fit inside `maxW`×`maxH` preserving
+    * aspect ratio (never upscaled) and re-encoded as PNG, all with the
+    * bare JDK (Graphics2D bilinear draw + ImageIO — real pixels, not a
+    * stub). Undecodable payloads drop (quarantine semantics, like every
+    * decoder here). Output rows are themselves valid `image`-kind
+    * payloads, so the resized corpus feeds [[imageHashes]] /
+    * [[extractFeatures]] unchanged — at 100 TB this is the derived
+    * media table written beside the original, smaller by roughly the
+    * area ratio. PNG is deterministic (lossless, no quality seed), so
+    * the output bytes are stable across runs and executors. */
+  def resizeImages(
+      media: Dataset[MediaRow], maxW: Int = 64, maxH: Int = 64): Dataset[ResizedImage] = {
+    require(maxW > 0 && maxH > 0, s"bounds must be positive: $maxW x $maxH")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        ImageCodec.resizePng(r.payload, maxW, maxH).map {
+          case (w, h, bytes) => ResizedImage(r.media_id, w, h, bytes)
         }
       }
     }

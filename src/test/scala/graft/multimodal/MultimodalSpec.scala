@@ -314,6 +314,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, s"banded $got != brute $brute")
   }
 
+  test("resizeImages: downscale fits bounds preserving aspect; output is a real PNG that re-feeds the pipeline") {
+    import spark.implicits._
+    // a genuine 100x40 PNG, wider than the 10x10 bounds
+    val img = new java.awt.image.BufferedImage(
+      100, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 40).foreach(y => (0 until 100).foreach(x =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaRow(7L, "image", bos.toByteArray,
+      Multimodal.MediaMeta(Some(100), Some(40), None, Some("image/png")))).toDS()
+    val out = Multimodal.resizeImages(media, 10, 10).collect()
+    assert(out.length == 1)
+    // scale = min(10/100, 10/40) = 0.1 → 10x4
+    assert(out.head.width == 10 && out.head.height == 4, out.head)
+    // the payload is itself a decodable PNG with those dims…
+    val redecoded = Multimodal.ImageCodec.decode(out.head.payload)
+    assert(redecoded == Some((10, 4, "image/png")), redecoded)
+    // …and feeds the hash pipeline unchanged as an image-kind row
+    val resizedRow = Seq(Multimodal.MediaRow(7L, "image", out.head.payload,
+      Multimodal.MediaMeta(Some(10), Some(4), None, Some("image/png")))).toDS()
+    assert(Multimodal.imageHashes(resizedRow).collect().length == 1)
+  }
+
+  test("resizeImages: never upscales, deterministic bytes, quarantines junk") {
+    import spark.implicits._
+    val tiny = Multimodal.syntheticImages(spark, 3) // 4-8 x 3-6 px
+    def run() = Multimodal.resizeImages(tiny, 64, 64).collect()
+      .sortBy(_.media_id)
+    val a = run(); val b = run()
+    // smaller than the bounds → original dimensions kept
+    val dims = tiny.collect().sortBy(_.media_id)
+      .map(r => (r.meta.width.get, r.meta.height.get))
+    assert(a.map(r => (r.width, r.height)).toSeq == dims.toSeq)
+    // PNG re-encode is lossless and unseeded → byte-stable across runs
+    assert(a.zip(b).forall { case (x, y) =>
+      java.util.Arrays.equals(x.payload, y.payload) })
+    // junk payloads drop, never crash
+    val junk = Seq(Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta(None, None, None, None))).toDS()
+    assert(Multimodal.resizeImages(junk, 8, 8).collect().isEmpty)
+  }
+
   test("media parquet roundtrip preserves payload bytes and metadata struct") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath
     val media = Multimodal.syntheticMedia(spark, 10).toDF()
