@@ -806,6 +806,21 @@ object Bench {
         },
         "winnow_pairs" -> timeMed(reps, "winnow_pairs")(
           graft.extensions.Winnowing.sharedFingerprintPairs(docs).count()),
+        // shard assignment at corpus scale: the distributed global
+        // row number (two metadata-only shuffles + a P-row collect)
+        // dealing the Zipf corpus serpentine over 64 shards, plus the
+        // balance spread it achieves (max-min balance factor; 0 =
+        // perfect) — the claim that LPT-ish dealing stays balanced on
+        // a skewed corpus, measured each round
+        "shard_assign_64" -> timeMed(reps, "shard_assign_64")(
+          graft.extensions.Packing.shardAssign(docs, 64)
+            .write.format("noop").mode("overwrite").save()),
+        "shard_balance_spread" -> {
+          val b = graft.extensions.Packing.shardBalance(
+              graft.extensions.Packing.shardAssign(docs, 64), 64)
+            .agg(max(col("balance")) - min(col("balance"))).head().getDouble(0)
+          b
+        },
         // long-doc skew probe for the entropy fold: one 8k-token doc with
         // 4k distinct tokens (the cooccur methodology). The pre-round-8
         // per-distinct-token rescan did ~33M comparisons on this row; the

@@ -55,4 +55,46 @@ object TrainingSet {
     Packing.packChunks(shipped, budget, "shard")
       .withColumn("assignment", substring_index(col("shard"), ":", 1))
   }
+
+  /** [[compose]] with TOKEN-BALANCED shards instead of the lang
+    * passthrough: each assignment class (train / eval separately — a
+    * loader must never mix them) is dealt serpentine over `numShards`
+    * lanes by SCRUBBED token count ([[Packing.shardAssign]] on the
+    * clean text), so every data-parallel worker gets the same token
+    * budget instead of whatever a skewed lang distribution hands it.
+    * Shard = assignment:lane. Ranking by the scrubbed count is the
+    * point — balancing on pre-scrub counts would re-skew by exactly
+    * the removed-span mass.
+    *
+    * Scale adds one metadata-only [[Packing.globalRowNumber]] pass per
+    * class and a doc_id join-back on top of [[compose]]'s shape; the
+    * packing window and everything below is unchanged. */
+  def composeBalanced(
+      documents: DataFrame,
+      numShards: Int = 8,
+      budget: Int = 64,
+      k: Int = 6,
+      hashWindows: Boolean = false,
+      nFolds: Int = 10,
+      evalFoldMin: Int = 8,
+      alpha: Double = 0.5,
+      buckets: Int = 100): DataFrame = {
+    val assign = Dedup.trainEvalSplit(documents, nFolds, evalFoldMin, alpha, buckets)
+    val scrub = TextAnalysis.exactSubstrApply(documents, k, hashWindows)
+    val shipped = documents.select(col("doc_id"))
+      .join(assign.select("doc_id", "assignment"), "doc_id")
+      .filter(col("assignment") =!= "dropped")
+      .join(scrub, "doc_id")
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("assignment"), col("clean_text").as("text"))
+    val dealt = Seq("train", "eval").map { cls =>
+      val sub = shipped.filter(col("assignment") === cls)
+      sub.join(
+        Packing.shardAssign(sub, numShards).select("doc_id", "shard"), "doc_id")
+    }.reduce(_ unionByName _)
+    val withShard = dealt.select(col("doc_id"),
+      concat_ws(":", col("assignment"), col("shard")).as("shard"), col("text"))
+    Packing.packChunks(withShard, budget, "shard")
+      .withColumn("assignment", substring_index(col("shard"), ":", 1))
+  }
 }

@@ -398,6 +398,81 @@ object Round10Queries {
                    (xa | (xb << 1)) AS zval
             FROM s1 ORDER BY o_orderkey"""))
 
+  /** [[graft.extensions.TrainingSet.composeBalanced]] — the ship-it
+    * artifact with TOKEN-BALANCED shards: the q_training_set chain with
+    * the lang passthrough replaced by per-assignment-class serpentine
+    * dealing over SCRUBBED token counts (rank by clean n_tok desc,
+    * doc_id; reverse lanes on odd passes; shard = assignment:lane).
+    * The oracle derives the clean counts through the independent
+    * n_tok − n_removed route AND re-ranks them with a plain
+    * row_number twin, so drift in scrub, enumeration, or dealing all
+    * surface as hash mismatches. */
+  private val trainingSetBalanced = Q("q_training_set_balanced",
+    (s, dir) => graft.extensions.TrainingSet
+      .composeBalanced(table(s, dir, "documents"))
+      .orderBy("shard", "doc_id"),
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             folds AS (SELECT doc_id,
+                              CAST(CAST(concat('0x', substr(md5(CAST(comp AS VARCHAR)), 1, 4))
+                                        AS BIGINT) % 10 AS BIGINT) AS fold
+                       FROM comps),
+             per AS (SELECT source, sum(n_chars) AS n_chars
+                     FROM documents GROUP BY 1),
+             t AS (SELECT source,
+                          CAST(n_chars AS BIGINT) AS n_chars,
+                          sqrt(CAST(n_chars AS DOUBLE)) AS t
+                   FROM per),
+             tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_tot,
+                            list_sum(list(t ORDER BY source)) AS t_tot
+                     FROM t),
+             r AS (SELECT source,
+                          least(1.0, round(round(t / t_tot, 4)
+                                           / round(n_chars * 1.0 / chars_tot, 4), 4))
+                            AS rate
+                   FROM t, tot),
+             adm AS (SELECT d.doc_id FROM documents d JOIN r USING (source)
+                     WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                AS BIGINT) % 100 < floor(rate * 100 + 0.5)),
+             asg AS (SELECT f.doc_id,
+                            CASE WHEN f.fold >= 8 THEN 'eval'
+                                 WHEN adm.doc_id IS NOT NULL THEN 'train'
+                                 ELSE 'dropped' END AS assignment
+                     FROM folds f LEFT JOIN adm USING (doc_id)),
+             ${Round9Queries.duckSubstrSpans(" WHERE ww.doc_id <> own.owner")},
+             srm AS (SELECT doc_id,
+                            CAST(sum(span_end - span_start) AS BIGINT) AS n_removed
+                     FROM sp GROUP BY doc_id),
+             ship AS (SELECT ag.doc_id,
+                             asg.assignment,
+                             CAST(len(ag.arr) - coalesce(srm.n_removed, 0) AS BIGINT)
+                               AS n_tok
+                      FROM ag
+                        JOIN asg USING (doc_id)
+                        LEFT JOIN srm USING (doc_id)
+                      WHERE asg.assignment <> 'dropped'
+                        AND len(ag.arr) - coalesce(srm.n_removed, 0) > 0),
+             rkn AS (SELECT doc_id, assignment, n_tok,
+                            row_number() OVER (PARTITION BY assignment
+                                               ORDER BY n_tok DESC, doc_id) - 1 AS rn
+                     FROM ship),
+             shd AS (SELECT doc_id, assignment, n_tok,
+                            assignment || ':' ||
+                              CAST(CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+                                        ELSE 7 - rn % 8 END AS VARCHAR) AS shard
+                     FROM rkn),
+             cum AS (SELECT doc_id, shard, assignment, n_tok,
+                            sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS end_tok
+                     FROM shd)
+             SELECT doc_id, shard, assignment, n_tok,
+                    CAST(end_tok AS BIGINT) AS end_tok,
+                    CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+                    CAST(floor((end_tok - n_tok) / 64) AS BIGINT) AS chunk_first,
+                    CAST(floor((end_tok - 1) / 64) AS BIGINT) AS chunk_last
+             FROM cum ORDER BY shard, doc_id"""))
+
   val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq,
-    shardAssignQ, shardBalanceQ, zValueQ)
+    shardAssignQ, shardBalanceQ, zValueQ, trainingSetBalanced)
 }

@@ -67,6 +67,29 @@ class Round10OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("composeBalanced: same shipped docs as compose, disjoint class namespaces, serpentine by scrubbed count") {
+    val balanced = TrainingSet.composeBalanced(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(7)))
+    // (doc_id, shard, n_tok, assignment)
+    // the POLICY is unchanged — only shard labels differ
+    assert(balanced.map(t => (t._1, t._3, t._4)).sorted.toSeq ==
+      packed.map(t => (t._1, t._3, t._8)).sorted.toSeq)
+    // shard namespace: assignment:lane, lane in 0..7, never cross-class
+    assert(balanced.forall { case (_, shard, _, assignment) =>
+      val Array(cls, lane) = shard.split(":", 2)
+      cls == assignment && lane.toInt >= 0 && lane.toInt < 8
+    }, balanced.map(_._2).distinct.mkString(","))
+    // dealing is serpentine over (clean n_tok desc, doc_id) per class:
+    // recompute the expectation driver-side from the shipped counts
+    balanced.groupBy(_._4).foreach { case (_, rows) =>
+      val ranked = rows.sortBy(t => (-t._3, t._1)).zipWithIndex
+      ranked.foreach { case ((_, shard, _, _), rn) =>
+        val lane = if ((rn / 8) % 2 == 0) rn % 8 else 7 - rn % 8
+        assert(shard.endsWith(s":$lane"), s"rank $rn got $shard")
+      }
+    }
+  }
+
   test("plan: the training-set composition never materializes a cartesian product") {
     val plan = TrainingSet.compose(docs)
       .queryExecution.executedPlan.toString
