@@ -806,6 +806,36 @@ object Bench {
         },
         "winnow_pairs" -> timeMed(reps, "winnow_pairs")(
           graft.extensions.Winnowing.sharedFingerprintPairs(docs).count()),
+        // counting sketches in their native regime: the Zipf corpus's
+        // per-doc filler gives ~3M distinct tokens, so exact counters
+        // ARE the vocabulary while the CMS grid stays ≤ d·w rows and
+        // the KMV buffer stays k longs per group — price the sketch
+        // build beside the exact distinct count it stands in for, and
+        // record the measured KMV error (k=64 ⇒ σ ≈ 1/√62 ≈ 13%)
+        "cms_build_w1024" -> timeMed(reps, "cms_build_w1024")(
+          graft.extensions.Sketches.cmsBuild(
+              graft.extensions.Sketches.tokens(docs), depth = 4, width = 1024)
+            .write.format("noop").mode("overwrite").save()),
+        "cms_grid_rows" -> graft.extensions.Sketches.cmsBuild(
+          graft.extensions.Sketches.tokens(docs), depth = 4, width = 1024)
+          .count().toDouble,
+        "vocab_exact_distinct" -> timeMed(reps, "vocab_exact_distinct")(
+          graft.extensions.Sketches.tokens(docs)
+            .agg(count_distinct(col("tok"))).collect()),
+        "kmv_unigram_64" -> {
+          val srcDocs = docs.withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(16))))
+          timeMed(reps, "kmv_unigram_64")(
+            graft.extensions.Sketches.kmvDistinct(srcDocs, k = 64, n = 1)
+              .write.format("noop").mode("overwrite").save())
+        },
+        "kmv_relerr_mean" -> {
+          val srcDocs = docs.withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(16))))
+          graft.extensions.Sketches.kmvDistinct(srcDocs, k = 64, n = 1)
+            .agg(avg(abs(col("kmv_est") - col("n_exact")) / col("n_exact")))
+            .head().getDouble(0)
+        },
         // shard assignment at corpus scale: the distributed global
         // row number (two metadata-only shuffles + a P-row collect)
         // dealing the Zipf corpus serpentine over 64 shards, plus the

@@ -211,6 +211,38 @@ object Similarity {
       // value stringifies identically everywhere
       .agg((round(avg(col("col")), 3) + 0.0).as("c"))
 
+  /** Embedding outlier report — the data-cleaning consumer of
+    * [[centroids]]: the `topK` vectors FARTHEST (squared L2, the native
+    * [[graft.functions.SquaredL2]] strict left-to-right fold) from
+    * their own label's centroid. In a labeled corpus these are the
+    * mislabeled / garbage / encoder-glitch rows a pipeline quarantines
+    * before training; with k-means cells instead of labels the same
+    * query flags vectors no cluster explains.
+    *
+    * Scale shape: the centroid table is k·dim rows → re-assembled and
+    * BROADCAST; the scan side is one narrow pass (row-local distance)
+    * into a TakeOrderedAndProject — per-task top-k heaps, never a full
+    * sort. Degenerate vectors (NULL / wrong length ⇒ NULL distance)
+    * are filtered explicitly, the [[KMeans.assign]] quarantine
+    * discipline. */
+  def centroidOutliers(embeddings: DataFrame, topK: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val carr = centroids(embeddings)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+      .join(broadcast(carr), "label")
+      .withColumn("d2",
+        (round(call_function("squared_l2", col("e"), col("cent")), 4) + 0.0))
+      .filter(col("d2").isNotNull)
+      .select("vec_id", "label", "d2")
+      .orderBy(col("d2").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Full IVF search: assign every vector to its nearest centroid (the
     * "index build" — one broadcast join against the centroid table), then
     * answer a query by scanning only the `nprobe` cells whose centroids

@@ -1,0 +1,141 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Counting sketches — the bounded-memory summaries a 100 TB corpus
+  * profile runs on when exact answers would shuffle the full token
+  * stream to one place:
+  *
+  *  - Count-Min (Cormode & Muthukrishnan, J. Algorithms 2005): a d×w
+  *    counter grid estimating per-token frequency with one-sided error
+  *    (est ≥ true; est ≤ true + εN w.h.p., ε = e/w). The sketch is
+  *    d·w rows REGARDLESS of corpus size — the whole build is one
+  *    map-side-combinable aggregation, and estimation is a broadcast
+  *    join of the (tiny) grid against the query keys.
+  *  - KMV / k-minimum-values (Bar-Yossef et al., RANDOM 2002; Beyer et
+  *    al., SIGMOD 2007): distinct-count estimation from the k smallest
+  *    distinct hash values, (k−1)/U(k) with U(k) the k-th minimum as a
+  *    fraction of hash space. Mergeable by construction (union of
+  *    k-smallest sets → k-smallest of union), so partial aggregation
+  *    carries ≤ k longs per task — never a per-group sort of the
+  *    vocabulary.
+  *
+  * Both hash with md5 — the repo's cross-engine hash (SURVEY §5.1) —
+  * so every estimate is bitwise reproducible in the DuckDB oracle.
+  * Both estimators are order-independent (counter sums; min/set-union),
+  * hence deterministic under any partitioning — the property that
+  * makes an APPROXIMATE sketch an EXACTLY-oracled query.
+  *
+  * Reference provenance: the reference profiles token frequencies by
+  * collecting full counters to the driver (001_….ipynb:751-754); these
+  * sketches are the bounded-memory re-expression of that profile for
+  * corpora where the vocabulary itself doesn't fit.
+  */
+object Sketches {
+
+  /** The corpus token stream: (doc_id, tok), lowercased, empties out —
+    * the same tokenization every TextAnalysis operator uses. */
+  def tokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("tok"))
+
+  /** Row i of the CMS: bucket = first-8-hex(md5("i:tok")) mod width.
+    * 8 hex chars = 32 bits, so the conv fits a long exactly and the
+    * DuckDB twin (`CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT)`)
+    * parses the identical value. */
+  def cmsBucket(tok: Column, seed: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(seed.cast("string"), lit(":"), tok)
+      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+
+  /** Build the Count-Min grid over a token stream: one exploded
+    * aggregation to ≤ depth·width rows (seed, bucket, cnt). Untouched
+    * buckets are absent (zero) — [[cmsEstimate]] coalesces.
+    *
+    * Scale shape: tokens × depth rows enter a groupBy whose partial
+    * (map-side) combine collapses each task to ≤ d·w counters before
+    * the exchange — the shuffle moves O(d·w · tasks), not the corpus. */
+  def cmsBuild(toks: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    toks.select(col("tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .withColumn("bucket", cmsBucket(col("tok"), col("seed"), width))
+      .groupBy("seed", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate each key against a built grid: min over the key's
+    * depth counters. `keys` needs a `tok` column; the grid is broadcast
+    * (≤ d·w rows by construction), so estimation never shuffles the
+    * key side. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probes = keys.select(col("*"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .withColumn("bucket", cmsBucket(col("tok"), col("seed"), width))
+    probes.join(broadcast(sketch), Seq("seed", "bucket"), "left_outer")
+      .groupBy(keys.columns.map(col).toIndexedSeq: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** The frequency-profile contract row: the exact top-`topK` tokens
+    * (cnt desc, tok — total order, TakeOrderedAndProject so no full
+    * vocabulary sort) with their CMS estimates and the one-sided
+    * overcount. `overcount ≥ 0` is the sketch's THEOREM, not a test
+    * tolerance — SketchesSpec asserts it for the whole vocabulary. */
+  def cmsTopK(documents: DataFrame, topK: Int = 20,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val toks = tokens(documents)
+    val head = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(topK)
+    val sketch = cmsBuild(toks, depth, width)
+    cmsEstimate(sketch, head, depth, width)
+      .select(col("tok").as("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+  }
+
+  /** Per-source 48-bit shingle hashes — the KMV input stream, shared
+    * with [[graft.streaming.StreamingSketch]]'s per-batch state build. */
+  def shingleHashes(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("source"),
+        explode(TextAnalysis.wordNgrams(n)).as("s"))
+      .select(col("source"), col("s"), kmvHash(col("s")).as("h"))
+
+  /** KMV hash: first 12 hex chars of md5(tok) as a long in [0, 16^12).
+    * 48 bits — exact in a long AND in a double (≤ 2^53), so the
+    * estimator's double division is bitwise cross-engine. */
+  def kmvHash(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  private val HashSpace: Double = 281474976710656.0 // 16^12 = 2^48
+
+  /** Per-source distinct-SHINGLE estimate from the k smallest distinct
+    * hashes, beside the exact count it approximates (the accuracy
+    * contract — same discipline as q_minhash_est / q_winnow_est).
+    * Shingles (`n`-token windows), not unigrams: the synthetic corpus's
+    * 31-token vocabulary would leave a unigram sketch permanently in
+    * exact mode, while the shingle space (≥ 1k distinct per source at
+    * every sf) engages the estimator tri-scale — and distinct-shingle
+    * cardinality is the number the dedup family actually sizes its
+    * signature frames by.
+    *
+    * est = (k−1) · 16^12 / h(k) when ≥ k distinct hashes exist, else
+    * the sketch holds EVERY distinct hash and reports exactly.
+    *
+    * Scale shape: the k-smallest set rides [[graft.functions.KMinDistinct]]
+    * — a bounded sorted buffer per task, merge tree O(k·partitions) —
+    * and the exact side is countDistinct on the same shuffle; at 100 TB
+    * you drop the exact column and the whole answer is k longs per
+    * group. */
+  def kmvDistinct(documents: DataFrame, k: Int = 64, n: Int = 3): DataFrame = {
+    val agg = udaf(new graft.functions.KMinDistinct(k))
+    shingleHashes(documents, n)
+      .groupBy("source")
+      .agg(countDistinct(col("s")).as("n_exact"),
+        agg(col("h")).as("mins"))
+      .select(col("source"), col("n_exact"),
+        round(when(size(col("mins")) < k,
+            size(col("mins")).cast("double"))
+          .otherwise(lit(k - 1) * lit(HashSpace)
+            / element_at(col("mins"), k).cast("double")), 4).as("kmv_est"))
+  }
+}

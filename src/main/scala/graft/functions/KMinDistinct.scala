@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF: the k smallest DISTINCT long values — the KMV
+  * distinct-count sketch's state ([[graft.extensions.Sketches]]).
+  *
+  * The buffer is a sorted distinct array capped at k, so partial
+  * aggregation keeps ≤ k longs per task and the merge tree moves
+  * O(k · partitions) — constant memory regardless of group size, the
+  * same bounded-buffer discipline as [[TopKByCount]]. Set-union then
+  * take-k is associative, commutative and idempotent, so the result is
+  * independent of partitioning and merge order — what makes a KMV
+  * estimate exactly oracle-able despite being an approximation of the
+  * distinct count. */
+class KMinDistinct(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  private def cap(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(buf: Seq[Long], in: Long): Seq[Long] =
+    if (buf.length == k && in >= buf.last) buf else cap(buf :+ in)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = cap(a ++ b)
+
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

@@ -473,6 +473,114 @@ object Round10Queries {
                     CAST(floor((end_tok - 1) / 64) AS BIGINT) AS chunk_last
              FROM cum ORDER BY shard, doc_id"""))
 
+  /** [[graft.extensions.Sketches.cmsTopK]] — Count-Min frequency
+    * estimation, exactly oracled: counter sums and min-over-depth are
+    * order-independent, so the APPROXIMATE estimate is a DETERMINISTIC
+    * function of the corpus both engines compute bitwise. Width 16
+    * against the 31-token vocabulary forces real collisions (pigeonhole)
+    * so the row exercises the interesting regime — estimates that
+    * OVERcount with the min across 4 rows clawing precision back; the
+    * one-sided guarantee is the overcount column's ≥ 0 (SketchesSpec
+    * asserts it corpus-wide; here it rides the hash). */
+  private val cmsTopKQ = Q("q_cms_topk",
+    (s, dir) => graft.extensions.Sketches
+      .cmsTopK(table(s, dir, "documents"), topK = 20, depth = 4, width = 16)
+      .orderBy(col("exact_cnt").desc, col("token")),
+    Some("""WITH toks AS (SELECT unnest(list_filter(
+                            string_split(lower(coalesce(text, '')), ' '),
+                            t -> t <> '')) AS tok
+                          FROM documents),
+             c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+             head AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20),
+             seeds AS (SELECT unnest(range(4)) AS seed),
+             grid AS (SELECT seed,
+                             CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 8))
+                                  AS BIGINT) % 16 AS bucket,
+                             count(*) AS cnt
+                      FROM toks CROSS JOIN seeds GROUP BY 1, 2),
+             est AS (SELECT h.tok, min(coalesce(g.cnt, 0)) AS cms_est
+                     FROM head h CROSS JOIN seeds s
+                     LEFT JOIN grid g ON g.seed = s.seed
+                       AND g.bucket = CAST(concat('0x', substr(md5(CAST(s.seed AS VARCHAR) || ':' || h.tok), 1, 8))
+                                           AS BIGINT) % 16
+                     GROUP BY 1)
+             SELECT h.tok AS token, h.cnt AS exact_cnt, e.cms_est,
+                    e.cms_est - h.cnt AS overcount
+             FROM head h JOIN est e USING (tok)
+             ORDER BY exact_cnt DESC, token"""))
+
+  /** [[graft.extensions.Sketches.kmvDistinct]] — KMV distinct-count
+    * estimation beside the exact count (the accuracy-contract
+    * discipline of q_minhash_est / q_winnow_est). The k-smallest
+    * distinct-hash set is merge-order-independent, so the estimate is
+    * deterministic; the oracle's row_number twin and the Spark side's
+    * bounded-buffer [[graft.functions.KMinDistinct]] must surface the
+    * SAME 64th minimum or the division drifts. 3-gram shingles per
+    * source (≥ 1k distinct at every sf) keep the estimator engaged
+    * tri-scale. */
+  private val kmvDistinctQ = Q("q_kmv_distinct",
+    (s, dir) => graft.extensions.Sketches
+      .kmvDistinct(table(s, dir, "documents"), k = 64, n = 3)
+      .orderBy("source"),
+    Some("""WITH d AS (SELECT source,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr
+                       FROM documents),
+             g AS (SELECT source,
+                          unnest(list_transform(range(1, CAST(len(arr) AS INTEGER) - 1),
+                            i -> array_to_string(list_slice(arr, i, i + 2), ' '))) AS s
+                   FROM d),
+             h AS (SELECT DISTINCT source,
+                          CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS h
+                   FROM g),
+             r AS (SELECT source, h,
+                          row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+                   FROM h),
+             kth AS (SELECT source, count(*) AS n_h,
+                            max(CASE WHEN rk = 64 THEN h END) AS hk
+                     FROM r WHERE rk <= 64 GROUP BY 1),
+             ex AS (SELECT source, count(DISTINCT s) AS n_exact FROM g GROUP BY 1)
+             SELECT ex.source, ex.n_exact,
+                    round(CASE WHEN kth.hk IS NULL THEN CAST(kth.n_h AS DOUBLE)
+                               ELSE 63 * 281474976710656.0 / kth.hk END, 4) AS kmv_est
+             FROM ex JOIN kth USING (source)
+             ORDER BY source"""))
+
+  /** [[graft.extensions.Similarity.centroidOutliers]] — the embedding
+    * cleaning report: top-20 vectors farthest (squared L2) from their
+    * own label's centroid, the mislabeled/garbage quarantine list. The
+    * centroid side reuses the q_centroids contract (3-decimal
+    * element-wise means both engines compute identically); the
+    * distance is the native SquaredL2 strict left-to-right fold, which
+    * the oracle's list_sum(list_transform(...)) reproduces (the
+    * q_pq_adc discipline); total order (d2 desc, vec_id) pins the
+    * boundary. */
+  private val embOutlier = Q("q_emb_outlier",
+    (s, dir) => graft.extensions.Similarity
+      .centroidOutliers(table(s, dir, "embeddings"), topK = 20),
+    Some("""WITH cents AS (SELECT label, pos,
+                                  round(avg(CAST(v AS DOUBLE)), 3) + 0.0 AS cv
+                           FROM (SELECT label, unnest(embedding) AS v,
+                                        generate_subscripts(embedding, 1) AS pos
+                                 FROM embeddings)
+                           GROUP BY 1, 2),
+             carr AS (SELECT label, list(cv ORDER BY pos) AS cent
+                      FROM cents GROUP BY label),
+             e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings
+                   WHERE embedding IS NOT NULL AND len(embedding) = 64
+                     AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+             d AS (SELECT e.vec_id, e.label,
+                          round(list_sum(list_transform(range(1, 65),
+                            i -> (e.e[CAST(i AS INTEGER)] - cent[CAST(i AS INTEGER)])
+                                 * (e.e[CAST(i AS INTEGER)] - cent[CAST(i AS INTEGER)]))), 4)
+                            + 0.0 AS d2
+                   FROM e JOIN carr ON carr.label = e.label
+                     AND len(carr.cent) = 64)
+             SELECT vec_id, label, d2 FROM d
+             ORDER BY d2 DESC, vec_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq,
-    shardAssignQ, shardBalanceQ, zValueQ, trainingSetBalanced)
+    shardAssignQ, shardBalanceQ, zValueQ, trainingSetBalanced,
+    cmsTopKQ, kmvDistinctQ, embOutlier)
 }
