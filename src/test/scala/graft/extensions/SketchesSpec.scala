@@ -103,6 +103,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS join-size upper-bounds the exact join size; exact when collision-free") {
+    val a = Seq(1L, 1L, 2L, 3L, 5L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")
+    val exact = a.join(b, "k").count() // 1→2·1, 2→1·2 ⇒ 4 pairs
+    def est(w: Int): Long = Sketches.cmsJoinSize(
+        Sketches.cmsKeyGrid(a, "k", 4, w),
+        Sketches.cmsKeyGrid(b, "k", 4, w))
+      .as[Long].head()
+    // width 2: every key collides — the bound must still hold
+    assert(est(2) >= exact, s"${est(2)} < $exact")
+    // width 4096 over 6 keys: some depth row is collision-free and the
+    // min recovers the exact product
+    assert(est(4096) == exact, s"${est(4096)} != $exact")
+  }
+
   test("kmvDistinct matches a driver-side reference estimator") {
     val corpus = docs.filter($"doc_id" <= 5)
     // recompute: per source, 2-gram shingles, md5-48-bit hashes, 4 smallest

@@ -228,6 +228,29 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(_gr_pid"), p) // never unpartitioned
   }
 
+  test("q_cms_topk: head is a bounded TakeOrdered; the sketch grid broadcasts") {
+    val p = planString("q_cms_topk")
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20 heap, no vocab sort
+    assert(p.contains("BroadcastHashJoin"), p) // d·w grid vs the key side
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_emb_outlier: centroid table broadcasts; top-k is a bounded TakeOrdered") {
+    val p = planString("q_emb_outlier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_cms_joinsize: both grids partial-aggregate before their exchanges") {
+    val p = planString("q_cms_joinsize")
+    // grid builds are map-side combinable (partial_count before the
+    // (seed,bucket) exchange) — the property that keeps the shuffle
+    // O(d·w·tasks) instead of O(corpus)
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("one-eval discipline: token builds appear exactly once per use in the plan") {
     // CollapseProject re-inlines withColumn aliases, silently re-running
     // a projection's base build once per OUTPUT COLUMN (languageId paid
