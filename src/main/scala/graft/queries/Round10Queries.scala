@@ -629,7 +629,63 @@ object Round10Queries {
                     (SELECT min(dot) FROM dots) - ex.exact_pairs AS overcount
              FROM ex"""))
 
+  /** [[graft.extensions.Sampling.prioritySample]] — Efraimidis–Spirakis
+    * weighted-without-replacement sampling: top-5 docs per source by
+    * u^(1/n_tok), u the md5-48-bit uniform. Every emitted column is
+    * integral; only the ORDER crosses engines through ln (the
+    * q_bigram_lm transcendental precedent). */
+  private val samplePriority = Q("q_sample_priority",
+    (s, dir) => graft.extensions.Sampling
+      .prioritySample(table(s, dir, "documents"), k = 5)
+      .orderBy("source", "rank"),
+    Some("""WITH t AS (SELECT source, doc_id,
+                              CAST(len(list_filter(
+                                string_split(lower(coalesce(text, '')), ' '),
+                                x -> x <> '')) AS BIGINT) AS n_tok
+                       FROM documents),
+             kyd AS (SELECT source, doc_id, n_tok,
+                            ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                                     AS BIGINT) + 1) / 281474976710657.0)
+                              / n_tok AS es_key
+                     FROM t WHERE n_tok > 0),
+             r AS (SELECT source, doc_id, n_tok,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY es_key DESC, doc_id) AS rank
+                   FROM kyd)
+             SELECT source, doc_id, n_tok, CAST(rank AS BIGINT) AS rank
+             FROM r WHERE rank <= 5 ORDER BY source, rank"""))
+
+  /** [[graft.extensions.Sampling.systematicSample]] — systematic
+    * token-budget selection: per source, every doc whose token interval
+    * contains a stride boundary (step = ⌈total/8⌉). All-integer
+    * arithmetic — no float crosses engines at all. */
+  private val sampleSystematic = Q("q_sample_systematic",
+    (s, dir) => graft.extensions.Sampling
+      .systematicSample(table(s, dir, "documents"), k = 8)
+      .orderBy("source", "doc_id"),
+    Some("""WITH t AS (SELECT source, doc_id,
+                              CAST(len(list_filter(
+                                string_split(lower(coalesce(text, '')), ' '),
+                                x -> x <> '')) AS BIGINT) AS n_tok
+                       FROM documents),
+             c AS (SELECT source, doc_id, n_tok,
+                          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS end_tok
+                   FROM t),
+             c2 AS (SELECT source, doc_id, n_tok, end_tok,
+                           end_tok - n_tok AS start_tok
+                    FROM c),
+             s AS (SELECT source,
+                          greatest(1, CAST(floor((max(end_tok) + 7) / 8)
+                                           AS BIGINT)) AS step
+                   FROM c2 GROUP BY source)
+             SELECT c2.source, doc_id, n_tok, CAST(start_tok AS BIGINT) AS start_tok
+             FROM c2 JOIN s USING (source)
+             WHERE floor(start_tok / step) < floor(end_tok / step)
+             ORDER BY source, doc_id"""))
+
   val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq,
     shardAssignQ, shardBalanceQ, zValueQ, trainingSetBalanced,
-    cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ)
+    cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ,
+    samplePriority, sampleSystematic)
 }
