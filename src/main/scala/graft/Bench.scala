@@ -492,6 +492,7 @@ object Bench {
     // resemblance probe's. cont_hits counts candidate rows with a
     // decisive direction (either side >= 0.97).
     var contHits = 0L
+    var sketchMergeT = 0.0
     val (admitT, contProbeT) = try {
       val a = {
         val xs = (1 to reps).map(_ => admissionPass())
@@ -509,6 +510,19 @@ object Bench {
             corpusSh, spark.table("capstone_band_idx"), oneBatch)
           .filter(col("cont_corpus") >= 0.97 || col("cont_new") >= 0.97)
           .count()
+      }
+      // 4b. always-on corpus profile: the per-batch sketch-maintenance
+      // cost — the cleaned corpus' CMS grid merged with one arriving
+      // batch's (StreamingSketch.mergeCms, d·w-bounded state) — so the
+      // profile leg the counting sketches add to the live pipeline is
+      // priced per round like every other admission-side monitor
+      val corpusGrid = graft.extensions.Sketches.cmsBuild(
+        graft.extensions.Sketches.tokens(cleaned)).localCheckpoint()
+      sketchMergeT = timeMed(reps, "sketch_merge_batch") {
+        graft.streaming.StreamingSketch.mergeCms(corpusGrid,
+          graft.extensions.Sketches.cmsBuild(
+            graft.extensions.Sketches.tokens(oneBatch)))
+          .write.format("noop").mode("overwrite").save()
       }
       (a, c)
     } finally {
@@ -585,6 +599,7 @@ object Bench {
       "admission_2_batches" -> admitT,
       "containment_probe_batch" -> contProbeT,
       "containment_hits" -> contHits.toDouble,
+      "sketch_merge_batch" -> sketchMergeT,
       "live_docs" -> live.count().toDouble,
       "clean_docs" -> cleaned.count().toDouble,
       "clean_docs_containment" -> cleanedCont.count().toDouble,
@@ -822,11 +837,15 @@ object Bench {
         "vocab_exact_distinct" -> timeMed(reps, "vocab_exact_distinct")(
           graft.extensions.Sketches.tokens(docs)
             .agg(count_distinct(col("tok"))).collect()),
-        "kmv_unigram_64" -> {
+        // the PURE sketch path (what a 100 TB profile pays): per-source
+        // k-min state only — the contract row kmvDistinct also pays the
+        // exact countDistinct it is judged against, so pricing THAT
+        // here would bill the yardstick to the sketch
+        "kmv_state_64" -> {
           val srcDocs = docs.withColumn("source",
             concat(lit("s"), pmod(col("doc_id"), lit(16))))
-          timeMed(reps, "kmv_unigram_64")(
-            graft.extensions.Sketches.kmvDistinct(srcDocs, k = 64, n = 1)
+          timeMed(reps, "kmv_state_64")(
+            graft.streaming.StreamingSketch.kmvState(srcDocs, k = 64, n = 1)
               .write.format("noop").mode("overwrite").save())
         },
         "kmv_relerr_mean" -> {
@@ -960,10 +979,20 @@ object Bench {
       }
       val (onSec, onSplits) = run(on = true, "skew_on")
       val (offSec, offSplits) = run(on = false, "skew_off")
+      // the PREDICTIVE half of the skew story: the sketch-only factor
+      // (Sketches.skewFactor — CMS F2 × KMV cardinality, one bounded
+      // pass per side at ingest) flags the hot key BEFORE any shuffle;
+      // the AQE splits above are the runtime confirmation. hot ⇒
+      // ~share²·D (huge); uniform ⇒ ~1.
+      def factorOf(df: org.apache.spark.sql.DataFrame): Double =
+        graft.extensions.Sketches.skewFactor(df, "k")
+          .head().getAs[Double]("skew_factor")
       Seq(
         "hot_rows" -> (n / 2).toDouble,
         "skew_on" -> onSec, "skew_on_splits" -> onSplits,
-        "skew_off" -> offSec, "skew_off_splits" -> offSplits)
+        "skew_off" -> offSec, "skew_off_splits" -> offSplits,
+        "sketch_skew_hot" -> factorOf(left),
+        "sketch_skew_uniform" -> factorOf(right))
     } finally saved.foreach { case (k, v) =>
       v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
     }

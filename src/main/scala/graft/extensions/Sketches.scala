@@ -41,13 +41,31 @@ object Sketches {
       explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
         t => t =!= "")).as("tok"))
 
-  /** Row i of the CMS: bucket = first-8-hex(md5("i:tok")) mod width.
+  /** The CMS hash: ONE md5 digest per token feeds all four depth rows
+    * — row i's bucket is hex slice [8i, 8i+8) of md5(tok), mod width
+    * (md5's 128 bits are 4 independent 32-bit lanes; slicing a wide
+    * hash is the standard way to derive the d hashes, and one digest
+    * instead of d is most of the grid-build cost at corpus scale).
     * 8 hex chars = 32 bits, so the conv fits a long exactly and the
-    * DuckDB twin (`CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT)`)
-    * parses the identical value. */
-  def cmsBucket(tok: Column, seed: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat(seed.cast("string"), lit(":"), tok)
-      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+    * DuckDB twin (`substr(md5(tok), seed*8 + 1, 8)`) parses the
+    * identical value. Depth is capped at 4 by the 32 hex chars. */
+  def cmsLane(digest: Column, seed: Column, width: Int): Column =
+    pmod(conv(substring(digest, seed * lit(8) + lit(1), lit(8)),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Hash-then-explode: the digest is computed in a projection BELOW
+    * the Generate, so it is evaluated once per TOKEN, not once per
+    * (token, seed) — CollapseProject cannot inline an attribute
+    * through a Generate barrier (the wordNgrams one-eval discipline;
+    * inlining the md5 into the per-seed slice re-ran it d times). */
+  private def hashedSeeds(in: DataFrame, tok: Column, depth: Int,
+      width: Int, keep: Seq[Column] = Seq.empty): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth $depth outside md5's 4 lanes")
+    in.select(keep :+ md5(tok.cast("binary")).as("_m"): _*)
+      .select(keep :+ col("_m") :+
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"): _*)
+      .withColumn("bucket", cmsLane(col("_m"), col("seed"), width))
+  }
 
   /** Build the Count-Min grid over a token stream: one exploded
     * aggregation to ≤ depth·width rows (seed, bucket, cnt). Untouched
@@ -57,9 +75,7 @@ object Sketches {
     * (map-side) combine collapses each task to ≤ d·w counters before
     * the exchange — the shuffle moves O(d·w · tasks), not the corpus. */
   def cmsBuild(toks: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
-    toks.select(col("tok"),
-        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
-      .withColumn("bucket", cmsBucket(col("tok"), col("seed"), width))
+    hashedSeeds(toks, col("tok"), depth, width)
       .groupBy("seed", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
@@ -69,9 +85,8 @@ object Sketches {
     * key side. */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame,
       depth: Int = 4, width: Int = 1024): DataFrame = {
-    val probes = keys.select(col("*"),
-        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
-      .withColumn("bucket", cmsBucket(col("tok"), col("seed"), width))
+    val probes = hashedSeeds(keys, col("tok"), depth, width,
+      keep = keys.columns.map(col).toIndexedSeq)
     probes.join(broadcast(sketch), Seq("seed", "bucket"), "left_outer")
       .groupBy(keys.columns.map(col).toIndexedSeq: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
@@ -119,6 +134,41 @@ object Sketches {
         Seq("seed", "bucket"))
       .groupBy("seed").agg(sum(col("ca") * col("cb")).as("dot"))
       .agg(min("dot").as("est_pairs"))
+
+  /** Key-skew factor from sketches alone — the decide-to-salt signal
+    * BEFORE any shuffle: F₂·D/N², with F₂ the CMS self-inner-product
+    * (second frequency moment, [[cmsJoinSize]] of a grid with itself)
+    * and D the KMV cardinality estimate. A uniform key scores ≈ 1; a
+    * key holding `share` of the rows scores ≈ share²·D. The AQE
+    * skew-join split ([[graft.Bench.skewJoinBench]]) REACTS to skew
+    * mid-query; this predicts it from ingest-time sketches so the plan
+    * (salting granularity, broadcast threshold) is chosen up front —
+    * the bench publishes hot vs uniform factors beside the split
+    * counts each round.
+    *
+    * Width sizing: the F₂ estimate's noise floor is N²/w, which is
+    * exactly a uniform key's true F₂ (N²/D) when w = D — so w ≫ D is
+    * required for "uniform reads as 1"; heavy skew is detectable at
+    * any width. Three column-pruned aggregations over the key (count,
+    * grid, KMV); at ingest they ride the same scan. */
+  def skewFactor(df: DataFrame, key: String,
+      depth: Int = 4, width: Int = 1 << 20, k: Int = 256): DataFrame = {
+    val keys = df.select(col(key).cast("string").as("tok"))
+    val nRows = keys.agg(count(lit(1)).as("n_rows"))
+    val grid = cmsBuild(keys, depth, width).localCheckpoint()
+    val f2 = cmsJoinSize(grid, grid).select(col("est_pairs").as("f2_est"))
+    val agg = udaf(new graft.functions.KMinDistinct(k))
+    val dEst = keys.select(kmvHash(col("tok")).as("h"))
+      .agg(agg(col("h")).as("mins"))
+      .select(when(size(col("mins")) < k, size(col("mins")).cast("double"))
+        .otherwise(lit(k - 1) * lit(HashSpace)
+          / element_at(col("mins"), k).cast("double")).as("d_est"))
+    nRows.crossJoin(f2).crossJoin(dEst)
+      .select(col("n_rows"), col("f2_est"), round(col("d_est"), 1).as("d_est"),
+        round(col("f2_est") * col("d_est")
+          / (col("n_rows").cast("double") * col("n_rows").cast("double")), 4)
+          .as("skew_factor"))
+  }
 
   /** Per-source 48-bit shingle hashes — the KMV input stream, shared
     * with [[graft.streaming.StreamingSketch]]'s per-batch state build. */

@@ -20,8 +20,29 @@ class KMinDistinct(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
   override def zero: Seq[Long] = Seq.empty
 
-  override def reduce(buf: Seq[Long], in: Long): Seq[Long] =
-    if (buf.length == k && in >= buf.last) buf else cap(buf :+ in)
+  // the hot path: after the buffer saturates with small hashes, almost
+  // every row takes the first branch (a compare). Otherwise a binary
+  // search keeps the insert O(log k + k) with no re-sort — reduce()
+  // runs per ROW, so an xs.distinct.sorted here dominated the whole
+  // aggregation (the pure-state bench row was slower than the exact
+  // countDistinct it replaces before this).
+  override def reduce(buf: Seq[Long], in: Long): Seq[Long] = {
+    if (buf.length == k && in >= buf.last) buf
+    else {
+      val arr = buf.toArray
+      val idx = java.util.Arrays.binarySearch(arr, in)
+      if (idx >= 0) buf // already present
+      else {
+        val at = -idx - 1
+        val out = new Array[Long](math.min(arr.length + 1, k))
+        System.arraycopy(arr, 0, out, 0, at)
+        out(at) = in
+        System.arraycopy(arr, at, out, at + 1,
+          math.min(arr.length - at, out.length - at - 1))
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
+  }
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = cap(a ++ b)
 

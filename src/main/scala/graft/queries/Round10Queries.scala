@@ -494,14 +494,14 @@ object Round10Queries {
              head AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20),
              seeds AS (SELECT unnest(range(4)) AS seed),
              grid AS (SELECT seed,
-                             CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 8))
+                             CAST(concat('0x', substr(md5(tok), seed * 8 + 1, 8))
                                   AS BIGINT) % 16 AS bucket,
                              count(*) AS cnt
                       FROM toks CROSS JOIN seeds GROUP BY 1, 2),
              est AS (SELECT h.tok, min(coalesce(g.cnt, 0)) AS cms_est
                      FROM head h CROSS JOIN seeds s
                      LEFT JOIN grid g ON g.seed = s.seed
-                       AND g.bucket = CAST(concat('0x', substr(md5(CAST(s.seed AS VARCHAR) || ':' || h.tok), 1, 8))
+                       AND g.bucket = CAST(concat('0x', substr(md5(h.tok), s.seed * 8 + 1, 8))
                                            AS BIGINT) % 16
                      GROUP BY 1)
              SELECT h.tok AS token, h.cnt AS exact_cnt, e.cms_est,
@@ -608,12 +608,12 @@ object Round10Queries {
     },
     Some("""WITH seeds AS (SELECT unnest(range(4)) AS seed),
              ga AS (SELECT seed,
-                           CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                           CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), seed * 8 + 1, 8))
                                 AS BIGINT) % 8192 AS bucket,
                            count(*) AS ca
                     FROM orders CROSS JOIN seeds GROUP BY 1, 2),
              gb AS (SELECT seed,
-                           CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+                           CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), seed * 8 + 1, 8))
                                 AS BIGINT) % 8192 AS bucket,
                            count(*) AS cb
                     FROM lineitem CROSS JOIN seeds GROUP BY 1, 2),
@@ -684,8 +684,48 @@ object Round10Queries {
              WHERE floor(start_tok / step) < floor(end_tok / step)
              ORDER BY source, doc_id"""))
 
+  /** [[graft.extensions.Sketches.skewFactor]] — the composed
+    * decide-to-salt signal (CMS F₂ self-inner-product × KMV
+    * cardinality ÷ N²) oracled end-to-end on orders.o_custkey, whose
+    * near-uniform distribution pins the ≈1 baseline regime (the hot
+    * regime is pinned structurally in SketchesSpec and priced against
+    * AQE's splits in the skewjoin bench). Width 65536 keeps the F₂
+    * noise floor (N²/w) below the uniform F₂ at every sf. */
+  private val skewFactorQ = Q("q_skew_factor",
+    (s, dir) => graft.extensions.Sketches
+      .skewFactor(table(s, dir, "orders"), "o_custkey",
+        depth = 4, width = 65536, k = 256),
+    Some("""WITH keys AS (SELECT CAST(o_custkey AS VARCHAR) AS tok FROM orders),
+             seeds AS (SELECT unnest(range(4)) AS seed),
+             grid AS (SELECT seed,
+                             CAST(concat('0x', substr(md5(tok), seed * 8 + 1, 8))
+                                  AS BIGINT) % 65536 AS bucket,
+                             count(*) AS cnt
+                      FROM keys CROSS JOIN seeds GROUP BY 1, 2),
+             dots AS (SELECT g1.seed, CAST(sum(g1.cnt * g2.cnt) AS BIGINT) AS dot
+                      FROM grid g1 JOIN grid g2 ON g1.seed = g2.seed
+                        AND g1.bucket = g2.bucket
+                      GROUP BY 1),
+             f2 AS (SELECT min(dot) AS f2_est FROM dots),
+             h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(tok), 1, 12))
+                                        AS BIGINT) AS h
+                   FROM keys),
+             r AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM h),
+             kth AS (SELECT count(*) AS n_h,
+                            max(CASE WHEN rk = 256 THEN h END) AS hk
+                     FROM r WHERE rk <= 256),
+             d AS (SELECT CASE WHEN hk IS NULL THEN CAST(n_h AS DOUBLE)
+                               ELSE 255 * 281474976710656.0 / hk END AS d_est
+                   FROM kth),
+             n AS (SELECT count(*) AS n_rows FROM orders)
+             SELECT n.n_rows, f2.f2_est, round(d.d_est, 1) AS d_est,
+                    round(f2.f2_est * d.d_est
+                          / (CAST(n.n_rows AS DOUBLE) * CAST(n.n_rows AS DOUBLE)), 4)
+                      AS skew_factor
+             FROM n, f2, d"""))
+
   val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq,
     shardAssignQ, shardBalanceQ, zValueQ, trainingSetBalanced,
     cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ,
-    samplePriority, sampleSystematic)
+    samplePriority, sampleSystematic, skewFactorQ)
 }

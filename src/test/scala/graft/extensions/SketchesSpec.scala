@@ -118,6 +118,19 @@ class SketchesSpec extends SparkSpec {
     assert(est(4096) == exact, s"${est(4096)} != $exact")
   }
 
+  test("skewFactor flags a hot key and clears a uniform one") {
+    // 8k rows, half on key 0 → factor ≈ 0.25·D; uniform → ≈ 1
+    val hot = spark.range(8192).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k")
+    val uniform = spark.range(8192).selectExpr("id AS k")
+    val fh = Sketches.skewFactor(hot, "k", width = 1 << 17)
+      .head().getAs[Double]("skew_factor")
+    val fu = Sketches.skewFactor(uniform, "k", width = 1 << 17)
+      .head().getAs[Double]("skew_factor")
+    assert(fh > 100, s"hot factor $fh")
+    assert(fu > 0.3 && fu < 3, s"uniform factor $fu")
+  }
+
   test("kmvDistinct matches a driver-side reference estimator") {
     val corpus = docs.filter($"doc_id" <= 5)
     // recompute: per source, 2-gram shingles, md5-48-bit hashes, 4 smallest
