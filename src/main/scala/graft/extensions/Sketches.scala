@@ -157,17 +157,24 @@ object Sketches {
     val nRows = keys.agg(count(lit(1)).as("n_rows"))
     val grid = cmsBuild(keys, depth, width).localCheckpoint()
     val f2 = cmsJoinSize(grid, grid).select(col("est_pairs").as("f2_est"))
-    val agg = udaf(new graft.functions.KMinDistinct(k))
-    val dEst = keys.select(kmvHash(col("tok")).as("h"))
-      .agg(agg(col("h")).as("mins"))
-      .select(when(size(col("mins")) < k, size(col("mins")).cast("double"))
-        .otherwise(lit(k - 1) * lit(HashSpace)
-          / element_at(col("mins"), k).cast("double")).as("d_est"))
+    val dEst = kmvCardinality(keys, k)
     nRows.crossJoin(f2).crossJoin(dEst)
       .select(col("n_rows"), col("f2_est"), round(col("d_est"), 1).as("d_est"),
         round(col("f2_est") * col("d_est")
           / (col("n_rows").cast("double") * col("n_rows").cast("double")), 4)
           .as("skew_factor"))
+  }
+
+  /** Global KMV cardinality estimate of a value stream (`tok` column):
+    * one row, `d_est` — the ungrouped form of [[kmvDistinct]]'s
+    * estimator, shared by [[skewFactor]] and the data card. */
+  def kmvCardinality(keys: DataFrame, k: Int = 256): DataFrame = {
+    val agg = udaf(new graft.functions.KMinDistinct(k))
+    keys.select(kmvHash(col("tok")).as("h"))
+      .agg(agg(col("h")).as("mins"))
+      .select(when(size(col("mins")) < k, size(col("mins")).cast("double"))
+        .otherwise(lit(k - 1) * lit(HashSpace)
+          / element_at(col("mins"), k).cast("double")).as("d_est"))
   }
 
   /** Per-source 48-bit shingle hashes — the KMV input stream, shared
