@@ -96,7 +96,12 @@ object Sketches {
     * (cnt desc, tok — total order, TakeOrderedAndProject so no full
     * vocabulary sort) with their CMS estimates and the one-sided
     * overcount. `overcount ≥ 0` is the sketch's THEOREM, not a test
-    * tolerance — SketchesSpec asserts it for the whole vocabulary. */
+    * tolerance — SketchesSpec asserts it for the whole vocabulary.
+    *
+    * Two passes over the token stream by design: the exact head exists
+    * only for this contract (the production path is [[cmsBuild]]
+    * alone), and materializing the stream to save the second scan is
+    * exactly what would NOT survive 100 TB. */
   def cmsTopK(documents: DataFrame, topK: Int = 20,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val toks = tokens(documents)

@@ -15,6 +15,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * estimate exactly oracle-able despite being an approximation of the
   * distinct count. */
 class KMinDistinct(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k >= 1, s"k must be positive, got $k")
 
   private def cap(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
 

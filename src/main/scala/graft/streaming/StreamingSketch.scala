@@ -37,7 +37,9 @@ import graft.extensions.Sketches
 object StreamingSketch {
 
   /** Cell-wise sum of two CMS grids (seed, bucket, cnt) — the sketch
-    * union. Missing cells are zero, so a plain union+sum is exact. */
+    * union. Missing cells are zero, so a plain union+sum is exact.
+    * Both grids must share (depth, width): cells of differently-sized
+    * grids are unrelated coordinates and their sum means nothing. */
   def mergeCms(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
 
