@@ -793,8 +793,29 @@ object Round10Queries {
                  CAST(max_source_docs AS DOUBLE) / n_docs FROM w)
              ORDER BY metric"""))
 
+  /** Sliding (hopping) window aggregation — §2.9's tumbling row
+    * (q_window_tumbling) generalized to overlap: 14-day windows every
+    * 7 days, so each event lands in exactly dur/slide = 2 windows.
+    * Spark's `window(ts, dur, slide)` aligns starts to the slide grid
+    * from the epoch; the oracle reproduces the assignment directly —
+    * the 7-day bucket start and its 7-day predecessor (with dur =
+    * 2·slide both always contain the event, which is the alignment
+    * fact the row pins). */
+  private val windowSliding = Q("q_window_sliding",
+    (s, dir) => table(s, dir, "events")
+      .groupBy(window(col("ts"), "14 days", "7 days").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"), col("n"))
+      .orderBy("wstart"),
+    Some("""SELECT strftime(time_bucket(INTERVAL 7 DAY, ts, TIMESTAMP '1970-01-01')
+                              - k * INTERVAL 7 DAY, '%Y-%m-%d') AS wstart,
+                   count(*) AS n
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq,
     shardAssignQ, shardBalanceQ, zValueQ, trainingSetBalanced,
     cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ,
-    samplePriority, sampleSystematic, skewFactorQ, dataCard)
+    samplePriority, sampleSystematic, skewFactorQ, dataCard,
+    windowSliding)
 }
