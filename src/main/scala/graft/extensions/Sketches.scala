@@ -41,30 +41,41 @@ object Sketches {
       explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
         t => t =!= "")).as("tok"))
 
-  /** The CMS hash: ONE md5 digest per token feeds all four depth rows
-    * — row i's bucket is hex slice [8i, 8i+8) of md5(tok), mod width
-    * (md5's 128 bits are 4 independent 32-bit lanes; slicing a wide
-    * hash is the standard way to derive the d hashes, and one digest
-    * instead of d is most of the grid-build cost at corpus scale).
-    * 8 hex chars = 32 bits, so the conv fits a long exactly and the
-    * DuckDB twin (`substr(md5(tok), seed*8 + 1, 8)`) parses the
-    * identical value. Depth is capped at 4 by the 32 hex chars. */
+  /** The CMS hash, declarative reference form: row i's bucket is hex
+    * slice [8i, 8i+8) of md5(tok), mod width (md5's 128 bits are 4
+    * independent 32-bit lanes; slicing a wide hash is the standard way
+    * to derive the d hashes). 8 hex chars = 32 bits, so the conv fits
+    * a long exactly and the DuckDB twin
+    * (`substr(md5(tok), seed*8 + 1, 8)`) parses the identical value.
+    * Depth is capped at 4 by the 32 hex chars.
+    *
+    * The hot path is the native [[graft.functions.Md5Lanes]] (one
+    * digest, no hex string, no radix parse — Md5LanesSpec pins
+    * bit-for-bit parity against THIS form); this Column stays as the
+    * executable spec of the hash. */
   def cmsLane(digest: Column, seed: Column, width: Int): Column =
     pmod(conv(substring(digest, seed * lit(8) + lit(1), lit(8)),
       16, 10).cast("long"), lit(width.toLong))
 
-  /** Hash-then-explode: the digest is computed in a projection BELOW
-    * the Generate, so it is evaluated once per TOKEN, not once per
+  /** Hash-then-explode: the native [[graft.functions.Md5Lanes]] emits
+    * all four 32-bit lanes from ONE digest (no hex string, no radix
+    * parse — bit-for-bit the [[cmsLane]] hex-slice values, so the
+    * DuckDB oracles are untouched), in a projection BELOW the
+    * Generate so it is evaluated once per TOKEN, not once per
     * (token, seed) — CollapseProject cannot inline an attribute
     * through a Generate barrier (the wordNgrams one-eval discipline;
-    * inlining the md5 into the per-seed slice re-ran it d times). */
+    * an inlined digest re-ran md5 d times). posexplode's position IS
+    * the seed. */
   private def hashedSeeds(in: DataFrame, tok: Column, depth: Int,
       width: Int, keep: Seq[Column] = Seq.empty): DataFrame = {
     require(depth >= 1 && depth <= 4, s"depth $depth outside md5's 4 lanes")
-    in.select(keep :+ md5(tok.cast("binary")).as("_m"): _*)
-      .select(keep :+ col("_m") :+
-        explode(sequence(lit(0), lit(depth - 1))).as("seed"): _*)
-      .withColumn("bucket", cmsLane(col("_m"), col("seed"), width))
+    graft.functions.GraftFunctions.register(in.sparkSession)
+    in.select(keep :+
+        slice(call_function("md5_lanes", tok.cast("string")), 1, depth)
+          .as("_lanes"): _*)
+      .select(keep :+ posexplode(col("_lanes")).as(Seq("seed", "lane")): _*)
+      .withColumn("bucket", pmod(col("lane"), lit(width.toLong)))
+      .drop("lane")
   }
 
   /** Build the Count-Min grid over a token stream: one exploded

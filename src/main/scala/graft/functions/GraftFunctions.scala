@@ -23,6 +23,7 @@ object GraftFunctions {
     "simhash64" -> (args => SimHash64(args(0))),
     "dot_product" -> (args => DotProduct(args(0), args(1))),
     "squared_l2" -> (args => SquaredL2(args(0), args(1))),
+    "md5_lanes" -> (args => Md5Lanes(args(0))),
     // membership probe against a pre-built broadcast Bloom filter
     // (serialized bytes literal + xxhash64 of the key) — the same
     // expression Spark's AQE runtime filter injects, exposed for
