@@ -144,4 +144,74 @@ object CorpusPipeline {
       when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < t.trainHexBound,
         lit("train")).otherwise(lit("val")).as("split"))
   }
+
+  /** "Where did my corpus go?" — first-fail attribution for
+    * [[cleanFull]]'s whole gate chain, in [[Funnel]]'s report shape:
+    * (stage_idx, rule, n_dropped, n_remaining) over
+    *
+    *   quality → repetition → contamination → exact_dup → near_dup →
+    *   pass
+    *
+    * Each doc is attributed to the FIRST stage that drops it, so the
+    * per-stage counts sum exactly to `total − survivors` and the pass
+    * row's n_remaining equals [[cleanFull]]'s survivor count (pinned in
+    * GatesSpec) — the release-note table every corpus ship includes
+    * beside its [[DataCard]].
+    *
+    * Attribution recomputes the SAME stage frames the pipeline runs
+    * (same operators, same filtered populations: contamination is
+    * probed on the gated set, exact-dup keepers on the decontaminated
+    * set, near-dup pairs among the exact-deduped survivors — a
+    * stage's verdict on a doc that earlier stages already dropped is
+    * never computed, matching what [[cleanFull]] actually does).
+    * Scale shape: the stage id-sets are narrow one-column frames,
+    * membership is five key joins, and the report collapses to a
+    * stages-cardinality frame before its (bounded) windows. */
+  def funnelFull(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      t: Thresholds = Thresholds(),
+      maxDupBigram: Double = 0.2,
+      contamGram: Int = 5): DataFrame = {
+    val quality = TextAnalysis.qualityScore(documents)
+      .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
+        col("stop_ratio") <= t.maxStopRatio)
+      .select("doc_id")
+    val grams = TextAnalysis.wordNgrams(2)
+    val nBi = size(grams).cast("long")
+    val nDis = size(array_distinct(grams)).cast("long")
+    val dupRatio =
+      when(nBi > 0, (nBi - nDis) * lit(1.0) / nBi).otherwise(lit(0.0))
+    val repPass = documents.filter(dupRatio <= maxDupBigram).select("doc_id")
+    val gated = documents.join(quality, "doc_id").join(repPass, "doc_id")
+    val contaminated = TextAnalysis
+      .contaminationHits(gated, benchmark, contamGram).select("doc_id")
+    val decon = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // same stage boundary as cleanFull (see above)
+    val keepers = decon
+      .groupBy(md5(lower(coalesce(col("text"), lit(""))).cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val ed = decon.join(keepers, "doc_id").select("doc_id")
+    val sh = Dedup.shingles(decon, share = false).join(ed, "doc_id")
+    val removed = Dedup.minHashLshFromShingles(sh)
+      .select(col("b").as("doc_id")).distinct()
+
+    def mark(ids: DataFrame, name: String) =
+      ids.withColumn(name, lit(true))
+    val stageIdx = documents.select("doc_id")
+      .join(mark(quality, "_q"), Seq("doc_id"), "left_outer")
+      .join(mark(repPass, "_r"), Seq("doc_id"), "left_outer")
+      .join(mark(contaminated, "_c"), Seq("doc_id"), "left_outer")
+      .join(mark(keepers, "_k"), Seq("doc_id"), "left_outer")
+      .join(mark(removed, "_nd"), Seq("doc_id"), "left_outer")
+      .select(when(col("_q").isNull, 0)
+        .when(col("_r").isNull, 1)
+        .when(col("_c").isNotNull, 2)
+        .when(col("_k").isNull, 3)
+        .when(col("_nd").isNotNull, 4)
+        .otherwise(5).as("stage_idx"))
+    Funnel.shape(stageIdx, Seq(
+      "quality", "repetition", "contamination", "exact_dup", "near_dup"))
+  }
 }

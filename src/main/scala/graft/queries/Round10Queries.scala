@@ -813,9 +813,271 @@ object Round10Queries {
             FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** [[graft.extensions.Pii.scrub]] over [[graft.extensions.Pii.synthText]]
+    * — typed PII scrubbing, oracle-verified per doc: the corpus is
+    * PII-free word salad, so both engines append the SAME
+    * doc_id-derived contact line (email + NNN-NNN-NNNN phone + dotted
+    * quad + a card that is Luhn-valid on even doc_ids, invalid on odd)
+    * and then scrub it. Pins regex parity (the patterns are written in
+    * the Java∩RE2 subset — no lookaround, ASCII \b), the Luhn branch
+    * both ways (valid replaced, invalid counted-but-kept), the stage
+    * order (later classes never match inside an earlier placeholder),
+    * and the left-fold valid-card replacement (Spark `aggregate` ≡
+    * DuckDB `list_reduce(list_prepend(...))`). */
+  private val piiScrub = Q("q_pii_scrub",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("text", graft.extensions.Pii.synthText)
+      graft.extensions.Pii.scrub(docs).orderBy("doc_id")
+    },
+    Some("""WITH s AS (SELECT doc_id, source,
+                 coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org or 555-010-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' card '
+                   || CASE WHEN doc_id % 2 = 0 THEN '4532015112830366'
+                           ELSE '4532015112830367' END
+                   || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' AS t0
+               FROM documents),
+            e AS (SELECT doc_id, source,
+                    CAST(len(regexp_extract_all(t0,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                      AS n_email,
+                    regexp_replace(t0,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g') AS t1
+                  FROM s),
+            c AS (SELECT *, regexp_extract_all(t1, '\b[0-9]{16}\b') AS cand FROM e),
+            cv AS (SELECT *, list_filter(cand, x ->
+                     list_sum(list_transform(range(1, 17), i ->
+                       CASE WHEN i % 2 = 1 THEN CAST(x[17 - i] AS INTEGER)
+                            ELSE CASE WHEN CAST(x[17 - i] AS INTEGER) > 4
+                                      THEN CAST(x[17 - i] AS INTEGER) * 2 - 9
+                                      ELSE CAST(x[17 - i] AS INTEGER) * 2 END
+                       END)) % 10 = 0) AS ok
+                   FROM c),
+            c2 AS (SELECT doc_id, source, n_email,
+                     CAST(len(ok) AS BIGINT) AS n_card,
+                     CAST(len(cand) - len(ok) AS BIGINT) AS n_card_invalid,
+                     list_reduce(list_prepend(t1, ok),
+                       (acc, x) -> replace(acc, x, '<CARD>')) AS t2
+                   FROM cv),
+            p AS (SELECT doc_id, source, n_email, n_card, n_card_invalid,
+                    CAST(len(regexp_extract_all(t2,
+                      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+                    regexp_replace(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b',
+                      '<PHONE>', 'g') AS t3
+                  FROM c2)
+            SELECT doc_id, source,
+                   regexp_replace(t3, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                     '<IP>', 'g') AS clean,
+                   n_email, n_card, n_card_invalid, n_phone,
+                   CAST(len(regexp_extract_all(t3,
+                     '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+            FROM p ORDER BY doc_id"""))
+
+  /** [[graft.extensions.Pii.report]] — the per-source privacy-review
+    * totals over the same synthesized corpus (every doc carries one of
+    * each class, valid cards on even ids only, so the totals are a
+    * doc_id-parity census the oracle reproduces independently). */
+  private val piiReport = Q("q_pii_report",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("text", graft.extensions.Pii.synthText)
+      graft.extensions.Pii.report(docs).orderBy("source")
+    },
+    Some("""SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_docs_hit,
+                   CAST(count(*) AS BIGINT) AS n_email,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_card,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_card_invalid,
+                   CAST(count(*) AS BIGINT) AS n_phone,
+                   CAST(count(*) AS BIGINT) AS n_ipv4
+            FROM documents GROUP BY source ORDER BY source"""))
+
+  /** [[graft.extensions.Funnel.funnel]] — the quality-filter cascade
+    * with first-failing-rule attribution: per-rule drop counts that
+    * reconcile exactly (Σ n_dropped = total − survivors; the pass row's
+    * n_remaining equals the last rule's). Thresholds chosen from the
+    * measured corpus distributions so every rule drops documents at
+    * every sf. */
+  private val filterFunnel = Q("q_filter_funnel",
+    (s, dir) => graft.extensions.Funnel
+      .funnel(table(s, dir, "documents")).orderBy("stage_idx"),
+    Some("""WITH m AS (SELECT doc_id, lang,
+                   CAST(len(arr) AS BIGINT) AS n_tok,
+                   CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter(arr, t -> t IN ('the', 'a')))
+                        AS BIGINT) AS n_stop
+                 FROM (SELECT doc_id, lang,
+                         list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                     t -> t <> '') AS arr
+                       FROM documents)),
+            a AS (SELECT CASE
+                    WHEN NOT coalesce(lang IN ('en', 'de', 'es', 'fr'), FALSE)
+                      THEN 0
+                    WHEN NOT coalesce(n_tok >= 25, FALSE) THEN 1
+                    WHEN NOT coalesce(n_tok <= 90, FALSE) THEN 2
+                    WHEN NOT coalesce(n_tok > 0
+                      AND n_stop * 1.0 / n_tok <= 0.12, FALSE) THEN 3
+                    WHEN NOT coalesce(n_tok > 0
+                      AND n_distinct * 1.0 / n_tok >= 0.35, FALSE) THEN 4
+                    ELSE 5 END AS stage_idx
+                  FROM m),
+            c AS (SELECT stage_idx, count(*) AS n FROM a GROUP BY 1),
+            d(stage_idx, rule) AS (VALUES
+              (0, 'lang_allowed'), (1, 'min_tokens'), (2, 'max_tokens'),
+              (3, 'stop_ratio'), (4, 'distinct_ratio'), (5, 'pass')),
+            j AS (SELECT d.stage_idx, d.rule, coalesce(c.n, 0) AS n
+                  FROM d LEFT JOIN c USING (stage_idx))
+            SELECT stage_idx, rule,
+                   CAST(CASE WHEN rule = 'pass' THEN 0 ELSE n END
+                        AS BIGINT) AS n_dropped,
+                   CAST(sum(n) OVER ()
+                        - sum(CASE WHEN rule = 'pass' THEN 0 ELSE n END)
+                            OVER (ORDER BY stage_idx ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS n_remaining
+            FROM j ORDER BY stage_idx"""))
+
+  /** [[graft.extensions.Postings.build]] — the df-capped delta-encoded
+    * posting-list artifact over 3-gram terms: under-cap terms carry
+    * their full sorted id list (first/last plus comma-joined gaps),
+    * stop-grams keep df but NULL postings. maxDf = 6 engages BOTH
+    * branches at every sf (term df spans 1–25 across the dirs). Pins
+    * the prune-before-materialize cap, the sort order, and the delta
+    * arithmetic bitwise. */
+  private val postingsQ = Q("q_postings",
+    (s, dir) => graft.extensions.Postings
+      .build(table(s, dir, "documents")).orderBy("term"),
+    Some("""WITH d AS (SELECT doc_id,
+                   list_filter(string_split(lower(coalesce(text, '')), ' '),
+                               t -> t <> '') AS arr
+                 FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, CAST(len(arr) AS INTEGER) - 1),
+                      i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+                      AS term
+                  FROM d),
+            f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+            l AS (SELECT term, list(doc_id ORDER BY doc_id) AS ids
+                  FROM g GROUP BY 1)
+            SELECT f.term, f.df,
+                   CASE WHEN f.df <= 6 THEN ids[1] END AS first_doc,
+                   CASE WHEN f.df <= 6 THEN ids[CAST(len(ids) AS INTEGER)] END
+                     AS last_doc,
+                   CASE WHEN f.df <= 6 THEN array_to_string(
+                     list_transform(range(1, CAST(len(ids) AS INTEGER) + 1),
+                       i -> CAST(CASE WHEN i = 1 THEN ids[i]
+                                      ELSE ids[i] - ids[i - 1] END AS VARCHAR)),
+                     ',') END AS postings
+            FROM f JOIN l USING (term) ORDER BY term"""))
+
+  /** [[graft.extensions.CorpusPipeline.funnelFull]] — "where did my
+    * corpus go?": first-fail attribution across the FULL pretraining
+    * gate chain (quality → repetition → contamination → exact dedup →
+    * MinHash near-dup → pass), on q_corpus_clean_full's corpus/benchmark
+    * split. The oracle re-derives every stage frame of the
+    * q_corpus_clean_full CTE chain and attributes each doc to its first
+    * failing stage — so the pass row's n_remaining necessarily equals
+    * q_corpus_clean_full's row count, pinning the two queries to each
+    * other as well as to the oracle. */
+  private val pipelineFunnel = Q("q_pipeline_funnel",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.extensions.CorpusPipeline.funnelFull(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("stage_idx")
+    },
+    Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+                 q AS (SELECT doc_id FROM
+                         (SELECT doc_id,
+                                 len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+                                 len(list_filter(string_split(coalesce(text, ''), ' '),
+                                                 t -> t IN ('the', 'a'))) * 1.0
+                                   / len(string_split(coalesce(text, ''), ' ')) AS sr
+                          FROM corpus)
+                       WHERE n_tok BETWEEN 20 AND 70 AND sr <= 0.12),
+                 rep AS (SELECT doc_id FROM
+                           (SELECT doc_id,
+                                   CASE WHEN len(arr) < 2 THEN []
+                                        ELSE list_transform(range(1, CAST(len(arr) AS INTEGER)),
+                                                            i -> arr[i] || ' ' || arr[i + 1])
+                                   END AS grams
+                            FROM (SELECT doc_id,
+                                         list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                                     t -> t <> '') AS arr
+                                  FROM corpus))
+                         WHERE len(grams) = 0
+                            OR (len(grams) - len(list_distinct(grams))) * 1.0
+                               / len(grams) <= 0.2),
+                 gated AS (SELECT c.* FROM corpus c
+                           JOIN q USING (doc_id) JOIN rep USING (doc_id)),
+                 ag AS (SELECT doc_id,
+                               len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                               t -> t <> '')) AS n,
+                               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                           t -> t <> '') AS arr
+                        FROM documents),
+                 grams5 AS (SELECT doc_id,
+                                   unnest(CASE WHEN n < 5 THEN []
+                                          ELSE list_transform(range(1, CAST(n AS INTEGER) - 3),
+                                                 i -> array_to_string(arr[i : i + 4], ' '))
+                                          END) AS gram
+                            FROM ag),
+                 bench AS (SELECT DISTINCT gram FROM grams5 WHERE doc_id % 10 = 0),
+                 contaminated AS (SELECT DISTINCT g.doc_id FROM grams5 g
+                                  JOIN bench USING (gram)
+                                  JOIN gated USING (doc_id)),
+                 decon AS (SELECT * FROM gated
+                           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+                 keepers AS (SELECT min(doc_id) AS doc_id FROM decon
+                             GROUP BY md5(lower(coalesce(text, '')))),
+                 ed AS (SELECT g.* FROM decon g JOIN keepers USING (doc_id)),
+                 sh AS (SELECT DISTINCT doc_id, s FROM
+                          (SELECT doc_id,
+                                  unnest(list_transform(
+                                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+                           FROM ed)),
+                 sigs AS (SELECT doc_id, sd.seed,
+                                 min(md5(CAST(sd.seed AS VARCHAR) || ':' || s)) AS mh
+                          FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+                          GROUP BY 1, 2),
+                 buckets AS (SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
+                                    md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                 dropb AS (SELECT DISTINCT y.doc_id FROM buckets x JOIN buckets y
+                             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+                 st AS (SELECT CASE
+                          WHEN doc_id NOT IN (SELECT doc_id FROM q) THEN 0
+                          WHEN doc_id NOT IN (SELECT doc_id FROM rep) THEN 1
+                          WHEN doc_id IN (SELECT doc_id FROM contaminated) THEN 2
+                          WHEN doc_id NOT IN (SELECT doc_id FROM keepers) THEN 3
+                          WHEN doc_id IN (SELECT doc_id FROM dropb) THEN 4
+                          ELSE 5 END AS stage_idx
+                        FROM corpus),
+                 c AS (SELECT stage_idx, count(*) AS n FROM st GROUP BY 1),
+                 d(stage_idx, rule) AS (VALUES
+                   (0, 'quality'), (1, 'repetition'), (2, 'contamination'),
+                   (3, 'exact_dup'), (4, 'near_dup'), (5, 'pass')),
+                 j AS (SELECT d.stage_idx, d.rule, coalesce(c.n, 0) AS n
+                       FROM d LEFT JOIN c USING (stage_idx))
+            SELECT stage_idx, rule,
+                   CAST(CASE WHEN rule = 'pass' THEN 0 ELSE n END
+                        AS BIGINT) AS n_dropped,
+                   CAST(sum(n) OVER ()
+                        - sum(CASE WHEN rule = 'pass' THEN 0 ELSE n END)
+                            OVER (ORDER BY stage_idx ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS n_remaining
+            FROM j ORDER BY stage_idx"""))
+
   val all: Seq[Q] = Seq(pqAdc, trainingSet, substrApply, ivfPq,
     shardAssignQ, shardBalanceQ, zValueQ, trainingSetBalanced,
     cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ,
     samplePriority, sampleSystematic, skewFactorQ, dataCard,
-    windowSliding)
+    windowSliding, piiScrub, piiReport, filterFunnel, postingsQ,
+    pipelineFunnel)
 }
