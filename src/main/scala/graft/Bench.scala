@@ -588,9 +588,20 @@ object Bench {
       }
     }
 
+    // 7. the privacy pass over the live corpus — priced with every
+    // class ENGAGED (synthText plants one email/phone/IP/card per doc,
+    // Luhn-valid on even ids), so the row bills the replace branches,
+    // not just the never-matching regex scans a clean corpus would pay
+    val piiT = timeMed(reps, "pii_scrub") {
+      graft.extensions.Pii.scrub(
+          live.withColumn("text", graft.extensions.Pii.synthText))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     Seq(
       "merge" -> mergeT,
       "gates" -> gatesT,
+      "pii_scrub" -> piiT,
       "gates_containment" -> gatesContT,
       "containment_dropped" -> contDropped.toDouble,
       "training_set" -> trainingSetT,
@@ -780,6 +791,26 @@ object Bench {
     val prevShare = spark.conf.getOption("spark.graft.dedup.shareFrames")
     spark.conf.set("spark.graft.dedup.shareFrames", "false")
     try {
+      // the postings index as it would live in production: term-SORTED
+      // parquet (Layout.writeSorted), so the probe's pushed-down In
+      // predicate prunes row groups by footer stats. Built eagerly here
+      // — index construction is billed by the postings_build row, the
+      // probe rows pay only the lookup, as a real deployment would
+      val postingsDir = java.nio.file.Files
+        .createTempDirectory("graft-postings").toString
+      graft.plans.Layout.writeSorted(
+        graft.extensions.Postings.build(docs), s"$postingsDir/idx", "term",
+        files = 8)
+      val postingsIdx = spark.read.parquet(s"$postingsDir/idx")
+      // 8 probe phrases hash-spread across the term space (min per
+      // xxhash64 bucket), not the 8 alphabetically-first — adjacent
+      // terms would all land in one sorted row group and flatter the
+      // pruning story
+      val postingsPhrases = postingsIdx
+        .filter(col("postings").isNotNull)
+        .groupBy(pmod(xxhash64(col("term")), lit(8)).as("b"))
+        .agg(min("term").as("term"))
+        .collect().map(_.getString(1)).toSeq
       val levers = Seq(
         "docs" -> nDocs,
         "ngram_plain" -> timeMed(reps, "ngram_plain")(
@@ -821,6 +852,22 @@ object Bench {
         },
         "winnow_pairs" -> timeMed(reps, "winnow_pairs")(
           graft.extensions.Winnowing.sharedFingerprintPairs(docs).count()),
+        // posting-list economics on the Zipf corpus (unique filler
+        // tails ⇒ a term space in the corpus-size class, df almost
+        // always 1): price the capped index build, then a phrase
+        // lookup through the index (broadcast probe over the
+        // materialized lists) against the scan path it replaces
+        // (re-explode every doc's grams per query) — the index's
+        // whole reason to exist, measured each round
+        "postings_build" -> timeMed(reps, "postings_build")(
+          graft.extensions.Postings.build(docs)
+            .write.format("noop").mode("overwrite").save()),
+        "postings_probe" -> timeMed(reps, "postings_probe")(
+          graft.extensions.Postings.probe(postingsIdx, postingsPhrases)
+            .count()),
+        "postings_scan_probe" -> timeMed(reps, "postings_scan_probe")(
+          graft.extensions.Postings.scanProbe(docs, postingsPhrases)
+            .count()),
         // counting sketches in their native regime: the Zipf corpus's
         // per-doc filler gives ~3M distinct tokens, so exact counters
         // ARE the vocabulary while the CMS grid stays ≤ d·w rows and

@@ -173,22 +173,48 @@ class GatesSpec extends SparkSpec {
     val cappedTerm = capped.head.getString(0)
     val hits = Postings.probe(index, Seq(under.getString(0), cappedTerm))
       .collect()
-    // probe resolves the under-cap phrase entirely from the index...
+    // probe resolves the under-cap phrase entirely from the index,
+    // and agrees exactly with the scan path it replaces...
     val got = hits.filter(_.getString(0) == under.getString(0))
       .map(_.getLong(1)).sorted.toSeq
-    val want = postDocs
-      .select(col("doc_id"), explode(TextAnalysis.wordNgrams(3)).as("term"))
-      .filter(col("term") === under.getString(0))
-      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val want = Postings.scanProbe(postDocs, Seq(under.getString(0)))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want && got.length == under.getLong(1))
     // ...and returns NOTHING for the capped term (the fall-back signal)
     assert(!hits.exists(_.getString(0) == cappedTerm))
   }
 
-  test("postings: probe is a broadcast join — no shuffle on the index side") {
-    val plan = Postings.probe(index, Seq("a b c"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+  test("postings: lookup ≡ scanProbe for a mixed under-cap / capped / absent phrase set") {
+    val under = index.filter(col("postings").isNotNull)
+      .orderBy(desc("df")).limit(2).collect().map(_.getString(0)).toSeq
+    val capped = index.filter(col("postings").isNull)
+      .orderBy("term").limit(2).collect().map(_.getString(0)).toSeq
+    val phrases = under ++ capped :+ "zz never a term"
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val got = canon(Postings.lookup(index, postDocs, phrases))
+    assert(got == canon(Postings.scanProbe(postDocs, phrases)))
+    // both branches actually contributed rows
+    assert(under.forall(t => got.exists(_._1 == t)))
+    assert(capped.forall(t => got.exists(_._1 == t)))
+    assert(!got.exists(_._1 == "zz never a term"))
+  }
+
+  test("postings: probe pushes the phrase predicate into a sorted parquet index") {
+    val dir = java.nio.file.Files.createTempDirectory("gates-postings").toString
+    graft.plans.Layout.writeSorted(index, s"$dir/idx", "term")
+    val disk = spark.read.parquet(s"$dir/idx")
+    val under = index.filter(col("postings").isNotNull)
+      .orderBy(desc("df")).limit(2).collect().map(_.getString(0)).toSeq
+    val probed = Postings.probe(disk, under)
+    // the literal In predicate reaches the scan (row-group pruning on
+    // the term-sorted layout) — no join, no shuffle in the probe plan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    // and the on-disk probe returns exactly the in-memory rows
+    assert(probed.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      == Postings.probe(index, under).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
   }
 }
