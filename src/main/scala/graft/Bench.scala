@@ -430,6 +430,13 @@ object Bench {
         .localCheckpoint()
     }
     val trainingRows = trainingSet.count()
+    // the artifact WITH payload and the privacy leg engaged — what a
+    // shard writer actually serializes (manifest join-back + PII
+    // column scrub on top of the compose chain above)
+    val trainingSetTextT = timeMed(reps, "training_set_text_pii") {
+      graft.extensions.TrainingSet.composeText(fullDocs, piiScrub = true)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // 3. serving artifacts the admission loop probes (drop-before-write
     // keeps the repped body idempotent)
@@ -606,6 +613,7 @@ object Bench {
       "containment_dropped" -> contDropped.toDouble,
       "training_set" -> trainingSetT,
       "training_set_rows" -> trainingRows.toDouble,
+      "training_set_text_pii" -> trainingSetTextT,
       "artifact_build" -> buildT,
       "admission_2_batches" -> admitT,
       "containment_probe_batch" -> contProbeT,

@@ -74,6 +74,27 @@ object Pii {
         col("n_ipv4"): _*)
   }
 
+  /** The same four-stage scrub as a pure Column (no per-class counts)
+    * — the form compositions embed ([[TrainingSet.compose]]'s
+    * `piiScrub` leg wraps the packed text in it). Kept in lockstep
+    * with [[scrub]] by a GatesSpec parity pin (cleanColumn(text) ≡
+    * scrub(...).clean on the synthesized corpus).
+    *
+    * Whitespace-token-count invariant: no pattern can span a space and
+    * no placeholder contains one, so the scrub replaces within tokens
+    * and never changes `size(split(text, ' '))` — which is why it can
+    * run AFTER budget-derived packing decisions without re-chunking
+    * anything (also spec-pinned). */
+  def cleanColumn(c: Column): Column = {
+    val t1 = regexp_replace(coalesce(c, lit("")), emailRe, "<EMAIL>")
+    val ok = filter(regexp_extract_all(t1, lit(cardRe), lit(0)),
+      x => call_function("luhn_check", x))
+    val t2 = aggregate(ok, t1,
+      (acc, x) => call_function("replace", acc, x, lit("<CARD>")))
+    val t3 = regexp_replace(t2, phoneRe, "<PHONE>")
+    regexp_replace(t3, ipv4Re, "<IP>")
+  }
+
   /** Per-source totals over [[scrub]] — the privacy-review artifact
     * beside the corpus [[DataCard]]: how much of each class was
     * removed, how many docs were touched at all. One narrow pass + one

@@ -56,6 +56,33 @@ object TrainingSet {
       .withColumn("assignment", substring_index(col("shard"), ":", 1))
   }
 
+  /** [[compose]] WITH its payload — the manifest joined back to the
+    * shipped text (compose's packing rows are metadata only), the frame
+    * a writer actually serializes to training shards.
+    *
+    * @param piiScrub when set, the text additionally passes
+    *   [[Pii.cleanColumn]] — the privacy leg of the artifact. Safe to
+    *   bolt on AFTER the packing decisions exactly because the PII
+    *   scrub is whitespace-token-count-preserving (no pattern spans a
+    *   space, no placeholder contains one): the manifest — policy,
+    *   shard streams, chunk geometry — is bit-identical with the leg
+    *   on or off, only the text differs (spec-pinned in GatesSpec).
+    *   The scrub frame is the SAME memoized exact-substring frame
+    *   compose consumed, so the join-back costs one doc_id equi-join,
+    *   not a recompute. */
+  def composeText(
+      documents: DataFrame,
+      budget: Int = 64,
+      k: Int = 6,
+      hashWindows: Boolean = false,
+      piiScrub: Boolean = false): DataFrame = {
+    val text = TextAnalysis.exactSubstrApply(documents, k, hashWindows)
+      .select(col("doc_id"),
+        (if (piiScrub) Pii.cleanColumn(col("clean_text"))
+         else col("clean_text")).as("text"))
+    compose(documents, budget, k, hashWindows).join(text, "doc_id")
+  }
+
   /** [[compose]] with TOKEN-BALANCED shards instead of the lang
     * passthrough: each assignment class (train / eval separately — a
     * loader must never mix them) is dealt serpentine over `numShards`

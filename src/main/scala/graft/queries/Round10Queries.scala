@@ -407,6 +407,85 @@ object Round10Queries {
     * n_tok − n_removed route AND re-ranks them with a plain
     * row_number twin, so drift in scrub, enumeration, or dealing all
     * surface as hash mismatches. */
+  /** [[graft.extensions.TrainingSet.composeText]] — the artifact WITH
+    * its payload: q_training_set's manifest joined back to
+    * q_substr_apply's scrubbed text as one frame (what a shard writer
+    * serializes). Both halves are oracled alone; this row pins the
+    * JOIN-BACK — every manifest row carries exactly its own doc's
+    * clean text, none dropped, none duplicated, and the text belongs
+    * to the same scrub whose budget priced the packing. */
+  private val trainingSetText = Q("q_training_set_text",
+    (s, dir) => graft.extensions.TrainingSet
+      .composeText(table(s, dir, "documents"))
+      .orderBy("shard", "doc_id"),
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             folds AS (SELECT doc_id,
+                              CAST(CAST(concat('0x', substr(md5(CAST(comp AS VARCHAR)), 1, 4))
+                                        AS BIGINT) % 10 AS BIGINT) AS fold
+                       FROM comps),
+             per AS (SELECT source, sum(n_chars) AS n_chars
+                     FROM documents GROUP BY 1),
+             t AS (SELECT source,
+                          CAST(n_chars AS BIGINT) AS n_chars,
+                          sqrt(CAST(n_chars AS DOUBLE)) AS t
+                   FROM per),
+             tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_tot,
+                            list_sum(list(t ORDER BY source)) AS t_tot
+                     FROM t),
+             r AS (SELECT source,
+                          least(1.0, round(round(t / t_tot, 4)
+                                           / round(n_chars * 1.0 / chars_tot, 4), 4))
+                            AS rate
+                   FROM t, tot),
+             adm AS (SELECT d.doc_id FROM documents d JOIN r USING (source)
+                     WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                AS BIGINT) % 100 < floor(rate * 100 + 0.5)),
+             asg AS (SELECT f.doc_id,
+                            CASE WHEN f.fold >= 8 THEN 'eval'
+                                 WHEN adm.doc_id IS NOT NULL THEN 'train'
+                                 ELSE 'dropped' END AS assignment
+                     FROM folds f LEFT JOIN adm USING (doc_id)),
+             ${Round9Queries.duckSubstrSpans(" WHERE ww.doc_id <> own.owner")},
+             srm AS (SELECT doc_id,
+                            CAST(sum(span_end - span_start) AS BIGINT) AS n_removed
+                     FROM sp GROUP BY doc_id),
+             sps AS (SELECT doc_id,
+                            list(struct_pack(s := span_start, e := span_end)) AS spans
+                     FROM sp GROUP BY doc_id),
+             ct AS (SELECT ag.doc_id,
+                           coalesce(array_to_string(
+                             list_filter(
+                               list_transform(range(0, CAST(len(ag.arr) AS INTEGER)),
+                                 i -> CASE WHEN len(list_filter(coalesce(sps.spans, []),
+                                                  sp -> i >= sp.s AND i < sp.e)) = 0
+                                           THEN ag.arr[i + 1] ELSE NULL END),
+                               x -> x IS NOT NULL), ' '), '') AS text
+                    FROM ag LEFT JOIN sps USING (doc_id)),
+             ship AS (SELECT ag.doc_id,
+                             asg.assignment || ':' || d.lang AS shard,
+                             asg.assignment,
+                             CAST(len(ag.arr) - coalesce(srm.n_removed, 0) AS BIGINT)
+                               AS n_tok
+                      FROM ag
+                        JOIN asg USING (doc_id)
+                        JOIN documents d USING (doc_id)
+                        LEFT JOIN srm USING (doc_id)
+                      WHERE asg.assignment <> 'dropped'
+                        AND len(ag.arr) - coalesce(srm.n_removed, 0) > 0),
+             cum AS (SELECT doc_id, shard, assignment, n_tok,
+                            sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS end_tok
+                     FROM ship)
+             SELECT cum.doc_id, shard, assignment, n_tok,
+                    CAST(end_tok AS BIGINT) AS end_tok,
+                    CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+                    CAST(floor((end_tok - n_tok) / 64) AS BIGINT) AS chunk_first,
+                    CAST(floor((end_tok - 1) / 64) AS BIGINT) AS chunk_last,
+                    ct.text
+             FROM cum JOIN ct USING (doc_id) ORDER BY shard, doc_id"""))
+
   private val trainingSetBalanced = Q("q_training_set_balanced",
     (s, dir) => graft.extensions.TrainingSet
       .composeBalanced(table(s, dir, "documents"))
@@ -1079,5 +1158,5 @@ object Round10Queries {
     cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ,
     samplePriority, sampleSystematic, skewFactorQ, dataCard,
     windowSliding, piiScrub, piiReport, filterFunnel, postingsQ,
-    pipelineFunnel)
+    pipelineFunnel, trainingSetText)
 }

@@ -139,6 +139,50 @@ class GatesSpec extends SparkSpec {
     assert(rep.values.map(_._4).sum > 0 && rep.values.map(_._5).sum > 0)
   }
 
+  test("pii: cleanColumn ≡ scrub's clean text, and preserves whitespace token counts") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", Pii.synthText)
+    val viaScrub = Pii.scrub(docs).select("doc_id", "clean")
+    val viaColumn = docs.select(col("doc_id"),
+      Pii.cleanColumn(col("text")).as("clean"))
+    assert(viaScrub.exceptAll(viaColumn).isEmpty &&
+      viaColumn.exceptAll(viaScrub).isEmpty)
+    // the packing-safety invariant: no pattern spans a space, no
+    // placeholder contains one — token counts never move
+    val moved = docs.select(
+      (size(split(col("text"), " ")) =!=
+        size(split(Pii.cleanColumn(col("text")), " "))).as("m"))
+      .filter(col("m")).count()
+    assert(moved == 0L)
+  }
+
+  test("pii: composeText(piiScrub) keeps the manifest, redacts only the text") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, Pii.synthText).otherwise(col("text")))
+    val manifestCols =
+      Seq("doc_id", "shard", "n_tok", "end_tok", "start_tok",
+        "chunk_first", "chunk_last", "assignment")
+    val plain = TrainingSet.composeText(docs)
+    val scrubbed = TrainingSet.composeText(docs, piiScrub = true)
+    // the manifest — policy, shard streams, chunk geometry — is
+    // bit-identical with the PII leg on or off (token counts can't move)
+    assert(plain.select(manifestCols.map(col): _*)
+      .exceptAll(scrubbed.select(manifestCols.map(col): _*)).isEmpty)
+    assert(scrubbed.select(manifestCols.map(col): _*)
+      .exceptAll(plain.select(manifestCols.map(col): _*)).isEmpty)
+    // the manifest matches compose's rows exactly (payload join adds,
+    // never drops or duplicates)
+    assert(scrubbed.count() == TrainingSet.compose(docs).count())
+    // ...and the TEXT was actually redacted on the planted docs
+    val diff = plain.select("doc_id", "text")
+      .exceptAll(scrubbed.select("doc_id", "text"))
+    assert(diff.count() > 0)
+    assert(scrubbed.filter(col("text").contains("<EMAIL>")).count() > 0)
+    // no unredacted contact line survives in the shipped payload
+    assert(scrubbed.filter(col("text").rlike(Pii.emailRe)).count() == 0)
+  }
+
   // -------------------------------------------------------------- Postings
 
   private lazy val postDocs = graft.Tables
