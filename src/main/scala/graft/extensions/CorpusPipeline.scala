@@ -173,19 +173,27 @@ object CorpusPipeline {
       t: Thresholds = Thresholds(),
       maxDupBigram: Double = 0.2,
       contamGram: Int = 5): DataFrame = {
+    // each stage's id-set feeds BOTH the next stage's population and
+    // the final attribution joins — materialize the narrow one-column
+    // frames (8 B/row) so the corpus is scanned once per gate, not
+    // once per reference (unchecked, the plan re-ran the whole gate
+    // chain per consumer: 14 corpus scans at the same answer)
     val quality = TextAnalysis.qualityScore(documents)
       .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
         col("stop_ratio") <= t.maxStopRatio)
       .select("doc_id")
+      .localCheckpoint()
     val grams = TextAnalysis.wordNgrams(2)
     val nBi = size(grams).cast("long")
     val nDis = size(array_distinct(grams)).cast("long")
     val dupRatio =
       when(nBi > 0, (nBi - nDis) * lit(1.0) / nBi).otherwise(lit(0.0))
     val repPass = documents.filter(dupRatio <= maxDupBigram).select("doc_id")
+      .localCheckpoint()
     val gated = documents.join(quality, "doc_id").join(repPass, "doc_id")
     val contaminated = TextAnalysis
       .contaminationHits(gated, benchmark, contamGram).select("doc_id")
+      .localCheckpoint()
     val decon = gated.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint() // same stage boundary as cleanFull (see above)
     val keepers = decon
