@@ -173,24 +173,35 @@ object CorpusPipeline {
       t: Thresholds = Thresholds(),
       maxDupBigram: Double = 0.2,
       contamGram: Int = 5): DataFrame = {
-    // each stage's id-set feeds BOTH the next stage's population and
-    // the final attribution joins — materialize the narrow one-column
-    // frames (8 B/row) so the corpus is scanned once per gate, not
-    // once per reference (unchecked, the plan re-ran the whole gate
-    // chain per consumer: 14 corpus scans at the same answer)
-    val quality = TextAnalysis.qualityScore(documents)
-      .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
-        col("stop_ratio") <= t.maxStopRatio)
-      .select("doc_id")
-      .localCheckpoint()
+    // each stage's verdict feeds BOTH the next stage's population and
+    // the final attribution joins — so the two NARROW per-row gates
+    // are fused into ONE flags frame over one corpus scan and
+    // materialized once (unchecked, the plan re-ran the whole gate
+    // chain per consumer: 14 corpus scans at the same answer; and one
+    // checkpoint per gate still serialized three corpus passes).
+    // The quality predicate replicates TextAnalysis.qualityScore's
+    // exact arithmetic (unfiltered space split, round-4 stop ratio) —
+    // the oracle re-derives both gates independently, so drift between
+    // this inline form and cleanFull's qualityScore gate breaks the
+    // q_pipeline_funnel hash AND the GatesSpec reconciliation pin.
+    val arr = split(coalesce(col("text"), lit("")), " ")
+    val nTok = size(arr).cast("long")
+    val stopArr = array(lit("the"), lit("a"))
+    val nStop = size(filter(arr, x => array_contains(stopArr, x))).cast("long")
+    val qPred = nTok.between(t.minTokens, t.maxTokens) &&
+      round(nStop * lit(1.0) / nTok, 4) <= t.maxStopRatio
     val grams = TextAnalysis.wordNgrams(2)
     val nBi = size(grams).cast("long")
     val nDis = size(array_distinct(grams)).cast("long")
     val dupRatio =
       when(nBi > 0, (nBi - nDis) * lit(1.0) / nBi).otherwise(lit(0.0))
-    val repPass = documents.filter(dupRatio <= maxDupBigram).select("doc_id")
+    val flags = documents
+      .select(col("doc_id"),
+        coalesce(qPred, lit(false)).as("_q"),
+        coalesce(dupRatio <= maxDupBigram, lit(false)).as("_r"))
       .localCheckpoint()
-    val gated = documents.join(quality, "doc_id").join(repPass, "doc_id")
+    val gated = documents
+      .join(flags.filter(col("_q") && col("_r")).select("doc_id"), "doc_id")
     val contaminated = TextAnalysis
       .contaminationHits(gated, benchmark, contamGram).select("doc_id")
       .localCheckpoint()
@@ -207,14 +218,12 @@ object CorpusPipeline {
 
     def mark(ids: DataFrame, name: String) =
       ids.withColumn(name, lit(true))
-    val stageIdx = documents.select("doc_id")
-      .join(mark(quality, "_q"), Seq("doc_id"), "left_outer")
-      .join(mark(repPass, "_r"), Seq("doc_id"), "left_outer")
+    val stageIdx = flags
       .join(mark(contaminated, "_c"), Seq("doc_id"), "left_outer")
       .join(mark(keepers, "_k"), Seq("doc_id"), "left_outer")
       .join(mark(removed, "_nd"), Seq("doc_id"), "left_outer")
-      .select(when(col("_q").isNull, 0)
-        .when(col("_r").isNull, 1)
+      .select(when(!col("_q"), 0)
+        .when(!col("_r"), 1)
         .when(col("_c").isNotNull, 2)
         .when(col("_k").isNull, 3)
         .when(col("_nd").isNotNull, 4)

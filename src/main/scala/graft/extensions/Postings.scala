@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Df-capped, delta-encoded POSTING LISTS — the inverted-index artifact
@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   * the join partitioning — 3 exchanges, all key-hashed, none carrying
   * an unbounded value. */
 object Postings {
+
+  /** sorted id array → comma-joined gap encoding (first id, then deltas). */
+  private def encodeIds(ids: Column): Column =
+    concat_ws(",", transform(ids, (x, i) =>
+      when(i === 0, x).otherwise(x - element_at(ids, i)).cast("string")))
+
+  /** comma-joined gap encoding → sorted id array (inverse of
+    * [[encodeIds]]; running-sum fold). */
+  private def decodeIds(postings: Column): Column =
+    aggregate(split(postings, ","), array().cast("array<bigint>"),
+      (acc, d) => array_append(acc,
+        when(size(acc) === 0, d.cast("long"))
+          .otherwise(element_at(acc, size(acc)) + d.cast("long"))))
 
   /** Build the posting-list frame: (term, df, first_doc, last_doc,
     * postings) with postings = comma-joined delta-encoded doc ids,
@@ -55,9 +68,7 @@ object Postings {
       .select(col("term"), col("df"),
         element_at(col("_ids"), 1).as("first_doc"),
         element_at(col("_ids"), size(col("_ids"))).as("last_doc"),
-        concat_ws(",", transform(col("_ids"), (x, i) =>
-          when(i === 0, x).otherwise(x - element_at(col("_ids"), i))
-            .cast("string"))).as("postings"))
+        encodeIds(col("_ids")).as("postings"))
     val capped = df.filter(col("df") > maxDf)
       .select(col("term"), col("df"),
         lit(null).cast("long").as("first_doc"),
@@ -90,17 +101,11 @@ object Postings {
     * the same rows but prunes nothing — the scan-side economics are the
     * whole point of the index (priced vs [[scanProbe]] in the scale
     * bench). */
-  def probe(index: DataFrame, phrases: Seq[String]): DataFrame = {
+  def probe(index: DataFrame, phrases: Seq[String]): DataFrame =
     index
       .filter(col("term").isin(phrases: _*) && col("postings").isNotNull)
       .select(col("term"),
-        explode(expr(
-          """aggregate(split(postings, ','), CAST(array() AS ARRAY<BIGINT>),
-               (acc, d) -> array_append(acc,
-                 IF(size(acc) = 0, CAST(d AS BIGINT),
-                    element_at(acc, size(acc)) + CAST(d AS BIGINT))))"""))
-          .as("doc_id"))
-  }
+        explode(decodeIds(col("postings"))).as("doc_id"))
 
   /** The complete lookup: [[probe]] the index for every phrase, then
     * [[scanProbe]] the corpus ONLY for phrases whose term is capped
@@ -122,4 +127,59 @@ object Postings {
     if (capped.isEmpty) hits
     else hits.unionByName(scanProbe(documents, capped, n))
   }
+
+  /** INCREMENTAL index maintenance — the upsert set for an arriving
+    * batch: one (term, df, first_doc, last_doc, postings) row per term
+    * the batch touches, already merged with the term's existing row.
+    * [[applyDelta]]-ing these rows into the stored index reproduces
+    * [[build]] on the union corpus EXACTLY (spec-pinned), at cost ∝
+    * the batch's term set — the old index contributes only the
+    * affected rows (semi-join on batch terms, a pushed-down read over
+    * a term-sorted layout), never a rebuild-side corpus scan: the
+    * [[Dedup.lshProbe]] discipline applied to the inverted index.
+    *
+    * Cap transitions are total: a term the batch pushes past maxDf
+    * flips to the NULL-postings form (its list is dropped, df kept
+    * advancing), and an already-capped term stays capped — a list is
+    * never resurrected, matching what build-on-union produces.
+    *
+    * Contract: batch doc_ids must be NEW (the admission discipline of
+    * the streaming dedup family) — re-appending an indexed doc would
+    * double-count df. */
+  def appendDelta(
+      index: DataFrame, newDocuments: DataFrame,
+      n: Int = 3, maxDf: Int = 6): DataFrame = {
+    val newAgg = newDocuments
+      .select(col("doc_id"), explode(TextAnalysis.wordNgrams(n)).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df_new"),
+        sort_array(collect_list("doc_id")).as("new_ids"))
+    val affectedOld = index
+      .join(newAgg.select("term"), Seq("term"), "left_semi")
+      .select(col("term"), col("df").as("df_old"),
+        when(col("postings").isNotNull, decodeIds(col("postings")))
+          .as("old_ids"))
+    newAgg.join(affectedOld, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df_new") + coalesce(col("df_old"), lit(0L))).as("df"),
+        sort_array(concat(
+          coalesce(col("old_ids"), array().cast("array<bigint>")),
+          col("new_ids"))).as("_ids"),
+        (col("df_new") + coalesce(col("df_old"), lit(0L)) > maxDf)
+          .as("_capped"))
+      .select(col("term"), col("df"),
+        when(!col("_capped"), element_at(col("_ids"), 1)).as("first_doc"),
+        when(!col("_capped"), element_at(col("_ids"), size(col("_ids"))))
+          .as("last_doc"),
+        when(!col("_capped"), encodeIds(col("_ids"))).as("postings"))
+  }
+
+  /** Upsert [[appendDelta]]'s rows into an index frame: untouched terms
+    * pass through, touched terms are replaced. (With the index stored
+    * as a table, this is the overwrite-by-key write the delta is shaped
+    * for; the frame form exists for the parity contract and tests.) */
+  def applyDelta(index: DataFrame, delta: DataFrame): DataFrame =
+    index.join(delta.select("term"), Seq("term"), "left_anti")
+      .unionByName(delta)
 }

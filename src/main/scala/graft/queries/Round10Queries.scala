@@ -1053,6 +1053,48 @@ object Round10Queries {
                      ',') END AS postings
             FROM f JOIN l USING (term) ORDER BY term"""))
 
+  /** [[graft.extensions.Postings.appendDelta]] — incremental index
+    * maintenance: the upsert rows for an arriving batch (docs with
+    * doc_id % 4 == 0 arrive against an index built from the rest).
+    * The oracle computes posting rows on the FULL union corpus
+    * restricted to the batch's term set — the delta contract is that
+    * upserting its rows reproduces build-on-union exactly, so each
+    * delta row must equal the union row bitwise: merged gap encodings,
+    * df sums, and cap transitions (a term the batch pushes past maxDf
+    * flips to NULL postings) all pinned. */
+  private val postingsDelta = Q("q_postings_delta",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.extensions.Postings.appendDelta(
+        graft.extensions.Postings.build(docs.filter(col("doc_id") % 4 =!= 0)),
+        docs.filter(col("doc_id") % 4 === 0))
+        .orderBy("term")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                   list_filter(string_split(lower(coalesce(text, '')), ' '),
+                               t -> t <> '') AS arr
+                 FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, CAST(len(arr) AS INTEGER) - 1),
+                      i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+                      AS term
+                  FROM d),
+            tn AS (SELECT DISTINCT term FROM g WHERE doc_id % 4 = 0),
+            f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+            l AS (SELECT term, list(doc_id ORDER BY doc_id) AS ids
+                  FROM g GROUP BY 1)
+            SELECT f.term, f.df,
+                   CASE WHEN f.df <= 6 THEN ids[1] END AS first_doc,
+                   CASE WHEN f.df <= 6 THEN ids[CAST(len(ids) AS INTEGER)] END
+                     AS last_doc,
+                   CASE WHEN f.df <= 6 THEN array_to_string(
+                     list_transform(range(1, CAST(len(ids) AS INTEGER) + 1),
+                       i -> CAST(CASE WHEN i = 1 THEN ids[i]
+                                      ELSE ids[i] - ids[i - 1] END AS VARCHAR)),
+                     ',') END AS postings
+            FROM f JOIN l USING (term) JOIN tn USING (term)
+            ORDER BY term"""))
+
   /** [[graft.extensions.CorpusPipeline.funnelFull]] — "where did my
     * corpus go?": first-fail attribution across the FULL pretraining
     * gate chain (quality → repetition → contamination → exact dedup →
@@ -1158,5 +1200,5 @@ object Round10Queries {
     cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ,
     samplePriority, sampleSystematic, skewFactorQ, dataCard,
     windowSliding, piiScrub, piiReport, filterFunnel, postingsQ,
-    pipelineFunnel, trainingSetText)
+    pipelineFunnel, trainingSetText, postingsDelta)
 }

@@ -244,6 +244,44 @@ class GatesSpec extends SparkSpec {
     assert(!got.exists(_._1 == "zz never a term"))
   }
 
+  test("postings: appendDelta handles merge, cap transition, and new terms exactly") {
+    // 3-token docs yield exactly one 3-gram each — full control of df
+    val old = ((1L to 6L).map(i => (i, "a b c")) :+ (10L, "p q r"))
+      .toDF("doc_id", "text")
+    val batch = Seq((7L, "a b c"), (11L, "p q r"), (12L, "x y z"))
+      .toDF("doc_id", "text")
+    val idx = Postings.build(old, maxDf = 6)
+    val delta = Postings.appendDelta(idx, batch, maxDf = 6).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(4)) null else r.getString(4))).toMap
+    // at-cap term pushed over: list dropped, df keeps advancing
+    assert(delta("a b c") == ((7L, null)))
+    // under-cap merge: old id 10 + new id 11, gap-encoded
+    assert(delta("p q r") == ((2L, "10,1")))
+    // brand-new term: fresh single-doc row
+    assert(delta("x y z") == ((1L, "12")))
+    assert(delta.size == 3)
+  }
+
+  test("postings: applyDelta(build(old), appendDelta) ≡ build(old ∪ batch) corpus-wide") {
+    val old = postDocs.filter(col("doc_id") % 5 =!= 0)
+    val batch = postDocs.filter(col("doc_id") % 5 === 0)
+    val idx = Postings.build(old)
+    val delta = Postings.appendDelta(idx, batch)
+    val merged = Postings.applyDelta(idx, delta)
+    val rebuilt = Postings.build(postDocs)
+    assert(merged.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(merged).isEmpty)
+    // the corpus engages all three delta regimes
+    val touched = delta.collect()
+    val oldTerms = idx.select("term").collect().map(_.getString(0)).toSet
+    assert(touched.exists(r => !oldTerms.contains(r.getString(0))), "no new term")
+    assert(touched.exists(r => oldTerms.contains(r.getString(0)) &&
+      !r.isNullAt(4)), "no under-cap merge")
+    assert(touched.exists(r => oldTerms.contains(r.getString(0)) &&
+      r.isNullAt(4)), "no capped row touched")
+  }
+
   test("postings: probe pushes the phrase predicate into a sorted parquet index") {
     val dir = java.nio.file.Files.createTempDirectory("gates-postings").toString
     graft.plans.Layout.writeSorted(index, s"$dir/idx", "term")
