@@ -876,6 +876,34 @@ object Bench {
         "postings_scan_probe" -> timeMed(reps, "postings_scan_probe")(
           graft.extensions.Postings.scanProbe(docs, postingsPhrases)
             .count()),
+        // incremental maintenance vs the rebuild it replaces: a 1/25
+        // arriving batch (offset ids, so every id is NEW per the
+        // appendDelta contract) upserted against the stored index —
+        // the cost ratio to postings_build above IS the incremental
+        // claim, measured each round
+        "postings_delta_batch" -> {
+          val batch = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+            .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"))
+          timeMed(reps, "postings_delta_batch")(
+            graft.extensions.Postings.appendDelta(postingsIdx, batch)
+              .write.format("noop").mode("overwrite").save())
+        },
+        // probe through the LSM view (base ∪ one delta-log batch,
+        // latest-per-term): the read amplification a log carries
+        // between compactions, beside the flat postings_probe above.
+        // The term predicate pushes through the view's window (it
+        // filters the PARTITION key), so the probe prunes both sides
+        "postings_view_probe" -> {
+          val batch = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+            .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"))
+          val delta = graft.extensions.Postings
+            .appendDelta(postingsIdx, batch)
+            .withColumn("batch_id", lit(0L)).localCheckpoint()
+          timeMed(reps, "postings_view_probe")(
+            graft.extensions.Postings.probe(
+              graft.streaming.StreamingPostings.view(postingsIdx, delta),
+              postingsPhrases).count())
+        },
         // counting sketches in their native regime: the Zipf corpus's
         // per-doc filler gives ~3M distinct tokens, so exact counters
         // ARE the vocabulary while the CMS grid stays ≤ d·w rows and

@@ -133,9 +133,11 @@ object Postings {
     * the batch touches, already merged with the term's existing row.
     * [[applyDelta]]-ing these rows into the stored index reproduces
     * [[build]] on the union corpus EXACTLY (spec-pinned), at cost ∝
-    * the batch's term set — the old index contributes only the
-    * affected rows (semi-join on batch terms, a pushed-down read over
-    * a term-sorted layout), never a rebuild-side corpus scan: the
+    * the batch's term set plus one columnar pass over the stored
+    * index's term column (the semi-join's probe side; over an index
+    * stored BUCKETED by term — [[graft.plans.Layout.writeBucketed]],
+    * the StreamingDedup index discipline — that side also exchanges
+    * nothing), never a rebuild-side CORPUS scan: the
     * [[Dedup.lshProbe]] discipline applied to the inverted index.
     *
     * Cap transitions are total: a term the batch pushes past maxDf

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.extensions.Postings
+
+/** Always-current inverted index — the streaming twin of
+  * [[graft.extensions.Postings]], in the LSM shape real index services
+  * use: every micro-batch computes its [[Postings.appendDelta]] upsert
+  * rows against the CURRENT view and APPENDS them (stamped with the
+  * batch id) to a delta log; readers resolve latest-row-per-term over
+  * base ∪ log; compaction periodically folds the log back into the
+  * base (the [[graft.plans.Layout.compactBucketed]] job) to restore
+  * flat-read probe cost. Writes never rewrite the index — the log
+  * append is the only write, sized by the batch's term set.
+  *
+  * Exactly-once under replay: the delta is computed against the view
+  * RESTRICTED to batch_id < current (so a redelivered batch sees the
+  * same pre-batch state it saw the first time and produces identical
+  * rows), and the caller persists each delta keyed by its batchId
+  * (overwrite-by-id, the [[StreamingSketch]] discipline) so the
+  * re-append replaces rather than duplicates.
+  *
+  * Parity contract (StreamingPostingsSpec): after any stream of
+  * batches, `view(base, log)` ≡ `Postings.build` over the concatenated
+  * corpus — bit-identical rows, cap transitions included. */
+object StreamingPostings {
+
+  /** Resolve the current index: latest row per term across the base
+    * (batch −1) and the delta log (each row stamped `batch_id`). One
+    * term-keyed shuffle over base+log; the log's size between
+    * compactions — not the corpus — is the read amplification. */
+  def view(base: DataFrame, log: DataFrame): DataFrame = {
+    val all = base.withColumn("batch_id", lit(-1L))
+      .unionByName(log)
+    val w = Window.partitionBy("term").orderBy(desc("batch_id"))
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "batch_id")
+  }
+
+  /** foreachBatch sink maintaining the delta log: each batch's upsert
+    * rows (vs the pre-batch view) are handed to `onBatch` stamped with
+    * the batch id; the caller persists them keyed by that id. `log` is
+    * by-name so each batch re-reads the caller-persisted current log —
+    * the stream-static shape every streaming index in this repo uses. */
+  def sink(
+      base: DataFrame,
+      log: => DataFrame,
+      arriving: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      n: Int = 3, maxDf: Int = 6): DataStreamWriter[Row] =
+    arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val cur = view(base, log.filter(col("batch_id") < batchId))
+        val delta = Postings
+          .appendDelta(cur, batch.localCheckpoint(), n, maxDf)
+          .withColumn("batch_id", lit(batchId))
+        onBatch(delta, batchId)
+      }
+}
