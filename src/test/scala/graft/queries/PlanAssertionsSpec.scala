@@ -269,4 +269,40 @@ class PlanAssertionsSpec extends SparkSpec {
     // lost its let-binding (the 40 s quadratic regression)
     assert(occurrences("q_winnow", "md5\\(") == 2)
   }
+
+  test("q_pii_scrub: scan-speed pass — no join, no aggregation, no hash shuffle") {
+    val p = planString("q_pii_scrub")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // only the presentation ORDER BY's range exchange may appear
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_filter_funnel: corpus collapses before the report's bounded windows") {
+    val p = planString("q_filter_funnel")
+    // per-doc stage_idx partial-aggregates map-side; the dim join and
+    // windows run on the ≤ rules+1 frame, never corpus-wide
+    assert("partial_count".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_pipeline_funnel: stage frames stay materialized — bounded corpus scans") {
+    val p = planString("q_pipeline_funnel")
+    // the naive form re-ran the gate chain once per consumer: 14
+    // parquet scans of documents. The fused/checkpointed form reads
+    // the corpus at most 6 times (flags, gated join, contamination
+    // grams, benchmark grams + the dedup tail's own references)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 6, s"$scans corpus scans — a stage frame lost its checkpoint\n$p")
+  }
+
+  test("q_postings: pair frame materialized once, list build bounded by the cap") {
+    val p = planString("q_postings")
+    // the distinct (term, doc) frame is a checkpoint boundary (three
+    // consumers; unchecked, the gram explode re-ran per consumer)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Generate explode"), p) // explode ran at the boundary
+    // the sorted-list collect is the bounded ObjectHashAggregate form
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
 }
