@@ -84,4 +84,23 @@ object DataCard {
       .unionByName(row("max_source_share",
         col("max_source_docs").cast("double") / col("n_docs")))
   }
+
+  /** [[build]] plus the quality-funnel drop table folded in as card
+    * rows — `funnel_<rule>_dropped` per rule and `funnel_survivors`
+    * for the pass row — so the shipped one-pager answers "how many
+    * docs would each gate drop" next to what the corpus IS. Same
+    * (metric, value) contract, same integer-derived determinism
+    * ([[Funnel.funnel]]'s counts reconcile exactly by construction). */
+  def buildWithFunnel(
+      documents: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val f = Funnel.funnel(documents)
+      .select(
+        when(col("rule") === "pass", lit("funnel_survivors"))
+          .otherwise(concat(lit("funnel_"), col("rule"), lit("_dropped")))
+          .as("metric"),
+        round(when(col("rule") === "pass", col("n_remaining"))
+          .otherwise(col("n_dropped")).cast("double"), 4).as("value"))
+    build(documents, stopwords).unionByName(f)
+  }
 }

@@ -872,6 +872,105 @@ object Round10Queries {
                  CAST(max_source_docs AS DOUBLE) / n_docs FROM w)
              ORDER BY metric"""))
 
+  /** [[graft.extensions.DataCard.buildWithFunnel]] — the release card
+    * with the quality-funnel drop table folded in: q_data_card's rows
+    * plus funnel_<rule>_dropped / funnel_survivors, reconciling by
+    * construction (drops sum to n_docs − survivors). The oracle is the
+    * card twin UNION the funnel twin with the same metric renaming. */
+  private val dataCardFull = Q("q_data_card_full",
+    (s, dir) => graft.extensions.DataCard
+      .buildWithFunnel(table(s, dir, "documents")).orderBy("metric"),
+    Some("""WITH d AS (SELECT doc_id, source, lang,
+                              coalesce(n_chars, 0) AS n_chars,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr,
+                              md5(lower(coalesce(text, ''))) AS tkey
+                       FROM documents),
+             p AS (SELECT source, lang, n_chars, tkey,
+                          CAST(len(arr) AS BIGINT) AS n_tok,
+                          CAST(len(list_filter(arr, t -> t IN ('the', 'a')))
+                               AS BIGINT) AS n_stop
+                   FROM d),
+             base AS (SELECT count(*) AS n_docs,
+                             count(DISTINCT source) AS n_sources,
+                             count(DISTINCT lang) AS n_langs,
+                             sum(n_tok) AS total_tokens,
+                             sum(n_chars) AS total_chars,
+                             sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS empty_docs,
+                             count(DISTINCT tkey) AS distinct_texts,
+                             sum(n_stop) AS total_stop
+                      FROM p),
+             tf AS (SELECT unnest(arr) AS tok FROM d),
+             ts AS (SELECT tok, count(*) AS cnt FROM tf GROUP BY 1),
+             tt AS (SELECT cnt AS top_tok_cnt FROM ts
+                    ORDER BY cnt DESC, tok LIMIT 1),
+             dt AS (SELECT count(*) AS distinct_tokens FROM ts),
+             h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(tok), 1, 12))
+                                        AS BIGINT) AS h
+                   FROM tf),
+             r AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM h),
+             kth AS (SELECT count(*) AS n_h,
+                            max(CASE WHEN rk = 256 THEN h END) AS hk
+                     FROM r WHERE rk <= 256),
+             de AS (SELECT CASE WHEN hk IS NULL THEN CAST(n_h AS DOUBLE)
+                                ELSE 255 * 281474976710656.0 / hk END AS d_est
+                    FROM kth),
+             ms AS (SELECT max(sd) AS max_source_docs
+                    FROM (SELECT source, count(*) AS sd FROM p GROUP BY 1)),
+             w AS (SELECT * FROM base, tt, dt, de, ms),
+             fm AS (SELECT doc_id, lang,
+                      CAST(len(arr) AS BIGINT) AS n_tok,
+                      CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+                      CAST(len(list_filter(arr, t -> t IN ('the', 'a')))
+                           AS BIGINT) AS n_stop
+                    FROM d),
+             fa AS (SELECT CASE
+                      WHEN NOT coalesce(lang IN ('en', 'de', 'es', 'fr'), FALSE)
+                        THEN 0
+                      WHEN NOT coalesce(n_tok >= 25, FALSE) THEN 1
+                      WHEN NOT coalesce(n_tok <= 90, FALSE) THEN 2
+                      WHEN NOT coalesce(n_tok > 0
+                        AND n_stop * 1.0 / n_tok <= 0.12, FALSE) THEN 3
+                      WHEN NOT coalesce(n_tok > 0
+                        AND n_distinct * 1.0 / n_tok >= 0.35, FALSE) THEN 4
+                      ELSE 5 END AS stage_idx
+                    FROM fm),
+             fc AS (SELECT stage_idx, count(*) AS n FROM fa GROUP BY 1),
+             fd(stage_idx, rule) AS (VALUES
+               (0, 'lang_allowed'), (1, 'min_tokens'), (2, 'max_tokens'),
+               (3, 'stop_ratio'), (4, 'distinct_ratio'), (5, 'pass')),
+             fj AS (SELECT fd.stage_idx, fd.rule, coalesce(fc.n, 0) AS n
+                    FROM fd LEFT JOIN fc USING (stage_idx))
+             SELECT metric, round(value, 4) AS value FROM (
+               SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM w
+               UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM w
+               UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM w
+               UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM w
+               UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM w
+               UNION ALL SELECT 'empty_docs', CAST(empty_docs AS DOUBLE) FROM w
+               UNION ALL SELECT 'exact_dup_docs',
+                 CAST(n_docs - distinct_texts AS DOUBLE) FROM w
+               UNION ALL SELECT 'distinct_tokens',
+                 CAST(distinct_tokens AS DOUBLE) FROM w
+               UNION ALL SELECT 'distinct_token_est', d_est FROM w
+               UNION ALL SELECT 'mean_doc_tokens',
+                 CAST(total_tokens AS DOUBLE) / n_docs FROM w
+               UNION ALL SELECT 'stop_ratio',
+                 CAST(total_stop AS DOUBLE) / total_tokens FROM w
+               UNION ALL SELECT 'top_token_share',
+                 CAST(top_tok_cnt AS DOUBLE) / total_tokens FROM w
+               UNION ALL SELECT 'max_source_share',
+                 CAST(max_source_docs AS DOUBLE) / n_docs FROM w
+               UNION ALL SELECT CASE WHEN rule = 'pass' THEN 'funnel_survivors'
+                                     ELSE 'funnel_' || rule || '_dropped' END,
+                 CAST(CASE WHEN rule = 'pass'
+                           THEN (SELECT sum(n) FROM fj)
+                                - (SELECT sum(CASE WHEN rule <> 'pass' THEN n
+                                              ELSE 0 END) FROM fj)
+                           ELSE n END AS DOUBLE)
+               FROM fj)
+             ORDER BY metric"""))
+
   /** Sliding (hopping) window aggregation — §2.9's tumbling row
     * (q_window_tumbling) generalized to overlap: 14-day windows every
     * 7 days, so each event lands in exactly dur/slide = 2 windows.
@@ -1200,5 +1299,5 @@ object Round10Queries {
     cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ,
     samplePriority, sampleSystematic, skewFactorQ, dataCard,
     windowSliding, piiScrub, piiReport, filterFunnel, postingsQ,
-    pipelineFunnel, trainingSetText, postingsDelta)
+    pipelineFunnel, trainingSetText, postingsDelta, dataCardFull)
 }

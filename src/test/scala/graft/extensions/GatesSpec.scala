@@ -88,6 +88,19 @@ class GatesSpec extends SparkSpec {
     }
   }
 
+  test("data card with funnel: the drop table reconciles inside the card") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val card = DataCard.buildWithFunnel(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val drops = card.collect {
+      case (m, v) if m.startsWith("funnel_") && m.endsWith("_dropped") => v
+    }.sum
+    assert(drops + card("funnel_survivors") == card("n_docs"))
+    // every default rule shipped a row
+    assert(card.keys.count(_.startsWith("funnel_")) ==
+      Funnel.defaultRules.size + 1)
+  }
+
   // ------------------------------------------------------------------- Pii
 
   test("pii: class order, Luhn branch, placeholder isolation on crafted text") {
