@@ -1194,6 +1194,47 @@ object Round10Queries {
             FROM f JOIN l USING (term) JOIN tn USING (term)
             ORDER BY term"""))
 
+  /** [[graft.streaming.StreamingPostings.view]] — the LSM read path
+    * oracled end-to-end: an index built from 3/4 of the corpus plus a
+    * one-batch delta log, resolved latest-per-term, must equal a flat
+    * rebuild over everything — so the oracle is q_postings' full-union
+    * SQL VERBATIM. Pins the delta computation, the batch stamping, and
+    * the latest-row resolution as one hash (the streaming twin's
+    * MemoryStream spec pins the same identity through a live stream;
+    * this row makes it a driver-checked contract). */
+  private val postingsView = Q("q_postings_view",
+    (s, dir) => {
+      import graft.extensions.Postings
+      val docs = table(s, dir, "documents")
+      val base = Postings.build(docs.filter(col("doc_id") % 4 =!= 0))
+      val log = Postings
+        .appendDelta(base, docs.filter(col("doc_id") % 4 === 0))
+        .withColumn("batch_id", lit(0L))
+      graft.streaming.StreamingPostings.view(base, log).orderBy("term")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                   list_filter(string_split(lower(coalesce(text, '')), ' '),
+                               t -> t <> '') AS arr
+                 FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, CAST(len(arr) AS INTEGER) - 1),
+                      i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+                      AS term
+                  FROM d),
+            f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+            l AS (SELECT term, list(doc_id ORDER BY doc_id) AS ids
+                  FROM g GROUP BY 1)
+            SELECT f.term, f.df,
+                   CASE WHEN f.df <= 6 THEN ids[1] END AS first_doc,
+                   CASE WHEN f.df <= 6 THEN ids[CAST(len(ids) AS INTEGER)] END
+                     AS last_doc,
+                   CASE WHEN f.df <= 6 THEN array_to_string(
+                     list_transform(range(1, CAST(len(ids) AS INTEGER) + 1),
+                       i -> CAST(CASE WHEN i = 1 THEN ids[i]
+                                      ELSE ids[i] - ids[i - 1] END AS VARCHAR)),
+                     ',') END AS postings
+            FROM f JOIN l USING (term) ORDER BY term"""))
+
   /** [[graft.extensions.CorpusPipeline.funnelFull]] — "where did my
     * corpus go?": first-fail attribution across the FULL pretraining
     * gate chain (quality → repetition → contamination → exact dedup →
@@ -1299,5 +1340,6 @@ object Round10Queries {
     cmsTopKQ, kmvDistinctQ, embOutlier, cmsJoinSizeQ,
     samplePriority, sampleSystematic, skewFactorQ, dataCard,
     windowSliding, piiScrub, piiReport, filterFunnel, postingsQ,
-    pipelineFunnel, trainingSetText, postingsDelta, dataCardFull)
+    pipelineFunnel, trainingSetText, postingsDelta, dataCardFull,
+    postingsView)
 }
