@@ -469,10 +469,16 @@ object Bench {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     var candidatePairs = 0L
     var driftRows = 0L
+    var admContHits = 0L
     // one rep = a full stream lifecycle (fresh MemoryStream + queries);
     // counters reset per rep so the reported counts are one pass's
-    def admissionPass(): Double = {
-      candidatePairs = 0L; driftRows = 0L
+    // `containmentIdx`: when set (the corpus shingle frame), each batch
+    // additionally pays the containment-direction probe — the third
+    // admission monitor — so the triple-monitor pass is priced as its
+    // own row and `admission_2_batches` keeps its round-9 semantics
+    // (dedup candidates + drift only), round-over-round comparable.
+    def admissionPass(containmentIdx: Option[DataFrame] = None): Double = {
+      candidatePairs = 0L; driftRows = 0L; admContHits = 0L
       val input = MemoryStream[(Long, String, String)]
       val gated = input.toDF().toDF("doc_id", "text", "source")
         .filter(size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
@@ -482,13 +488,25 @@ object Bench {
         (pairs, _) => { candidatePairs += pairs.count() }).start()
       val q2 = DriftMonitor.sink(gated, profile,
         (drift, _) => { driftRows += drift.count() }).start()
+      def probeContainment(batch: Seq[(Long, String, String)]): Unit =
+        containmentIdx.foreach { corpusSh =>
+          val bdf = spark.createDataset(batch)(
+              org.apache.spark.sql.Encoders.product[(Long, String, String)])
+            .toDF("doc_id", "text", "source").select("doc_id", "text")
+          admContHits += Dedup.containmentProbe(
+              corpusSh, spark.table("capstone_band_idx"), bdf)
+            .filter(col("cont_corpus") >= 0.97 || col("cont_new") >= 0.97)
+            .count()
+        }
       try {
         time {
           val (h, t) = arriving.splitAt(arriving.size / 2)
           input.addData(h)
           q1.processAllAvailable(); q2.processAllAvailable()
+          probeContainment(h)
           input.addData(t)
           q1.processAllAvailable(); q2.processAllAvailable()
+          probeContainment(t)
         }
       } finally { q1.stop(); q2.stop() }
     }
@@ -500,6 +518,7 @@ object Bench {
     // decisive direction (either side >= 0.97).
     var contHits = 0L
     var sketchMergeT = 0.0
+    var admitContT = 0.0
     val (admitT, contProbeT) = try {
       val a = {
         val xs = (1 to reps).map(_ => admissionPass())
@@ -508,6 +527,14 @@ object Bench {
       }
       val corpusSh = Dedup.shingles(cleaned.select("doc_id", "text"),
         share = false).localCheckpoint()
+      // like-for-like split (r10 VERDICT #2): the plain row above keeps
+      // its r9 semantics; the containment-engaged composition is its own
+      // row so the policy's per-batch cost is priced, not folded in
+      admitContT = {
+        val xs = (1 to reps).map(_ => admissionPass(Some(corpusSh)))
+        repsLog("admission_2_batches_containment") = xs
+        median(xs)
+      }
       val oneBatch = spark.createDataset(arriving.take(4000))(
         org.apache.spark.sql.Encoders.product[(Long, String, String)])
         .toDF("doc_id", "text", "source").select("doc_id", "text")
@@ -616,6 +643,8 @@ object Bench {
       "training_set_text_pii" -> trainingSetTextT,
       "artifact_build" -> buildT,
       "admission_2_batches" -> admitT,
+      "admission_2_batches_containment" -> admitContT,
+      "admission_containment_hits" -> admContHits.toDouble,
       "containment_probe_batch" -> contProbeT,
       "containment_hits" -> contHits.toDouble,
       "sketch_merge_batch" -> sketchMergeT,
@@ -948,10 +977,13 @@ object Bench {
           graft.extensions.Packing.shardAssign(docs, 64)
             .write.format("noop").mode("overwrite").save()),
         "shard_balance_spread" -> {
+          // balance_x10k is the int64-scaled factor; /10000 keeps this
+          // row's unit comparable to pre-r11 rounds (0 = perfect)
           val b = graft.extensions.Packing.shardBalance(
               graft.extensions.Packing.shardAssign(docs, 64), 64)
-            .agg(max(col("balance")) - min(col("balance"))).head().getDouble(0)
-          b
+            .agg(max(col("balance_x10k")) - min(col("balance_x10k")))
+            .head().getLong(0)
+          b / 10000.0
         },
         // long-doc skew probe for the entropy fold: one 8k-token doc with
         // 4k distinct tokens (the cooccur methodology). The pre-round-8
@@ -1260,6 +1292,12 @@ object Bench {
     val multimodal = section("multimodal")(multimodalBench(spark, reps))
     val skewjoin = section("skewjoin")(skewJoinBench(spark, reps))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"sf":"$sfDir"}""")
+    // Final SHORT line so a tail-truncated capture of this output still
+    // contains a complete, parseable summary (r10 VERDICT #4: the full
+    // artifact line above exceeds the driver's 2000-byte tail window).
+    val byName = results.toMap
+    val slowest = results.sortBy(-_._2).take(5)
+    println(s"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -101,17 +101,23 @@ object Packing {
   }
 
   /** Per-shard balance report over a [[shardAssign]] result: doc count,
-    * token total, and the balance factor tok_sum · S / Σ tok_sum
-    * (1.0 = perfect). The grand total comes from a broadcast 1-row
-    * aggregate, not an unpartitioned window. */
+    * token total, and the balance factor tok_sum · S / Σ tok_sum scaled
+    * ×10000 (10000 = perfect). The factor is computed ENTIRELY in int64
+    * (round-half-up as `(2·tok_sum·S·10000 + Σ) div 2Σ`) so the published
+    * row is bit-stable across engines and float canonicalizations — no
+    * DoubleType in the hashed output, the discipline every other oracled
+    * metric follows. Overflows only past ~5.7e13 tokens per shard (int64
+    * headroom), far beyond a 100 TB corpus. The grand total comes from a
+    * broadcast 1-row aggregate, not an unpartitioned window. */
   def shardBalance(assigned: DataFrame, numShards: Int): DataFrame = {
     val perShard = assigned.groupBy("shard").agg(
       count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
     val total = perShard.agg(sum("tok_sum").as("_tot"))
+    val scale = 2L * numShards * 10000L
     perShard.crossJoin(broadcast(total))
       .select(col("shard"), col("n_docs"), col("tok_sum"),
-        round(col("tok_sum") * lit(numShards.toDouble) / col("_tot"), 4)
-          .as("balance"))
+        expr(s"(tok_sum * $scale + _tot) div (2 * _tot)")
+          .as("balance_x10k"))
   }
 
   /** Sliding-window chunking — the long-document splitter for context-

@@ -353,7 +353,8 @@ object Round10Queries {
             b AS (SELECT shard, count(*) AS n_docs, sum(n_tok) AS tok_sum
                   FROM a GROUP BY shard)
             SELECT shard, n_docs, tok_sum,
-                   round(tok_sum * 8.0 / sum(tok_sum) OVER (), 4) AS balance
+                   (tok_sum * 160000 + sum(tok_sum) OVER ())
+                     // (2 * sum(tok_sum) OVER ()) AS balance_x10k
             FROM b ORDER BY shard"""))
 
   /** [[graft.plans.Layout.zValue]] — the Morton key behind

@@ -58,7 +58,7 @@ class ShardAssignSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val assigned = Packing.shardAssign(docs, 8)
     val serp = Packing.shardBalance(assigned, 8)
-      .select("balance").as[Double].collect()
+      .select("balance_x10k").as[Long].collect()
     assert(serp.length == 8)
     // plain round-robin twin over the same global ranks
     val rr = Packing.globalRowNumber(
@@ -67,12 +67,13 @@ class ShardAssignSpec extends SparkSpec {
         Seq(col("n_tok").desc, col("doc_id")))
       .withColumn("shard", pmod(col("rn"), lit(8L)).cast("int"))
     val rrBal = Packing.shardBalance(rr, 8)
-      .select("balance").as[Double].collect()
-    def spread(xs: Seq[Double]) = xs.max - xs.min
+      .select("balance_x10k").as[Long].collect()
+    def spread(xs: Seq[Long]) = xs.max - xs.min
     assert(spread(serp.toSeq) < spread(rrBal.toSeq),
       s"serpentine ${serp.toSeq} vs round-robin ${rrBal.toSeq}")
     // and the absolute contract the balance row publishes: within 5%
-    assert(serp.forall(b => b > 0.95 && b < 1.05), serp.toSeq.toString)
+    // (×10000 scale: 10000 = perfect)
+    assert(serp.forall(b => b > 9500L && b < 10500L), serp.toSeq.toString)
   }
 
   test("composition: assignment joins back and packChunks packs per shard") {
