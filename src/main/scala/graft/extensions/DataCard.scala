@@ -93,8 +93,11 @@ object DataCard {
     * ([[Funnel.funnel]]'s counts reconcile exactly by construction). */
   def buildWithFunnel(
       documents: DataFrame,
-      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
-    val f = Funnel.funnel(documents)
+      stopwords: Seq[String] = Funnel.DefaultStopwords): DataFrame = {
+    // stopwords reach BOTH the card's stop_ratio row (build) and the
+    // funnel's stop-gate rows — a custom list must not leave the two
+    // halves of the one-pager disagreeing on what a stop token is
+    val f = Funnel.funnel(documents, stopwords = stopwords)
       .select(
         when(col("rule") === "pass", lit("funnel_survivors"))
           .otherwise(concat(lit("funnel_"), col("rule"), lit("_dropped")))

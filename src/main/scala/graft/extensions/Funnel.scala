@@ -25,16 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** The stop list every funnel consumer shares by default — 'the'/'a',
+    * the testdata corpus' function words. Callers with a different
+    * corpus pass their own list and the n_stop metric, the stop_ratio
+    * rule, and [[DataCard.buildWithFunnel]]'s card rows all follow. */
+  val DefaultStopwords: Seq[String] = Seq("the", "a")
+
   /** Per-doc quality metrics, one narrow pass: token count, distinct
-    * count, stop-token count ('the'/'a' — the corpus' function words),
-    * plus lang passthrough. */
-  def docMetrics(documents: DataFrame): DataFrame = {
+    * count, stop-token count (`stopwords` — the corpus' function
+    * words), plus lang passthrough. */
+  def docMetrics(
+      documents: DataFrame,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
     val arr = filter(
       split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
     val m = element_at(transform(array(arr), a => struct(
       size(a).cast("long").as("n_tok"),
       size(array_distinct(a)).cast("long").as("n_distinct"),
-      size(filter(a, t => t.isin("the", "a"))).cast("long").as("n_stop"))), 1)
+      size(filter(a, t => t.isin(stopwords: _*))).cast("long")
+        .as("n_stop"))), 1)
     documents
       .select(col("doc_id"), col("lang"), m.as("_m"))
       .select(col("doc_id"), col("lang"),
@@ -70,8 +79,10 @@ object Funnel {
     * agree on the survivor count. */
   def funnel(
       documents: DataFrame,
-      rules: Seq[(String, Column)] = defaultRules): DataFrame =
-    shape(docMetrics(documents).select(stageIdx(rules).as("stage_idx")),
+      rules: Seq[(String, Column)] = defaultRules,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame =
+    shape(docMetrics(documents, stopwords)
+        .select(stageIdx(rules).as("stage_idx")),
       rules.map(_._1))
 
   /** Shape a one-column per-doc `stage_idx` frame into the report:
@@ -108,8 +119,9 @@ object Funnel {
     * stages consume (semi join back, so original columns survive). */
   def survivors(
       documents: DataFrame,
-      rules: Seq[(String, Column)] = defaultRules): DataFrame = {
-    val pass = docMetrics(documents)
+      rules: Seq[(String, Column)] = defaultRules,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val pass = docMetrics(documents, stopwords)
       .filter(stageIdx(rules) === rules.size)
       .select("doc_id")
     documents.join(pass, Seq("doc_id"), "left_semi")

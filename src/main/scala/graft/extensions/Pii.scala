@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
   * the card stage's filter/aggregate HOFs are JVM expressions over a
   * per-row candidate list that is almost always empty). At 100 TB this
   * runs at scan speed and composes into [[CorpusPipeline]] like any
-  * other gate. Valid-card replacement folds `replace` over the
-  * Luhn-surviving candidates (left fold, first-match order), which
-  * both engines reproduce exactly — the q_pii_scrub oracle twins it
-  * with `list_reduce(list_prepend(text, ok), …)`.
+  * other gate. Valid-card replacement folds a WORD-BOUNDARY-anchored
+  * `regexp_replace` over the Luhn-surviving candidates (left fold,
+  * first-match order) — a plain substring replace would also rewrite a
+  * candidate embedded inside a LONGER digit run (where `\b` never
+  * matched it), corrupting a non-card number. Both engines reproduce
+  * the fold exactly — the q_pii_scrub oracle twins it with
+  * `list_reduce(list_prepend(text, ok), …)` over the same anchored
+  * pattern.
   */
 object Pii {
 
@@ -62,7 +66,9 @@ object Pii {
       .withColumn("n_card_invalid",
         (size(col("_cand")) - size(col("_ok"))).cast("long"))
       .withColumn("_t2",
-        expr("aggregate(_ok, _t1, (acc, c) -> replace(acc, c, '<CARD>'))"))
+        aggregate(col("_ok"), col("_t1"), (acc, x) =>
+          call_function("regexp_replace", acc,
+            concat(lit("\\b"), x, lit("\\b")), lit("<CARD>"))))
       .withColumn("n_phone",
         size(regexp_extract_all(col("_t2"), lit(phoneRe), lit(0))).cast("long"))
       .withColumn("_t3", regexp_replace(col("_t2"), phoneRe, "<PHONE>"))
@@ -89,8 +95,9 @@ object Pii {
     val t1 = regexp_replace(coalesce(c, lit("")), emailRe, "<EMAIL>")
     val ok = filter(regexp_extract_all(t1, lit(cardRe), lit(0)),
       x => call_function("luhn_check", x))
-    val t2 = aggregate(ok, t1,
-      (acc, x) => call_function("replace", acc, x, lit("<CARD>")))
+    val t2 = aggregate(ok, t1, (acc, x) =>
+      call_function("regexp_replace", acc,
+        concat(lit("\\b"), x, lit("\\b")), lit("<CARD>")))
     val t3 = regexp_replace(t2, phoneRe, "<PHONE>")
     regexp_replace(t3, ipv4Re, "<IP>")
   }

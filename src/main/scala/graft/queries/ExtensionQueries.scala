@@ -517,7 +517,7 @@ object ExtensionQueries {
                                                  t -> t IN ('the', 'a'))) * 1.0
                                    / len(string_split(coalesce(text, ''), ' ')) AS sr
                           FROM documents)
-                       WHERE n_tok BETWEEN 20 AND 70 AND sr <= 0.12),
+                       WHERE n_tok BETWEEN 20 AND 70 AND round(sr, 4) <= 0.12),
                  gated AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
                  keepers AS (SELECT min(doc_id) AS doc_id FROM gated
                              GROUP BY md5(lower(coalesce(text, '')))),
@@ -562,7 +562,7 @@ object ExtensionQueries {
                                                  t -> t IN ('the', 'a'))) * 1.0
                                    / len(string_split(coalesce(text, ''), ' ')) AS sr
                           FROM corpus)
-                       WHERE n_tok BETWEEN 20 AND 70 AND sr <= 0.12),
+                       WHERE n_tok BETWEEN 20 AND 70 AND round(sr, 4) <= 0.12),
                  rep AS (SELECT doc_id FROM
                            (SELECT doc_id,
                                    CASE WHEN len(arr) < 2 THEN []

@@ -1038,7 +1038,8 @@ object Round10Queries {
                      CAST(len(ok) AS BIGINT) AS n_card,
                      CAST(len(cand) - len(ok) AS BIGINT) AS n_card_invalid,
                      list_reduce(list_prepend(t1, ok),
-                       (acc, x) -> replace(acc, x, '<CARD>')) AS t2
+                       (acc, x) -> regexp_replace(acc, '\b' || x || '\b',
+                                                  '<CARD>', 'g')) AS t2
                    FROM cv),
             p AS (SELECT doc_id, source, n_email, n_card, n_card_invalid,
                     CAST(len(regexp_extract_all(t2,
@@ -1261,7 +1262,7 @@ object Round10Queries {
                                                  t -> t IN ('the', 'a'))) * 1.0
                                    / len(string_split(coalesce(text, ''), ' ')) AS sr
                           FROM corpus)
-                       WHERE n_tok BETWEEN 20 AND 70 AND sr <= 0.12),
+                       WHERE n_tok BETWEEN 20 AND 70 AND round(sr, 4) <= 0.12),
                  rep AS (SELECT doc_id FROM
                            (SELECT doc_id,
                                    CASE WHEN len(arr) < 2 THEN []

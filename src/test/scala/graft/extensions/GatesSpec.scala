@@ -125,6 +125,20 @@ class GatesSpec extends SparkSpec {
     assert(out(3) == (("", 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("pii: valid-card redaction is boundary-anchored, never inside longer digit runs") {
+    // the same Luhn-valid 16 digits appear standalone (a real card,
+    // \b-matched → candidate) AND embedded inside a 20-digit id the \b
+    // pattern never matched; the fold must redact only the standalone
+    // occurrence — a plain substring replace corrupts the long id
+    val docs = Seq(
+      (1L, "card 4532015112830366 id 99453201511283036600 end", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = Pii.scrub(docs).collect().map(_.getString(2))
+    assert(out(0) == "card <CARD> id 99453201511283036600 end", out(0))
+    val viaCol = docs.select(Pii.cleanColumn(col("text"))).head().getString(0)
+    assert(viaCol == out(0), s"cleanColumn diverged: $viaCol")
+  }
+
   test("pii: report totals reconcile with per-doc scrub on the synth corpus") {
     val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("text", Pii.synthText)
