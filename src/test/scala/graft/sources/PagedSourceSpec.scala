@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the S8 paged-source semantics (reference get_vacancies.py:24-64):
+  * overflow-triggered recursive bisection, page-cap fidelity, half-open
+  * duplicate-freeness, column pruning, and the reference's sub-minRange
+  * skip (data loss on an unsplittable burst — kept, not papered over). */
+class PagedSourceSpec extends SparkSpec {
+
+  private val base = 1600000000L
+  private val span = 864000L // 10 days
+  private def api(n: Long, burst: Boolean = false) =
+    HashSpreadApi(n, base, span, perPage = 100, maxPages = 5, burst = burst)
+
+  private def readPaged(n: Long, burst: Boolean = false) =
+    spark.read.format("graft.sources.PagedSource")
+      .option("n", n.toString).option("base", base.toString)
+      .option("span", span.toString)
+      .option("perPage", "100").option("maxPages", "5")
+      .option("minRange", "60")
+      .option("burst", burst.toString)
+      .load()
+
+  test("bisection engages and the scan equals the flat row set, duplicate-free") {
+    val a = api(5000)
+    val windows = PagedSource.planWindows(a, base, base + span, 60)
+    assert(windows.size > 1, "5000 rows over a 500-row cap must bisect")
+    // every leaf window fits the page cap and the leaves tile the span
+    assert(windows.forall { case (_, _, n) => n <= 500 })
+    assert(windows.head._1 == base && windows.last._2 == base + span)
+    assert(windows.sliding(2).forall {
+      case Seq((_, t1, _), (f2, _, _)) => t1 == f2
+      case _ => true
+    }, "leaves must tile the span gaplessly")
+
+    val out = readPaged(5000).collect()
+    assert(out.length == 5000, "half-open windows: no dups, no drops")
+    assert(out.map(_.getLong(0)).sorted.toSeq == (0L until 5000L))
+    // row function fidelity (the oracle's arithmetic)
+    assert(out.forall { r =>
+      r.getLong(1) == base + (r.getLong(0) * HashSpreadApi.Mult) % span &&
+        r.getString(2) == s"vac-${r.getLong(0)}"
+    })
+  }
+
+  test("a pageable feed plans without splitting; partitions = pages") {
+    val a = api(450) // under the 500 cap: one window
+    val windows = PagedSource.planWindows(a, base, base + span, 60)
+    assert(windows == Seq((base, base + span, 450L)))
+    val parts = readPaged(450).rdd.getNumPartitions
+    assert(parts == 5, s"ceil(450/100) = 5 page partitions, got $parts")
+  }
+
+  test("sub-minRange burst window is skipped — the reference's data-loss edge") {
+    // odd ids all land on ONE second: that window overflows at every
+    // depth until its width drops under minRange, then is skipped
+    val out = readPaged(5000, burst = true).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 2 == 0), "burst (odd) ids must be gone")
+    // even ids spread uniformly: all survive
+    assert(out.length == 2500, s"expected the 2500 even ids, got ${out.length}")
+  }
+
+  test("column pruning reaches the scan's readSchema") {
+    val pruned = readPaged(5000).select("id")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("id"))
+    assert(pruned.distinct().count() == 5000)
+  }
+}
