@@ -63,26 +63,34 @@ object DataCard {
     val wide = base.crossJoin(topTok).crossJoin(distinctTok)
       .crossJoin(distinctEst).crossJoin(maxSource)
 
+    // ONE evaluation of the 1-row wide frame, exploded to the 13 card
+    // rows — the first draft union'd 13 single-row selects of `wide`,
+    // which replicated the whole aggregate subtree (including three
+    // separate token explode+groupBy passes) once per row in the plan:
+    // the suite's slowest query for no semantic reason (r11 audit).
     def row(name: String, c: org.apache.spark.sql.Column) =
-      wide.select(lit(name).as("metric"), round(c.cast("double"), 4).as("value"))
+      struct(lit(name).as("metric"), round(c.cast("double"), 4).as("value"))
 
-    row("n_docs", col("n_docs"))
-      .unionByName(row("n_sources", col("n_sources")))
-      .unionByName(row("n_langs", col("n_langs")))
-      .unionByName(row("total_tokens", col("total_tokens")))
-      .unionByName(row("total_chars", col("total_chars")))
-      .unionByName(row("empty_docs", col("empty_docs")))
-      .unionByName(row("exact_dup_docs", col("n_docs") - col("distinct_texts")))
-      .unionByName(row("distinct_tokens", col("distinct_tokens")))
-      .unionByName(row("distinct_token_est", col("d_est")))
-      .unionByName(row("mean_doc_tokens",
-        col("total_tokens").cast("double") / col("n_docs")))
-      .unionByName(row("stop_ratio",
-        col("total_stop").cast("double") / col("total_tokens")))
-      .unionByName(row("top_token_share",
-        col("top_tok_cnt").cast("double") / col("total_tokens")))
-      .unionByName(row("max_source_share",
-        col("max_source_docs").cast("double") / col("n_docs")))
+    wide.select(explode(array(
+        row("n_docs", col("n_docs")),
+        row("n_sources", col("n_sources")),
+        row("n_langs", col("n_langs")),
+        row("total_tokens", col("total_tokens")),
+        row("total_chars", col("total_chars")),
+        row("empty_docs", col("empty_docs")),
+        row("exact_dup_docs", col("n_docs") - col("distinct_texts")),
+        row("distinct_tokens", col("distinct_tokens")),
+        row("distinct_token_est", col("d_est")),
+        row("mean_doc_tokens",
+          col("total_tokens").cast("double") / col("n_docs")),
+        row("stop_ratio",
+          col("total_stop").cast("double") / col("total_tokens")),
+        row("top_token_share",
+          col("top_tok_cnt").cast("double") / col("total_tokens")),
+        row("max_source_share",
+          col("max_source_docs").cast("double") / col("n_docs"))))
+        .as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
   }
 
   /** [[build]] plus the quality-funnel drop table folded in as card
