@@ -52,15 +52,19 @@ object DataCard {
       sum("n_stop").as("total_stop"))
 
     val tokFrame = documents.select(explode(toks).as("tok"))
-    val tokStats = tokFrame.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val topTok = tokStats.orderBy(col("cnt").desc, col("tok")).limit(1)
-      .select(col("cnt").as("top_tok_cnt"))
-    val distinctTok = tokStats.agg(count(lit(1)).as("distinct_tokens"))
+    // top-token count and distinct count come out of ONE aggregate over
+    // the (tok, cnt) frame — the card only reports the top COUNT, so no
+    // orderBy/limit branch is needed and the token explode+groupBy runs
+    // once for both metrics (the KMV estimate is the second, sketch-side
+    // pass over the raw token frame)
+    val tokAgg = tokFrame.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .agg(max("cnt").as("top_tok_cnt"),
+        count(lit(1)).as("distinct_tokens"))
     val distinctEst = Sketches.kmvCardinality(tokFrame, k = 256)
     val maxSource = perDoc.groupBy("source").agg(count(lit(1)).as("sd"))
       .agg(max("sd").as("max_source_docs"))
 
-    val wide = base.crossJoin(topTok).crossJoin(distinctTok)
+    val wide = base.crossJoin(tokAgg)
       .crossJoin(distinctEst).crossJoin(maxSource)
 
     // ONE evaluation of the 1-row wide frame, exploded to the 13 card

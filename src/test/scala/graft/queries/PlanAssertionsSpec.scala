@@ -305,4 +305,23 @@ class PlanAssertionsSpec extends SparkSpec {
     // the sorted-list collect is the bounded ObjectHashAggregate form
     assert(p.contains("ObjectHashAggregate"), p)
   }
+
+  test("q_data_card: the wide row is evaluated once — no per-card-row subtree replication") {
+    // the first draft union'd 13 single-row selects of the wide frame,
+    // replicating every aggregate subtree (token explode+groupBy
+    // included) once per card row; the explode-over-struct-array form
+    // caps corpus touches at the 2 token passes (tok aggregate + KMV)
+    // plus the checkpointed perDoc references
+    val p = planString("q_data_card")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"$scans parquet scans — the card re-derived a branch per row\n$p")
+  }
+
+  test("q_paged_source: pages fan out as input partitions; only the presentation sort shuffles") {
+    val df = Registry.queries("q_paged_source")(spark, dir)
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("BatchScan paged"), p.toString)
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"${shuffles.size} shuffles\n$p") // orderBy only
+  }
 }
