@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -132,6 +133,17 @@ object PagedSource {
       } else Seq((fromSec, toSec, n))
     }
 
+  /** One [[PagedPartition]] per (bisected window, page) — the shared
+    * fan-out for the batch scan and each micro-batch. */
+  def pagePartitions(
+      api: PagedApi, fromSec: Long, toSec: Long,
+      minRange: Long): Array[InputPartition] =
+    planWindows(api, fromSec, toSec, minRange).flatMap {
+      case (f, t, n) =>
+        val pages = ((n + api.perPage - 1) / api.perPage).toInt
+        (0 until pages).map(p => PagedPartition(f, t, p): InputPartition)
+    }.toArray
+
   /** Fixture factory — the seam where an HTTP-backed [[PagedApi]]
     * would be constructed from reader options instead. */
   def apiFor(o: CaseInsensitiveStringMap): HashSpreadApi =
@@ -157,47 +169,99 @@ class PagedSource extends TableProvider {
     new PagedTable(PagedSource.apiFor(o),
       o.getLong("base", 1600000000L),
       o.getLong("base", 1600000000L) + o.getLong("span", 864000L),
-      o.getLong("minRange", 60L))
+      o.getLong("minRange", 60L),
+      o.getLong("pollStep", 86400L))
   }
 }
 
-class PagedTable(api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long)
+class PagedTable(
+    api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
+    pollStep: Long)
     extends Table with SupportsRead {
   override def name(): String = s"paged(n=${api.n})"
   override def schema(): StructType = PagedSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(api, fromSec, toSec, minRange)
+    new PagedScanBuilder(api, fromSec, toSec, minRange, pollStep)
 }
 
 class PagedScanBuilder(
-    api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long)
+    api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
+    pollStep: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PagedSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new PagedScan(api, fromSec, toSec, minRange, required)
+    new PagedScan(api, fromSec, toSec, minRange, pollStep, required)
 }
 
 class PagedScan(
     api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
-    required: StructType)
+    pollStep: Long, required: StructType)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    PagedSource.planWindows(api, fromSec, toSec, minRange).flatMap {
-      case (f, t, n) =>
-        val pages = ((n + api.perPage - 1) / api.perPage).toInt
-        (0 until pages).map(p => PagedPartition(f, t, p): InputPartition)
-    }.toArray
+    PagedSource.pagePartitions(api, fromSec, toSec, minRange)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(api, required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedMicroBatchStream(api, fromSec, toSec, minRange, pollStep, required)
+}
+
+/** The reference's POLLING loop (it re-runs the scraper on a schedule,
+  * each run fetching what arrived since the last) as Structured
+  * Streaming: the offset IS the feed-time high-water mark, and every
+  * micro-batch runs the SAME bisection planner over
+  * `[committed HWM, frontier)` — incremental ingestion reuses the batch
+  * planner verbatim, so a backlogged restart (large window) bisects
+  * exactly like a cold batch load, and a steady-state poll (one small
+  * window) plans a handful of pages. Half-open windows make batch
+  * boundaries duplicate-free, the property the reference's inclusive
+  * date params lack. The fixture frontier advances `pollStep` seconds
+  * per trigger (deterministic stand-in for wall-clock "now"), capped at
+  * the feed end; recovery is Spark's offset-log replay
+  * (deserializeOffset → plan the same window again). */
+class PagedMicroBatchStream(
+    api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
+    pollStep: Long, required: StructType) extends MicroBatchStream {
+
+  private var frontier: Long = fromSec
+
+  override def initialOffset(): Offset = PagedOffset(fromSec)
+
+  override def latestOffset(): Offset = {
+    frontier = math.min(frontier + pollStep, toSec)
+    PagedOffset(frontier)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    PagedSource.pagePartitions(api,
+      start.asInstanceOf[PagedOffset].sec,
+      end.asInstanceOf[PagedOffset].sec, minRange)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(api, required)
+
+  override def deserializeOffset(json: String): Offset = {
+    // a restart resumes the frontier walk from the checkpointed HWM
+    val sec = json.trim.toLong
+    frontier = math.max(frontier, sec)
+    PagedOffset(sec)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class PagedOffset(sec: Long) extends Offset {
+  override def json(): String = sec.toString
 }
 
 case class PagedPartition(fromSec: Long, toSec: Long, page: Int)

@@ -63,6 +63,39 @@ class PagedSourceSpec extends SparkSpec {
     assert(out.length == 2500, s"expected the 2500 even ids, got ${out.length}")
   }
 
+  test("micro-batch polling: stream ≡ batch, HWM offsets advance, batches are duplicate-free") {
+    // pollStep = span/8: the frontier walks the feed in 8 polls; each
+    // micro-batch runs the SAME bisection planner over [HWM, frontier)
+    val q = spark.readStream.format("graft.sources.PagedSource")
+      .option("n", "5000").option("base", base.toString)
+      .option("span", span.toString)
+      .option("perPage", "100").option("maxPages", "5")
+      .option("minRange", "60")
+      .option("pollStep", (span / 8).toString)
+      .load()
+      .writeStream.format("memory").queryName("paged_stream")
+      .start()
+    try {
+      // the frontier advances one pollStep per trigger: drain until the
+      // sink stops growing (bounded by 8 polls + slack)
+      var last = -1L
+      var stable = 0
+      var guard = 0
+      while (stable < 2 && guard < 40) {
+        q.processAllAvailable()
+        val c = spark.table("paged_stream").count()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        guard += 1
+      }
+      val got = spark.table("paged_stream")
+      assert(got.count() == 5000, "stream must deliver the full feed exactly once")
+      assert(got.select("id").distinct().count() == 5000,
+        "half-open batch windows: no id may repeat across micro-batches")
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "the feed must arrive across MULTIPLE polls, not one batch")
+    } finally q.stop()
+  }
+
   test("column pruning reaches the scan's readSchema") {
     val pruned = readPaged(5000).select("id")
     val scans = pruned.queryExecution.executedPlan.collect {
