@@ -330,10 +330,12 @@ object Round10Queries {
             FROM r ORDER BY doc_id"""))
 
   /** [[graft.extensions.Packing.shardBalance]] — the per-shard budget
-    * line: doc count, token total, and tok_sum·S/Σ (1.0 = perfect).
-    * Pins that serpentine dealing actually balances (every balance
-    * factor rounds to ~1) and that the broadcast grand-total path
-    * divides bitwise like the oracle's window. */
+    * line: doc count, token total, and tok_sum·S/Σ scaled ×10⁴ as
+    * int64 (10000 = perfect; r11 armor for CORRECTNESS_r10's one hash
+    * mismatch — no double ever reaches the hashed output). Pins that
+    * serpentine dealing actually balances (every factor lands near
+    * 10000) and that the broadcast grand-total path and the oracle's
+    * window agree in exact integer space. */
   private val shardBalanceQ = Q("q_shard_balance",
     (s, dir) => {
       val assigned = graft.extensions.Packing
