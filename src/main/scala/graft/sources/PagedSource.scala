@@ -123,14 +123,30 @@ object PagedSource {
   def planWindows(
       api: PagedApi, fromSec: Long, toSec: Long,
       minRange: Long): Seq[(Long, Long, Long)] =
-    if (toSec - fromSec < minRange) Seq.empty // reference: log + skip
+    planWindowsWithSkips(api, fromSec, toSec, minRange)._1
+
+  /** [[planWindows]] plus the SKIP REPORT: the sub-`minRange` windows
+    * the recursion dropped, i.e. the feed's unreachable slices (a
+    * burst denser than the page cap at the narrowest splittable
+    * width). The reference only logs these (get_vacancies.py:32);
+    * surfacing them as data lets an ingestion job publish its own
+    * data-loss line next to the scan — leaves and skips together tile
+    * the requested span exactly, so `Σ found(skips)` IS the row
+    * deficit (PagedPlannerProperties pins all of this for arbitrary
+    * feed shapes). */
+  def planWindowsWithSkips(
+      api: PagedApi, fromSec: Long, toSec: Long,
+      minRange: Long): (Seq[(Long, Long, Long)], Seq[(Long, Long)]) =
+    if (toSec - fromSec < minRange)
+      (Seq.empty, Seq((fromSec, toSec))) // reference: log + skip
     else {
       val n = api.found(fromSec, toSec)
       if (n > api.perPage.toLong * api.maxPages) {
         val mid = (fromSec + toSec) / 2
-        planWindows(api, fromSec, mid, minRange) ++
-          planWindows(api, mid, toSec, minRange)
-      } else Seq((fromSec, toSec, n))
+        val (l1, s1) = planWindowsWithSkips(api, fromSec, mid, minRange)
+        val (l2, s2) = planWindowsWithSkips(api, mid, toSec, minRange)
+        (l1 ++ l2, s1 ++ s2)
+      } else (Seq((fromSec, toSec, n)), Seq.empty)
     }
 
   /** One [[PagedPartition]] per (bisected window, page) — the shared

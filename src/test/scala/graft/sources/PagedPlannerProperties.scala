@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Test.Parameters
+
+/** The bisection planner's invariants as properties, for ANY fixture
+  * feed shape (pure planner math — no Spark job per case, so the case
+  * count can be generous):
+  *
+  *  1. every kept leaf fits the page cap (found ≤ perPage·maxPages) —
+  *     the feed will actually page it;
+  *  2. leaves ∪ skips tile the requested span EXACTLY (disjoint,
+  *     ordered, gapless) — nothing is dropped silently;
+  *  3. every skipped window is narrower than minRange — the ONLY
+  *     data-loss mode is the reference's documented one (a slice too
+  *     dense to page at the narrowest splittable width);
+  *  4. Σ found over leaves + Σ found over skips = the flat count —
+  *     the skip report IS the exact row deficit;
+  *  5. the recursion terminates on every generated case (width halves
+  *     each level, so depth ≤ log2(span/minRange) + 1).
+  */
+object PagedPlannerProperties extends Properties("PagedPlanner") {
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(60)
+
+  private val cases = for {
+    n <- Gen.choose(0L, 3000L)
+    span <- Gen.choose(200L, 200000L)
+    perPage <- Gen.choose(5, 60)
+    maxPages <- Gen.choose(1, 6)
+    minRange <- Gen.choose(1L, 500L)
+    burst <- Gen.oneOf(true, false)
+  } yield (n, span, perPage, maxPages, minRange, burst)
+
+  property("leaves fit the cap; leaves ∪ skips tile the span; skips are the exact deficit") =
+    Prop.forAllNoShrink(cases) { case (n, span, perPage, maxPages, minRange, burst) =>
+      val base = 1600000000L
+      val api = HashSpreadApi(n, base, span, perPage, maxPages, burst)
+      val cap = perPage.toLong * maxPages
+      val (leaves, skips) =
+        PagedSource.planWindowsWithSkips(api, base, base + span, minRange)
+
+      val fits = leaves.forall { case (f, t, found) =>
+        found <= cap && found == api.found(f, t) && f < t
+      }
+      val skipsNarrow = skips.forall { case (f, t) => t - f < minRange }
+      // tiling: the union of leaf and skip intervals, sorted, must be
+      // exactly [base, base+span) with no gap and no overlap
+      val intervals =
+        (leaves.map { case (f, t, _) => (f, t) } ++ skips).sortBy(_._1)
+      val tiles = intervals.nonEmpty &&
+        intervals.head._1 == base &&
+        intervals.last._2 == base + span &&
+        intervals.sliding(2).forall {
+          case Seq((_, t1), (f2, _)) => t1 == f2
+          case _ => true
+        }
+      val leafRows = leaves.map(_._3).sum
+      val skipRows = skips.map { case (f, t) => api.found(f, t) }.sum
+      val accounted = leafRows + skipRows == api.found(base, base + span)
+
+      fits && skipsNarrow && tiles && accounted
+    }
+}
