@@ -120,6 +120,62 @@ object Packing {
           .as("balance_x10k"))
   }
 
+  /** Delete propagation through a [[packChunks]] manifest — the
+    * right-to-be-forgotten pass a shipped training set needs: given a
+    * delete list, re-derive the manifest for the RETAINED docs without
+    * touching the corpus text. Each shard's stream closes up over the
+    * removed spans (same cumulative-sum shape as packChunks, same
+    * doc_id order), so the result is EXACTLY what packing the filtered
+    * corpus would produce (spec-pinned equivalence) — but computed
+    * from manifest rows (~32 B/doc), never a 100 TB re-tokenization.
+    *
+    * The write side is incremental too: within a shard, every chunk
+    * BEFORE the first deleted doc's chunk_first is byte-identical
+    * (prefix ranks and spans are untouched by removals behind them),
+    * so only the suffix from that chunk on rewrites —
+    * [[repackCost]] publishes exactly that bound per shard. */
+  def applyDeletes(
+      manifest: DataFrame, deletes: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest.join(deletes.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("shard"), col("n_tok"))
+      .withColumn("end_tok", sum("n_tok").over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tok"))
+      .withColumn("chunk_first", floor(col("start_tok") / budget).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("end_tok") - 1) / budget).cast("long"))
+  }
+
+  /** Per-shard rewrite bill for [[applyDeletes]]: how many training
+    * chunks existed, how many remain, and how many must be rewritten —
+    * `chunks_after − chunk_first(first deleted doc)` (0 for shards the
+    * delete list never touches; every chunk before that index is
+    * byte-identical and keeps its file). The number the shard writer
+    * acts on, and the measurable form of the "unlearning is bounded,
+    * not a full repack" claim. All columns int64. */
+  def repackCost(
+      manifest: DataFrame, deletes: DataFrame, budget: Int): DataFrame = {
+    val del = manifest.join(deletes.select("doc_id"), Seq("doc_id"), "left_semi")
+    val before = manifest.groupBy("shard")
+      .agg((max("chunk_last") + 1).as("chunks_before"))
+    val after = applyDeletes(manifest, deletes, budget).groupBy("shard")
+      .agg((max("chunk_last") + 1).as("chunks_after"))
+    val firstHit = del.groupBy("shard")
+      .agg(min("chunk_first").as("_first_hit"))
+    before
+      .join(after, Seq("shard"), "left_outer")
+      .join(firstHit, Seq("shard"), "left_outer")
+      .select(col("shard"), col("chunks_before"),
+        coalesce(col("chunks_after"), lit(0L)).as("chunks_after"),
+        when(col("_first_hit").isNull, lit(0L))
+          .otherwise(greatest(
+            coalesce(col("chunks_after"), lit(0L)) - col("_first_hit"),
+            lit(0L)))
+          .as("chunks_rewritten"))
+  }
+
   /** Sliding-window chunking — the long-document splitter for context-
     * bounded training and RAG indexing: each document's token stream is
     * cut into windows of `win` tokens starting every `stride` tokens

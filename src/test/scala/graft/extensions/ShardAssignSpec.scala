@@ -76,6 +76,53 @@ class ShardAssignSpec extends SparkSpec {
     assert(serp.forall(b => b > 9500L && b < 10500L), serp.toSeq.toString)
   }
 
+  test("applyDeletes ≡ packChunks over the filtered corpus; untouched prefix and cost bound hold") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 64
+    val manifest = Packing.packChunks(docs, budget)
+    val deletes = manifest.select("doc_id").filter(col("doc_id") % 37 === 0)
+
+    // 1. the defining contract: repacking the MANIFEST equals packing
+    // the FILTERED corpus (no text ever re-tokenized)
+    val viaManifest = Packing.applyDeletes(manifest, deletes, budget)
+      .orderBy("shard", "doc_id").collect().toSeq
+    val viaCorpus = Packing
+      .packChunks(docs.filter(col("doc_id") % 37 =!= 0), budget)
+      .orderBy("shard", "doc_id").collect().toSeq
+    assert(viaManifest == viaCorpus)
+
+    // 2. bounded rewrite: before the first deleted doc's chunk_first,
+    // every retained row keeps identical geometry (those chunk files
+    // never rewrite); shards without deletes are identical end to end
+    val oldRows = manifest.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"))).toMap
+    val firstHit = manifest
+      .join(deletes, Seq("doc_id"), "left_semi")
+      .groupBy("shard").agg(min("chunk_first").as("fh")).collect()
+      .map(r => r.getAs[String]("shard") -> r.getAs[Long]("fh")).toMap
+    viaManifest.foreach { r =>
+      val fh = firstHit.get(r.getAs[String]("shard"))
+      val untouched = fh.forall(h => r.getAs[Long]("chunk_last") < h)
+      if (untouched)
+        assert(oldRows(r.getAs[Long]("doc_id")) ==
+          ((r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"))))
+    }
+
+    // 3. the bill reconciles: rewritten = chunks_after − first_hit
+    // (0 where no deletes landed), never negative, never > after
+    Packing.repackCost(manifest, deletes, budget).collect().foreach { r =>
+      val (before, after, rew) = (r.getAs[Long]("chunks_before"),
+        r.getAs[Long]("chunks_after"), r.getAs[Long]("chunks_rewritten"))
+      assert(rew >= 0 && rew <= after, r.toString)
+      assert(after <= before, r.toString)
+      firstHit.get(r.getAs[String]("shard")) match {
+        case Some(h) => assert(rew == math.max(after - h, 0L), r.toString)
+        case None => assert(rew == 0L, r.toString)
+      }
+    }
+  }
+
   test("composition: assignment joins back and packChunks packs per shard") {
     val docs = Seq(mkDoc(1, 6), mkDoc(2, 5), mkDoc(3, 4), mkDoc(4, 3))
       .toDF("doc_id", "text")
