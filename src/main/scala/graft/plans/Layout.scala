@@ -199,6 +199,13 @@ object Layout {
     val b = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // an empty (or all-NULL-key) frame has no bounds and nothing to
+    // order — return it with the _z column typed but rowless instead of
+    // tripping over the NULL aggregate row (empty-lake contract,
+    // EmptyCorpusSpec)
+    if (b.isNullAt(0) || b.isNullAt(2))
+      return df.withColumn("_z", lit(null).cast("long"))
+        .filter(col(colA).isNotNull && col(colB).isNotNull)
     def norm(c: Column, lo: Double, hi: Double): Column = {
       val span = if (hi > lo) hi - lo else 1.0
       least(lit(topRank),
