@@ -25,11 +25,22 @@ class EmptyCorpusSpec extends SparkSpec {
   private val needsData: Set[String] = EmptyCorpusSpec.needsData
 
   test("every registered query survives an empty lake or fails intentionally") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    sweep(rows = 0)
+  }
+
+  test("every registered query survives a single-row lake (degenerate but non-empty)") {
+    // one row per table exercises the OTHER degenerate paths: pair
+    // generators with no pairs, percentiles of a single point, windows
+    // of one, LSH with nothing to band against
+    sweep(rows = 1)
+  }
+
+  private def sweep(rows: Int): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-deg$rows").toString
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings"))
       graft.Tables.table(spark, "/root/testdata/sf0.001", t)
-        .limit(0).coalesce(1).write.mode("overwrite")
+        .limit(rows).coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/$t.parquet")
 
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
