@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.extensions.Packing
+
+/** Right-to-be-forgotten as a stream — the tombstone-log twin of
+  * [[graft.extensions.Packing.applyDeletes]], in the same LSM shape as
+  * [[StreamingPostings]]: arriving delete ids APPEND to a tombstone
+  * log (stamped with the batch id); readers resolve the live training
+  * manifest as `applyDeletes(base, log-so-far)` — one shard-keyed
+  * window over manifest rows, never a corpus re-tokenization;
+  * compaction folds tombstones into the base by rewriting only each
+  * shard's suffix from the first tombstoned chunk
+  * ([[graft.extensions.Packing.repackCost]] is the bill, priced in
+  * the capstone bench).
+  *
+  * Exactly-once is free here: deletion is a set operation, so a
+  * replayed batch appends duplicate tombstones and the anti-join
+  * resolves them to the same manifest (idempotence spec-pinned) — no
+  * overwrite-by-id discipline needed, unlike the postings delta whose
+  * rows are state-dependent.
+  *
+  * Parity contract (StreamingDeletesSpec): after ANY stream of delete
+  * batches, `view(base, log)` ≡ batch `applyDeletes` of the unioned
+  * delete set ≡ `packChunks` over the filtered corpus. */
+object StreamingDeletes {
+
+  /** The live manifest: base minus every tombstoned doc, each shard's
+    * token stream closed up over the removed spans. */
+  def view(base: DataFrame, tombstones: DataFrame, budget: Int): DataFrame =
+    Packing.applyDeletes(base, tombstones, budget)
+
+  /** foreachBatch sink maintaining the tombstone log: each arriving
+    * batch of `doc_id` rows is handed to `onBatch` stamped with its
+    * batch id; the caller appends it to the log (append-only — replay
+    * duplicates are harmless by the set semantics above). */
+  def sink(
+      arrivingDeletes: DataFrame,
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    arrivingDeletes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(
+          batch.select("doc_id").withColumn("batch_id", lit(batchId)),
+          batchId)
+      }
+}
