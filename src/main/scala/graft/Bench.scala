@@ -632,10 +632,30 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // 8. the forget pass (r11): delete propagation through the packed
+    // manifest — manifest-rows-only repack cost per round, plus the
+    // bounded-rewrite bill (rewritten/total chunks) so the
+    // "unlearning is a suffix rewrite, not a full repack" claim is a
+    // measured number, not a scaladoc sentence
+    val delManifest = graft.extensions.Packing
+      .packChunks(fullDocs, budget = 64).localCheckpoint()
+    val dels = delManifest.select("doc_id")
+      .filter(col("doc_id") % 37 === 0).localCheckpoint()
+    val delRepackT = timeMed(reps, "delete_repack") {
+      graft.extensions.Packing.applyDeletes(delManifest, dels, budget = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val delBill = graft.extensions.Packing
+      .repackCost(delManifest, dels, budget = 64)
+      .agg(sum("chunks_rewritten"), sum("chunks_before")).head()
+
     Seq(
       "merge" -> mergeT,
       "gates" -> gatesT,
       "pii_scrub" -> piiT,
+      "delete_repack" -> delRepackT,
+      "delete_chunks_rewritten" -> delBill.getLong(0).toDouble,
+      "delete_chunks_total" -> delBill.getLong(1).toDouble,
       "gates_containment" -> gatesContT,
       "containment_dropped" -> contDropped.toDouble,
       "training_set" -> trainingSetT,
