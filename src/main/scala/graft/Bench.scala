@@ -987,6 +987,38 @@ object Bench {
             .agg(avg(abs(col("kmv_est") - col("n_exact")) / col("n_exact")))
             .head().getDouble(0)
         },
+        // the quantile member of the sketch family (r11): Spark's
+        // mergeable GK sketch (approx_percentile, accuracy 100 ⇒ rank
+        // error ≤ 1%) priced beside the exact percentile it stands in
+        // for at 100 TB (exact = full sort; GK state is bounded), and
+        // its MEASURED worst rank error published like kmv_relerr —
+        // the row that catches a regression in the trade, not just
+        // the speed
+        "quantile_exact_sort" -> timeMed(reps, "quantile_exact_sort") {
+          docs.select(length(col("text")).cast("long").as("v"))
+            .agg(percentile(col("v"), lit(0.5)), percentile(col("v"), lit(0.99)))
+            .collect()
+        },
+        "quantile_gk_sketch" -> timeMed(reps, "quantile_gk_sketch") {
+          docs.select(length(col("text")).cast("long").as("v"))
+            .agg(percentile_approx(col("v"), lit(0.5), lit(100)),
+              percentile_approx(col("v"), lit(0.99), lit(100)))
+            .collect()
+        },
+        "quantile_rank_err_max" -> {
+          val vals = docs.select(length(col("text")).cast("long").as("v"))
+            .localCheckpoint()
+          val n = vals.count()
+          val approx = vals.agg(
+            percentile_approx(col("v"), lit(0.5), lit(100)).as("p50"),
+            percentile_approx(col("v"), lit(0.99), lit(100)).as("p99")).head()
+          def rankErr(est: Long, q: Double): Double = {
+            val rank = vals.filter(col("v") <= est).count()
+            math.abs(rank.toDouble / n - q)
+          }
+          math.max(rankErr(approx.getLong(0), 0.5),
+            rankErr(approx.getLong(1), 0.99))
+        },
         // shard assignment at corpus scale: the distributed global
         // row number (two metadata-only shuffles + a P-row collect)
         // dealing the Zipf corpus serpentine over 64 shards, plus the
