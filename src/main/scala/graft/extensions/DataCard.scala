@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The corpus data card — the one-page profile a dataset ships with
@@ -117,5 +117,135 @@ object DataCard {
         round(when(col("rule") === "pass", col("n_remaining"))
           .otherwise(col("n_dropped")).cast("double"), 4).as("value"))
     build(documents, stopwords).unionByName(f)
+  }
+
+  // ------------------------------------------------------------------
+  // Mergeable card states (round 11) — the 100 TB release pattern: each
+  // partition/day/source ships a bounded CARD STATE; states merge
+  // associatively without re-reading any raw data; the merged state
+  // renders the release card. Counts and per-source/lang tallies merge
+  // by sum (exact); the two distinct counts travel as KMV min-hash
+  // ROWS, and k-smallest-of-union makes their merge EXACT with respect
+  // to the sketch (k smallest of A ∪ B = k smallest of the two k-min
+  // sets' union) — so merge ∘ buildState ≡ buildState ∘ union
+  // BITWISE, the law DataCardSpec pins and q_card_merged oracles.
+  // top_token_share is the one card row that is NOT mergeable from
+  // bounded state (a global top needs the full vocabulary or a CMS
+  // candidate protocol) and is deliberately absent from the merged
+  // render — documented honesty beats a silently-approximate number.
+
+  /** Bounded mergeable state: (kind, key, n) rows —
+    * `sum` tallies, per-`source` / per-`lang` doc counts, and the k
+    * smallest distinct 48-bit text/token hashes (`kmv_text` /
+    * `kmv_tok`, key = zero-padded hash so the state frame is
+    * string-keyed and sortable). Size ≤ 5 + |sources| + |langs| + 2k
+    * rows regardless of corpus size. */
+  def buildState(
+      documents: DataFrame,
+      k: Int = 256,
+      stopwords: Seq[String] = Funnel.DefaultStopwords): DataFrame = {
+    val toks = filter(split(lower(coalesce(col("text"), lit(""))), " "),
+      t => t =!= "")
+    val perDoc = documents.select(
+      col("source"), col("lang"),
+      coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+      size(toks).cast("long").as("n_tok"),
+      size(filter(toks, t => t.isin(stopwords: _*)))
+        .cast("long").as("n_stop"),
+      lower(coalesce(col("text"), lit(""))).as("_lt"))
+      .localCheckpoint()
+
+    def row(kind: String, key: Column, n: Column) =
+      struct(lit(kind).as("kind"), key.as("key"), n.cast("long").as("n"))
+    val sums = perDoc.agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+        sum("n_chars").as("total_chars"), sum("n_stop").as("total_stop"),
+        sum(when(col("n_tok") === 0, 1L).otherwise(0L)).as("empty_docs"))
+      .select(explode(array(
+        row("sum", lit("n_docs"), col("n_docs")),
+        row("sum", lit("total_tokens"), coalesce(col("total_tokens"), lit(0L))),
+        row("sum", lit("total_chars"), coalesce(col("total_chars"), lit(0L))),
+        row("sum", lit("total_stop"), coalesce(col("total_stop"), lit(0L))),
+        row("sum", lit("empty_docs"), col("empty_docs")))).as("r"))
+      .select("r.kind", "r.key", "r.n")
+    val sources = perDoc.groupBy(col("source").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("source").as("kind"), col("key"), col("n"))
+    val langs = perDoc.groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("lang").as("kind"), col("key"), col("n"))
+    def kmins(kind: String, hashes: DataFrame) = hashes
+      .distinct().orderBy("h").limit(k) // bounded heap (TakeOrdered)
+      .select(lit(kind).as("kind"),
+        lpad(col("h").cast("string"), 15, "0").as("key"), col("h").as("n"))
+    val kmvText = kmins("kmv_text",
+      perDoc.select(Sketches.kmvHash(col("_lt")).as("h")))
+    val kmvTok = kmins("kmv_tok",
+      perDoc.select(explode(filter(split(col("_lt"), " "), t => t =!= ""))
+          .as("tok"))
+        .select(Sketches.kmvHash(col("tok")).as("h")))
+    sums.unionByName(sources).unionByName(langs)
+      .unionByName(kmvText).unionByName(kmvTok)
+  }
+
+  /** Associative state merge: tallies sum, KMV kinds keep the k
+    * smallest distinct hashes of the union. */
+  def mergeStates(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val all = a.unionByName(b)
+    val tallies = all.filter(!col("kind").startsWith("kmv_"))
+      .groupBy("kind", "key").agg(sum("n").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kind").orderBy("n")
+    val kmv = all.filter(col("kind").startsWith("kmv_"))
+      .select("kind", "key", "n").distinct()
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+    tallies.unionByName(kmv)
+  }
+
+  /** The release card from a (merged) state: every tally-derived row
+    * of [[build]] plus the two KMV estimates; same (metric, value)
+    * contract and the same integer-derived/one-division float
+    * discipline. */
+  def renderMerged(state: DataFrame, k: Int = 256): DataFrame = {
+    val spark = state.sparkSession
+    val s = state.localCheckpoint()
+    val sums = s.filter(col("kind") === "sum")
+      .groupBy().pivot("key").agg(first("n"))
+    val srcAgg = s.filter(col("kind") === "source")
+      .agg(count(lit(1)).as("n_sources"), max("n").as("max_source_docs"))
+    val langAgg = s.filter(col("kind") === "lang")
+      .agg(count(lit(1)).as("n_langs"))
+    def kmvEst(kind: String) = {
+      // estimator mirrors Sketches.kmvCardinality: below k → exact
+      // count of hashes; at k → (k-1)·2^48 / h_k
+      val r = s.filter(col("kind") === kind)
+        .orderBy("n").limit(k)
+        .agg(count(lit(1)).as("n_h"), max("n").as("hk")).head()
+      if (r.getLong(0) < k) r.getLong(0).toDouble
+      else (k - 1).toDouble * 281474976710656.0 / r.getLong(1)
+    }
+    val estText = kmvEst("kmv_text")
+    val estTok = kmvEst("kmv_tok")
+    val wide = sums.crossJoin(broadcast(srcAgg)).crossJoin(broadcast(langAgg))
+    def row(name: String, c: Column) =
+      struct(lit(name).as("metric"), round(c.cast("double"), 4).as("value"))
+    wide.select(explode(array(
+        row("n_docs", col("n_docs")),
+        row("n_sources", col("n_sources")),
+        row("n_langs", col("n_langs")),
+        row("total_tokens", col("total_tokens")),
+        row("total_chars", col("total_chars")),
+        row("empty_docs", col("empty_docs")),
+        row("distinct_text_est", lit(estText)),
+        row("distinct_token_est", lit(estTok)),
+        row("mean_doc_tokens",
+          col("total_tokens").cast("double") / col("n_docs")),
+        row("stop_ratio",
+          col("total_stop").cast("double") / col("total_tokens")),
+        row("max_source_share",
+          col("max_source_docs").cast("double") / col("n_docs"))))
+        .as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
   }
 }

@@ -104,5 +104,81 @@ object Round11Queries {
             LEFT JOIN hit USING (shard)
             ORDER BY shard"""))
 
-  val all: Seq[Q] = Seq(pagedSource, deleteRepack, deleteRepackCost)
+  /** [[graft.extensions.DataCard.renderMerged]] — the release card
+    * assembled the 100 TB way: two half-corpus CARD STATES (bounded:
+    * tallies + per-source/lang counts + KMV min-hash rows) merged
+    * without re-reading any document, then rendered. The oracle
+    * computes every metric from the FULL corpus independently — the
+    * merge being exact (k-smallest-of-union) is precisely what makes
+    * the row hashable; top_token_share is deliberately absent (not
+    * derivable from bounded state, documented in the scaladoc). */
+  private val cardMerged = Q("q_card_merged",
+    (s, dir) => {
+      val docs = graft.Tables.table(s, dir, "documents")
+      val a = graft.extensions.DataCard
+        .buildState(docs.filter(col("doc_id") % 2 === 0))
+      val b = graft.extensions.DataCard
+        .buildState(docs.filter(col("doc_id") % 2 === 1))
+      graft.extensions.DataCard
+        .renderMerged(graft.extensions.DataCard.mergeStates(a, b))
+        .orderBy("metric")
+    },
+    Some("""WITH d AS (SELECT source, lang,
+                              coalesce(n_chars, 0) AS n_chars,
+                              len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                              t -> t <> '')) AS n_tok,
+                              len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                              t -> t IN ('the', 'a'))) AS n_stop,
+                              lower(coalesce(text, '')) AS lt
+                       FROM documents),
+                 sums AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                                 CAST(sum(n_stop) AS BIGINT) AS total_stop,
+                                 CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                   AS empty_docs,
+                                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+                          FROM d),
+                 msrc AS (SELECT CAST(max(c) AS BIGINT) AS max_source_docs FROM
+                            (SELECT count(*) AS c FROM d GROUP BY source)),
+                 th AS (SELECT DISTINCT
+                          CAST(concat('0x', substr(md5(lt), 1, 12)) AS BIGINT) AS h
+                        FROM d),
+                 tr AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM th),
+                 test AS (SELECT count(*) AS n_h,
+                                 max(CASE WHEN rk = 256 THEN h END) AS hk
+                          FROM tr WHERE rk <= 256),
+                 kh AS (SELECT DISTINCT
+                          CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h
+                        FROM (SELECT unnest(list_filter(
+                                string_split(lt, ' '), t -> t <> '')) AS tok
+                              FROM d)),
+                 kr AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM kh),
+                 kest AS (SELECT count(*) AS n_h,
+                                 max(CASE WHEN rk = 256 THEN h END) AS hk
+                          FROM kr WHERE rk <= 256)
+            SELECT metric, round(value, 4) AS value FROM (
+              SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM sums
+              UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM sums
+              UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM sums
+              UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM sums
+              UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM sums
+              UNION ALL SELECT 'empty_docs', CAST(empty_docs AS DOUBLE) FROM sums
+              UNION ALL SELECT 'distinct_text_est',
+                CASE WHEN n_h < 256 THEN CAST(n_h AS DOUBLE)
+                     ELSE 255 * 281474976710656.0 / hk END FROM test
+              UNION ALL SELECT 'distinct_token_est',
+                CASE WHEN n_h < 256 THEN CAST(n_h AS DOUBLE)
+                     ELSE 255 * 281474976710656.0 / hk END FROM kest
+              UNION ALL SELECT 'mean_doc_tokens',
+                CAST(total_tokens AS DOUBLE) / n_docs FROM sums
+              UNION ALL SELECT 'stop_ratio',
+                CAST(total_stop AS DOUBLE) / total_tokens FROM sums
+              UNION ALL SELECT 'max_source_share',
+                CAST(max_source_docs AS DOUBLE) / n_docs FROM sums, msrc)
+            ORDER BY metric"""))
+
+  val all: Seq[Q] =
+    Seq(pagedSource, deleteRepack, deleteRepackCost, cardMerged)
 }

@@ -38,4 +38,49 @@ class DataCardSpec extends SparkSpec {
     }
     assert(card.keySet == expected.keySet)
   }
+
+  test("mergeable states: merge ∘ buildState ≡ buildState ∘ union, bitwise, at any split") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    for (k <- Seq(16, 256)) { // estimator regime below AND at k
+      val whole = DataCard.buildState(corpus, k)
+      // an uneven 3-way split merged pairwise (associativity in action)
+      val parts = Seq(
+        corpus.filter(col("doc_id") % 5 === 0),
+        corpus.filter(col("doc_id") % 5 === 1),
+        corpus.filter(col("doc_id") % 5 >= 2))
+      val merged = parts.map(DataCard.buildState(_, k))
+        .reduce(DataCard.mergeStates(_, _, k))
+      assert(rows(merged) == rows(whole), s"k=$k state drift")
+      // and the rendered cards agree too (the law carries to the report)
+      assert(rows(DataCard.renderMerged(merged, k)) ==
+        rows(DataCard.renderMerged(whole, k)), s"k=$k render drift")
+    }
+  }
+
+  test("renderMerged agrees with build on every shared metric") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val full = DataCard.build(corpus)
+      .as[(String, Double)].collect().toMap
+    val merged = DataCard.renderMerged(DataCard.buildState(corpus))
+      .as[(String, Double)].collect().toMap
+    for (m <- Seq("n_docs", "n_sources", "n_langs", "total_tokens",
+        "total_chars", "empty_docs", "mean_doc_tokens", "stop_ratio",
+        "max_source_share"))
+      assert(merged(m) == full(m), s"$m: ${merged(m)} != ${full(m)}")
+    // the estimates stand next to their exact twins within KMV error
+    // (k=256 ⇒ σ ≈ 6%; 4σ bound keeps the assertion honest but stable)
+    val exactTexts = full("n_docs") - full("exact_dup_docs") // distinct texts
+    assert(math.abs(merged("distinct_text_est") - exactTexts)
+      <= 0.25 * exactTexts + 1,
+      s"text est ${merged("distinct_text_est")} vs $exactTexts")
+    assert(math.abs(merged("distinct_token_est") - full("distinct_tokens"))
+      <= 0.25 * full("distinct_tokens") + 1,
+      s"token est ${merged("distinct_token_est")} vs ${full("distinct_tokens")}")
+  }
 }
