@@ -331,8 +331,11 @@ object Round10Queries {
 
   /** [[graft.extensions.Packing.shardBalance]] — the per-shard budget
     * line: doc count, token total, and tok_sum·S/Σ scaled ×10⁴ as
-    * int64 (10000 = perfect; r11 armor for CORRECTNESS_r10's one hash
-    * mismatch — no double ever reaches the hashed output). Pins that
+    * int64 (10000 = perfect). Both sides are int64 end-to-end: the
+    * oracle CASTs its `sum`/`//` outputs back to BIGINT because DuckDB
+    * widens integer aggregates to HUGEINT, which the driver's pandas
+    * canonicalizer renders as float64 ("3404.0" vs "3404" — the r10/r11
+    * hash mismatch, root-caused in VERDICT r11). Pins that
     * serpentine dealing actually balances (every factor lands near
     * 10000) and that the broadcast grand-total path and the oracle's
     * window agree in exact integer space. */
@@ -352,11 +355,12 @@ object Round10Queries {
                     CAST(CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
                               ELSE 7 - rn % 8 END AS INTEGER) AS shard
                   FROM r),
-            b AS (SELECT shard, count(*) AS n_docs, sum(n_tok) AS tok_sum
+            b AS (SELECT shard, count(*) AS n_docs,
+                    CAST(sum(n_tok) AS BIGINT) AS tok_sum
                   FROM a GROUP BY shard)
             SELECT shard, n_docs, tok_sum,
-                   (tok_sum * 160000 + sum(tok_sum) OVER ())
-                     // (2 * sum(tok_sum) OVER ()) AS balance_x10k
+                   CAST((tok_sum * 160000 + sum(tok_sum) OVER ())
+                     // (2 * sum(tok_sum) OVER ()) AS BIGINT) AS balance_x10k
             FROM b ORDER BY shard"""))
 
   /** [[graft.plans.Layout.zValue]] — the Morton key behind

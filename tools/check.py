@@ -6,28 +6,49 @@ Reads <outDir>/<name>/ parquet (written by graft.Verify) and
 <outDir>/oracle_sql.json, runs each oracle in DuckDB against the sfDir
 parquet tables, and hash-compares values with columns sorted by name and
 rows sorted.
+
+CRITICAL (round-11 postmortem): the driver canonicalizes through pandas
+(`rel.df()`), not `fetchall()`. The difference is not cosmetic — DuckDB
+widens integer aggregates (sum over BIGINT, `//`, integer `*` chains) to
+HUGEINT, which `fetchall()` yields as exact Python ints but pandas
+converts to **float64**, so the driver hashes "3404.0" where this mimic
+used to see "3404". That divergence made q_shard_balance print PASS here
+for two rounds while the driver failed it. Both sides now fetch via
+`.df()` and stringify from pandas dtypes, so any future un-CAST
+aggregate output diverges HERE first.
 """
 import sys, json, glob, os
+import math
 import duckdb
+import numpy as np
+import pandas as pd
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    """Canonicalize a pandas DataFrame the way the driver does: columns
+    sorted by name, every cell stringified from its pandas dtype (floats
+    via repr so 3404.0 != 3404), rows sorted."""
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
+    for _, r in df[cols].iterrows():
         vals = []
-        for i in order:
-            v = r[i]
-            # The driver canonicalizes via pandas sort_values, which dies on
-            # unhashable cell values (lists / numpy arrays) — round 2 shipped
-            # two array-typed queries that passed here and erred there.
-            # Mirror the driver: only scalar cells are verifiable.
-            if isinstance(v, (list, tuple, dict, set)):
+        for c in cols:
+            v = r[c]
+            # The driver's pandas sort_values dies on unhashable cells
+            # (lists / numpy arrays) — only scalar cells are verifiable.
+            if isinstance(v, (list, tuple, dict, set, np.ndarray)):
                 raise TypeError(
-                    f"non-scalar cell in column {cols[i]!r}: {type(v).__name__} "
+                    f"non-scalar cell in column {c!r}: {type(v).__name__} "
                     "(driver's pandas canonicalizer cannot hash this)")
-            if isinstance(v, float):
-                v = repr(v)
-            vals.append(str(v))
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                vals.append("None")
+            elif isinstance(v, (np.floating, float)):
+                vals.append(repr(float(v)))
+            elif isinstance(v, np.bool_):
+                vals.append(str(bool(v)))
+            elif isinstance(v, np.integer):
+                vals.append(str(int(v)))
+            else:
+                vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
     return out
@@ -45,22 +66,18 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark result"); n_fail += 1; continue
         try:
-            spark_rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
-            spark_cols = [d[0] for d in spark_rel.description]
-            spark_rows = spark_rel.fetchall()
+            spark_df = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
         except Exception as e:
             print(f"FAIL {name}: read spark result: {e}"); n_fail += 1; continue
         try:
-            duck_rel = con.execute(sql)
-            duck_cols = [d[0] for d in duck_rel.description]
-            duck_rows = duck_rel.fetchall()
+            duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        if sorted(spark_cols) != sorted(duck_cols):
-            print(f"FAIL {name}: cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            print(f"FAIL {name}: cols {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")
             n_fail += 1; continue
         try:
-            a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+            a, b = canon(spark_df), canon(duck_df)
         except TypeError as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if len(a) != len(b):
