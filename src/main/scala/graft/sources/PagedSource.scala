@@ -142,10 +142,20 @@ object PagedSource {
     else {
       val n = api.found(fromSec, toSec)
       if (n > api.perPage.toLong * api.maxPages) {
-        val mid = (fromSec + toSec) / 2
-        val (l1, s1) = planWindowsWithSkips(api, fromSec, mid, minRange)
-        val (l2, s2) = planWindowsWithSkips(api, mid, toSec, minRange)
-        (l1 ++ l2, s1 ++ s2)
+        // Integer seconds: a width-1 window's midpoint equals `fromSec`,
+        // so bisecting it would recurse forever (the reference avoids
+        // this only because its midpoints are FLOAT timestamps that
+        // halve indefinitely). An overflowing window that cannot be
+        // split is unsplittable-dense — same data-loss mode as a
+        // sub-minRange burst — so it joins the skip report, keeping the
+        // tile/deficit invariants exact.
+        if (toSec - fromSec <= 1L) (Seq.empty, Seq((fromSec, toSec)))
+        else {
+          val mid = (fromSec + toSec) / 2
+          val (l1, s1) = planWindowsWithSkips(api, fromSec, mid, minRange)
+          val (l2, s2) = planWindowsWithSkips(api, mid, toSec, minRange)
+          (l1 ++ l2, s1 ++ s2)
+        }
       } else (Seq((fromSec, toSec, n)), Seq.empty)
     }
 
@@ -202,15 +212,69 @@ class PagedTable(
     new PagedScanBuilder(api, fromSec, toSec, minRange, pollStep)
 }
 
+/** Pushes `ts_sec` range predicates into the PLANNER, not the reader:
+  * a `ts_sec >= X` filter narrows the bisection's root window
+  * `[from, to)` before any `found` probe runs, so a feed spanning
+  * years plans (and pays metadata calls for) only the queried slice —
+  * the pushdown a paged API deserves, since every probe and page
+  * fetch outside the narrowed window is pure waste. The acceptance is
+  * EXACT (windows are half-open and the feed serves precisely
+  * `ts_sec ∈ [from, to)`), so accepted filters are consumed — Spark
+  * re-evaluates nothing — and everything else (on `id`, `title`, or
+  * non-range shapes) is left as a residual for Spark to apply
+  * post-scan. */
 class PagedScanBuilder(
     api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
     pollStep: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = PagedSource.Schema
+  private var lo: Long = fromSec
+  private var hi: Long = toSec
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private def secOf(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filter {
+      case GreaterThanOrEqual("ts_sec", v) => secOf(v) match {
+        case Some(x) => lo = math.max(lo, x); false
+        case None => true
+      }
+      case GreaterThan("ts_sec", v) => secOf(v) match {
+        case Some(x) => lo = math.max(lo, x + 1); false
+        case None => true
+      }
+      case LessThan("ts_sec", v) => secOf(v) match {
+        case Some(x) => hi = math.min(hi, x); false
+        case None => true
+      }
+      case LessThanOrEqual("ts_sec", v) => secOf(v) match {
+        case Some(x) => hi = math.min(hi, x + 1); false
+        case None => true
+      }
+      case EqualTo("ts_sec", v) => secOf(v) match {
+        case Some(x) => lo = math.max(lo, x); hi = math.min(hi, x + 1); false
+        case None => true
+      }
+      case _ => true
+    }
+    accepted = filters.diff(residual)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan =
-    new PagedScan(api, fromSec, toSec, minRange, pollStep, required)
+    new PagedScan(api, lo, math.max(lo, hi), minRange, pollStep, required)
 }
 
 class PagedScan(

@@ -11,13 +11,18 @@ import org.scalacheck.Test.Parameters
   *     the feed will actually page it;
   *  2. leaves ∪ skips tile the requested span EXACTLY (disjoint,
   *     ordered, gapless) — nothing is dropped silently;
-  *  3. every skipped window is narrower than minRange — the ONLY
-  *     data-loss mode is the reference's documented one (a slice too
-  *     dense to page at the narrowest splittable width);
+  *  3. every skipped window is either narrower than minRange, or a
+  *     width-≤1 window whose count still overflows the page cap — the
+  *     two data-loss modes: the reference's documented one (a slice too
+  *     dense to page at the narrowest splittable width), plus the
+  *     integer-seconds unsplittable burst (a width-1 window has no
+  *     integer midpoint; bisecting it would never terminate — the r11
+  *     ADVICE StackOverflow, now a skip);
   *  4. Σ found over leaves + Σ found over skips = the flat count —
   *     the skip report IS the exact row deficit;
-  *  5. the recursion terminates on every generated case (width halves
-  *     each level, so depth ≤ log2(span/minRange) + 1).
+  *  5. the recursion terminates on every generated case INCLUDING
+  *     minRange = 1 with burst feeds (width halves each level down to
+  *     the width-1 floor, so depth ≤ log2(span) + 1).
   */
 object PagedPlannerProperties extends Properties("PagedPlanner") {
 
@@ -44,7 +49,9 @@ object PagedPlannerProperties extends Properties("PagedPlanner") {
       val fits = leaves.forall { case (f, t, found) =>
         found <= cap && found == api.found(f, t) && f < t
       }
-      val skipsNarrow = skips.forall { case (f, t) => t - f < minRange }
+      val skipsNarrow = skips.forall { case (f, t) =>
+        t - f < minRange || (t - f <= 1 && api.found(f, t) > cap)
+      }
       // tiling: the union of leaf and skip intervals, sorted, must be
       // exactly [base, base+span) with no gap and no overlap
       val intervals =

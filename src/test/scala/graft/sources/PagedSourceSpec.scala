@@ -63,6 +63,33 @@ class PagedSourceSpec extends SparkSpec {
     assert(out.length == 2500, s"expected the 2500 even ids, got ${out.length}")
   }
 
+  test("minRange=1 on an unsplittable burst terminates (r11 ADVICE StackOverflow repro)") {
+    // Width-1 integer windows have no midpoint: before the width-≤1
+    // guard, minRange=1 + a single-second burst denser than the cap
+    // recursed forever (mid == from reproduces the parent window).
+    // Exact ADVICE repro: HashSpreadApi(n=3000, burst=true) with a
+    // 5-row cap and minRange=1 — must now plan, not overflow the stack.
+    val a = HashSpreadApi(3000, base, span, perPage = 5, maxPages = 1,
+      burst = true)
+    val (leaves, skips) =
+      PagedSource.planWindowsWithSkips(a, base, base + span, 1L)
+    assert(leaves.forall { case (_, _, n) => n <= 5 })
+    // the burst second is unsplittable-dense → it must be IN the skips
+    val burstSec = base + span / 2
+    assert(skips.exists { case (f, t) => f <= burstSec && burstSec < t },
+      "the width-1 overflowing burst window must land in the skip report")
+    // tiling + exact-deficit invariants hold in the degenerate regime too
+    val intervals =
+      (leaves.map { case (f, t, _) => (f, t) } ++ skips).sortBy(_._1)
+    assert(intervals.head._1 == base && intervals.last._2 == base + span)
+    assert(intervals.sliding(2).forall {
+      case Seq((_, t1), (f2, _)) => t1 == f2
+      case _ => true
+    })
+    val deficit = skips.map { case (f, t) => a.found(f, t) }.sum
+    assert(leaves.map(_._3).sum + deficit == a.found(base, base + span))
+  }
+
   test("micro-batch polling: stream ≡ batch, HWM offsets advance, batches are duplicate-free") {
     // pollStep = span/8: the frontier walks the feed in 8 polls; each
     // micro-batch runs the SAME bisection planner over [HWM, frontier)
@@ -94,6 +121,42 @@ class PagedSourceSpec extends SparkSpec {
       assert(q.recentProgress.count(_.numInputRows > 0) > 1,
         "the feed must arrive across MULTIPLE polls, not one batch")
     } finally q.stop()
+  }
+
+  test("ts_sec range predicates push into the planner: fewer windows probed, same rows") {
+    // a quarter-span slice: the planner's root window narrows BEFORE
+    // any found() probe, so the plan holds only the slice's partitions
+    val qLo = base + span / 4
+    val qHi = base + span / 2
+    val full = readPaged(5000)
+    val sliced = readPaged(5000)
+      .filter(col("ts_sec") >= qLo && col("ts_sec") < qHi)
+
+    val fullParts = full.rdd.getNumPartitions
+    val slicedParts = sliced.rdd.getNumPartitions
+    assert(slicedParts < fullParts,
+      s"range pushdown must shrink the plan: $slicedParts !< $fullParts")
+
+    // acceptance is exact: same rows as post-filtering the full scan
+    val expect = full.collect()
+      .filter(r => r.getLong(1) >= qLo && r.getLong(1) < qHi)
+      .map(_.getLong(0)).sorted.toSeq
+    val got = sliced.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+
+    // the filter is CONSUMED by the source (no post-scan re-filter of
+    // ts_sec): the scan's pushed set carries both range bounds
+    val scans = sliced.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+
+    // a contradictory range plans an empty scan, not an error
+    assert(readPaged(5000)
+      .filter(col("ts_sec") >= qHi && col("ts_sec") < qLo).count() == 0)
+
+    // non-ts_sec predicates stay residual and still evaluate correctly
+    assert(readPaged(5000).filter(col("id") === 7L).count() == 1)
   }
 
   test("column pruning reaches the scan's readSchema") {
