@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Round-12 additions: LSM postings compaction — the one
+  * promised-but-absent scale lever VERDICT r11 found
+  * ([[graft.streaming.StreamingPostings.compact]]). */
+object Round12Queries {
+
+  /** [[graft.streaming.StreamingPostings.compact]] driven MID-STREAM:
+    * base over half the corpus, a batch-0 delta appended to the log,
+    * the log COMPACTED into a new base (and truncated), then a batch-1
+    * delta computed against the compacted base and resolved through
+    * [[graft.streaming.StreamingPostings.view]]. The oracle is the
+    * flat [[graft.extensions.Postings.build]] SQL over the full union
+    * corpus — q_postings' SQL verbatim — so the row pins compaction
+    * TRANSPARENCY: folding the log early must change nothing about
+    * what later deltas and views produce (merged gap encodings, df
+    * sums, cap transitions included), which is exactly the license an
+    * operator needs to run compaction as a background job under a
+    * live stream. */
+  private val postingsCompact = Q("q_postings_compact",
+    (s, dir) => {
+      import graft.extensions.Postings
+      import graft.streaming.StreamingPostings
+      val docs = table(s, dir, "documents")
+      val base = Postings.build(docs.filter(col("doc_id") % 4 >= 2))
+      val log0 = Postings
+        .appendDelta(base, docs.filter(col("doc_id") % 4 === 1))
+        .withColumn("batch_id", lit(0L))
+      // background compaction: fold batch 0 into the base, drop the log
+      val compacted = StreamingPostings.compact(base, log0).localCheckpoint()
+      // the stream continues against the compacted base, empty log
+      val log1 = Postings
+        .appendDelta(compacted, docs.filter(col("doc_id") % 4 === 0))
+        .withColumn("batch_id", lit(1L))
+      StreamingPostings.view(compacted, log1).orderBy("term")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                   list_filter(string_split(lower(coalesce(text, '')), ' '),
+                               t -> t <> '') AS arr
+                 FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, CAST(len(arr) AS INTEGER) - 1),
+                      i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+                      AS term
+                  FROM d),
+            f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+            l AS (SELECT term, list(doc_id ORDER BY doc_id) AS ids
+                  FROM g GROUP BY 1)
+            SELECT f.term, f.df,
+                   CASE WHEN f.df <= 6 THEN ids[1] END AS first_doc,
+                   CASE WHEN f.df <= 6 THEN ids[CAST(len(ids) AS INTEGER)] END
+                     AS last_doc,
+                   CASE WHEN f.df <= 6 THEN array_to_string(
+                     list_transform(range(1, CAST(len(ids) AS INTEGER) + 1),
+                       i -> CAST(CASE WHEN i = 1 THEN ids[i]
+                                      ELSE ids[i] - ids[i - 1] END AS VARCHAR)),
+                     ',') END AS postings
+            FROM f JOIN l USING (term) ORDER BY term"""))
+
+  val all: Seq[Q] = Seq(postingsCompact)
+}

@@ -42,6 +42,31 @@ object StreamingPostings {
       .drop("_rn", "batch_id")
   }
 
+  /** COMPACTION — the promised LSM lever: fold the delta log into a
+    * new base (batch −1), restoring flat-read probe cost. The new base
+    * is the resolved view itself, so the defining identity
+    * `view(compact(b, l), emptyLog) ≡ view(b, l)` is exact
+    * (spec-pinned bitwise), and compaction is TRANSPARENT mid-stream:
+    * a delta computed against the compacted base equals one computed
+    * against the uncompacted view, so the log can be truncated and the
+    * stream continued with no rewind (q_postings_compact drives the
+    * full compact-mid-stream chain against the flat-rebuild oracle).
+    *
+    * Cost: one term-keyed shuffle over base ∪ log — ∝ index size, the
+    * periodic background job, after which the per-probe read
+    * amplification drops from (1 + log segments) back to 1 until the
+    * log grows again (priced in the scale bench: postings_view_probe
+    * before vs postings_compacted_probe after, against log length).
+    * The physical write-back of the new base is
+    * [[graft.plans.Layout.compactBucketed]] — the same atomic-swap
+    * bucketed rewrite every on-disk index in this repo uses. */
+  def compact(base: DataFrame, log: DataFrame): DataFrame = view(base, log)
+
+  /** The post-compaction log: zero rows, same schema — what the sink
+    * keeps appending to after [[compact]] truncates. */
+  def emptyLog(base: DataFrame): DataFrame =
+    base.withColumn("batch_id", lit(-1L)).limit(0)
+
   /** foreachBatch sink maintaining the delta log: each batch's upsert
     * rows (vs the pre-batch view) are handed to `onBatch` stamped with
     * the batch id; the caller persists them keyed by that id. `log` is

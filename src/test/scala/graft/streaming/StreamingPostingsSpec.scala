@@ -80,4 +80,33 @@ class StreamingPostingsSpec extends SparkSpec {
     // latest-per-term over duplicate identical rows is unchanged
     assert(canon(StreamingPostings.view(base, logReplayed)) == canon(rebuilt))
   }
+
+  test("compact folds the log into the base: view-identity, idempotence, mid-stream transparency") {
+    val base = Postings.build(docs(batches(0)), maxDf = maxDf)
+      .localCheckpoint()
+    val log = Postings.appendDelta(base, docs(batches(1)), maxDf = maxDf)
+      .withColumn("batch_id", lit(0L)).localCheckpoint()
+
+    // the defining identity: view(compact(b,l), empty) ≡ view(b,l)
+    val compacted = StreamingPostings.compact(base, log).localCheckpoint()
+    val empty = StreamingPostings.emptyLog(compacted)
+    assert(canon(StreamingPostings.view(compacted, empty)) ==
+      canon(StreamingPostings.view(base, log)))
+    // idempotence: compacting an already-compacted index is a no-op
+    assert(canon(StreamingPostings.compact(compacted, empty)) ==
+      canon(compacted))
+
+    // mid-stream transparency: a NEW batch's delta is identical
+    // whether computed against the compacted base or the live view —
+    // the license to compact under a running stream with no rewind
+    val b2 = Seq((20L, "a b c"), (21L, "m n o"))
+    val viaView = Postings.appendDelta(
+      StreamingPostings.view(base, log), docs(b2), maxDf = maxDf)
+    val viaCompacted = Postings.appendDelta(compacted, docs(b2), maxDf = maxDf)
+    assert(canon(viaCompacted) == canon(viaView))
+    // and both continuations resolve to the flat rebuild on everything
+    val log1 = viaCompacted.withColumn("batch_id", lit(1L))
+    assert(canon(StreamingPostings.view(compacted, log1)) ==
+      canon(Postings.build(docs(batches.flatten ++ b2), maxDf = maxDf)))
+  }
 }
