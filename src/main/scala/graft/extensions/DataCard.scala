@@ -166,7 +166,11 @@ object DataCard {
         row("sum", lit("total_tokens"), coalesce(col("total_tokens"), lit(0L))),
         row("sum", lit("total_chars"), coalesce(col("total_chars"), lit(0L))),
         row("sum", lit("total_stop"), coalesce(col("total_stop"), lit(0L))),
-        row("sum", lit("empty_docs"), col("empty_docs")))).as("r"))
+        // sum(when(...)) over zero rows is NULL like the other sums —
+        // without the coalesce a state built from an empty partition
+        // carries a NULL tally and an all-empty merge renders NULL
+        row("sum", lit("empty_docs"), coalesce(col("empty_docs"), lit(0L)))))
+        .as("r"))
       .select("r.kind", "r.key", "r.n")
     val sources = perDoc.groupBy(col("source").as("key"))
       .agg(count(lit(1)).as("n"))

@@ -106,8 +106,10 @@ object Packing {
     * (round-half-up as `(2·tok_sum·S·10000 + Σ) div 2Σ`) so the published
     * row is bit-stable across engines and float canonicalizations — no
     * DoubleType in the hashed output, the discipline every other oracled
-    * metric follows. Overflows only past ~5.7e13 tokens per shard (int64
-    * headroom), far beyond a 100 TB corpus. The grand total comes from a
+    * metric follows. Int64 headroom is Long.MaxValue / (2·S·10⁴) tokens
+    * per shard — ~5.7e13 at S=8, ~7.2e12 at the bench's S=64, still
+    * orders beyond any real shard of a 100 TB corpus (~2.5e13 tokens
+    * TOTAL at 4 bytes/token). The grand total comes from a
     * broadcast 1-row aggregate, not an unpartitioned window. */
   def shardBalance(assigned: DataFrame, numShards: Int): DataFrame = {
     val perShard = assigned.groupBy("shard").agg(
