@@ -953,6 +953,27 @@ object Bench {
               graft.streaming.StreamingPostings.view(postingsIdx, delta),
               postingsPhrases).count())
         },
+        // the compaction lever priced against the rows above: the fold
+        // PLUS the term-sorted write-back (the job's real bill — a
+        // compacted base that is not re-laid-out keeps none of the
+        // index's scan economics), then the SAME probe against the
+        // rewritten base — read amplification back to the flat
+        // postings_probe cost, which is the entire point of the fold
+        "postings_compact" -> {
+          val batch = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+            .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"))
+          val delta = graft.extensions.Postings
+            .appendDelta(postingsIdx, batch)
+            .withColumn("batch_id", lit(0L)).localCheckpoint()
+          timeMed(reps, "postings_compact")(
+            graft.plans.Layout.writeSorted(
+              graft.streaming.StreamingPostings.compact(postingsIdx, delta),
+              s"$postingsDir/compacted", "term", files = 8))
+        },
+        "postings_compacted_probe" -> timeMed(reps, "postings_compacted_probe")(
+          graft.extensions.Postings.probe(
+            spark.read.parquet(s"$postingsDir/compacted"), postingsPhrases)
+            .count()),
         // counting sketches in their native regime: the Zipf corpus's
         // per-doc filler gives ~3M distinct tokens, so exact counters
         // ARE the vocabulary while the CMS grid stays ≤ d·w rows and
@@ -1349,7 +1370,15 @@ object Bench {
     // artifact line above exceeds the driver's 2000-byte tail window).
     val byName = results.toMap
     val slowest = results.sortBy(-_._2).take(5)
-    println(s"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
+    println(summary)
+    // r11 VERDICT #5: the summary as its own FILE, immune to any stdout
+    // tail window — the driver (or a human) can always json.load this.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
