@@ -33,6 +33,22 @@ object StreamingDeletes {
   def view(base: DataFrame, tombstones: DataFrame, budget: Int): DataFrame =
     Packing.applyDeletes(base, tombstones, budget)
 
+  /** COMPACTION — fold the tombstone log into a new base and truncate,
+    * the [[StreamingPostings.compact]] twin for the forget pipeline:
+    * the new base IS the resolved manifest, and because
+    * `applyDeletes(m, A)` is spec-pinned ≡ `packChunks(corpus ∖ A)`,
+    * folding early is TRANSPARENT —
+    * `view(compact(b, A), B) ≡ view(b, A ∪ B)` for any later tombstone
+    * set B (a delete of an already-forgotten doc is a no-op by the
+    * anti-join, so even replayed-across-the-boundary tombstones
+    * resolve identically; both pinned in StreamingDeletesSpec). The
+    * physical bill is [[graft.extensions.Packing.repackCost]]'s
+    * bounded suffix rewrite per shard, priced in the capstone bench;
+    * after the fold, readers stop paying the anti-join + re-window
+    * over the log on every view. */
+  def compact(base: DataFrame, tombstones: DataFrame, budget: Int): DataFrame =
+    view(base, tombstones, budget)
+
   /** foreachBatch sink maintaining the tombstone log: each arriving
     * batch of `doc_id` rows is handed to `onBatch` stamped with its
     * batch id; the caller appends it to the log (append-only — replay

@@ -58,4 +58,32 @@ class StreamingDeletesSpec extends SparkSpec {
     // and the tombstoned docs are actually gone
     assert(streamed.join(allDeletes, "doc_id").count() == 0)
   }
+
+  test("tombstone compaction is transparent: fold batch 1, continue with batch 2") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 64
+    val base = Packing.packChunks(docs, budget).localCheckpoint()
+    val delA = base.filter(col("doc_id") % 37 === 0).select("doc_id")
+    val delB = base.filter(col("doc_id") % 41 === 0).select("doc_id")
+
+    // fold A into the base (the background compaction job), truncate
+    // the log, continue the stream with B alone
+    val compacted = StreamingDeletes.compact(base, delA, budget)
+      .localCheckpoint()
+    val afterBoth = StreamingDeletes.view(compacted, delB, budget)
+    // ≡ the uncompacted path with the full log
+    assert(rows(afterBoth) ==
+      rows(StreamingDeletes.view(base, delA.unionByName(delB), budget)))
+
+    // idempotence: compacting with no tombstones is the identity
+    val none = Seq.empty[Long].toDF("doc_id")
+    assert(rows(StreamingDeletes.compact(compacted, none, budget)) ==
+      rows(compacted))
+
+    // a tombstone REPLAYED across the compaction boundary (doc already
+    // folded away) is a no-op — the property that lets the log
+    // truncate without any replay coordination
+    assert(rows(StreamingDeletes.view(compacted, delA.unionByName(delB), budget))
+      == rows(afterBoth))
+  }
 }
