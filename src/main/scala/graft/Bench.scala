@@ -953,6 +953,33 @@ object Bench {
               graft.streaming.StreamingPostings.view(postingsIdx, delta),
               postingsPhrases).count())
         },
+        // read amplification GROWS with the log: the same probe through
+        // a 4-segment delta log (four chained batches, each delta
+        // computed against the then-current view exactly as the sink
+        // would), beside the 1-segment row above — the growth curve
+        // that sets the compaction cadence
+        "postings_view_probe_log4" -> {
+          val four = (0 until 4).map { i =>
+            docs.filter(pmod(col("doc_id"), lit(100)) === i)
+              .select((col("doc_id") + lit(90000000L * (i + 1))).as("doc_id"),
+                col("text"))
+          }
+          var log = four.head.limit(0)
+            .select(lit("").as("term"), lit(0L).as("df"),
+              lit(0L).as("first_doc"), lit(0L).as("last_doc"),
+              lit("").as("postings"), lit(0L).as("batch_id"))
+          four.zipWithIndex.foreach { case (b, i) =>
+            val cur = graft.streaming.StreamingPostings.view(postingsIdx, log)
+            log = log.unionByName(graft.extensions.Postings
+                .appendDelta(cur, b)
+                .withColumn("batch_id", lit(i.toLong)))
+              .localCheckpoint()
+          }
+          timeMed(reps, "postings_view_probe_log4")(
+            graft.extensions.Postings.probe(
+              graft.streaming.StreamingPostings.view(postingsIdx, log),
+              postingsPhrases).count())
+        },
         // the compaction lever priced against the rows above: the fold
         // PLUS the term-sorted write-back (the job's real bill — a
         // compacted base that is not re-laid-out keeps none of the
