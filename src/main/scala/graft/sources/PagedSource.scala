@@ -227,13 +227,24 @@ class PagedScanBuilder(
     api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
     pollStep: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = PagedSource.Schema
   private var lo: Long = fromSec
   private var hi: Long = toSec
   private var accepted: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (isPartiallyPushed stays true, so Spark
+    * keeps its own limit on top): the planner stops emitting
+    * (window, page) partitions once the cumulative found count covers
+    * the limit — `head(100)` against a years-long feed plans a few
+    * pages instead of the whole history. Safe for any feed: the scan
+    * returns AT LEAST `limit` rows when that many exist (pages are
+    * prefixes of each window's deterministic serving order), and
+    * Spark's limit trims the rest. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -274,19 +285,53 @@ class PagedScanBuilder(
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new PagedScan(api, lo, math.max(lo, hi), minRange, pollStep, required)
+    new PagedScan(api, lo, math.max(lo, hi), minRange, pollStep, required,
+      limit)
 }
 
 class PagedScan(
     api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
-    pollStep: Long, required: StructType)
-    extends Scan with Batch {
+    pollStep: Long, required: StructType, limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    PagedSource.pagePartitions(api, fromSec, toSec, minRange)
+  override def planInputPartitions(): Array[InputPartition] = limit match {
+    case None => PagedSource.pagePartitions(api, fromSec, toSec, minRange)
+    case Some(n) =>
+      // partial limit: emit pages only until the planned windows' found
+      // counts cover n — the feed serves each window in a fixed order,
+      // so the first ceil(take/perPage) pages hold at least `take` rows
+      var remaining = n.toLong
+      val parts = Array.newBuilder[InputPartition]
+      PagedSource.planWindows(api, fromSec, toSec, minRange).iterator
+        .takeWhile(_ => remaining > 0)
+        .foreach { case (f, t, found) =>
+          val take = math.min(found, remaining)
+          val pages = ((take + api.perPage - 1) / api.perPage).toInt
+          (0 until pages).foreach(p => parts += PagedPartition(f, t, p))
+          remaining -= take
+        }
+      parts.result()
+  }
+
+  /** Honest feed statistics from ONE metadata probe: row count =
+    * `found` over the (possibly filter-narrowed) window, capped by a
+    * pushed limit; bytes ≈ rows × the fixed-ish row width. This is
+    * what lets Catalyst broadcast a small feed slice into a join
+    * instead of shuffling the big side — the optimizer integration a
+    * DSv2 source owes the planner. */
+  override def estimateStatistics(): Statistics = {
+    val found = api.found(fromSec, toSec)
+    val rows = limit.map(l => math.min(found, l.toLong)).getOrElse(found)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, rows * 48L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(api, required)

@@ -159,6 +159,38 @@ class PagedSourceSpec extends SparkSpec {
     assert(readPaged(5000).filter(col("id") === 7L).count() == 1)
   }
 
+  test("limit pushdown caps the planned pages; stats let the feed broadcast") {
+    // head(120) against the 5000-row feed: the planner stops once the
+    // bisected windows' found counts cover the limit, instead of
+    // fanning out all ~50 pages
+    val limited = readPaged(5000).limit(120)
+    val fullParts = readPaged(5000).rdd.getNumPartitions
+    val limParts = limited.rdd.getNumPartitions
+    assert(limParts < fullParts,
+      s"limit must shrink the plan: $limParts !< $fullParts")
+    assert(limited.count() == 120, "partial pushdown: Spark's limit still trims")
+    // the limit composes with a pushed range: both reach the planner
+    val both = readPaged(5000)
+      .filter(col("ts_sec") >= base + span / 4 && col("ts_sec") < base + span / 2)
+      .limit(30)
+    assert(both.rdd.getNumPartitions <= limParts && both.count() == 30)
+
+    // estimateStatistics reports found-count rows, so a join against a
+    // NARROW slice of the feed broadcasts the slice (the optimizer
+    // integration; without stats DSv2 assumes conf defaultSizeInBytes
+    // = huge and would shuffle both sides)
+    val slice = readPaged(5000)
+      .filter(col("ts_sec") >= base && col("ts_sec") < base + span / 64)
+    val dim = spark.range(0, 5000).select(col("id"), (col("id") % 7).as("grp"))
+    val joined = dim.join(slice, "id")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"a stats-reported small slice must broadcast, not sort-merge:\n$p")
+    val stats = slice.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(rc => rc.toLong > 0 && rc.toLong < 5000),
+      s"found-count row stats must reach the optimizer: $stats")
+  }
+
   test("column pruning reaches the scan's readSchema") {
     val pruned = readPaged(5000).select("id")
     val scans = pruned.queryExecution.executedPlan.collect {
