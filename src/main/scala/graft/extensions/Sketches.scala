@@ -238,4 +238,59 @@ object Sketches {
           .otherwise(lit(k - 1) * lit(HashSpace)
             / element_at(col("mins"), k).cast("double")), 4).as("kmv_est"))
   }
+
+  // ── Mergeable quantile state ──────────────────────────────────────
+  // The third member of the bounded-summary family: counts (CMS),
+  // distinct (KMV), and now QUANTILES — a fixed-bin histogram whose
+  // state is ≤ `bins` (bin, cnt) rows, mergeable by plain union+sum
+  // (associative, commutative — merge ∘ build ≡ build ∘ union holds
+  // EXACTLY, not just w.h.p.), with quantile error bounded by one bin
+  // width by construction. Everything is int64 — binning, ranks, and
+  // the reported edge — so the estimate is bitwise cross-engine with
+  // zero float discipline needed (the lesson of q_shard_balance).
+
+  /** Histogram state of a long-valued column over [lo, hi): sparse
+    * (bin, cnt) rows, bin = (v−lo)·bins div (hi−lo) with both tails
+    * clamped into the edge bins. One map-side-combinable aggregation;
+    * ≤ `bins` rows regardless of input size. */
+  def histState(
+      values: DataFrame, vCol: String, lo: Long, hi: Long,
+      bins: Int): DataFrame =
+    values.select(expr(
+        s"""CAST(CASE WHEN $vCol < ${lo}L THEN 0
+                      WHEN $vCol >= ${hi}L THEN ${bins - 1}
+                      ELSE (CAST($vCol AS BIGINT) - ${lo}L) * ${bins}L
+                           DIV ${hi - lo}L END AS INT)""").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Union+sum of two histogram states — the exact merge. */
+  def mergeHist(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bin").agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a (merged) state: for each q (per-mille,
+    * so ranks stay integer), the upper edge of the first bin whose
+    * cumulative count reaches rank ⌈q·N/1000⌉ — within one bin width
+    * of the exact order statistic by construction. The cumulative
+    * window runs over ≤ `bins` rows (bounded by construction, the
+    * [[Funnel]] ladder discipline), and the q probe is a broadcast of
+    * |qs| rows — nothing here scales with the data. */
+  def histQuantile(
+      state: DataFrame, qsPermille: Seq[Int], lo: Long, hi: Long,
+      bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = state
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    import state.sparkSession.implicits._
+    val qs = qsPermille.toDF("q_permille")
+    broadcast(qs)
+      .join(cum, expr("cum >= (q_permille * n + 999) DIV 1000"))
+      .groupBy("q_permille").agg(min("bin").as("bin"))
+      .select(col("q_permille"),
+        expr(s"CAST(${lo}L + (bin + 1L) * ${hi - lo}L DIV ${bins}L AS BIGINT)")
+          .as("est"))
+  }
 }

@@ -61,5 +61,51 @@ object Round12Queries {
                      ',') END AS postings
             FROM f JOIN l USING (term) ORDER BY term"""))
 
-  val all: Seq[Q] = Seq(postingsCompact)
+  /** [[graft.extensions.Sketches.histState]]/mergeHist/histQuantile —
+    * the mergeable QUANTILE state completing the bounded-summary
+    * family (CMS counts, KMV distincts, histogram quantiles): doc
+    * token counts binned over [0, 200) into 32 bins, the state built
+    * as TWO half-corpus states merged (the 100 TB shape — per-partition
+    * states, union+sum merge, no re-read), then p50/p90/p99 read as
+    * the covering bin's upper edge. Everything int64 — binning, ranks
+    * (per-mille q so ⌈q·N/1000⌉ stays integer), and the reported edge —
+    * so the oracle (which builds the histogram FLAT) hashes bitwise:
+    * one row pins merge-exactness and the quantile arithmetic
+    * together. Error ≤ one bin width by construction
+    * (HistQuantileSpec pins that against exact order statistics). */
+  private val histQuantileQ = Q("q_hist_quantile",
+    (s, dir) => {
+      import graft.extensions.Sketches
+      val vals = table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(coalesce(col("text"), lit("")), " "))
+            .cast("long").as("v"))
+      val a = Sketches.histState(
+        vals.filter(col("doc_id") % 2 === 0), "v", 0L, 200L, 32)
+      val b = Sketches.histState(
+        vals.filter(col("doc_id") % 2 === 1), "v", 0L, 200L, 32)
+      Sketches.histQuantile(Sketches.mergeHist(a, b),
+          Seq(500, 900, 990), 0L, 200L, 32)
+        .orderBy("q_permille")
+    },
+    Some("""WITH t AS (SELECT CAST(len(string_split(coalesce(text, ''), ' '))
+                              AS BIGINT) AS v
+                       FROM documents),
+                 h AS (SELECT CAST(CASE WHEN v < 0 THEN 0
+                                        WHEN v >= 200 THEN 31
+                                        ELSE v * 32 // 200 END AS INTEGER) AS bin,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM t GROUP BY 1),
+                 c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+                              sum(cnt) OVER () AS n
+                       FROM h),
+                 q(q_permille) AS (VALUES (500), (900), (990)),
+                 r AS (SELECT q_permille, min(bin) AS bin
+                       FROM q JOIN c ON cum >= (q_permille * n + 999) // 1000
+                       GROUP BY 1)
+            SELECT q_permille,
+                   CAST((bin + 1) * 200 // 32 AS BIGINT) AS est
+            FROM r ORDER BY q_permille"""))
+
+  val all: Seq[Q] = Seq(postingsCompact, histQuantileQ)
 }
