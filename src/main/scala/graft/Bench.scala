@@ -1067,6 +1067,20 @@ object Bench {
           math.max(rankErr(approx.getLong(0), 0.5),
             rankErr(approx.getLong(1), 0.99))
         },
+        // the ORACLED quantile path (r12): the int64 histogram state —
+        // bounded to `bins` rows, exactly mergeable, bitwise
+        // cross-engine (q_hist_quantile) — priced beside GK and the
+        // exact sort it both stand in for; GK has tighter error, the
+        // histogram has the hashable-oracle property, and at 100 TB
+        // both are one map-side-combinable pass
+        "quantile_hist_state" -> timeMed(reps, "quantile_hist_state") {
+          graft.extensions.Sketches.histQuantile(
+            graft.extensions.Sketches.histState(
+              docs.select(length(col("text")).cast("long").as("v")),
+              "v", 0L, 4096L, 256),
+            Seq(500, 990), 0L, 4096L, 256)
+            .collect()
+        },
         // shard assignment at corpus scale: the distributed global
         // row number (two metadata-only shuffles + a P-row collect)
         // dealing the Zipf corpus serpentine over 64 shards, plus the
