@@ -159,6 +159,37 @@ object PagedSource {
       } else (Seq((fromSec, toSec, n)), Seq.empty)
     }
 
+  /** Limit-aware bisection: plan leaves left-to-right and STOP — right
+    * siblings are never probed — once the kept leaves' found counts
+    * cover `needed` rows. `head(n)` against a years-long feed pays
+    * O(depth of the covering prefix) metadata probes instead of
+    * bisecting the whole history ([[planWindows]] must, to tile it).
+    * Empty windows are dropped (no rows to lose under a limit) and
+    * unsplittable-dense width-≤1 windows are skipped exactly as the
+    * full planner skips them. Returns leaves in key order whose counts
+    * sum to ≥ min(needed, reachable rows). */
+  def planWindowsLimited(
+      api: PagedApi, fromSec: Long, toSec: Long, minRange: Long,
+      needed: Long): Seq[(Long, Long, Long)] = {
+    def go(from: Long, to: Long,
+        remaining: Long): (Vector[(Long, Long, Long)], Long) =
+      if (remaining <= 0 || to - from < minRange) (Vector.empty, remaining)
+      else {
+        val n = api.found(from, to)
+        if (n == 0) (Vector.empty, remaining)
+        else if (n <= api.perPage.toLong * api.maxPages)
+          (Vector((from, to, n)), remaining - n)
+        else if (to - from <= 1L) (Vector.empty, remaining) // dense burst
+        else {
+          val mid = (from + to) / 2
+          val (left, afterLeft) = go(from, mid, remaining)
+          val (right, afterRight) = go(mid, to, afterLeft)
+          (left ++ right, afterRight)
+        }
+      }
+    go(fromSec, toSec, math.max(0L, needed))._1
+  }
+
   /** One [[PagedPartition]] per (bisected window, page) — the shared
     * fan-out for the batch scan and each micro-batch. */
   def pagePartitions(
@@ -300,15 +331,15 @@ class PagedScan(
   override def planInputPartitions(): Array[InputPartition] = limit match {
     case None => PagedSource.pagePartitions(api, fromSec, toSec, minRange)
     case Some(n) =>
-      // partial limit: emit pages only until the planned windows' found
-      // counts cover n — the feed serves each window in a fixed order,
-      // so the first ceil(take/perPage) pages hold at least `take` rows
+      // partial limit: the limit-aware planner probes only the covering
+      // prefix of the window tree, then pages are trimmed to the rows
+      // still needed — the feed serves each window in a fixed order, so
+      // the first ceil(take/perPage) pages hold at least `take` rows
       var remaining = n.toLong
       val parts = Array.newBuilder[InputPartition]
-      PagedSource.planWindows(api, fromSec, toSec, minRange).iterator
-        .takeWhile(_ => remaining > 0)
+      PagedSource.planWindowsLimited(api, fromSec, toSec, minRange, n.toLong)
         .foreach { case (f, t, found) =>
-          val take = math.min(found, remaining)
+          val take = math.min(found, math.max(remaining, 0L))
           val pages = ((take + api.perPage - 1) / api.perPage).toInt
           (0 until pages).foreach(p => parts += PagedPartition(f, t, p))
           remaining -= take

@@ -191,6 +191,36 @@ class PagedSourceSpec extends SparkSpec {
       s"found-count row stats must reach the optimizer: $stats")
   }
 
+  test("limit-aware planning probes only the covering prefix of the window tree") {
+    // count found() probes through a delegating feed
+    var probes = 0
+    val counting = new PagedApi {
+      private val inner = api(5000)
+      def perPage = inner.perPage
+      def maxPages = inner.maxPages
+      def found(f: Long, t: Long): Long = { probes += 1; inner.found(f, t) }
+      def fetch(f: Long, t: Long, p: Int) = inner.fetch(f, t, p)
+    }
+    val full = PagedSource.planWindows(counting, base, base + span, 60)
+    val fullProbes = probes
+    probes = 0
+    val limited =
+      PagedSource.planWindowsLimited(counting, base, base + span, 60, 120)
+    val limitedProbes = probes
+
+    assert(limited.map(_._3).sum >= 120, "kept leaves must cover the limit")
+    assert(limited.map(_._1).toSet.subsetOf(
+      full.map(_._1).toSet), "limited leaves are a prefix of the full plan")
+    assert(limitedProbes < fullProbes / 2,
+      s"head(120) must not bisect the whole feed: $limitedProbes !<< $fullProbes")
+    // degenerate inputs: needed <= 0 plans nothing, needed > feed keeps all
+    assert(PagedSource.planWindowsLimited(counting, base, base + span, 60, 0)
+      .isEmpty)
+    assert(PagedSource
+      .planWindowsLimited(counting, base, base + span, 60, 1000000)
+      .map(_._3).sum == 5000)
+  }
+
   test("column pruning reaches the scan's readSchema") {
     val pruned = readPaged(5000).select("id")
     val scans = pruned.queryExecution.executedPlan.collect {
