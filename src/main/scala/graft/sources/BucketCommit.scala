@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
@@ -53,14 +55,7 @@ object BucketCommit {
         .toSet
       finally s.close()
     }
-    // (committed = renamed; _tmp orphans are invisible by construction)
-  }
-
-  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
+    // (committed = published; _tmp orphans are invisible by construction)
   }
 
   /** Write-then-publish one bucket: `write` fills a private temp file;
