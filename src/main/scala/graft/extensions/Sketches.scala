@@ -270,7 +270,9 @@ object Sketches {
   /** Quantile estimates from a (merged) state: for each q (per-mille,
     * so ranks stay integer), the upper edge of the first bin whose
     * cumulative count reaches rank ⌈q·N/1000⌉ — within one bin width
-    * of the exact order statistic by construction. The cumulative
+    * (precisely ⌈(hi−lo)/bins⌉, since the integer edge arithmetic can
+    * round adjacent edges apart by the ceiling) of the exact order
+    * statistic by construction. The cumulative
     * window runs over ≤ `bins` rows (bounded by construction, the
     * [[Funnel]] ladder discipline), and the q probe is a broadcast of
     * |qs| rows — nothing here scales with the data. */

@@ -70,6 +70,26 @@ object StreamingSketch {
         .otherwise(lit(k - 1) * lit(281474976710656.0)
           / element_at(col("mins"), k).cast("double")), 4).as("kmv_est"))
 
+  /** foreachBatch sink maintaining the HISTOGRAM quantile state (the
+    * r12 third family member, [[graft.extensions.Sketches.histState]]):
+    * per-batch bin counts merged by union+sum — associative and
+    * commutative like the CMS counters, so streamed ≡ rebuilt holds
+    * EXACTLY (not w.h.p.; StreamingSketchSpec pins it). Same replay
+    * caution as CMS: counts are sums, so the caller's persist must be
+    * keyed by batchId. */
+  def histSink(
+      state: => DataFrame,
+      arriving: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      vCol: String, lo: Long, hi: Long, bins: Int): DataStreamWriter[Row] =
+    arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val batchState = Sketches.histState(
+          batch.localCheckpoint(), vCol, lo, hi, bins)
+        onBatch(Sketches.mergeHist(state, batchState), batchId)
+      }
+
   /** foreachBatch sink maintaining BOTH sketches: each micro-batch of
     * documents is sketched (one narrow pass each) and merged into the
     * caller-persisted state; `onBatch(newCms, newKmv, batchId)`

@@ -87,4 +87,34 @@ class StreamingSketchSpec extends SparkSpec {
     val abDf = StreamingSketch.mergeKmv(ka, kb, 4).localCheckpoint()
     assert(kmvMap(StreamingSketch.mergeKmv(abDf, ka, 4)) == ab)
   }
+
+  test("streamed histogram state equals the flat build (the r12 quantile member)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val arriving = mem.toDF().toDF("v")
+    val (lo, hi, bins) = (0L, 100L, 16)
+    val hbatches = Seq(Seq(5L, 7L, 42L, 99L, -3L), Seq(42L, 63L, 250L, 0L))
+
+    var stateById = Map(-1L ->
+      Sketches.histState(Seq.empty[Long].toDF("v"), "v", lo, hi, bins)
+        .localCheckpoint())
+    val q = StreamingSketch.histSink(
+        stateById(stateById.keys.max), arriving,
+        onBatch = (s, id) => stateById = stateById + (id -> s.localCheckpoint()),
+        "v", lo, hi, bins)
+      .start()
+    try hbatches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    def binMap(df: DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val streamed = stateById(stateById.keys.max)
+    val flat = Sketches.histState(
+      hbatches.flatten.toDF("v"), "v", lo, hi, bins)
+    assert(binMap(streamed) == binMap(flat))
+    // and the quantiles read identically out of the streamed state
+    assert(Sketches.histQuantile(streamed, Seq(500), lo, hi, bins).collect()
+      .toSeq == Sketches.histQuantile(flat, Seq(500), lo, hi, bins)
+      .collect().toSeq)
+  }
 }
