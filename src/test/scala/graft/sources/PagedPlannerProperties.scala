@@ -69,4 +69,34 @@ object PagedPlannerProperties extends Properties("PagedPlanner") {
 
       fits && skipsNarrow && tiles && accounted
     }
+
+  private val limitedCases = for {
+    (n, span, perPage, maxPages, minRange, burst) <- cases
+    needed <- Gen.choose(0L, 4000L)
+  } yield (n, span, perPage, maxPages, minRange, burst, needed)
+
+  property("limited planning: an ordered sub-sequence of the full leaves that covers the limit") =
+    Prop.forAllNoShrink(limitedCases) {
+      case (n, span, perPage, maxPages, minRange, burst, needed) =>
+        val base = 1600000000L
+        val api = HashSpreadApi(n, base, span, perPage, maxPages, burst)
+        val full = PagedSource.planWindows(api, base, base + span, minRange)
+        val limited =
+          PagedSource.planWindowsLimited(api, base, base + span, minRange, needed)
+
+        // every limited leaf is a full-plan leaf, in the same order
+        // (the limited planner only ever DROPS windows, never reshapes)
+        val fullSet = full.toSet
+        val subseq = limited.forall(fullSet.contains) &&
+          limited.map(l => full.indexOf(l)) == limited.map(l => full.indexOf(l)).sorted
+        // coverage: kept counts reach min(needed, all reachable rows)
+        val reachable = full.map(_._3).sum
+        val covered = limited.map(_._3).sum >= math.min(needed, reachable)
+        // never grossly over-plans: dropping the last kept leaf would
+        // leave the limit uncovered (minimality of the kept prefix)
+        val minimal = limited.isEmpty ||
+          limited.init.map(_._3).sum < needed
+
+        subseq && covered && minimal
+    }
 }
