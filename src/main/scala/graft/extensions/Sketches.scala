@@ -280,9 +280,15 @@ object Sketches {
       state: DataFrame, qsPermille: Seq[Int], lo: Long, hi: Long,
       bins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the ≤ bins-row state once (the renderMerged
+    // discipline): the cum/n windows and the q join are separate
+    // consumers, and an unmaterialized state would re-run its whole
+    // build subtree — corpus scan included — per consumer
+    // (ExplainOne caught 4 scans; now the build runs once)
+    val s = state.localCheckpoint()
     val w = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = state
+    val cum = s
       .withColumn("cum", sum("cnt").over(w))
       .withColumn("n", sum("cnt").over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
