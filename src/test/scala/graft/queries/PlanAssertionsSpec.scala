@@ -324,4 +324,23 @@ class PlanAssertionsSpec extends SparkSpec {
     val shuffles = p.collect { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 1, s"${shuffles.size} shuffles\n$p") // orderBy only
   }
+
+  test("q_hist_quantile: the merged state materializes once — zero corpus scans in the query subtree") {
+    // r12 audit catch: unmaterialized, the cum/n windows and the q
+    // probe each re-ran the state build (corpus scan included) — 4
+    // parquet scans for a ≤ bins-row state; the localCheckpoint caps
+    // corpus touches at the (pre-subtree) state build itself
+    val p = planString("q_hist_quantile")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"$scans parquet scans — the state re-derived per consumer\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_postings_compact: the LSM chain stays doc/term-keyed — no cartesian, no single-partition exchange") {
+    val p = planString("q_postings_compact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"$scans parquet scans — a corpus leg re-derived per consumer\n$p")
+  }
 }
