@@ -133,7 +133,13 @@ object PagedSource {
     * data-loss line next to the scan — leaves and skips together tile
     * the requested span exactly, so `Σ found(skips)` IS the row
     * deficit (PagedPlannerProperties pins all of this for arbitrary
-    * feed shapes). */
+    * feed shapes).
+    *
+    * Probe budget: `found()` is called once per bisection-tree node
+    * wide enough to consider, which is ≤ 2·(leaves + skips) − 1 — the
+    * metadata bill scales with the PLAN SIZE, never with rows, and the
+    * ts_sec pushdown narrows the root before the first probe
+    * (property-pinned with a counting feed). */
   def planWindowsWithSkips(
       api: PagedApi, fromSec: Long, toSec: Long,
       minRange: Long): (Seq[(Long, Long, Long)], Seq[(Long, Long)]) =
@@ -285,13 +291,22 @@ class PagedScanBuilder(
     case _ => None
   }
 
+  /** Boundary value usable in the half-open `+1` rewrites. `x + 1` on
+    * `Long.MaxValue` wraps to MinValue, turning an always-false
+    * `ts_sec > MaxValue` into a full scan with the filter CONSUMED (so
+    * Spark never re-applies it) and an always-true
+    * `ts_sec <= MaxValue` into an empty scan — so extremes stay
+    * residual instead. */
+  private def secOfExclusive(v: Any): Option[Long] =
+    secOf(v).filter(_ != Long.MaxValue)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
       case GreaterThanOrEqual("ts_sec", v) => secOf(v) match {
         case Some(x) => lo = math.max(lo, x); false
         case None => true
       }
-      case GreaterThan("ts_sec", v) => secOf(v) match {
+      case GreaterThan("ts_sec", v) => secOfExclusive(v) match {
         case Some(x) => lo = math.max(lo, x + 1); false
         case None => true
       }
@@ -299,11 +314,11 @@ class PagedScanBuilder(
         case Some(x) => hi = math.min(hi, x); false
         case None => true
       }
-      case LessThanOrEqual("ts_sec", v) => secOf(v) match {
+      case LessThanOrEqual("ts_sec", v) => secOfExclusive(v) match {
         case Some(x) => hi = math.min(hi, x + 1); false
         case None => true
       }
-      case EqualTo("ts_sec", v) => secOf(v) match {
+      case EqualTo("ts_sec", v) => secOfExclusive(v) match {
         case Some(x) => lo = math.max(lo, x); hi = math.min(hi, x + 1); false
         case None => true
       }
@@ -347,6 +362,13 @@ class PagedScan(
       parts.result()
   }
 
+  /** Root-window `found`, probed ONCE per Scan: Catalyst may request
+    * statistics several times while optimizing one plan, and against a
+    * real HTTP-backed [[PagedApi]] each probe is a blocking network
+    * call — memoizing keeps stats estimation at one metadata request
+    * no matter how often the optimizer asks. */
+  private lazy val rootFound: Long = api.found(fromSec, toSec)
+
   /** Honest feed statistics from ONE metadata probe: row count =
     * `found` over the (possibly filter-narrowed) window, capped by a
     * pushed limit; bytes ≈ rows × the fixed-ish row width. This is
@@ -354,8 +376,7 @@ class PagedScan(
     * instead of shuffling the big side — the optimizer integration a
     * DSv2 source owes the planner. */
   override def estimateStatistics(): Statistics = {
-    val found = api.found(fromSec, toSec)
-    val rows = limit.map(l => math.min(found, l.toLong)).getOrElse(found)
+    val rows = limit.map(l => math.min(rootFound, l.toLong)).getOrElse(rootFound)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, rows * 48L))

@@ -159,6 +159,19 @@ class PagedSourceSpec extends SparkSpec {
     assert(readPaged(5000).filter(col("id") === 7L).count() == 1)
   }
 
+  test("Long-extreme bounds stay residual: no +1 overflow in the half-open rewrites") {
+    // r12 ADVICE: GreaterThan(ts_sec, Long.MaxValue) used to compute
+    // lo = MaxValue + 1 = MinValue — the always-false filter was
+    // CONSUMED while the window stayed un-narrowed, returning ALL rows;
+    // LessThanOrEqual(ts_sec, MaxValue) emptied an always-true scan.
+    // Extremes are now left residual, so Spark evaluates them.
+    assert(readPaged(100).filter(col("ts_sec") > Long.MaxValue).count() == 0)
+    assert(readPaged(100).filter(col("ts_sec") <= Long.MaxValue).count() == 100)
+    assert(readPaged(100).filter(col("ts_sec") === Long.MaxValue).count() == 0)
+    // the non-extreme paths keep consuming as before
+    assert(readPaged(100).filter(col("ts_sec") > base + span).count() == 0)
+  }
+
   test("limit pushdown caps the planned pages; stats let the feed broadcast") {
     // head(120) against the 5000-row feed: the planner stops once the
     // bisected windows' found counts cover the limit, instead of
