@@ -69,8 +69,10 @@ object BucketCommit {
     * target, so two racing attempts would both report success —
     * `link()` is the syscall that is both atomic and exclusive
     * (EEXIST for the loser), giving true one-winner semantics without
-    * a lock. Filesystems without hard links fall back to ATOMIC_MOVE,
-    * which still never exposes a partial file. */
+    * a lock. Filesystems without hard links fall back to a
+    * check-then-ATOMIC_MOVE (warned loudly): still never exposes a
+    * partial file, but one-winner is best-effort there, not
+    * syscall-guaranteed. */
   def commitBucket(dir: String, bucket: String)(write: Path => Unit): Boolean = {
     val target = finalPath(dir, bucket)
     if (Files.exists(target)) return false // resume skip: no work at all
@@ -82,6 +84,15 @@ object BucketCommit {
       try Files.createLink(target, tmp)
       catch {
         case _: UnsupportedOperationException =>
+          // No hard links on this FS. ATOMIC_MOVE (POSIX rename) silently
+          // REPLACES an existing target, so a racing twin could make both
+          // attempts report true — re-check first and surface that this
+          // path's one-winner guarantee is best-effort, not syscall-grade.
+          if (Files.exists(target)) throw new java.nio.file.FileAlreadyExistsException(target.toString)
+          System.err.println(
+            s"[BucketCommit] WARN: no hard-link support under $dir — " +
+              "falling back to ATOMIC_MOVE; one-winner semantics are " +
+              "degraded to check-then-move on this filesystem")
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       }
       Files.deleteIfExists(tmp)
