@@ -63,4 +63,47 @@ object StreamingDeletes {
           batch.select("doc_id").withColumn("batch_id", lit(batchId)),
           batchId)
       }
+
+  /** [[sink]] with the compaction policy inside the sink (r12 VERDICT
+    * #2, the [[StreamingPostings.sinkCompacting]] twin): after each
+    * tombstone batch is appended, the log's segment and row counts are
+    * checked against `policy`; on trigger the sink folds the ENTIRE
+    * log — current batch included — into a new manifest and hands it
+    * to `onCompact(newBase, batchId)`; the caller replaces the base
+    * and truncates the whole log.
+    *
+    * Unlike the postings sink, the fold may include the in-flight
+    * batch: deletion is a set operation, so a redelivered tombstone
+    * whose doc was already folded away anti-joins to nothing — replay
+    * across the trigger boundary is a no-op with no batch-id
+    * bookkeeping at all (the property StreamingDeletesSpec pins, now
+    * exercised across the AUTOMATIC trigger in
+    * StreamingCompactionSpec). */
+  def sinkCompacting(
+      base: => DataFrame,
+      log: => DataFrame,
+      arrivingDeletes: DataFrame,
+      budget: Int,
+      onTombstones: (DataFrame, Long) => Unit,
+      onCompact: (DataFrame, Long) => Unit,
+      policy: CompactionPolicy = CompactionPolicy()): DataStreamWriter[Row] =
+    arrivingDeletes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onTombstones(
+          batch.select("doc_id").withColumn("batch_id", lit(batchId)),
+          batchId)
+        val postLog = log // re-read: now includes this batch
+        val (segs, rows) = {
+          val r = postLog.agg(
+            countDistinct(col("batch_id")), count(lit(1))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val baseRows =
+          if (policy.maxLogToBaseRatio > 0) base.count() else 0L
+        if (policy.shouldCompact(segs, rows, baseRows)) {
+          val newBase = compact(base, postLog.select("doc_id"), budget)
+          onCompact(newBase, batchId)
+        }
+      }
 }

@@ -87,4 +87,59 @@ object StreamingPostings {
           .withColumn("batch_id", lit(batchId))
         onBatch(delta, batchId)
       }
+
+  /** [[sink]] with the compaction POLICY inside the sink (r12 VERDICT
+    * #2): after each batch's delta is appended, the log's segment and
+    * row counts are checked against `policy`, and on trigger the sink
+    * folds every EARLIER batch (`batch_id < current`) into a new base
+    * and hands it to `onCompact(newBase, keepFromBatchId)` — the caller
+    * replaces the base and truncates the log to
+    * `batch_id >= keepFromBatchId`.
+    *
+    * Folding strictly-earlier batches only (never the one just
+    * appended) is what keeps exactly-once across the trigger boundary:
+    * a redelivered batch b recomputes its delta against
+    * `view(base', log < b)`, and by the compaction identity that view
+    * is unchanged whether the < b batches live in the log or were
+    * folded into base' — so the replayed delta is bit-identical and the
+    * overwrite-by-id persist stays a no-op (spec-pinned in
+    * StreamingCompactionSpec, alongside auto-compacted ≡ never-compacted
+    * ≡ flat batch rebuild).
+    *
+    * `base` is by-name so post-compaction batches see the
+    * caller-persisted NEW base, exactly as `log` already re-reads the
+    * caller-persisted log. Policy evaluation costs one count over the
+    * log (∝ log, the thing being bounded) plus one over the base only
+    * when the ratio lever is enabled. */
+  def sinkCompacting(
+      base: => DataFrame,
+      log: => DataFrame,
+      arriving: DataFrame,
+      onDelta: (DataFrame, Long) => Unit,
+      onCompact: (DataFrame, Long) => Unit,
+      policy: CompactionPolicy = CompactionPolicy(),
+      n: Int = 3, maxDf: Int = 6): DataStreamWriter[Row] =
+    arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val curBase = base
+        val delta = Postings
+          .appendDelta(view(curBase, log.filter(col("batch_id") < batchId)),
+            batch.localCheckpoint(), n, maxDf)
+          .withColumn("batch_id", lit(batchId))
+        onDelta(delta, batchId)
+        val postLog = log // re-read: now includes this batch's delta
+        val (segs, rows) = {
+          val r = postLog.agg(
+            countDistinct(col("batch_id")), count(lit(1))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val baseRows =
+          if (policy.maxLogToBaseRatio > 0) curBase.count() else 0L
+        if (policy.shouldCompact(segs, rows, baseRows)) {
+          val newBase =
+            compact(curBase, postLog.filter(col("batch_id") < batchId))
+          onCompact(newBase, batchId)
+        }
+      }
 }
