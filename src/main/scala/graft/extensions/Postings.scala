@@ -41,6 +41,17 @@ object Postings {
         when(size(acc) === 0, d.cast("long"))
           .otherwise(element_at(acc, size(acc)) + d.cast("long"))))
 
+  /** The distinct (doc_id, term) n-gram pair frame — the single input
+    * every build/delta leg consumes. Exposed so a MULTI-LEG pipeline
+    * (q_postings_compact: base + two deltas over disjoint doc slices)
+    * can derive it from the corpus ONCE, checkpoint it, and cut each
+    * leg from the materialized pairs with a doc_id predicate — one
+    * corpus scan total instead of one per leg (r12 VERDICT #3). */
+  def termPairs(documents: DataFrame, n: Int = 3): DataFrame =
+    documents.select(col("doc_id"),
+      explode(TextAnalysis.wordNgrams(n)).as("term"))
+      .distinct()
+
   /** Build the posting-list frame: (term, df, first_doc, last_doc,
     * postings) with postings = comma-joined delta-encoded doc ids,
     * NULL above the cap.
@@ -54,10 +65,15 @@ object Postings {
   def build(
       documents: DataFrame, n: Int = 3, maxDf: Int = 6,
       materialize: Boolean = true): DataFrame = {
-    val grams = documents.select(col("doc_id"),
-      explode(TextAnalysis.wordNgrams(n)).as("term"))
-    val pairs0 = grams.distinct()
+    val pairs0 = termPairs(documents, n)
     val pairs = if (materialize) pairs0.localCheckpoint() else pairs0
+    buildFromPairs(pairs, maxDf)
+  }
+
+  /** [[build]] from an already-derived [[termPairs]] frame (assumed
+    * distinct, and already materialized by the caller if it feeds more
+    * than this build). */
+  def buildFromPairs(pairs: DataFrame, maxDf: Int = 6): DataFrame = {
     val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))
     val under = df.filter(col("df") <= maxDf)
     val lists = pairs
@@ -150,10 +166,15 @@ object Postings {
     * double-count df. */
   def appendDelta(
       index: DataFrame, newDocuments: DataFrame,
-      n: Int = 3, maxDf: Int = 6): DataFrame = {
-    val newAgg = newDocuments
-      .select(col("doc_id"), explode(TextAnalysis.wordNgrams(n)).as("term"))
-      .distinct()
+      n: Int = 3, maxDf: Int = 6): DataFrame =
+    appendDeltaFromPairs(index, termPairs(newDocuments, n), maxDf)
+
+  /** [[appendDelta]] from an already-derived [[termPairs]] frame for
+    * the arriving docs — the multi-leg single-scan entry point
+    * ([[buildFromPairs]]'s delta twin). */
+  def appendDeltaFromPairs(
+      index: DataFrame, newPairs: DataFrame, maxDf: Int = 6): DataFrame = {
+    val newAgg = newPairs
       .groupBy("term")
       .agg(count(lit(1)).as("df_new"),
         sort_array(collect_list("doc_id")).as("new_ids"))

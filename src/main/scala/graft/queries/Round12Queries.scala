@@ -20,21 +20,30 @@ object Round12Queries {
     * what later deltas and views produce (merged gap encodings, df
     * sums, cap transitions included), which is exactly the license an
     * operator needs to run compaction as a background job under a
-    * live stream. */
+    * live stream.
+    *
+    * One corpus scan (r12 VERDICT #3): the three legs (base, batch-0
+    * delta, batch-1 delta) used to each re-derive their (doc, term)
+    * pairs from `documents` — 4 parquet scans in the audited plan.
+    * [[graft.extensions.Postings.termPairs]] now derives the pair
+    * frame ONCE, checkpointed, and each leg cuts its doc slice from
+    * the materialized pairs with a `doc_id % 4` predicate. */
   private val postingsCompact = Q("q_postings_compact",
     (s, dir) => {
       import graft.extensions.Postings
       import graft.streaming.StreamingPostings
       val docs = table(s, dir, "documents")
-      val base = Postings.build(docs.filter(col("doc_id") % 4 >= 2))
+      val pairs = Postings.termPairs(docs).localCheckpoint()
+      val base = Postings.buildFromPairs(
+        pairs.filter(col("doc_id") % 4 >= 2))
       val log0 = Postings
-        .appendDelta(base, docs.filter(col("doc_id") % 4 === 1))
+        .appendDeltaFromPairs(base, pairs.filter(col("doc_id") % 4 === 1))
         .withColumn("batch_id", lit(0L))
       // background compaction: fold batch 0 into the base, drop the log
       val compacted = StreamingPostings.compact(base, log0).localCheckpoint()
       // the stream continues against the compacted base, empty log
       val log1 = Postings
-        .appendDelta(compacted, docs.filter(col("doc_id") % 4 === 0))
+        .appendDeltaFromPairs(compacted, pairs.filter(col("doc_id") % 4 === 0))
         .withColumn("batch_id", lit(1L))
       StreamingPostings.view(compacted, log1).orderBy("term")
     },
