@@ -178,6 +178,28 @@ object Packing {
           .as("chunks_rewritten"))
   }
 
+  /** Deterministic EPOCH SHUFFLE — the per-epoch reshuffle a trainer
+    * wants without a true random shuffle's irreproducibility: rank
+    * every doc by `md5(seed ":" doc_id)` (ties by doc_id, though md5
+    * makes them measure-zero) through [[globalRowNumber]], so each
+    * seed yields a fixed, globally-enumerated permutation — epoch 3 of
+    * run A and of its re-run order documents IDENTICALLY, the property
+    * data-loader seeds exist for, while different seeds decorrelate
+    * epochs as well as a random shuffle would.
+    *
+    * Scale shape: the same range-partition + broadcast-prefix-offsets
+    * enumeration as [[shardAssign]] — the hash key spreads uniformly,
+    * so the range partitions are balanced by construction and no
+    * single-partition window ever appears. Runs on the (doc_id, key)
+    * metadata projection; join `epoch_rn` back by doc_id to feed the
+    * loader. */
+  def epochShuffle(documents: DataFrame, seed: Long): DataFrame = {
+    val meta = documents.select(col("doc_id"),
+      md5(concat_ws(":", lit(seed), col("doc_id"))).as("_shuffle_key"))
+    globalRowNumber(meta, Seq(col("_shuffle_key"), col("doc_id")), "epoch_rn")
+      .select(col("doc_id"), col("epoch_rn"))
+  }
+
   /** Sliding-window chunking — the long-document splitter for context-
     * bounded training and RAG indexing: each document's token stream is
     * cut into windows of `win` tokens starting every `stride` tokens
