@@ -340,7 +340,45 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = planString("q_postings_compact")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
+    // r13 (VERDICT #3): every leg now cuts its doc slice from the ONE
+    // checkpointed termPairs frame — the final plan reads checkpoints
+    // only; a parquet scan here means a leg re-derived its pairs from
+    // the corpus again (the r12 4-scan shape)
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans <= 4, s"$scans parquet scans — a corpus leg re-derived per consumer\n$p")
+    assert(scans == 0, s"$scans parquet scans — a corpus leg re-derived its pairs\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("q_sessionize: ONE user_id hash exchange satisfies both windows and the session groupBy") {
+    // the canonical sessionize shape (r12 VERDICT #4): the lag/sum
+    // windows and the (user_id, session_id) aggregate all consume the
+    // same user_id hash partitioning — a second hash exchange means a
+    // window or the groupBy stopped reusing it; the only other
+    // exchange is the presentation ORDER BY's rangepartitioning
+    val p = planString("q_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("windowspecdefinition()"), p) // never unpartitioned
+  }
+
+  test("q_quality_cutoff: the per-lang cutoff frame broadcasts; the corpus is scanned at most twice") {
+    // r12 VERDICT #4 anchor hardening: the stats agg derives bounded
+    // per-lang cutoffs which must come back as a BROADCAST join (the
+    // scale-safe shape); a sort-merge join here re-shuffles the corpus
+    val p = planString("q_quality_cutoff")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"$scans corpus scans\n$p")
+  }
+
+  test("q_shard_assign: serpentine stamp never sorts globally — no single-partition exchange") {
+    // r12 VERDICT #4 anchor hardening on top of the existing pid pin:
+    // the global row number must come from range partition + broadcast
+    // prefix offsets, never an unpartitioned window or a 1-partition
+    // funnel
+    val p = planString("q_shard_assign")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("windowspecdefinition()"), p)
   }
 }
