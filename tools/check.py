@@ -23,37 +23,46 @@ import duckdb
 import numpy as np
 import pandas as pd
 
+def _canon_cell(v, col):
+    # The driver's pandas sort_values dies on unhashable cells
+    # (lists / numpy arrays) — only scalar cells are verifiable.
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(
+            f"non-scalar cell in column {col!r}: {type(v).__name__} "
+            "(driver's pandas canonicalizer cannot hash this)")
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return "None"
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, np.bool_):
+        return str(bool(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    return str(v)
+
 def canon(df):
     """Canonicalize a pandas DataFrame the way the driver does: columns
     sorted by name, every cell stringified from its pandas dtype (floats
-    via repr so 3404.0 != 3404), rows sorted."""
+    via repr so 3404.0 != 3404), rows sorted.
+
+    Stringifies COLUMN BY COLUMN, never via df.iterrows(): iterrows
+    upcasts each row Series to a common dtype, so an int64 column next
+    to a float64 column renders '3404' as '3404.0' — exactly the
+    HUGEINT-vs-BIGINT divergence this mimic exists to catch."""
     cols = sorted(df.columns)
-    out = []
-    for _, r in df[cols].iterrows():
-        vals = []
-        for c in cols:
-            v = r[c]
-            # The driver's pandas sort_values dies on unhashable cells
-            # (lists / numpy arrays) — only scalar cells are verifiable.
-            if isinstance(v, (list, tuple, dict, set, np.ndarray)):
-                raise TypeError(
-                    f"non-scalar cell in column {c!r}: {type(v).__name__} "
-                    "(driver's pandas canonicalizer cannot hash this)")
-            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
-                vals.append("None")
-            elif isinstance(v, (np.floating, float)):
-                vals.append(repr(float(v)))
-            elif isinstance(v, np.bool_):
-                vals.append(str(bool(v)))
-            elif isinstance(v, np.integer):
-                vals.append(str(int(v)))
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
+    str_cols = [[_canon_cell(v, c) for v in df[c].tolist()] for c in cols]
+    out = [tuple(row) for row in zip(*str_cols)] if str_cols and str_cols[0] else []
     out.sort()
     return out
 
 def main(sf_dir, out_dir):
+    # Lint first (r12 VERDICT #6): an un-CAST lossy aggregate must fail
+    # the mimic before it can ever reach the driver.
+    import oracle_lint
+    lint_rc = oracle_lint.main(sf_dir, out_dir)
+    if lint_rc:
+        print("== oracle_lint FLAGGED — failing the mimic before compare ==")
+        return lint_rc
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
