@@ -362,15 +362,35 @@ object Bench {
     * compaction points and the recovery are visible in one JSON
     * object. Base and every delta are checkpointed: each timed view is
     * the latest-per-term resolve over materialized segments, the cost
-    * readers actually pay between compactions, not re-derivation. */
+    * readers actually pay between compactions, not re-derivation.
+    *
+    * Two constructions were tried and only this one shows the physics:
+    * batches must RE-TOUCH the index's terms. Disjoint-term batches
+    * (fresh docs, fresh vocabulary — the first draft) add one row per
+    * NEW term to the log, so base ∪ log holds ~one row per term no
+    * matter how many segments pile up, and the fold collapses nothing:
+    * view cost tracks total index size, flat across compactions.
+    * Amplification is the MULTI-ROW-PER-TERM resolve — a feed
+    * re-mentioning hot terms every batch — so each batch here is the
+    * same corpus content under fresh doc_ids (term space 16×-amplified
+    * by prefix replication, so the multi-row resolve dwarfs the fixed
+    * job overhead): at 3 segments every term carries 4 rows
+    * (base + 3), post-fold it carries 1, and the tooth is real. */
   def lsmBench(spark: SparkSession, sfDir: String, reps: Int = 3): Seq[(String, Double)] = {
     import org.apache.spark.sql.DataFrame
     import graft.extensions.Postings
     import graft.streaming.{CompactionPolicy, StreamingPostings}
-    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
-    val pairs = Postings.termPairs(docs).localCheckpoint()
-    var base = Postings.buildFromPairs(pairs.filter(col("doc_id") % 7 === 0))
-      .localCheckpoint()
+    val base0 = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = (0 until 16).map(i => base0.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"l${i}_$$1").as("text")))
+      .reduce(_ union _)
+    val pairs = Postings.termPairs(corpus).localCheckpoint()
+    // batch b = the same term pairs under fresh doc_ids (appendDelta's
+    // new-ids contract), i.e. a feed that re-touches every term
+    def batchPairs(b: Int): DataFrame = pairs.select(
+      (col("doc_id") + lit(b.toLong * 100000000L)).as("doc_id"), col("term"))
+    var base = Postings.buildFromPairs(pairs).localCheckpoint()
     var deltas = Vector.empty[DataFrame]
     def log: DataFrame =
       if (deltas.isEmpty) base.withColumn("batch_id", lit(0L)).limit(0)
@@ -379,11 +399,18 @@ object Bench {
     val rows = Seq.newBuilder[(String, Double)]
     (1 to 6).foreach { b =>
       val delta = Postings
-        .appendDeltaFromPairs(StreamingPostings.view(base, log),
-          pairs.filter(col("doc_id") % 7 === b))
+        .appendDeltaFromPairs(StreamingPostings.view(base, log), batchPairs(b))
         .withColumn("batch_id", lit(b.toLong))
         .localCheckpoint()
       deltas :+= delta
+      // the noise-free form of the sawtooth: rows entering the resolve
+      // (base + every log segment — the read amplification itself,
+      // exact; on a 32-core box the TIMED rows sit on a ~0.3 s fixed
+      // job floor that a few million skinny rows barely move, so the
+      // row curve is the honest scale signal and the time curve the
+      // honest absolute cost)
+      rows += (s"lsm_resolve_rows_b$b" ->
+        (base.count() + log.count()).toDouble)
       rows += (s"lsm_view_b$b" -> timeMed(reps, s"lsm_view_b$b") {
         StreamingPostings.view(base, log)
           .write.format("noop").mode("overwrite").save()
@@ -395,6 +422,8 @@ object Bench {
         })
         base = StreamingPostings.compact(base, log).localCheckpoint()
         deltas = Vector.empty
+        rows += (s"lsm_resolve_rows_b${b}_post" ->
+          (base.count() + log.count()).toDouble)
         rows += (s"lsm_view_b${b}_post" -> timeMed(reps, s"lsm_view_b${b}_post") {
           StreamingPostings.view(base, log)
             .write.format("noop").mode("overwrite").save()
