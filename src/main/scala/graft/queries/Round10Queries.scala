@@ -1171,10 +1171,14 @@ object Round10Queries {
     * flips to NULL postings) all pinned. */
   private val postingsDelta = Q("q_postings_delta",
     (s, dir) => {
-      val docs = table(s, dir, "documents")
-      graft.extensions.Postings.appendDelta(
-        graft.extensions.Postings.build(docs.filter(col("doc_id") % 4 =!= 0)),
-        docs.filter(col("doc_id") % 4 === 0))
+      // both legs cut from ONE checkpointed pair frame — the
+      // q_postings_compact single-scan discipline (r13)
+      import graft.extensions.Postings
+      val pairs = Postings.termPairs(table(s, dir, "documents"))
+        .localCheckpoint()
+      Postings.appendDeltaFromPairs(
+        Postings.buildFromPairs(pairs.filter(col("doc_id") % 4 =!= 0)),
+        pairs.filter(col("doc_id") % 4 === 0))
         .orderBy("term")
     },
     Some("""WITH d AS (SELECT doc_id,
@@ -1212,11 +1216,15 @@ object Round10Queries {
     * this row makes it a driver-checked contract). */
   private val postingsView = Q("q_postings_view",
     (s, dir) => {
+      // both legs cut from ONE checkpointed pair frame — the
+      // q_postings_compact single-scan discipline (r13)
       import graft.extensions.Postings
-      val docs = table(s, dir, "documents")
-      val base = Postings.build(docs.filter(col("doc_id") % 4 =!= 0))
+      val pairs = Postings.termPairs(table(s, dir, "documents"))
+        .localCheckpoint()
+      val base = Postings.buildFromPairs(
+        pairs.filter(col("doc_id") % 4 =!= 0))
       val log = Postings
-        .appendDelta(base, docs.filter(col("doc_id") % 4 === 0))
+        .appendDeltaFromPairs(base, pairs.filter(col("doc_id") % 4 === 0))
         .withColumn("batch_id", lit(0L))
       graft.streaming.StreamingPostings.view(base, log).orderBy("term")
     },

@@ -349,6 +349,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q_postings_view / q_postings_delta: both legs cut from the one checkpointed pair frame") {
+    // r13: same single-scan discipline as q_postings_compact — a
+    // parquet scan in the final plan means a leg re-derived its pairs
+    for (name <- Seq("q_postings_view", "q_postings_delta")) {
+      val p = planString(name)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 0, s"$name: $scans parquet scans\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("q_sessionize: ONE user_id hash exchange satisfies both windows and the session groupBy") {
     // the canonical sessionize shape (r12 VERDICT #4): the lag/sum
     // windows and the (user_id, session_id) aggregate all consume the

@@ -137,7 +137,10 @@ class StreamingCompactionSpec extends SparkSpec {
     def emptyLog = log.limit(0).localCheckpoint()
     var compactions = 0
 
-    // batch-count lever: every batch triggers a fold of the whole log
+    // the RATIO lever, genuinely: batch-count disabled (0), trigger
+    // when tombstones reach 1% of manifest rows — each % 37 / % 41
+    // batch tombstones ~2.4-2.7% of the manifest, so every batch tips
+    // the ratio and folds the whole log
     val input = MemoryStream[Long]
     val q = StreamingDeletes.sinkCompacting(
         base = base, log = log,
@@ -150,7 +153,7 @@ class StreamingCompactionSpec extends SparkSpec {
           log = emptyLog
           compactions += 1
         },
-        policy = CompactionPolicy(maxLogBatches = 1, maxLogToBaseRatio = 0))
+        policy = CompactionPolicy(maxLogBatches = 0, maxLogToBaseRatio = 0.01))
       .start()
     try {
       input.addData(delBatch1); q.processAllAvailable()
