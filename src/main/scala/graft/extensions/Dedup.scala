@@ -74,7 +74,16 @@ object Dedup {
       rowsPerBand: Int = 4,
       fastHash: Boolean = false,
       share: Boolean = true): DataFrame = {
-    val buckets = bandBuckets(shingleFrame, numHashes, rowsPerBand, fastHash, share)
+    val buckets0 = bandBuckets(shingleFrame, numHashes, rowsPerBand, fastHash, share)
+    // the self-join reads the bucket frame TWICE; with the session memo
+    // off (share=false — one-shot pipelines, planted-corpus queries) an
+    // unmaterialized frame re-runs the shingle distinct + signature
+    // aggregation per side (r13 scan census: 8 corpus scans in
+    // q_dedup_minhash_fast) — a within-plan checkpoint is still owed
+    // even when cross-query sharing isn't
+    val buckets =
+      if (shareEnabled(shingleFrame.sparkSession, share)) buckets0
+      else buckets0.localCheckpoint()
     buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -450,6 +459,10 @@ object Dedup {
     * the distinct), so no content hotness can blow it up; the pair
     * matrix is |sources|² rows — driver-trivial at any corpus size. */
   def sourceOverlap(documents: DataFrame, k: Int = 6): DataFrame = {
+    // three consumers (both self-join sides + the totals) share the
+    // distinct's exchange via ReuseExchange — identical subtrees dedup
+    // in-flight, so no checkpoint is owed here (measured: a
+    // localCheckpoint changed nothing, r13 census follow-up)
     val hs = documents.select(col("source"),
       explode(TextAnalysis.wordNgrams(k)).as("win"))
       .select(md5(col("win").cast("binary")).as("h"), col("source"))

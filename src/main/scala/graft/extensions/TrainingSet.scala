@@ -108,12 +108,18 @@ object TrainingSet {
       buckets: Int = 100): DataFrame = {
     val assign = Dedup.trainEvalSplit(documents, nFolds, evalFoldMin, alpha, buckets)
     val scrub = TextAnalysis.exactSubstrApply(documents, k, hashWindows)
+    // FOUR consumers read this frame (each class's filter + the
+    // shardAssign metadata pass inside each) — unmaterialized, the
+    // whole split∘scrub subtree re-ran per consumer (12 corpus scans
+    // in the r13 census, the q_pipeline_funnel bug class); one
+    // checkpoint is the stage boundary a cluster run persists anyway
     val shipped = documents.select(col("doc_id"))
       .join(assign.select("doc_id", "assignment"), "doc_id")
       .filter(col("assignment") =!= "dropped")
       .join(scrub, "doc_id")
       .filter(col("clean_text") =!= "")
       .select(col("doc_id"), col("assignment"), col("clean_text").as("text"))
+      .localCheckpoint()
     val dealt = Seq("train", "eval").map { cls =>
       val sub = shipped.filter(col("assignment") === cls)
       sub.join(

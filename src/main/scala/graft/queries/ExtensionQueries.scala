@@ -718,9 +718,12 @@ object ExtensionQueries {
   private val dedupMinhashFast = Q("q_dedup_minhash_fast",
     (s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
+      // checkpointed: four consumers below (the LSH build + two text
+      // join-backs) each re-read the union otherwise (r13 scan census)
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .localCheckpoint()
       // share=false: the planted-dup corpus plan is unique to this query
       Dedup.minHashLsh(corpus, fastHash = true, share = false)
         .join(corpus.select(col("doc_id").as("a"), col("text").as("ta")), "a")
