@@ -1535,20 +1535,35 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_queries.json write failed: ${e.getMessage}")
     }
-    // The diff itself, printed by the run: >2× vs prior round AND above
-    // a 0.5 s floor (sub-half-second rows 2×-ing is timer noise, not a
-    // plan regression worth a triage line).
+    // The diff itself, printed by the run: flagged when a row slows
+    // >2× vs the prior committed run AFTER dividing out the suite-wide
+    // box factor (the MEDIAN ratio across all carried-over rows). A
+    // loaded box inflates every row together — this round's own runs
+    // measured the same suite at 1.0× and 1.27× on the same code — and
+    // a raw 2× threshold would flag half the suite on a bad box while
+    // a genuinely regressed plan hides in the crowd. Dividing by the
+    // median ratio cancels uniform load exactly and leaves plan drift:
+    // a single query that doubled on an otherwise-steady suite still
+    // trips, and NOTHING trips on pure load. The box factor is printed
+    // so the load itself is also visible from the artifact. Floor:
+    // sub-half-second rows 2×-ing is timer noise, not a triage line.
+    val allRatios = results.flatMap { case (n, m) =>
+      prevMedians.get(n).filter(_ > 0).map(m / _)
+    }.sorted
+    val boxFactor =
+      if (allRatios.isEmpty) 1.0 else allRatios(allRatios.size / 2)
+    val normThreshold = 2.0 * math.max(1.0, boxFactor)
     val regressions = results.collect {
       case (name, med) if med > 0.5 &&
-          prevMedians.get(name).exists(p => p > 0 && med > 2 * p) =>
+          prevMedians.get(name).exists(p => p > 0 && med > normThreshold * p) =>
         name -> (med / prevMedians(name))
     }
     val regStr = regressions
       .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"regressions_vs_prev","count":${regressions.size},"threshold":2.0,"floor_sec":0.5,"rows":$regStr}""")
+    println(f"""{"metric":"regressions_vs_prev","count":${regressions.size},"threshold":2.0,"box_factor":$boxFactor%.3f,"floor_sec":0.5,"rows":$regStr}""")
 
-    val summary = s"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"regressions_vs_prev":$regStr,"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
+    val summary = f"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"regressions_vs_prev":$regStr,"box_factor":$boxFactor%.3f,"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
     println(summary)
     // r11 VERDICT #5: the summary as its own FILE, immune to any stdout
     // tail window — the driver (or a human) can always json.load this.
