@@ -139,6 +139,39 @@ object Layout {
     spark.catalog.refreshTable(table)
   }
 
+  /** Data-file census of a bucketed table — the fragmentation number
+    * the compaction policy acts on. One directory listing, no data
+    * read. */
+  def bucketedDataFiles(spark: SparkSession, table: String): Int = {
+    val location = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location
+    Option(new java.io.File(location).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+  }
+
+  /** Threshold-triggered [[compactBucketed]] — the operational lever
+    * for the OTHER growing artifact of the streaming family (the
+    * [[graft.streaming.StreamingDedup]] band index, grown by
+    * [[appendBucketed]] per admitted batch): every append adds one
+    * file per touched bucket, so probe cost decays with file count
+    * (priced per round as the bench streaming section's
+    * probe_fragmented vs probe_compacted rows). Called after each
+    * append, this compacts once the census reaches
+    * `maxFilesPerBucket × buckets` and stays inert otherwise — the
+    * same contract as [[graft.streaming.CompactionPolicy]] gives the
+    * postings/tombstone logs, at the file-layout level. Returns true
+    * iff it compacted (the caller's observability hook). */
+  def maybeCompactBucketed(
+      spark: SparkSession, table: String, bucketCols: Seq[String],
+      buckets: Int, maxFilesPerBucket: Int = 4): Boolean = {
+    val files = bucketedDataFiles(spark, table)
+    if (maxFilesPerBucket > 0 && files >= maxFilesPerBucket.toLong * buckets) {
+      compactBucketed(spark, table, bucketCols, buckets)
+      true
+    } else false
+  }
+
   /** Sorted parquet write — the "secondary index" substitute (SURVEY §4):
     * globally ordering on the hot predicate column clusters each key into
     * few row groups, so parquet min/max stats let a reader skip the rest.

@@ -97,6 +97,45 @@ class LayoutSkewSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("maybeCompactBucketed: inert below the file threshold, fires exactly at it, contents preserved") {
+    // the admission loop's per-batch call: append a batch's band rows,
+    // then let the POLICY decide — the file-layout twin of the
+    // streaming CompactionPolicy (r13)
+    val cols = Seq("band", "bkey")
+    val buckets = 4
+    // coalesce(1): one writer task → exactly one file per touched
+    // bucket per append, so the census arithmetic below is exact
+    def batch(seed: Long) =
+      (1L to 120L).map(i => (i % 3, i % 11, seed * 1000 + i))
+        .toDF("band", "bkey", "doc_id").coalesce(1)
+    Layout.writeBucketed(batch(0), "mcb_idx", cols, buckets)
+    var fired = Vector.empty[Long]
+    var wasInert = false
+    (1L to 5L).foreach { s =>
+      Layout.appendBucketed(batch(s), "mcb_idx", cols, buckets)
+      val files = Layout.bucketedDataFiles(spark, "mcb_idx")
+      val did = Layout.maybeCompactBucketed(spark, "mcb_idx", cols, buckets,
+        maxFilesPerBucket = 3)
+      // the policy must fire EXACTLY when the census crosses the bound
+      assert(did == (files >= 3 * buckets),
+        s"batch $s: files=$files fired=$did")
+      if (did) {
+        fired :+= s
+        assert(Layout.bucketedDataFiles(spark, "mcb_idx") == buckets,
+          "compaction must restore one file per bucket")
+      } else wasInert = true
+    }
+    assert(fired.nonEmpty, "the threshold was never reached — test is inert")
+    assert(wasInert, "the policy fired every batch — threshold never bounded anything")
+    // six batches of 120 rows survive, bit-for-bit
+    assert(spark.table("mcb_idx").count() == 6 * 120)
+    val expect = (0L to 5L).flatMap(s =>
+      (1L to 120L).map(i => (i % 3, i % 11, s * 1000 + i))).sorted
+    val got = spark.table("mcb_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expect)
+  }
+
   test("saltedCount equals plain groupBy count on a skewed frame") {
     val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "b")).toDF("k")
     val salted = Skew.saltedCount(df, $"k", parts = 8)
