@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
@@ -93,7 +94,8 @@ final case class HashSpreadApi(
     (lowerBound(toSec) - lowerBound(fromSec)).toLong
 
   override def fetch(
-      fromSec: Long, toSec: Long, page: Int): Iterator[(Long, Long, String)] =
+      fromSec: Long, toSec: Long, page: Int): Iterator[(Long, Long, String)] = {
+    HashSpreadApi.fetchCalls.incrementAndGet()
     (0L until n).iterator
       .map(id => (id, ts(id)))
       .filter { case (_, t) => t >= fromSec && t < toSec }
@@ -101,12 +103,20 @@ final case class HashSpreadApi(
       .slice(page * perPage, (page + 1) * perPage)
       .iterator
       .map { case (id, t) => (id, t, s"vac-$id") }
+  }
 }
 
 object HashSpreadApi {
   /** Knuth's multiplicative-hash constant — shared verbatim with the
     * q_paged_source oracle's `(id * 2654435761) % span`. */
   val Mult = 2654435761L
+
+  /** JVM-wide `fetch()` call counter — the row-transfer odometer a
+    * metadata-only contract is pinned against (PagedAggSpec asserts a
+    * pushed COUNT leaves it untouched). local-mode only observability;
+    * a real HTTP [[PagedApi]] would surface the same number as a
+    * request metric. */
+  val fetchCalls = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 object PagedSource {
@@ -264,7 +274,8 @@ class PagedScanBuilder(
     api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
     pollStep: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = PagedSource.Schema
@@ -272,6 +283,56 @@ class PagedScanBuilder(
   private var hi: Long = toSec
   private var accepted: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var pushedAggs: Seq[PagedAgg] = Nil // non-empty ⇒ aggregation pushed
+
+  /** Group-free aggregate pushdown — the metadata-only endgame of this
+    * source: `count(*)` / `count(col)` / `min(ts_sec)` / `max(ts_sec)`
+    * are answered ENTIRELY from `found()` probes, zero pages fetched.
+    *
+    *  - COUNT is Σ found over the bisection's kept leaves — NOT
+    *    `found(root)` — because the scan's own contract drops
+    *    unreachable slices (sub-`minRange` bursts, the skip report):
+    *    the pushed aggregate must equal what COUNT over the actual
+    *    scan would return, and it does, exactly (pinned in PagedAggSpec
+    *    against a burst feed where the two numbers differ).
+    *    `count(col)` on any feed column is the same number — all three
+    *    columns are non-nullable.
+    *  - MIN(ts_sec) / MAX(ts_sec) binary-search the boundary second
+    *    inside the first / last non-empty leaf (`found(f, t) > 0`
+    *    halving — O(log span) probes): leaves tile in key order, so
+    *    the first non-empty leaf holds the reachable minimum.
+    *
+    * Complete pushdown only (no partial leg): Spark plans the one-row
+    * scan as the final answer. Spark only offers the aggregate when
+    * every predicate was consumed (residual filters block pushdown),
+    * so the narrowed `[lo, hi)` window already accounts for all
+    * filtering. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(f => toPagedAgg(f).isDefined)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      pushedAggs = agg.aggregateExpressions.toSeq.map(f => toPagedAgg(f).get)
+      true
+    }
+
+  private def feedColumn(e: org.apache.spark.sql.connector.expressions.Expression,
+      only: Option[String] = None): Boolean = e match {
+    case fr: NamedReference => fr.fieldNames.length == 1 &&
+      only.fold(PagedSource.Schema.fieldNames.contains(fr.fieldNames.head))(
+        _ == fr.fieldNames.head)
+    case _ => false
+  }
+
+  private def toPagedAgg(f: AggregateFunc): Option[PagedAgg] = f match {
+    case _: CountStar => Some(PagedAgg.CountRows)
+    case c: Count if !c.isDistinct && feedColumn(c.column) =>
+      Some(PagedAgg.CountRows)
+    case m: Min if feedColumn(m.column, Some("ts_sec")) => Some(PagedAgg.MinTs)
+    case m: Max if feedColumn(m.column, Some("ts_sec")) => Some(PagedAgg.MaxTs)
+    case _ => None
+  }
 
   /** PARTIAL limit pushdown (isPartiallyPushed stays true, so Spark
     * keeps its own limit on top): the planner stops emitting
@@ -281,7 +342,12 @@ class PagedScanBuilder(
     * returns AT LEAST `limit` rows when that many exist (pages are
     * prefixes of each window's deterministic serving order), and
     * Spark's limit trims the rest. */
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean =
+    // a limit arriving AFTER an aggregation was pushed sits ABOVE the
+    // one-row aggregate output — capping the count with it would be
+    // wrong (limit-then-count ≠ count-then-limit); decline and let
+    // Spark keep it
+    pushedAggs.isEmpty && { limit = Some(l); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -331,8 +397,112 @@ class PagedScanBuilder(
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new PagedScan(api, lo, math.max(lo, hi), minRange, pollStep, required,
-      limit)
+    if (pushedAggs.nonEmpty)
+      new PagedCountScan(api, lo, math.max(lo, hi), minRange, pushedAggs,
+        limit)
+    else
+      new PagedScan(api, lo, math.max(lo, hi), minRange, pollStep, required,
+        limit)
+}
+
+/** The pushed group-free aggregates, by probe algebra. */
+sealed trait PagedAgg extends Serializable
+object PagedAgg {
+  /** Σ found(kept leaves), capped by a pushed limit. */
+  case object CountRows extends PagedAgg
+  /** Boundary bisection inside the first non-empty leaf. */
+  case object MinTs extends PagedAgg
+  /** Boundary bisection inside the last non-empty leaf. */
+  case object MaxTs extends PagedAgg
+}
+
+/** The scan a pushed group-free aggregation builds: one partition, one
+  * row, zero `fetch()` calls. The single task re-runs the bisection
+  * planner (pure metadata probes — the same bill the row scan pays at
+  * planInputPartitions time, moved off the driver), then answers each
+  * pushed aggregate from the kept leaves: COUNT = Σ found, MIN/MAX =
+  * the boundary second found by halving `found(f, t) > 0` inside the
+  * first/last non-empty leaf. MIN/MAX are nullable (NULL on an empty
+  * reachable window — SQL aggregate semantics); COUNT is 0 there. */
+class PagedCountScan(
+    api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
+    aggs: Seq[PagedAgg], limit: Option[Int])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map {
+      case (PagedAgg.CountRows, i) => StructField(s"count_$i", LongType, nullable = false)
+      case (PagedAgg.MinTs, i) => StructField(s"min_$i", LongType, nullable = true)
+      case (PagedAgg.MaxTs, i) => StructField(s"max_$i", LongType, nullable = true)
+    })
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"PagedCountScan(PushedAggregates: [${aggs.mkString(", ")}] via " +
+      s"found-probes over [$fromSec,$toSec), minRange=$minRange, limit=$limit)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagedCountPartition(fromSec, toSec))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedCountReaderFactory(api, minRange, aggs, limit)
+}
+
+case class PagedCountPartition(fromSec: Long, toSec: Long)
+    extends InputPartition
+
+class PagedCountReaderFactory(
+    api: HashSpreadApi, minRange: Long, aggs: Seq[PagedAgg],
+    limit: Option[Int])
+    extends PartitionReaderFactory {
+
+  /** First second `s` in a non-empty `[f, t)` with `found(f, s+1) > 0`:
+    * halve on "does the left part hold any row". */
+  private def minIn(api: PagedApi, f0: Long, t0: Long): Long = {
+    var f = f0; var t = t0
+    while (t - f > 1) {
+      val mid = (f + t) >>> 1
+      if (api.found(f, mid) > 0) t = mid else f = mid
+    }
+    f
+  }
+
+  /** Last second `s` in a non-empty `[f, t)` with `found(s, t) > 0`. */
+  private def maxIn(api: PagedApi, f0: Long, t0: Long): Long = {
+    var f = f0; var t = t0
+    while (t - f > 1) {
+      val mid = (f + t) >>> 1
+      if (api.found(mid, t) > 0) f = mid else t = mid
+    }
+    f
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[PagedCountPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val leaves = PagedSource
+          .planWindows(api, part.fromSec, part.toSec, minRange)
+          .filter(_._3 > 0)
+        val n = leaves.map(_._3).sum
+        val values: Seq[Any] = aggs.map {
+          case PagedAgg.CountRows =>
+            limit.map(l => math.min(n, l.toLong)).getOrElse(n)
+          case PagedAgg.MinTs =>
+            if (leaves.isEmpty) null
+            else { val (f, t, _) = leaves.head; minIn(api, f, t) }
+          case PagedAgg.MaxTs =>
+            if (leaves.isEmpty) null
+            else { val (f, t, _) = leaves.last; maxIn(api, f, t) }
+        }
+        InternalRow.fromSeq(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class PagedScan(
