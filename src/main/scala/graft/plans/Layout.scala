@@ -310,14 +310,27 @@ object Layout {
 
   /** Demonstrates that a year predicate prunes a partitioned layout:
     * returns the input files actually selected by the plan. */
-  def prunedFiles(spark: SparkSession, path: String, yearValue: Int): Seq[String] = {
-    val df = spark.read.parquet(path).filter(col("year") === yearValue)
-    df.queryExecution.executedPlan.collectLeaves()
-      .flatMap {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
-            .flatMap(_.files.map(_.getPath.toString))
-        case _ => Seq.empty
-      }
+  def prunedFiles(spark: SparkSession, path: String, yearValue: Int): Seq[String] =
+    scannedFiles(spark.read.parquet(path).filter(col("year") === yearValue))
+
+  /** The parquet files a plan will PHYSICALLY read after partition
+    * pruning — the ground truth behind every "this predicate prunes"
+    * claim in this repo (`inputFiles` lists the whole relation and is
+    * blind to pruning; this consults each scan's partitionFilters the
+    * way the execution-time file listing does). Descends into AQE
+    * plans: an AdaptiveSparkPlanExec is a leaf of the outer tree, so
+    * `collectLeaves` alone would miss every scan under an exchange. */
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[String] = p.collectLeaves().flatMap {
+      case f: FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _ => Seq.empty
+    }
+    walk(df.queryExecution.executedPlan)
   }
 }
