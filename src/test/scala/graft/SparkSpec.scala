@@ -7,7 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: maxFailures=2 turns task RETRY on
+      // (plain local[4] aborts the job on the first task failure), so
+      // suites can inject a transient attempt-0 failure and pin that
+      // the retried task reproduces the run bitwise
+      // (RetryDeterminismSpec). Deterministically-failing tests still
+      // fail their jobs — just after one extra attempt.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
