@@ -1,0 +1,92 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source-mixture rebalancing — the data-mixing step of a training-
+  * data pipeline: given per-source integer weights (the target token
+  * mixture), compute how many tokens each source contributes to the
+  * largest corpus servable WITHOUT upsampling, then materialize that
+  * corpus with a seeded, deterministic per-source selection.
+  *
+  * All arithmetic is integer (div = floor for the all-positive
+  * operands here) and selection order is md5(seed ":" doc_id) — the
+  * [[Packing.epochShuffle]] discipline — so a retried task, a re-run,
+  * or an independent engine (the DuckDB oracle) reproduces the exact
+  * same corpus. No floats cross engines, no RNG crosses attempts.
+  *
+  * Scale shape: one narrow groupBy(source) over the corpus for the
+  * plan; the sample is one per-source window over (md5 key, doc_id) —
+  * the [[Sampling.systematicSample]] cumsum discipline — with the
+  * bounded plan frame broadcast back. Nothing driver-side: the budget
+  * is a 1-row agg cross-joined as a broadcast, like every other
+  * bounded summary in this repo. Overflow headroom: products are
+  * bounded by Σweights · max-source-tokens, so Σweights ≤
+  * Long.MaxValue / corpus-tokens — ~9·10⁵ at 10¹³ tokens (100 TB).
+  */
+object Mixture {
+
+  /** Whitespace token count, the repo-wide convention
+    * ([[Sampling]]/[[TextAnalysis]]). */
+  private def nTok: Column =
+    size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+      t => t =!= "")).cast("long")
+
+  /** The mixture plan: per source `s` with weight `w_s` (weights frame:
+    * `(source, weight)`, absent or non-positive ⇒ excluded),
+    *
+    *  - `tokens_total` — what the source holds;
+    *  - `budget` — the largest total token budget B such that every
+    *    source can serve its share `w_s·B/W` from what it holds:
+    *    B = min_s ⌊tokens_total_s · W / w_s⌋ (the binding source is the
+    *    scarce one relative to its target);
+    *  - `keep_tokens` — this source's share ⌊w_s·B/W⌋ of that budget;
+    *  - `epochs_at_2x` — passes over the source needed if the caller
+    *    insists on a 2B-token corpus instead (the upsampling price):
+    *    ⌈⌊w_s·2B/W⌋ / tokens_total⌉.
+    */
+  def plan(documents: DataFrame, weights: DataFrame): DataFrame = {
+    // BOTH intermediate frames are bounded (one row per source), and
+    // both feed multiple consumers (w_sum + the join; budget + the
+    // output; the sample's keep join) — freeze each once so a derived
+    // weights frame and the corpus scan are paid once, not once per
+    // consumer (the q_postings_compact re-derivation lesson)
+    val wPos = weights.filter(col("weight") > 0).localCheckpoint()
+    val totals = documents
+      .select(col("source"), nTok.as("n_tok"))
+      .groupBy("source").agg(sum(col("n_tok")).as("tokens_total"))
+      .join(broadcast(wPos), Seq("source"))
+      .crossJoin(broadcast(wPos.agg(sum(col("weight")).as("w_sum"))))
+      .filter(col("tokens_total") > 0)
+      .localCheckpoint()
+    val budget = totals
+      .agg(min(expr("(tokens_total * w_sum) div weight")).as("budget"))
+    totals.crossJoin(broadcast(budget))
+      .withColumn("keep_tokens", expr("(weight * budget) div w_sum"))
+      .withColumn("epochs_at_2x",
+        expr("""((weight * budget * 2) div w_sum + tokens_total - 1)
+                div tokens_total"""))
+      .select("source", "tokens_total", "weight", "budget", "keep_tokens",
+        "epochs_at_2x")
+  }
+
+  /** Materialize the planned mixture: per source, take docs in
+    * md5(seed ":" doc_id) order (doc_id tiebreak) while the tokens
+    * taken so far are below `keep_tokens` — exact budget adherence (the
+    * last doc may overshoot by < 1 doc), not Bernoulli expectation.
+    * Emits `(source, doc_id, n_tok)`. */
+  def sample(documents: DataFrame, weights: DataFrame, seed: Long): DataFrame = {
+    val keeps = plan(documents, weights).select("source", "keep_tokens")
+    val w = Window.partitionBy("source")
+      .orderBy(col("_mx_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("source"), col("doc_id"), nTok.as("n_tok"),
+        md5(concat_ws(":", lit(seed), col("doc_id"))).as("_mx_key"))
+      .join(broadcast(keeps), Seq("source"))
+      .withColumn("_cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("_cum_before") < col("keep_tokens"))
+      .select("source", "doc_id", "n_tok")
+  }
+}

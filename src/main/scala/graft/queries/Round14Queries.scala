@@ -1,11 +1,99 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables.table
 
 /** Round-14 additions: the COUNT aggregate pushdown of the paged
   * source — the fourth and final DSv2 pushdown surface (after
-  * filters, limit, statistics). */
+  * filters, limit, statistics) — and source-mixture rebalancing, the
+  * data-mixing step (target token mixture → per-source budgets →
+  * deterministic sampled corpus). */
 object Round14Queries {
+
+  /** Test-mixture weights derived in-plan from the source name
+    * (srcN → N % 4 + 1) so Spark and the oracle build the identical
+    * weights frame from the data alone — no literal table to drift. */
+  private def testWeights(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select("source").distinct()
+      .withColumn("weight",
+        pmod(expr("CAST(substr(source, 4) AS BIGINT)"), lit(4L)) + lit(1L))
+
+  private val weightsSql =
+    """SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS weight
+       FROM (SELECT DISTINCT source FROM documents)"""
+
+  private val tokSql =
+    """SELECT source, doc_id,
+              CAST(len(list_filter(
+                string_split(lower(coalesce(text, '')), ' '),
+                x -> x <> '')) AS BIGINT) AS n_tok
+       FROM documents"""
+
+  /** [[graft.extensions.Mixture.plan]] — per-source token totals, the
+    * largest no-upsampling budget for the target mixture, each
+    * source's keep share, and the upsampling epochs a 2× budget would
+    * cost. Integer-only arithmetic (div = floor on positives in both
+    * engines), so the oracle recomputes every column exactly. */
+  private val mixturePlan = Q("q_mixture_plan",
+    (s, dir) => graft.extensions.Mixture.plan(
+      table(s, dir, "documents"), testWeights(s, dir)),
+    Some(s"""WITH t AS ($tokSql),
+             wts AS ($weightsSql),
+             tot AS (SELECT t.source, CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+                            max(weight) AS weight
+                     FROM t JOIN wts ON t.source = wts.source
+                     WHERE weight > 0
+                     GROUP BY t.source
+                     HAVING sum(n_tok) > 0),
+             ws AS (SELECT CAST(sum(weight) AS BIGINT) AS w_sum FROM wts
+                    WHERE weight > 0),
+             b AS (SELECT CAST(min((tokens_total * w_sum) // weight) AS BIGINT)
+                            AS budget
+                   FROM tot, ws)
+             SELECT source, tokens_total, weight, budget,
+                    (weight * budget) // w_sum AS keep_tokens,
+                    ((weight * budget * 2) // w_sum + tokens_total - 1)
+                      // tokens_total AS epochs_at_2x
+             FROM tot, ws, b"""))
+
+  /** [[graft.extensions.Mixture.sample]] — the materialized mixture:
+    * per source, docs in md5(seed ":" doc_id) order while the running
+    * token total stays below the source's keep budget. The oracle
+    * replays the identical cumsum-over-md5-order rule, so a mismatch in
+    * selection order, budget arithmetic, or the one-doc overshoot rule
+    * breaks the hash. */
+  private val mixtureSample = Q("q_mixture_sample",
+    (s, dir) => graft.extensions.Mixture.sample(
+      table(s, dir, "documents"), testWeights(s, dir), seed = 7L),
+    Some(s"""WITH t AS ($tokSql),
+             wts AS ($weightsSql),
+             tot AS (SELECT t.source, CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+                            max(weight) AS weight
+                     FROM t JOIN wts ON t.source = wts.source
+                     WHERE weight > 0
+                     GROUP BY t.source
+                     HAVING sum(n_tok) > 0),
+             ws AS (SELECT CAST(sum(weight) AS BIGINT) AS w_sum FROM wts
+                    WHERE weight > 0),
+             b AS (SELECT CAST(min((tokens_total * w_sum) // weight) AS BIGINT)
+                            AS budget
+                   FROM tot, ws),
+             keeps AS (SELECT source,
+                              (weight * budget) // w_sum AS keep_tokens
+                       FROM tot, ws, b),
+             sel AS (SELECT t.source, t.doc_id, t.n_tok, keep_tokens,
+                            CAST(coalesce(sum(n_tok) OVER (
+                              PARTITION BY t.source
+                              ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)),
+                                       doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+                              AS cum_before
+                     FROM t JOIN keeps ON t.source = keeps.source)
+             SELECT source, doc_id, n_tok
+             FROM sel WHERE cum_before < keep_tokens"""))
 
   /** [[graft.sources.PagedSource]] aggregate pushdown — a filtered
     * group-free count/min/max over the paged feed is answered entirely
@@ -33,5 +121,5 @@ object Round14Queries {
                   FROM range(0, 5000) t(id))
             WHERE ts_sec >= 1600216000 AND ts_sec < 1600432000"""))
 
-  val all: Seq[Q] = Seq(pagedCount)
+  val all: Seq[Q] = Seq(pagedCount, mixturePlan, mixtureSample)
 }
