@@ -1217,6 +1217,44 @@ object Bench {
     }
   }
 
+  /** The paged source's aggregate-pushdown economics (r14): the same
+    * group-free COUNT over a 200k-row feed, once through the pushed
+    * PagedCountScan (answered from O(leaves) `found()` metadata probes,
+    * ZERO `fetch()` page calls) and once forced down the row path
+    * (`sum(1)` is outside the probe algebra, so the scan pages through
+    * the whole feed). The fetch-call rows are the structural evidence
+    * beside the timings: against a real HTTP feed every fetch is a
+    * network round-trip, so `paged_fetches_rowscan` is the bill the
+    * pushdown deletes. */
+  def pagedBench(spark: SparkSession, reps: Int = 3): Seq[(String, Double)] = {
+    import graft.sources.HashSpreadApi
+    def feed = spark.read.format("graft.sources.PagedSource")
+      .option("n", "200000").option("base", "1600000000")
+      .option("span", "864000") // 10 days of feed time
+      .option("perPage", "100").option("maxPages", "10")
+      .option("minRange", "300")
+      .load()
+    def fetchesDuring(body: => Unit): Long = {
+      val before = HashSpreadApi.fetchCalls.get()
+      body
+      HashSpreadApi.fetchCalls.get() - before
+    }
+    var pushedFetches = 0L
+    val pushedSec = timeMed(reps, "paged_count_pushed") {
+      pushedFetches = fetchesDuring(
+        feed.groupBy().agg(count(lit(1))).collect())
+    }
+    var rowFetches = 0L
+    val rowSec = timeMed(reps, "paged_count_rowscan") {
+      rowFetches = fetchesDuring(feed.agg(sum(lit(1))).collect())
+    }
+    Seq(
+      "paged_count_pushed" -> pushedSec,
+      "paged_count_rowscan" -> rowSec,
+      "paged_fetches_pushed" -> pushedFetches.toDouble,
+      "paged_fetches_rowscan" -> rowFetches.toDouble)
+  }
+
   /** The runtime half of the skew story — [[graft.plans.Skew]] salts
     * the groupBy half; join-side skew is AQE's job
     * (spark.sql.adaptive.skewJoin, on in [[GraftSession]] and here) and
@@ -1508,7 +1546,8 @@ object Bench {
     val capstone = section("capstone")(capstoneBench(spark, sfDir, reps))
     val multimodal = section("multimodal")(multimodalBench(spark, reps))
     val skewjoin = section("skewjoin")(skewJoinBench(spark, reps))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"sf":"$sfDir"}""")
+    val paged = section("paged")(pagedBench(spark, reps))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"sf":"$sfDir"}""")
     // Final SHORT line so a tail-truncated capture of this output still
     // contains a complete, parseable summary (r10 VERDICT #4: the full
     // artifact line above exceeds the driver's 2000-byte tail window).
