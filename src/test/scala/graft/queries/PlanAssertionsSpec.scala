@@ -393,4 +393,38 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("windowspecdefinition()"), p)
   }
+
+  test("q_paged_count: the aggregate IS the scan — no fallback row scan, no shuffle") {
+    // r14: the pushed group-free count/min/max plans as the one-row
+    // PagedCountScan; a regression to the row path re-fetches the feed
+    val p = planString("q_paged_count")
+    assert(p.contains("PagedCountScan"), p)
+    assert(!p.contains("PagedScan("), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_mixture_sample: bounded keeps broadcast back; the source window is partitioned") {
+    // r14: the plan frame (one row per source) must return as a
+    // broadcast join, and the budget cumsum must be a per-source
+    // window — an unpartitioned window or a sort-merge join here
+    // re-shuffles the corpus
+    val p = planString("q_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition()"), p)
+    assert(p.contains("windowspecdefinition(source#"), p)
+    // one source-keyed exchange feeds the window; the keeps join adds
+    // only a broadcast exchange
+    assert("Exchange hashpartitioning\\(source#".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_mixture_plan: the corpus never re-enters — frozen bounded frames only") {
+    // r14: totals/weights are localCheckpointed (bounded: one row per
+    // source), so the final plan holds zero parquet scans and the
+    // 1-row budget agg joins back as a broadcast
+    val p = planString("q_mixture_plan")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"$scans corpus scans\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
