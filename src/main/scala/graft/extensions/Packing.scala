@@ -229,4 +229,70 @@ object Packing {
         size(col("chunk")).cast("long").as("n_tok"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
   }
+
+  /** Length-bucketed batching — the padded-batch assembly trainers use
+    * when sequences are NOT concat-packed (SFT, reward modeling,
+    * encoder workloads): every batch is padded to its longest member,
+    * so batching similar-length docs together is the whole game.
+    * Docs are bucketed by ⌊n_tok / bucketWidth⌋, enumerated within
+    * their bucket (deterministic: doc_id order), and cut into batches
+    * of `docsPerBatch`; each output row is one batch with its padded
+    * cost: `padding_waste = n_docs · max_tok − tok_sum`.
+    *
+    * Scale shape: the within-bucket ordinal is NOT a per-bucket window
+    * (one task per bucket = the skew trap; a bucket can hold most of
+    * the corpus) — it rides [[globalRowNumber]] over (bucket, doc_id),
+    * then subtracts each bucket's first global rank, which comes back
+    * as a broadcast of ≤ #buckets rows. One range exchange + one
+    * bounded broadcast, regardless of bucket skew. */
+  def lengthBuckets(
+      documents: DataFrame, bucketWidth: Long, docsPerBatch: Int): DataFrame = {
+    require(bucketWidth > 0 && docsPerBatch > 0,
+      s"bucketWidth/docsPerBatch must be positive: $bucketWidth/$docsPerBatch")
+    val nTok = size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+      t => t =!= "")).cast("long")
+    val meta = documents
+      .select(col("doc_id"), nTok.as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $bucketWidth"))
+    val ranked = globalRowNumber(
+      meta, Seq(col("bucket"), col("doc_id")), "_rn")
+    val bucketStart = ranked.groupBy("bucket").agg(min(col("_rn")).as("_b0"))
+    ranked.join(broadcast(bucketStart), Seq("bucket"))
+      .withColumn("batch_id", expr(s"(_rn - _b0) div $docsPerBatch"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("tok_sum"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_tok") - col("tok_sum"))
+  }
+
+  /** The lever [[lengthBuckets]] exists to pull, measured: total padded
+    * tokens under length-bucketed batching vs the naive doc_id-order
+    * batching a shuffled loader would do, same `docsPerBatch`. Output:
+    * one row per policy `(policy, n_batches, tok_sum, padded_tokens,
+    * waste_ppm)` — all integers (ppm, not a float ratio, so the row
+    * hashes identically cross-engine). */
+  def paddingWaste(
+      documents: DataFrame, bucketWidth: Long, docsPerBatch: Int): DataFrame = {
+    val nTok = size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+      t => t =!= "")).cast("long")
+    val naive = globalRowNumber(
+        documents.select(col("doc_id"), nTok.as("n_tok")),
+        Seq(col("doc_id")), "_rn")
+      .withColumn("batch_id", expr(s"_rn div $docsPerBatch"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("tok_sum"))
+    def roll(perBatch: DataFrame, policy: String): DataFrame =
+      perBatch
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("tok_sum")).as("tok_sum"),
+          sum(col("n_docs") * col("max_tok")).as("padded_tokens"))
+        .select(lit(policy).as("policy"), col("n_batches"), col("tok_sum"),
+          col("padded_tokens"),
+          expr("(padded_tokens - tok_sum) * 1000000 div padded_tokens")
+            .as("waste_ppm"))
+    roll(lengthBuckets(documents, bucketWidth, docsPerBatch), "bucketed")
+      .unionByName(roll(naive, "naive"))
+  }
 }

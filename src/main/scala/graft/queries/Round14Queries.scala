@@ -121,5 +121,68 @@ object Round14Queries {
                   FROM range(0, 5000) t(id))
             WHERE ts_sec >= 1600216000 AND ts_sec < 1600432000"""))
 
-  val all: Seq[Q] = Seq(pagedCount, mixturePlan, mixtureSample)
+  /** [[graft.extensions.Packing.lengthBuckets]] — padded-batch
+    * assembly: bucket by ⌊n_tok/32⌋, enumerate within bucket in doc_id
+    * order, cut into 16-doc batches, bill each batch's padding. The
+    * oracle's per-bucket row_number twin pins that the distributed
+    * rank-minus-bucket-start enumeration equals the straightforward
+    * within-bucket ordinal. */
+  private val lengthBuckets = Q("q_length_buckets",
+    (s, dir) => graft.extensions.Packing.lengthBuckets(
+      table(s, dir, "documents"), bucketWidth = 32L, docsPerBatch = 16),
+    Some(s"""WITH t AS ($tokSql),
+             r AS (SELECT doc_id, n_tok, n_tok // 32 AS bucket,
+                          row_number() OVER (
+                            PARTITION BY n_tok // 32 ORDER BY doc_id) - 1
+                            AS ord
+                   FROM t)
+             SELECT bucket, ord // 16 AS batch_id,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    max(n_tok) AS max_tok,
+                    CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+                    CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
+                      AS padding_waste
+             FROM r GROUP BY 1, 2"""))
+
+  /** [[graft.extensions.Packing.paddingWaste]] — the lever measured:
+    * padded tokens under bucketed vs naive (doc_id-order) batching,
+    * waste in integer ppm so no float crosses engines. */
+  private val paddingWaste = Q("q_padding_waste",
+    (s, dir) => graft.extensions.Packing.paddingWaste(
+      table(s, dir, "documents"), bucketWidth = 32L, docsPerBatch = 16),
+    Some(s"""WITH t AS ($tokSql),
+             rb AS (SELECT n_tok, n_tok // 32 AS bucket,
+                           (row_number() OVER (
+                              PARTITION BY n_tok // 32 ORDER BY doc_id) - 1)
+                             // 16 AS batch_id
+                    FROM t),
+             bb AS (SELECT count(*) AS n_docs, max(n_tok) AS max_tok,
+                           sum(n_tok) AS tok_sum
+                    FROM rb GROUP BY bucket, batch_id),
+             rn AS (SELECT n_tok,
+                           (row_number() OVER (ORDER BY doc_id) - 1) // 16
+                             AS batch_id
+                    FROM t),
+             nb AS (SELECT count(*) AS n_docs, max(n_tok) AS max_tok,
+                           sum(n_tok) AS tok_sum
+                    FROM rn GROUP BY batch_id),
+             roll AS (
+               SELECT 'bucketed' AS policy,
+                      CAST(count(*) AS BIGINT) AS n_batches,
+                      CAST(sum(tok_sum) AS BIGINT) AS tok_sum,
+                      CAST(sum(n_docs * max_tok) AS BIGINT) AS padded_tokens
+               FROM bb
+               UNION ALL
+               SELECT 'naive',
+                      CAST(count(*) AS BIGINT),
+                      CAST(sum(tok_sum) AS BIGINT),
+                      CAST(sum(n_docs * max_tok) AS BIGINT)
+               FROM nb)
+             SELECT policy, n_batches, tok_sum, padded_tokens,
+                    (padded_tokens - tok_sum) * 1000000 // padded_tokens
+                      AS waste_ppm
+             FROM roll"""))
+
+  val all: Seq[Q] = Seq(pagedCount, mixturePlan, mixtureSample,
+    lengthBuckets, paddingWaste)
 }
