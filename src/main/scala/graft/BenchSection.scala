@@ -29,6 +29,7 @@ object BenchSection {
       case "capstone" => Bench.capstoneBench(spark, sfDir, reps)
       case "skewjoin" => Bench.skewJoinBench(spark, reps)
       case "paged" => Bench.pagedBench(spark, reps)
+      case "rtfilter" => Bench.runtimeFilterBench(spark, sfDir, reps)
       case other => sys.error(s"unknown section: $other")
     }
     rows.foreach { case (k, v) => println(f"SECTION $section $k = $v%.3f") }
