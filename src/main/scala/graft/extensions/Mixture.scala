@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * or an independent engine (the DuckDB oracle) reproduces the exact
   * same corpus. No floats cross engines, no RNG crosses attempts.
   *
+  * Relation to [[TextAnalysis.mixtureSample]] (the RATE-based member
+  * of this family): that op downsamples over-represented sources to a
+  * per-source admission rate — expectation semantics, corpus size
+  * falls where it falls. This op answers the budget questions the
+  * rate filter cannot: what is the LARGEST corpus the target mixture
+  * supports with no upsampling, exactly which tokens fill it, and
+  * what repeat-epochs bill a larger budget incurs — with EXACT
+  * per-source adherence (overshoot < one document), the contract a
+  * token-budgeted pretraining run is planned against.
+  *
   * Scale shape: one narrow groupBy(source) over the corpus for the
   * plan; the sample is one per-source window over (md5 key, doc_id) —
   * the [[Sampling.systematicSample]] cumsum discipline — with the
@@ -46,16 +56,36 @@ object Mixture {
     *    insists on a 2B-token corpus instead (the upsampling price):
     *    ⌈⌊w_s·2B/W⌋ / tokens_total⌉.
     */
-  def plan(documents: DataFrame, weights: DataFrame): DataFrame = {
+  def plan(documents: DataFrame, weights: DataFrame): DataFrame =
+    planFromTotals(totalsOf(documents), weights)
+
+  /** The bounded per-source state the plan derives from — one
+    * `(source, tokens_total)` row per source. This is the MERGEABLE
+    * state of the streaming twin ([[graft.streaming.StreamingMixture]]):
+    * totals of a batch decomposition fold back to the one-shot totals
+    * via [[mergeTotals]] (sums — exact, order-free). */
+  def totalsOf(documents: DataFrame): DataFrame =
+    documents.select(col("source"), nTok.as("n_tok"))
+      .groupBy("source").agg(sum(col("n_tok")).as("tokens_total"))
+
+  /** Fold two totals states: union + re-sum. NOT idempotent (sums) —
+    * a streaming caller persists merged state keyed by batch id,
+    * overwrite-by-id, the [[graft.streaming.StreamingSketch]]
+    * discipline. */
+  def mergeTotals(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source")
+      .agg(sum(col("tokens_total")).as("tokens_total"))
+
+  /** [[plan]] from a precomputed totals state — what the streaming
+    * twin calls per batch, paying O(state), never a corpus re-read. */
+  def planFromTotals(totalsState: DataFrame, weights: DataFrame): DataFrame = {
     // BOTH intermediate frames are bounded (one row per source), and
     // both feed multiple consumers (w_sum + the join; budget + the
     // output; the sample's keep join) — freeze each once so a derived
     // weights frame and the corpus scan are paid once, not once per
     // consumer (the q_postings_compact re-derivation lesson)
     val wPos = weights.filter(col("weight") > 0).localCheckpoint()
-    val totals = documents
-      .select(col("source"), nTok.as("n_tok"))
-      .groupBy("source").agg(sum(col("n_tok")).as("tokens_total"))
+    val totals = totalsState
       .join(broadcast(wPos), Seq("source"))
       .crossJoin(broadcast(wPos.agg(sum(col("weight")).as("w_sum"))))
       .filter(col("tokens_total") > 0)
