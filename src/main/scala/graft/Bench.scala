@@ -565,8 +565,7 @@ object Bench {
       candidatePairs = 0L; driftRows = 0L; admContHits = 0L
       val input = MemoryStream[(Long, String, String)]
       val gated = input.toDF().toDF("doc_id", "text", "source")
-        .filter(size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
-          t => t =!= "")) >= 4)
+        .filter(graft.extensions.TextTokens.count >= 4)
       val q1 = StreamingDedup.sink(spark.table("capstone_band_idx"),
         gated.select("doc_id", "text"),
         (pairs, _) => { candidatePairs += pairs.count() }).start()

@@ -37,24 +37,28 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** Whitespace token count, the repo-wide convention
-    * ([[Sampling]]/[[TextAnalysis]]). */
-  private def nTok: Column =
-    size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
-      t => t =!= "")).cast("long")
+  /** Whitespace token count — [[TextTokens.count]], the repo-wide
+    * definition shared with every oracle twin. */
+  private def nTok: Column = TextTokens.count
 
-  /** The mixture plan: per source `s` with weight `w_s` (weights frame:
-    * `(source, weight)`, absent or non-positive ⇒ excluded),
+  /** The mixture plan: one row per POSITIVE-weight source (weights
+    * frame: `(source, weight)`; non-positive weights are excluded),
     *
-    *  - `tokens_total` — what the source holds;
+    *  - `tokens_total` — what the source holds (0 when the weighted
+    *    source is absent from the corpus or all-empty);
     *  - `budget` — the largest total token budget B such that every
-    *    source can serve its share `w_s·B/W` from what it holds:
-    *    B = min_s ⌊tokens_total_s · W / w_s⌋ (the binding source is the
-    *    scarce one relative to its target);
+    *    positive-weight source can serve its share `w_s·B/W` from what
+    *    it holds: B = min_s ⌊tokens_total_s · W / w_s⌋. STRICT: a
+    *    weighted source with zero tokens binds B to 0 — the plan says
+    *    loudly that the target mixture is unservable, rather than
+    *    silently emitting a corpus that misses a target share (its
+    *    row is present with tokens_total = 0, so the culprit is
+    *    visible in the output);
     *  - `keep_tokens` — this source's share ⌊w_s·B/W⌋ of that budget;
     *  - `epochs_at_2x` — passes over the source needed if the caller
     *    insists on a 2B-token corpus instead (the upsampling price):
-    *    ⌈⌊w_s·2B/W⌋ / tokens_total⌉.
+    *    ⌈⌊w_s·2B/W⌋ / tokens_total⌉; 0 for an empty source (its share
+    *    of the then-zero budget is zero tokens).
     */
   def plan(documents: DataFrame, weights: DataFrame): DataFrame =
     planFromTotals(totalsOf(documents), weights)
@@ -85,18 +89,23 @@ object Mixture {
     // weights frame and the corpus scan are paid once, not once per
     // consumer (the q_postings_compact re-derivation lesson)
     val wPos = weights.filter(col("weight") > 0).localCheckpoint()
-    val totals = totalsState
-      .join(broadcast(wPos), Seq("source"))
+    // weights DRIVE the join (left): a weighted source missing from the
+    // corpus stays in the plan at tokens_total = 0 and binds the budget
+    // to 0 — dropping it here would silently re-plan a different
+    // mixture than the caller asked for
+    val totals = wPos
+      .join(broadcast(totalsState), Seq("source"), "left")
+      .withColumn("tokens_total", coalesce(col("tokens_total"), lit(0L)))
       .crossJoin(broadcast(wPos.agg(sum(col("weight")).as("w_sum"))))
-      .filter(col("tokens_total") > 0)
       .localCheckpoint()
     val budget = totals
       .agg(min(expr("(tokens_total * w_sum) div weight")).as("budget"))
     totals.crossJoin(broadcast(budget))
       .withColumn("keep_tokens", expr("(weight * budget) div w_sum"))
       .withColumn("epochs_at_2x",
-        expr("""((weight * budget * 2) div w_sum + tokens_total - 1)
-                div tokens_total"""))
+        when(col("tokens_total") === 0L, lit(0L)).otherwise(
+          expr("""((weight * budget * 2) div w_sum + tokens_total - 1)
+                  div tokens_total""")))
       .select("source", "tokens_total", "weight", "budget", "keep_tokens",
         "epochs_at_2x")
   }

@@ -246,16 +246,22 @@ object Packing {
     * as a broadcast of ≤ #buckets rows. One range exchange + one
     * bounded broadcast, regardless of bucket skew. */
   def lengthBuckets(
-      documents: DataFrame, bucketWidth: Long, docsPerBatch: Int): DataFrame = {
+      documents: DataFrame, bucketWidth: Long, docsPerBatch: Int): DataFrame =
+    lengthBucketsFromMeta(tokenMeta(documents), bucketWidth, docsPerBatch)
+
+  /** The `(doc_id, n_tok)` projection both batching policies rank —
+    * token counting is the corpus-scan cost, so [[paddingWaste]] pays
+    * it ONCE and feeds both rankings from the frozen result. */
+  private def tokenMeta(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), TextTokens.count.as("n_tok"))
+
+  private def lengthBucketsFromMeta(
+      meta: DataFrame, bucketWidth: Long, docsPerBatch: Int): DataFrame = {
     require(bucketWidth > 0 && docsPerBatch > 0,
       s"bucketWidth/docsPerBatch must be positive: $bucketWidth/$docsPerBatch")
-    val nTok = size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
-      t => t =!= "")).cast("long")
-    val meta = documents
-      .select(col("doc_id"), nTok.as("n_tok"))
-      .withColumn("bucket", expr(s"n_tok div $bucketWidth"))
+    val bucketed = meta.withColumn("bucket", expr(s"n_tok div $bucketWidth"))
     val ranked = globalRowNumber(
-      meta, Seq(col("bucket"), col("doc_id")), "_rn")
+      bucketed, Seq(col("bucket"), col("doc_id")), "_rn")
     val bucketStart = ranked.groupBy("bucket").agg(min(col("_rn")).as("_b0"))
     ranked.join(broadcast(bucketStart), Seq("bucket"))
       .withColumn("batch_id", expr(s"(_rn - _b0) div $docsPerBatch"))
@@ -274,11 +280,11 @@ object Packing {
     * hashes identically cross-engine). */
   def paddingWaste(
       documents: DataFrame, bucketWidth: Long, docsPerBatch: Int): DataFrame = {
-    val nTok = size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
-      t => t =!= "")).cast("long")
-    val naive = globalRowNumber(
-        documents.select(col("doc_id"), nTok.as("n_tok")),
-        Seq(col("doc_id")), "_rn")
+    // the tokenized projection feeds BOTH rankings — freeze it once
+    // (bounded: 16 B/row metadata, the globalRowNumber discipline) so
+    // the corpus scan + tokenization are paid once, not per policy
+    val meta = tokenMeta(documents).localCheckpoint()
+    val naive = globalRowNumber(meta, Seq(col("doc_id")), "_rn")
       .withColumn("batch_id", expr(s"_rn div $docsPerBatch"))
       .groupBy("batch_id")
       .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
@@ -292,7 +298,7 @@ object Packing {
           col("padded_tokens"),
           expr("(padded_tokens - tok_sum) * 1000000 div padded_tokens")
             .as("waste_ppm"))
-    roll(lengthBuckets(documents, bucketWidth, docsPerBatch), "bucketed")
+    roll(lengthBucketsFromMeta(meta, bucketWidth, docsPerBatch), "bucketed")
       .unionByName(roll(naive, "naive"))
   }
 }

@@ -31,10 +31,9 @@ import org.apache.spark.sql.functions._
   * precedent. */
 object Sampling {
 
-  /** Whitespace token count of `text` — the sampling weight. */
-  private def tokenWeight: Column =
-    size(filter(split(lower(coalesce(col("text"), lit(""))), " "),
-      t => t =!= "")).cast("long")
+  /** Whitespace token count of `text` — the sampling weight
+    * ([[TextTokens.count]], the repo-wide definition). */
+  private def tokenWeight: Column = TextTokens.count
 
   /** Efraimidis–Spirakis: top-`k` docs per source by u^(1/w). Docs with
     * zero weight are never sampled (they carry no budget mass).

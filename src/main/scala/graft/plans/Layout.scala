@@ -323,12 +323,16 @@ object Layout {
   def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def walk(p: SparkPlan): Seq[String] = p.collectLeaves().flatMap {
       case f: FileSourceScanExec =>
         f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
           .flatMap(_.files.map(_.getPath.toString))
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // after execution AQE freezes exchanges into query stages, which
+      // are leaves of the outer tree holding their subtree in .plan —
+      // without this case an executed plan reads as "zero files"
+      case q: QueryStageExec => walk(q.plan)
       case _ => Seq.empty
     }
     walk(df.queryExecution.executedPlan)

@@ -41,12 +41,14 @@ object Round14Queries {
       table(s, dir, "documents"), testWeights(s, dir)),
     Some(s"""WITH t AS ($tokSql),
              wts AS ($weightsSql),
-             tot AS (SELECT t.source, CAST(sum(n_tok) AS BIGINT) AS tokens_total,
-                            max(weight) AS weight
-                     FROM t JOIN wts ON t.source = wts.source
-                     WHERE weight > 0
-                     GROUP BY t.source
-                     HAVING sum(n_tok) > 0),
+             tot0 AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_total
+                      FROM t GROUP BY source),
+             tot AS (SELECT wts.source,
+                            CAST(coalesce(tokens_total, 0) AS BIGINT)
+                              AS tokens_total,
+                            weight
+                     FROM wts LEFT JOIN tot0 ON wts.source = tot0.source
+                     WHERE weight > 0),
              ws AS (SELECT CAST(sum(weight) AS BIGINT) AS w_sum FROM wts
                     WHERE weight > 0),
              b AS (SELECT CAST(min((tokens_total * w_sum) // weight) AS BIGINT)
@@ -54,8 +56,10 @@ object Round14Queries {
                    FROM tot, ws)
              SELECT source, tokens_total, weight, budget,
                     (weight * budget) // w_sum AS keep_tokens,
-                    ((weight * budget * 2) // w_sum + tokens_total - 1)
-                      // tokens_total AS epochs_at_2x
+                    CASE WHEN tokens_total = 0 THEN CAST(0 AS BIGINT)
+                         ELSE ((weight * budget * 2) // w_sum
+                                 + tokens_total - 1) // tokens_total
+                    END AS epochs_at_2x
              FROM tot, ws, b"""))
 
   /** [[graft.extensions.Mixture.sample]] — the materialized mixture:
@@ -69,12 +73,14 @@ object Round14Queries {
       table(s, dir, "documents"), testWeights(s, dir), seed = 7L),
     Some(s"""WITH t AS ($tokSql),
              wts AS ($weightsSql),
-             tot AS (SELECT t.source, CAST(sum(n_tok) AS BIGINT) AS tokens_total,
-                            max(weight) AS weight
-                     FROM t JOIN wts ON t.source = wts.source
-                     WHERE weight > 0
-                     GROUP BY t.source
-                     HAVING sum(n_tok) > 0),
+             tot0 AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_total
+                      FROM t GROUP BY source),
+             tot AS (SELECT wts.source,
+                            CAST(coalesce(tokens_total, 0) AS BIGINT)
+                              AS tokens_total,
+                            weight
+                     FROM wts LEFT JOIN tot0 ON wts.source = tot0.source
+                     WHERE weight > 0),
              ws AS (SELECT CAST(sum(weight) AS BIGINT) AS w_sum FROM wts
                     WHERE weight > 0),
              b AS (SELECT CAST(min((tokens_total * w_sum) // weight) AS BIGINT)

@@ -398,8 +398,11 @@ class PagedScanBuilder(
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
-      new PagedCountScan(api, lo, math.max(lo, hi), minRange, pushedAggs,
-        limit)
+      // no limit leg: aggregates push before limits in
+      // V2ScanRelationPushDown, and pushLimit declines once an
+      // aggregation is pushed — a pushed agg and a pushed limit can
+      // never coexist in one scan
+      new PagedCountScan(api, lo, math.max(lo, hi), minRange, pushedAggs)
     else
       new PagedScan(api, lo, math.max(lo, hi), minRange, pollStep, required,
         limit)
@@ -408,7 +411,7 @@ class PagedScanBuilder(
 /** The pushed group-free aggregates, by probe algebra. */
 sealed trait PagedAgg extends Serializable
 object PagedAgg {
-  /** Σ found(kept leaves), capped by a pushed limit. */
+  /** Σ found(kept leaves). */
   case object CountRows extends PagedAgg
   /** Boundary bisection inside the first non-empty leaf. */
   case object MinTs extends PagedAgg
@@ -426,7 +429,7 @@ object PagedAgg {
   * reachable window — SQL aggregate semantics); COUNT is 0 there. */
 class PagedCountScan(
     api: HashSpreadApi, fromSec: Long, toSec: Long, minRange: Long,
-    aggs: Seq[PagedAgg], limit: Option[Int])
+    aggs: Seq[PagedAgg])
     extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -440,21 +443,20 @@ class PagedCountScan(
 
   override def description(): String =
     s"PagedCountScan(PushedAggregates: [${aggs.mkString(", ")}] via " +
-      s"found-probes over [$fromSec,$toSec), minRange=$minRange, limit=$limit)"
+      s"found-probes over [$fromSec,$toSec), minRange=$minRange)"
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(PagedCountPartition(fromSec, toSec))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedCountReaderFactory(api, minRange, aggs, limit)
+    new PagedCountReaderFactory(api, minRange, aggs)
 }
 
 case class PagedCountPartition(fromSec: Long, toSec: Long)
     extends InputPartition
 
 class PagedCountReaderFactory(
-    api: HashSpreadApi, minRange: Long, aggs: Seq[PagedAgg],
-    limit: Option[Int])
+    api: HashSpreadApi, minRange: Long, aggs: Seq[PagedAgg])
     extends PartitionReaderFactory {
 
   /** First second `s` in a non-empty `[f, t)` with `found(f, s+1) > 0`:
@@ -489,8 +491,7 @@ class PagedCountReaderFactory(
           .filter(_._3 > 0)
         val n = leaves.map(_._3).sum
         val values: Seq[Any] = aggs.map {
-          case PagedAgg.CountRows =>
-            limit.map(l => math.min(n, l.toLong)).getOrElse(n)
+          case PagedAgg.CountRows => n
           case PagedAgg.MinTs =>
             if (leaves.isEmpty) null
             else { val (f, t, _) = leaves.head; minIn(api, f, t) }

@@ -67,6 +67,23 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("a weighted source absent from the corpus binds the budget to 0 — strict, visible") {
+    val w = Seq(("a", 3L), ("b", 1L), ("d", 2L)).toDF("source", "weight")
+    val rows = Mixture.plan(docs, w).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // the culprit is IN the plan at tokens_total = 0, not silently gone
+    assert(rows.keySet == Set("a", "b", "d"))
+    assert(rows("d") == (0L, 0L, 0L, 0L))
+    // and it binds everyone: the target mixture is unservable without
+    // upsampling d, so the no-upsampling budget is zero
+    rows.values.foreach { case (_, budget, keep, epochs) =>
+      assert(budget == 0L && keep == 0L && epochs == 0L)
+    }
+    // the materialized corpus is empty rather than silently off-target
+    assert(Mixture.sample(docs, w, seed = 7L).count() == 0L)
+  }
+
   test("selection is seeded-deterministic; seeds decorrelate") {
     def ids(seed: Long): Seq[Long] =
       Mixture.sample(docs, weights, seed).select("doc_id")

@@ -14,10 +14,10 @@ import org.scalacheck.Test.Parameters
   *     semantics, never the feed's flat count;
   *  2. pushed MIN/MAX(ts_sec) equal the exact extremes of the same
   *     reachable set, and are NULL exactly when the reachable set is
-  *     empty (while COUNT is 0);
-  *  3. a pushed limit caps COUNT at min(n, limit) and leaves MIN/MAX
-  *     untouched (the limit applies to the row scan the aggregate
-  *     replaces, not to the probe arithmetic).
+  *     empty (while COUNT is 0). (There is no limit leg by design:
+  *     aggregates push before limits and pushLimit declines once an
+  *     aggregation is pushed, so a pushed agg and a pushed limit can
+  *     never coexist — PagedAggSpec pins the decline.)
   */
 object PagedAggProperties extends Properties("PagedAgg") {
 
@@ -31,17 +31,15 @@ object PagedAggProperties extends Properties("PagedAgg") {
     maxPages <- Gen.choose(1, 6)
     minRange <- Gen.choose(1L, 500L)
     burst <- Gen.oneOf(true, false)
-    limit <- Gen.option(Gen.choose(0, 2000))
-  } yield (n, span, perPage, maxPages, minRange, burst, limit)
+  } yield (n, span, perPage, maxPages, minRange, burst)
 
   private val base = 1600000000L
 
   /** One read through the real one-row reader. */
   private def readAggs(
-      api: HashSpreadApi, minRange: Long,
-      limit: Option[Int]): (Long, Option[Long], Option[Long]) = {
+      api: HashSpreadApi, minRange: Long): (Long, Option[Long], Option[Long]) = {
     val factory = new PagedCountReaderFactory(api, minRange,
-      Seq(PagedAgg.CountRows, PagedAgg.MinTs, PagedAgg.MaxTs), limit)
+      Seq(PagedAgg.CountRows, PagedAgg.MinTs, PagedAgg.MaxTs))
     val reader = factory.createReader(
       PagedCountPartition(base, base + api.spanSec))
     assert(reader.next())
@@ -54,9 +52,9 @@ object PagedAggProperties extends Properties("PagedAgg") {
     out
   }
 
-  property("COUNT/MIN/MAX equal the reachable set's exact stats; limit caps only COUNT") =
+  property("COUNT/MIN/MAX equal the reachable set's exact stats") =
     Prop.forAllNoShrink(cases) {
-      case (n, span, perPage, maxPages, minRange, burst, limit) =>
+      case (n, span, perPage, maxPages, minRange, burst) =>
         val api = HashSpreadApi(n, base, span, perPage, maxPages, burst)
         val leaves = PagedSource
           .planWindows(api, base, base + span, minRange)
@@ -68,9 +66,8 @@ object PagedAggProperties extends Properties("PagedAgg") {
             if (burst && id % 2 == 1) base + span / 2
             else base + (id * HashSpreadApi.Mult) % span)
           .filter(t => leaves.exists { case (f, to, _) => t >= f && t < to })
-        val (cnt, lo, hi) = readAggs(api, minRange, limit)
-        val wantCnt = limit.fold(reachable.size.toLong)(l =>
-          math.min(reachable.size.toLong, l.toLong))
+        val (cnt, lo, hi) = readAggs(api, minRange)
+        val wantCnt = reachable.size.toLong
         val countOk = cnt == wantCnt
         val minOk = lo == (if (reachable.isEmpty) None else Some(reachable.min))
         val maxOk = hi == (if (reachable.isEmpty) None else Some(reachable.max))
