@@ -33,7 +33,8 @@ object MixtureProperties extends Properties("Mixture") {
     nSources <- Gen.choose(2, 5)
     seedLens <- Gen.choose(1, 30)
     weights <- Gen.listOfN(5, Gen.choose(0L, 6L))
-  } yield (nDocs, nSources, seedLens, weights)
+    phantom <- Gen.oneOf(true, false) // a weighted source with no docs
+  } yield (nDocs, nSources, seedLens, weights, phantom)
 
   private def mkDocs(nDocs: Int, nSources: Int, seedLens: Int): DataFrame = {
     val rows = (0 until nDocs).map { i =>
@@ -51,9 +52,16 @@ object MixtureProperties extends Properties("Mixture") {
           org.apache.spark.sql.types.StringType))))
   }
 
-  private def mkWeights(nSources: Int, ws: List[Long]): DataFrame = {
-    val rows = (0 until nSources).map(i =>
-      org.apache.spark.sql.Row(s"s$i", ws(i % ws.length)))
+  private def mkWeights(
+      nSources: Int, ws: List[Long], phantom: Boolean): DataFrame = {
+    // phantom: weight a source the corpus does not hold — the strict
+    // contract says it stays in the plan at tokens_total = 0 and binds
+    // the budget to 0
+    val names = (0 until nSources).map(i => s"s$i") ++
+      (if (phantom) Seq("sPhantom") else Seq.empty)
+    val rows = names.zipWithIndex.map { case (s, i) =>
+      org.apache.spark.sql.Row(s, ws(i % ws.length))
+    }
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("source",
@@ -63,14 +71,24 @@ object MixtureProperties extends Properties("Mixture") {
   }
 
   property("feasible, ratio-adherent plan; budget-exact sample; weight-0 excluded") =
-    Prop.forAllNoShrink(cases) { case (nDocs, nSources, seedLens, ws) =>
+    Prop.forAllNoShrink(cases) { case (nDocs, nSources, seedLens, ws, phantom) =>
       val docs = mkDocs(nDocs, nSources, seedLens)
-      val weights = mkWeights(nSources, ws)
+      val weights = mkWeights(nSources, ws, phantom)
       val plan = Mixture.plan(docs, weights).collect()
         .map(r => r.getString(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
-      val posWeights = (0 until nSources)
-        .map(i => s"s$i" -> ws(i % ws.length)).filter(_._2 > 0).toMap
+      val names = (0 until nSources).map(i => s"s$i") ++
+        (if (phantom) Seq("sPhantom") else Seq.empty)
+      val posWeights = names.zipWithIndex
+        .map { case (s, i) => s -> ws(i % ws.length) }.filter(_._2 > 0).toMap
+
+      // strict semantics: every positive-weight source appears in the
+      // plan (a phantom at tokens_total = 0), and a weighted phantom
+      // zeroes the budget for everyone
+      val complete = plan.keySet == posWeights.keySet
+      val phantomStrict = !phantom ||
+        !posWeights.contains("sPhantom") ||
+        (plan("sPhantom")._1 == 0L && plan.values.forall(_._3 == 0L))
 
       val feasible = plan.values.forall { case (total, _, keep) =>
         keep >= 0 && keep <= total
@@ -95,6 +113,8 @@ object MixtureProperties extends Properties("Mixture") {
 
       (feasible :| "keep > total somewhere") &&
         (excluded :| "a non-positive-weight source leaked into the plan") &&
+        (complete :| s"a positive-weight source is missing from the plan: $plan") &&
+        (phantomStrict :| s"weighted phantom did not zero the budget: $plan") &&
         (adherent :| s"keeps off-ratio: $plan") &&
         (budgetExact :| s"sample off-budget: plan=$plan") &&
         (sampleSources :| "sample emitted an unplanned source")
