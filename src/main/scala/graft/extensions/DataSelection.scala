@@ -1,0 +1,218 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference-model data curation — the selection stages a pretraining
+  * corpus passes between cleaning and the trainer, each driven by a
+  * small held-out REFERENCE slice standing in for "text we want more
+  * of" (CCNet's Wikipedia; DSIR's target domain):
+  *
+  *   1. [[dsirWeights]] — per-document importance as the hashed-unigram
+  *      log-likelihood ratio between the reference and raw feature
+  *      distributions (Xie et al. 2023, "Data Selection for Language
+  *      Models via Importance Resampling", arXiv:2302.03169), with
+  *      [[dsirSelect]] as the top-K resampling step.
+  *   2. [[perplexityPartition]] — per-language head/middle/tail thirds
+  *      by reference-LM perplexity (Wenzek et al. 2020, "CCNet:
+  *      Extracting High Quality Monolingual Datasets from Web Crawl
+  *      Data", arXiv:1911.00359; the KenLM pass is stood in for by the
+  *      same add-k bigram model [[TextAnalysis.bigramLmScore]] uses —
+  *      trained HERE on the reference slice only, where bigramLmScore
+  *      trains on the corpus itself and so drifts as the corpus grows).
+  *   3. [[curriculum]] — a deterministic training ORDER from those
+  *      tiers: most reference-like stage first, seeded shuffle within a
+  *      stage (curriculum learning, Bengio et al. 2009, applied as
+  *      corpus-scale data ordering).
+  *
+  * The reference slice is the deterministic 1-in-5 doc_id split (the
+  * q_decontaminate / q_containment held-out convention) — production
+  * would pass a curated corpus; every shape below is agnostic to how
+  * the slice was drawn. Reference docs are scored by nothing and
+  * appear in no output: they are the measuring stick, not the corpus.
+  *
+  * Scale shapes (100 TB discipline): the LM / feature tables are the
+  * ONLY state — bigram counts are Zipf-bounded well below corpus size
+  * and shuffle on content keys; the DSIR feature table is ≤ `buckets`
+  * rows by construction and broadcasts; tier assignment ranks through
+  * [[Packing.globalRowNumber]] (range partition + broadcast offsets),
+  * never a single-partition or per-language window; selection is
+  * TakeOrderedAndProject (per-task top-K heaps). No collect anywhere
+  * except globalRowNumber's partition-count handshake (≤ shuffle
+  * partitions rows).
+  */
+object DataSelection {
+
+  /** The shared oracle tokenizer (lowered, empties dropped) — the
+    * [[TextTokens]] definition as the ARRAY, which scoring needs. */
+  private def toks: Column =
+    filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+
+  /** Deterministic held-out membership: every 5th doc_id is reference. */
+  private def isRef: Column = pmod(col("doc_id"), lit(5L)) === 0
+
+  /** The add-k bigram LM trained on the reference slice: bigram counts,
+    * left-context totals, and the reference vocabulary size. Exposed so
+    * [[graft.streaming.StreamingPerplexity]] can freeze the same model
+    * and score micro-batches against it without formula drift. */
+  final case class RefLm(model: DataFrame, ctx: DataFrame, vocab: DataFrame)
+
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("is_ref"), explode(expr(
+      """CASE WHEN size(arr) >= 2
+          THEN transform(sequence(1, size(arr) - 1),
+                         i -> concat_ws(' ', slice(arr, i, 2)))
+          ELSE CAST(array() AS ARRAY<STRING>) END""")).as("bg"))
+
+  private def tokenized(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"), toks.as("arr"))
+      .withColumn("is_ref", isRef)
+
+  /** Train the reference LM from the full corpus frame (the reference
+    * slice is cut out internally). Two map-side-combinable
+    * aggregations plus one scalar — the model is Zipf-bounded. */
+  def refLm(documents: DataFrame): RefLm = {
+    val docs = tokenized(documents)
+    val model = bigramsOf(docs).filter(col("is_ref"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val ctx = model.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum("c_bg").as("c_w1"))
+    val vocab = docs.filter(col("is_ref")).select(explode(col("arr")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    RefLm(model, ctx, vocab)
+  }
+
+  /** Score `docs` (a `(doc_id, lang, arr, is_ref)` projection's
+    * non-reference rows, or a streaming micro-batch shaped the same)
+    * by mean log₂ P(w₂|w₁) under `lm`: P = (c_bg + k) / (c_w1 + k·V)
+    * with zero counts for transitions the reference never makes —
+    * out-of-reference text scores LOW instead of NULL. Only docs with
+    * < 2 tokens (no transitions) score NULL. */
+  def scoreAgainst(docs: DataFrame, lm: RefLm, k: Double): DataFrame = {
+    val scored = bigramsOf(docs)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(lm.model, Seq("bg"), "left_outer")
+      .join(lm.ctx, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(lm.vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2((coalesce(col("c_bg"), lit(0L)) + lit(k)) /
+          (coalesce(col("c_w1"), lit(0L)) + lit(k) * col("v")))), 4)
+          .as("avg_log2_p"))
+    docs.select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_log2_p"))
+  }
+
+  /** Per-document reference-LM score over the non-reference corpus:
+    * `(doc_id, lang, n_bigrams, avg_log2_p)` — the perplexity-filter
+    * signal (higher = more reference-like). */
+  def perplexityScore(documents: DataFrame, k: Double = 0.5): DataFrame = {
+    val docs = tokenized(documents)
+    scoreAgainst(docs.filter(!col("is_ref")), refLm(documents), k)
+  }
+
+  /** CCNet's head/middle/tail partition: per LANGUAGE, rank docs by
+    * score (best first, unscorable last) and cut exact rank thirds —
+    * bucket = (3·r) div n over the 0-based within-language rank. Rank
+    * thirds, not score quantiles, so the split is exact, deterministic,
+    * and integer-only. The rank comes from ONE [[Packing
+    * .globalRowNumber]] over (lang, score, doc_id) minus broadcast
+    * per-language start offsets — a language is never a single window
+    * partition (the q_length_buckets idiom), so a 100 TB mono-language
+    * corpus still ranks across the cluster. */
+  def perplexityPartition(documents: DataFrame, k: Double = 0.5): DataFrame = {
+    val scored = perplexityScore(documents, k)
+    val ranked = Packing.globalRowNumber(scored,
+      Seq(col("lang"), col("avg_log2_p").desc_nulls_last, col("doc_id")), "_rn")
+    val extents = ranked.groupBy("lang")
+      .agg(min("_rn").as("_l0"), count(lit(1)).as("_n"))
+    ranked.join(broadcast(extents), Seq("lang"))
+      .withColumn("_b", expr("(( _rn - _l0) * 3) div _n"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_log2_p"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("_b").cast("int") + 1).as("bucket"))
+  }
+
+  /** The partition's governance roll-up: docs and bigram mass per
+    * (lang, bucket), plus each bucket's within-language doc share in
+    * ppm — all int64, so the row hashes identically cross-engine (the
+    * q_shard_balance lesson). */
+  def perplexitySummary(documents: DataFrame, k: Double = 0.5): DataFrame =
+    perplexityPartition(documents, k)
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("bigram_sum"))
+      .withColumn("lang_docs",
+        sum("n_docs").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("bigram_sum"),
+        expr("(n_docs * 1000000) div lang_docs").as("share_ppm"))
+
+  /** DSIR importance weights: hash every token into one of `buckets`
+    * feature ids (the 48-bit md5 lane [[Sketches.kmvHash]] mod B), fit
+    * add-k unigram feature models for the reference (target) and
+    * non-reference (raw) slices, and score each raw doc by its mean
+    * per-token log-likelihood ratio log₂(p_target(f) / p_raw(f)) —
+    * positive = looks more like the reference than like the raw pool.
+    *
+    * One explode builds BOTH feature tables (conditional sums on the
+    * is_ref flag); the ratio table is ≤ `buckets` rows by construction
+    * and broadcasts into the scoring join, so scoring is a narrow
+    * broadcast-join + per-doc aggregate — no data-scaled shuffle beyond
+    * the doc_id one. Docs with zero tokens weight NULL. */
+  def dsirWeights(
+      documents: DataFrame, buckets: Int = 4096, k: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val docs = tokenized(documents)
+    val tokens = docs
+      .select(col("doc_id"), col("is_ref"), explode(col("arr")).as("tok"))
+      .withColumn("f", pmod(Sketches.kmvHash(col("tok")), lit(buckets.toLong)))
+    val counts = tokens.groupBy("f").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("c_r"))
+    val totals = counts.agg(sum("c_t").as("n_t"), sum("c_r").as("n_r"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("f"),
+        log2(((col("c_t") + lit(k)) / (col("n_t") + lit(k * buckets))) *
+          ((col("n_r") + lit(k * buckets)) / (col("c_r") + lit(k)))).as("lr"))
+    val scored = tokens.filter(!col("is_ref"))
+      .join(broadcast(ratio), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), round(avg(col("lr")), 4).as("llr_avg"))
+    docs.filter(!col("is_ref")).select("doc_id")
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"), col("llr_avg"))
+  }
+
+  /** The resampling step: the `topK` most reference-like raw docs by
+    * (weight desc, doc_id). Plans as TakeOrderedAndProject — every task
+    * keeps a K-bounded heap, the driver merges heads; the corpus is
+    * never globally sorted. */
+  def dsirSelect(
+      documents: DataFrame, topK: Int,
+      buckets: Int = 4096, k: Double = 0.5): DataFrame =
+    dsirWeights(documents, buckets, k)
+      .orderBy(col("llr_avg").desc_nulls_last, col("doc_id")).limit(topK)
+
+  /** Curriculum order: stage = the perplexity tier as 0/1/2 (head
+    * first — train on reference-like text before tail noise), position
+    * = one more [[Packing.globalRowNumber]] over (stage, md5(seed ":"
+    * doc_id), doc_id) — the [[Packing.epochShuffle]] key, so within a
+    * stage the order is a seeded deterministic shuffle and different
+    * seeds decorrelate. Output `(doc_id, stage, position)`; a loader
+    * reads in position order. */
+  def curriculum(
+      documents: DataFrame, seed: Long, k: Double = 0.5): DataFrame = {
+    val staged = perplexityPartition(documents, k)
+      .select(col("doc_id"),
+        expr("CASE bucket WHEN 'head' THEN 0L WHEN 'middle' THEN 1L ELSE 2L END")
+          .as("stage"))
+      .withColumn("_key", md5(concat_ws(":", lit(seed), col("doc_id"))))
+    Packing.globalRowNumber(staged,
+      Seq(col("stage"), col("_key"), col("doc_id")), "position")
+      .select(col("doc_id"), col("stage"), col("position"))
+  }
+}
