@@ -1,0 +1,133 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Semantics of [[DataSelection]] — the reference-model curation
+  * contracts: the reference slice (doc_id % 5 = 0) is the yardstick and
+  * never an output row; reference-like text outscores gibberish under
+  * both the bigram LM and the DSIR feature ratio; tiers are exact
+  * per-language rank thirds with unscorable docs in the tail; the
+  * curriculum is a stage-monotone seeded permutation. */
+class DataSelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ids ≡ 0 (mod 5) are the reference slice: clean English-like
+  // pattern text. Raw docs range from reference-like to gibberish.
+  private def docs: DataFrame = Seq(
+    (0L, "the cat sat on the mat", "en"),
+    (5L, "the cat sat on the mat again", "en"),
+    (10L, "the dog sat on the mat", "en"),
+    (15L, "the cat ran on the mat", "fr"),
+    (20L, "the dog ran on the mat", "fr"),
+    // raw English docs: like, gibberish, short-seen, unscorable
+    (1L, "the cat sat on the mat", "en"),
+    (2L, "zq xv qq pp zz ww", "en"),
+    (3L, "the cat", "en"),
+    (4L, "solo", "en"),
+    // raw French docs
+    (6L, "the cat ran on the mat", "fr"),
+    (7L, "xx yy zz uu vv", "fr"),
+    (8L, "the dog ran", "fr"),
+    (11L, "", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  private def scores: Map[Long, (Long, Option[Double])] =
+    DataSelection.perplexityScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+
+  test("reference docs are the yardstick, never output") {
+    assert(scores.keySet == Set(1L, 2L, 3L, 4L, 6L, 7L, 8L, 11L))
+  }
+
+  test("reference-like text outscores gibberish; <2 tokens is NULL") {
+    val s = scores
+    assert(s(1L)._2.get > s(2L)._2.get,
+      s"in-reference bigrams must beat never-seen ones: $s")
+    assert(s(2L)._2.isDefined, "gibberish scores LOW, not NULL (smoothing)")
+    assert(s(4L) == (0L, None), "1-token doc has no transitions")
+    assert(s(11L) == (0L, None), "empty doc has no transitions")
+    assert(s(1L)._1 == 5L, "n_bigrams = n_tok - 1")
+  }
+
+  test("tiers are exact per-language rank thirds, unscorable in tail") {
+    val buckets = DataSelection.perplexityPartition(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // en raw: 4 docs -> floor(3r/4) = sizes 2/1/1 over score-desc order
+    assert(buckets(1L) == "head", buckets.toString) // best score
+    assert(buckets(4L) == "tail", "NULL score ranks last")
+    // fr raw: 4 docs; empty doc 11 is the NULL -> tail
+    assert(buckets(11L) == "tail")
+    assert(buckets(6L) == "head", "the most reference-like fr doc")
+    val enSizes = Seq(1L, 2L, 3L, 4L).map(buckets).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(enSizes == Map("head" -> 2, "middle" -> 1, "tail" -> 1))
+  }
+
+  test("summary ppm shares sum to ~1e6 per language, all int64") {
+    val rows = DataSelection.perplexitySummary(docs).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      val ppm = rs.map(_.getLong(4)).sum
+      assert(ppm <= 1000000L && ppm >= 1000000L - 3,
+        s"$lang shares sum to $ppm (floor rounding only)")
+      assert(rs.map(_.getLong(2)).sum == 4L, s"$lang docs")
+    }
+  }
+
+  test("DSIR: reference vocabulary weighs positive, alien negative") {
+    val w = DataSelection.dsirWeights(docs, buckets = 64).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 6L, 7L, 8L, 11L))
+    assert(w(1L)._2.get > w(2L)._2.get, s"ref tokens beat alien tokens: $w")
+    assert(w(1L)._2.get > 0, "all-reference doc is target-like")
+    assert(w(2L)._2.get < 0, "never-in-reference doc is raw-like")
+    assert(w(11L) == (0L, None), "empty doc weighs NULL")
+    assert(w(1L)._1 == 6L, "n_tok counted")
+  }
+
+  test("DSIR select is the weight-ordered top-K") {
+    val sel = DataSelection.dsirSelect(docs, topK = 3, buckets = 64)
+      .collect().map(_.getLong(0)).toSeq
+    val all = DataSelection.dsirWeights(docs, buckets = 64).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getDouble(2), r.getLong(0)))
+      .sortBy { case (llr, id) => (-llr, id) }
+      .map(_._2).take(3).toSeq
+    assert(sel == all)
+  }
+
+  test("curriculum: stage-monotone permutation, seeded and decorrelated") {
+    def run(seed: Long): Seq[(Long, Long, Long)] =
+      DataSelection.curriculum(docs, seed).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val a = run(7L)
+    assert(a == run(7L), "same seed replays exactly")
+    assert(a.map(_._3).sorted == (0L until a.size.toLong),
+      "positions are a 0-based permutation")
+    val byStage = a.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    for (s <- byStage.keys; t <- byStage.keys if s < t)
+      assert(byStage(s).max < byStage(t).min,
+        s"stage $s must fully precede stage $t: $byStage")
+    // a different seed reorders within stages but never across them
+    val b = run(8L)
+    assert(a.map(t => t._1 -> t._2) == b.map(t => t._1 -> t._2),
+      "stages are seed-independent")
+    assert(a.map(_._3) != b.map(_._3), "order within stages is seeded")
+  }
+
+  test("plan: ranks ride the partitioned globalRowNumber, no global window") {
+    val p = DataSelection.perplexityPartition(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("_gr_pid"), "rank window is partitioned by range pid")
+    // the only windowspec in the plan carries the pid partition key —
+    // no language (or global) window ranks data rows
+    assert(!p.contains("windowspecdefinition(lang"), p)
+  }
+}
