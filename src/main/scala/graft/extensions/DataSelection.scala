@@ -58,7 +58,7 @@ object DataSelection {
   final case class RefLm(model: DataFrame, ctx: DataFrame, vocab: DataFrame)
 
   private def bigramsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("is_ref"), explode(expr(
+    docs.select(col("doc_id"), explode(expr(
       """CASE WHEN size(arr) >= 2
           THEN transform(sequence(1, size(arr) - 1),
                          i -> concat_ws(' ', slice(arr, i, 2)))
@@ -73,7 +73,7 @@ object DataSelection {
     * aggregations plus one scalar — the model is Zipf-bounded. */
   def refLm(documents: DataFrame): RefLm = {
     val docs = tokenized(documents)
-    val model = bigramsOf(docs).filter(col("is_ref"))
+    val model = bigramsOf(docs.filter(col("is_ref")))
       .groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val ctx = model.withColumn("w1", split(col("bg"), " ").getItem(0))
       .groupBy("w1").agg(sum("c_bg").as("c_w1"))
