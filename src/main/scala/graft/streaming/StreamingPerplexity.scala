@@ -33,16 +33,11 @@ object StreamingPerplexity {
 
   /** Train and FREEZE the reference LM from a static corpus frame
     * (reference slice cut by the [[DataSelection]] 1-in-5 convention).
-    * Each frame is localCheckpoint'ed so per-batch joins read
-    * materialized blocks instead of re-running the reference
-    * aggregations every trigger. */
-  def frozenLm(referenceCorpus: DataFrame): DataSelection.RefLm = {
-    val lm = DataSelection.refLm(referenceCorpus)
-    DataSelection.RefLm(
-      lm.model.localCheckpoint(),
-      lm.ctx.localCheckpoint(),
-      lm.vocab.localCheckpoint())
-  }
+    * [[DataSelection.refLm]] already localCheckpoints all three frames,
+    * so per-batch joins read materialized blocks instead of re-running
+    * the reference aggregations every trigger. */
+  def frozenLm(referenceCorpus: DataFrame): DataSelection.RefLm =
+    DataSelection.refLm(referenceCorpus)
 
   /** Score one (micro-)batch of `(doc_id, lang, text)` rows against a
     * frozen LM — the exact [[DataSelection.scoreAgainst]] formula, so
