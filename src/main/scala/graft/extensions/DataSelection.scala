@@ -119,11 +119,17 @@ object DataSelection {
 
   /** Per-document reference-LM score over the non-reference corpus:
     * `(doc_id, lang, n_bigrams, avg_log2_p)` — the perplexity-filter
-    * signal (higher = more reference-like). */
-  def perplexityScore(documents: DataFrame, k: Double = 0.5): DataFrame = {
-    val docs = tokenized(documents)
-    scoreAgainst(docs.filter(!col("is_ref")), refLm(documents), k)
-  }
+    * signal (higher = more reference-like). Memoized through the
+    * dedup-family shared-frame stage boundary: the partition, summary,
+    * and curriculum consumers all read ONE materialized scored frame
+    * per (input plan, k) instead of re-running the LM build + scoring
+    * shuffles (at cluster scale: persist the scored frame between
+    * pipeline stages). */
+  def perplexityScore(documents: DataFrame, k: Double = 0.5): DataFrame =
+    Dedup.sharedFrame(documents, "ppl_score", k) {
+      val docs = tokenized(documents)
+      scoreAgainst(docs.filter(!col("is_ref")), refLm(documents), k)
+    }
 
   /** CCNet's head/middle/tail partition: per LANGUAGE, rank docs by
     * score (best first, unscorable last) and cut exact rank thirds —
@@ -134,7 +140,13 @@ object DataSelection {
     * per-language start offsets — a language is never a single window
     * partition (the q_length_buckets idiom), so a 100 TB mono-language
     * corpus still ranks across the cluster. */
-  def perplexityPartition(documents: DataFrame, k: Double = 0.5): DataFrame = {
+  def perplexityPartition(documents: DataFrame, k: Double = 0.5): DataFrame =
+    Dedup.sharedFrame(documents, "ppl_partition", k) {
+      perplexityPartitionBuild(documents, k)
+    }
+
+  private def perplexityPartitionBuild(
+      documents: DataFrame, k: Double): DataFrame = {
     val scored = perplexityScore(documents, k)
     val ranked = Packing.globalRowNumber(scored,
       Seq(col("lang"), col("avg_log2_p").desc_nulls_last, col("doc_id")), "_rn")
@@ -174,7 +186,13 @@ object DataSelection {
     * broadcast-join + per-doc aggregate — no data-scaled shuffle beyond
     * the doc_id one. Docs with zero tokens weight NULL. */
   def dsirWeights(
-      documents: DataFrame, buckets: Int = 4096, k: Double = 0.5): DataFrame = {
+      documents: DataFrame, buckets: Int = 4096, k: Double = 0.5): DataFrame =
+    Dedup.sharedFrame(documents, "dsir_weights", buckets, k) {
+      dsirWeightsBuild(documents, buckets, k)
+    }
+
+  private def dsirWeightsBuild(
+      documents: DataFrame, buckets: Int, k: Double): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val docs = tokenized(documents)
     val tokens = docs

@@ -123,11 +123,16 @@ class DataSelectionSpec extends SparkSpec {
   }
 
   test("plan: ranks ride the partitioned globalRowNumber, no global window") {
-    val p = DataSelection.perplexityPartition(docs)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("_gr_pid"), "rank window is partitioned by range pid")
-    // the only windowspec in the plan carries the pid partition key —
-    // no language (or global) window ranks data rows
-    assert(!p.contains("windowspecdefinition(lang"), p)
+    // opt out of the shared-frame memo so the BUILD plan is inspectable
+    // (the memoized path returns a frozen ExistingRDD scan)
+    spark.conf.set("spark.graft.dedup.shareFrames", "false")
+    try {
+      val p = DataSelection.perplexityPartition(docs)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("_gr_pid"), "rank window is partitioned by range pid")
+      // the only windowspec in the plan carries the pid partition key —
+      // no language (or global) window ranks data rows
+      assert(!p.contains("windowspecdefinition(lang"), p)
+    } finally spark.conf.unset("spark.graft.dedup.shareFrames")
   }
 }
