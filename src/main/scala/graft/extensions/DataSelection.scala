@@ -248,4 +248,41 @@ object DataSelection {
       Seq(col("stage"), col("_key"), col("doc_id")), "position")
       .select(col("doc_id"), col("stage"), col("position"))
   }
+
+  /** The trainer-feed capstone: curriculum order → data-parallel
+    * placement → fixed-budget chunk spans, in one frame a loader can
+    * consume directly. Shard = position mod `numShards` (round-robin
+    * over the curriculum order), which keeps BOTH invariants at once:
+    * every shard sees the stages in curriculum order, and shard doc
+    * counts differ by at most one. Within a shard, the running token
+    * total ([[TextTokens.count]] — the counting contract) cuts
+    * `budget`-token training chunks exactly as [[Packing.packChunks]]
+    * does; a 0-token doc occupies its boundary chunk.
+    *
+    * Scale shape: the memoized curriculum frame joins the one-scan
+    * token metadata on doc_id, then ONE window partitioned by shard —
+    * the shard is the data-parallel worker, so the per-shard cumsum is
+    * the packing contract's inherent sequential unit (see packChunks),
+    * never a global window. All-integer output. */
+  def trainerFeed(
+      documents: DataFrame, numShards: Int, budget: Int,
+      seed: Long, k: Double = 0.5): DataFrame = {
+    require(numShards > 0 && budget > 0,
+      s"numShards/budget must be positive: $numShards/$budget")
+    val meta = documents.select(col("doc_id"), TextTokens.count.as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("position")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    curriculum(documents, seed, k)
+      .join(meta, Seq("doc_id"))
+      .withColumn("shard", pmod(col("position"), lit(numShards.toLong)))
+      .withColumn("end_tok", sum("n_tok").over(w))
+      .select(col("doc_id"), col("stage"), col("position"), col("shard"),
+        col("n_tok"), col("end_tok"),
+        expr(s"(end_tok - n_tok) div $budget").as("chunk_first"),
+        expr(s"""greatest((end_tok - n_tok) div $budget,
+                          (greatest(end_tok, 1L) - 1L) div $budget)""")
+          .as("chunk_last"))
+  }
 }

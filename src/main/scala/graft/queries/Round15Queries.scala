@@ -153,6 +153,46 @@ object Round15Queries {
                       AS position
              FROM st ORDER BY doc_id"""))
 
+  /** [[DataSelection.trainerFeed]] — the capstone: curriculum order →
+    * round-robin shard placement (stage mix AND doc counts balanced by
+    * construction) → per-shard running token totals cut into 512-token
+    * chunk spans. All-integer output; the oracle replays the identical
+    * order, placement, cumsum, and chunk arithmetic. */
+  private val trainerFeed = Q("q_trainer_feed",
+    (s, dir) => DataSelection.trainerFeed(
+      table(s, dir, "documents"), numShards = 8, budget = 512, seed = 7L)
+      .orderBy("doc_id"),
+    Some(s"""WITH $pplCtes,
+             st AS (SELECT doc_id,
+                           CAST(CASE bucket WHEN 'head' THEN 0
+                                WHEN 'middle' THEN 1 ELSE 2 END AS BIGINT)
+                             AS stage,
+                           md5(concat('7', ':', CAST(doc_id AS VARCHAR))) AS ky
+                    FROM pt),
+             cu AS (SELECT doc_id, stage,
+                           row_number() OVER (ORDER BY stage, ky, doc_id) - 1
+                             AS position
+                    FROM st),
+             tk AS (SELECT doc_id,
+                           CAST(len(list_filter(
+                             string_split(lower(coalesce(text, '')), ' '),
+                             x -> x <> '')) AS BIGINT) AS n_tok
+                    FROM documents),
+             sh AS (SELECT cu.doc_id, stage, position, position % 8 AS shard,
+                           n_tok
+                    FROM cu JOIN tk USING (doc_id)),
+             cs AS (SELECT doc_id, stage, position, shard, n_tok,
+                           CAST(sum(n_tok) OVER (PARTITION BY shard
+                             ORDER BY position ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS end_tok
+                    FROM sh)
+             SELECT doc_id, stage, position, shard, n_tok, end_tok,
+                    (end_tok - n_tok) // 512 AS chunk_first,
+                    greatest((end_tok - n_tok) // 512,
+                             (greatest(end_tok, 1) - 1) // 512) AS chunk_last
+             FROM cs ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    pplScore, pplPartition, pplSummary, dsirWeights, dsirTop, curriculumQ)
+    pplScore, pplPartition, pplSummary, dsirWeights, dsirTop, curriculumQ,
+    trainerFeed)
 }

@@ -122,6 +122,41 @@ class DataSelectionSpec extends SparkSpec {
     assert(a.map(_._3) != b.map(_._3), "order within stages is seeded")
   }
 
+  test("trainer feed: balanced round-robin shards, exact chunk spans") {
+    val rows = DataSelection
+      .trainerFeed(docs, numShards = 3, budget = 4, seed = 7L)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // placement: shard = position mod 3 -> counts differ by <= 1
+    val byShard = rows.groupBy(_._4)
+    val sizes = byShard.view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"shard sizes $sizes")
+    rows.foreach { case (_, _, pos, shard, _, _, _, _) =>
+      assert(shard == pos % 3)
+    }
+    byShard.values.foreach { docs0 =>
+      val inOrder = docs0.sortBy(_._3)
+      // stages arrive in curriculum order within every shard
+      assert(inOrder.map(_._2) == inOrder.map(_._2).sorted)
+      // the running total is the per-shard cumsum of n_tok
+      assert(inOrder.map(_._6) == inOrder.map(_._5).scanLeft(0L)(_ + _).tail)
+      // chunk spans: first = start div b, last covers the final token,
+      // and a 0-token doc still occupies exactly its boundary chunk
+      inOrder.foreach { case (_, _, _, _, nTok, end, cFirst, cLast) =>
+        val start = end - nTok
+        assert(cFirst == start / 4)
+        assert(cLast == math.max(start / 4, (math.max(end, 1L) - 1L) / 4))
+        assert(cFirst <= cLast)
+      }
+    }
+    // the chunk index advances: total chunks per shard covers the tokens
+    byShard.values.foreach { docs0 =>
+      val tot = docs0.map(_._5).sum
+      val maxChunk = docs0.map(_._8).max
+      assert(maxChunk == math.max(tot - 1, 0L) / 4)
+    }
+  }
+
   test("plan: ranks ride the partitioned globalRowNumber, no global window") {
     // opt out of the shared-frame memo so the BUILD plan is inspectable
     // (the memoized path returns a frozen ExistingRDD scan)

@@ -427,4 +427,46 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(scans == 0, s"$scans corpus scans\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  /** r15 pins run against the BUILD plans (shared-frame memo off): the
+    * memoized registry path returns a frozen ExistingRDD scan, which
+    * would pass any structural assertion vacuously. */
+  private def buildPlan(name: String): String = {
+    spark.conf.set("spark.graft.dedup.shareFrames", "false")
+    try planString(name)
+    finally spark.conf.unset("spark.graft.dedup.shareFrames")
+  }
+
+  test("q_ppl_score: frozen LM joins; the only nested loop is the 1-row vocab") {
+    val p = buildPlan("q_ppl_score")
+    // the LM frames are localCheckpoint'ed — the scoring joins read
+    // materialized blocks, never re-run the reference aggregations
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    // ≤ 2 corpus reads in the final plan: scoring bigrams + id/lang spine
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_dsir_weights: the bounded ratio table broadcasts into scoring") {
+    val p = buildPlan("q_dsir_weights")
+    // ratio (≤ buckets rows, frozen) must return as a broadcast hash
+    // join on f — a sort-merge join THERE would shuffle the token
+    // stream by feature id. (The per-doc spine join may SMJ pre-AQE;
+    // that one shuffles on doc_id, the result key, which is fine.)
+    assert("BroadcastHashJoin \\[f#".r.findFirstIn(p).isDefined, p)
+    assert(!"SortMergeJoin \\[f#".r.matches(p), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_dsir_top: selection is a per-task top-K heap, never a global sort") {
+    val p = buildPlan("q_dsir_top")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_curriculum: position rides the partitioned rank; no single-partition exchange") {
+    val p = buildPlan("q_curriculum")
+    assert(p.contains("_gr_pid"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
