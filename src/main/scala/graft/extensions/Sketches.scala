@@ -301,4 +301,72 @@ object Sketches {
         expr(s"CAST(${lo}L + (bin + 1L) * ${hi - lo}L DIV ${bins}L AS BIGINT)")
           .as("est"))
   }
+
+  // ── Mergeable HLL distinct state ──────────────────────────────────
+  // The fourth bounded-summary member (Flajolet et al. 2007,
+  // "HyperLogLog: the analysis of a near-optimal cardinality
+  // estimation algorithm"). KMV already estimates distincts, but its
+  // state is a k-smallest multiset whose merge re-sorts; the HLL state
+  // is ≤ m (bucket, max-rho) int rows whose merge is a plain
+  // union+MAX — idempotent, associative, commutative, so re-merging a
+  // replayed slice is a NO-OP (the overwrite-by-id property the CMS
+  // leg lacks). Determinism discipline: rho comes from the length of
+  // bin(rest) — pure string/integer ops, no log2 boundary risk — and
+  // the estimator's power sums are computed in int64 fixed point
+  // (Σ 2^(43−rho) is exact: every term dyadic, total < 2^50), so the
+  // only float is the single final division, mirrored verbatim in the
+  // oracle.
+
+  /** Fixed HLL geometry: m = 64 buckets from the low 6 bits of the
+    * 48-bit [[kmvHash]]; the remaining 42 bits feed rho ∈ [1, 43]. */
+  private val HllM = 64
+  private val HllAlpha = 0.709 // Flajolet's alpha_64
+  private val HllFixed1 = 1L << 43 // 2^43, the rho fixed-point scale
+
+  /** Per-source HLL state over `n`-token shingles: ≤ m rows of
+    * (source, bucket, r) with r = max rho seen. One map-side-
+    * combinable aggregation; merge with [[mergeHll]]. */
+  def hllState(documents: DataFrame, n: Int = 3): DataFrame =
+    shingleHashes(documents, n)
+      .select(col("source"),
+        pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+        expr(s"""CAST(CASE WHEN h div ${HllM} > 0
+                      THEN 43 - length(bin(h div ${HllM}))
+                      ELSE 43 END AS INT)""").as("rho"))
+      .groupBy("source", "bucket").agg(max("rho").as("r"))
+
+  /** Union+MAX of two HLL states — the exact merge; replayed slices
+    * are no-ops (max is idempotent). */
+  def mergeHll(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source", "bucket").agg(max("r").as("r"))
+
+  /** Per-source estimate from a (merged) state: the standard HLL
+    * harmonic mean over m registers (absent buckets count 2^0, i.e.
+    * 2^43 in fixed point) with Flajolet's small-range linear-counting
+    * correction when raw ≤ 2.5m and empty buckets remain. The state
+    * aggregate is ≤ m rows per source — nothing scales with data. */
+  def hllEstimate(state: DataFrame): DataFrame =
+    state.groupBy("source")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 43 - r)")).as("s_present"))
+      .select(col("source"),
+        (lit(HllM.toLong) - col("n_buckets")).as("zeros"),
+        (col("s_present") + (lit(HllM.toLong) - col("n_buckets")) * lit(HllFixed1))
+          .as("s_fixed"))
+      .select(col("source"),
+        round(
+          when(col("zeros") > 0 &&
+              lit(HllAlpha) * lit(3.6028797018963968e16) / col("s_fixed") <= 160.0,
+            lit(64.0) * log(lit(64.0) / col("zeros")))
+            .otherwise(lit(HllAlpha) * lit(3.6028797018963968e16) / col("s_fixed")),
+          4).as("hll_est"))
+
+  /** The accuracy contract (q_minhash_est / q_winnow_est / q_kmv
+    * discipline): per-source exact distinct-shingle count beside the
+    * HLL estimate from [[hllState]]+[[hllEstimate]]. */
+  def hllDistinct(documents: DataFrame, n: Int = 3): DataFrame = {
+    val exact = shingleHashes(documents, n)
+      .groupBy("source").agg(countDistinct(col("s")).as("n_exact"))
+    exact.join(hllEstimate(hllState(documents, n)), Seq("source"))
+  }
 }

@@ -192,7 +192,53 @@ object Round15Queries {
                              (greatest(end_tok, 1) - 1) // 512) AS chunk_last
              FROM cs ORDER BY doc_id"""))
 
+  /** [[graft.extensions.Sketches.hllDistinct]] — the fourth mergeable
+    * summary (HyperLogLog, Flajolet et al. 2007) under the accuracy-
+    * contract discipline: per-source exact distinct 3-gram count
+    * beside the m=64 HLL estimate. rho is derived from length(bin(·))
+    * — pure integer/string ops — and the register power sum is int64
+    * fixed point, so the one float division is mirrored verbatim. */
+  private val hllDistinct = Q("q_hll_distinct",
+    (s, dir) => graft.extensions.Sketches
+      .hllDistinct(table(s, dir, "documents"), n = 3)
+      .orderBy("source"),
+    Some("""WITH d AS (SELECT source,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr
+                       FROM documents),
+             g AS (SELECT source,
+                          unnest(list_transform(range(1, CAST(len(arr) AS INTEGER) - 1),
+                            i -> array_to_string(list_slice(arr, i, i + 2), ' '))) AS s
+                   FROM d),
+             h AS (SELECT DISTINCT source,
+                          CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS h
+                   FROM g),
+             st AS (SELECT source, h % 64 AS bucket,
+                           CASE WHEN h // 64 > 0
+                                THEN 43 - length(bin(h // 64))
+                                ELSE 43 END AS rho
+                    FROM h),
+             reg AS (SELECT source, bucket, max(rho) AS r
+                     FROM st GROUP BY 1, 2),
+             est AS (SELECT source, count(*) AS n_buckets,
+                            sum(1::BIGINT << (43 - r)) AS s_present
+                     FROM reg GROUP BY 1),
+             fin AS (SELECT source, 64 - n_buckets AS zeros,
+                            s_present + (64 - n_buckets) * 8796093022208
+                              AS s_fixed
+                     FROM est),
+             ex AS (SELECT source, count(DISTINCT s) AS n_exact
+                    FROM g GROUP BY 1)
+             SELECT ex.source, ex.n_exact,
+                    round(CASE WHEN zeros > 0
+                               AND 0.709 * 3.6028797018963968e16 / s_fixed <= 160.0
+                               THEN 64.0 * ln(64.0 / zeros)
+                               ELSE 0.709 * 3.6028797018963968e16 / s_fixed END,
+                          4) AS hll_est
+             FROM ex JOIN fin USING (source)
+             ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     pplScore, pplPartition, pplSummary, dsirWeights, dsirTop, curriculumQ,
-    trainerFeed)
+    trainerFeed, hllDistinct)
 }
