@@ -90,6 +90,26 @@ object StreamingSketch {
         onBatch(Sketches.mergeHist(state, batchState), batchId)
       }
 
+  /** foreachBatch sink maintaining the HLL distinct state (the fourth
+    * family member, [[graft.extensions.Sketches.hllState]]): per-batch
+    * registers merged by union+MAX — associative, commutative, AND
+    * idempotent, so unlike the CMS/histogram legs a redelivered batch
+    * re-merges to the identical state with NO batchId keying needed;
+    * the sink is exactly-once by algebra, not by persist discipline
+    * (StreamingSketchSpec pins streamed ≡ rebuilt and the replay
+    * no-op). */
+  def hllSink(
+      state: => DataFrame,
+      arriving: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      n: Int = 3): DataStreamWriter[Row] =
+    arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val batchState = Sketches.hllState(batch.localCheckpoint(), n)
+        onBatch(Sketches.mergeHll(state, batchState), batchId)
+      }
+
   /** foreachBatch sink maintaining BOTH sketches: each micro-batch of
     * documents is sketched (one narrow pass each) and merged into the
     * caller-persisted state; `onBatch(newCms, newKmv, batchId)`

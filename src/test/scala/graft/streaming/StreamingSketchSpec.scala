@@ -117,4 +117,35 @@ class StreamingSketchSpec extends SparkSpec {
       .toSeq == Sketches.histQuantile(flat, Seq(500), lo, hi, bins)
       .collect().toSeq)
   }
+
+  test("streamed HLL state equals the flat build; replay is a no-op by algebra") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val arriving = mem.toDF().toDF("doc_id", "text", "source")
+
+    var stateById = Map(-1L ->
+      Sketches.hllState(docs(Seq.empty)).localCheckpoint())
+    val q = StreamingSketch.hllSink(
+        stateById(stateById.keys.max), arriving,
+        onBatch = (s, id) => stateById = stateById + (id -> s.localCheckpoint()))
+      .start()
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    def regMap(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val streamed = stateById(stateById.keys.max)
+    assert(regMap(streamed) == regMap(Sketches.hllState(allDocs)),
+      "streamed ≡ rebuilt, bitwise")
+    // replay no-op: re-merging the LAST batch into the final state
+    // changes nothing — max is idempotent, so unlike the CMS leg this
+    // sink needs no batchId-keyed persist to be exactly-once
+    val replayed = Sketches.mergeHll(
+      streamed, Sketches.hllState(docs(batches.last)))
+    assert(regMap(replayed) == regMap(streamed))
+    // and the estimate reads identically from streamed state and scan
+    assert(Sketches.hllEstimate(streamed).collect().toSeq.sortBy(_.getString(0))
+      == Sketches.hllEstimate(Sketches.hllState(allDocs)).collect().toSeq
+        .sortBy(_.getString(0)))
+  }
 }
