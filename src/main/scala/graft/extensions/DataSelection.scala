@@ -147,12 +147,16 @@ object DataSelection {
 
   private def perplexityPartitionBuild(
       documents: DataFrame, k: Double): DataFrame = {
+    // rank/group on a null-safe language key: a NULL lang is its own
+    // CCNet partition (the oracle's window groups nulls the same way);
+    // a plain equi-join on lang would silently DROP null-lang docs
     val scored = perplexityScore(documents, k)
+      .withColumn("_lg", coalesce(col("lang"), lit(" ")))
     val ranked = Packing.globalRowNumber(scored,
-      Seq(col("lang"), col("avg_log2_p").desc_nulls_last, col("doc_id")), "_rn")
-    val extents = ranked.groupBy("lang")
+      Seq(col("_lg"), col("avg_log2_p").desc_nulls_last, col("doc_id")), "_rn")
+    val extents = ranked.groupBy("_lg")
       .agg(min("_rn").as("_l0"), count(lit(1)).as("_n"))
-    ranked.join(broadcast(extents), Seq("lang"))
+    ranked.join(broadcast(extents), Seq("_lg"))
       .withColumn("_b", expr("(( _rn - _l0) * 3) div _n"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_log2_p"),
         element_at(array(lit("head"), lit("middle"), lit("tail")),

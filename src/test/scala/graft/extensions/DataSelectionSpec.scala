@@ -122,6 +122,23 @@ class DataSelectionSpec extends SparkSpec {
     assert(a.map(_._3) != b.map(_._3), "order within stages is seeded")
   }
 
+  test("a NULL lang is its own partition, never dropped") {
+    val withNull = docs.union(Seq(
+      (9L, "the cat sat on the mat", null.asInstanceOf[String]),
+      (12L, "zz qq ww", null.asInstanceOf[String]),
+      (13L, "the dog sat", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "lang"))
+    val out = DataSelection.perplexityPartition(withNull).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(4))).toMap
+    assert(out.contains(9L) && out.contains(12L) && out.contains(13L),
+      "null-lang docs must be ranked, not silently equi-joined away")
+    assert(out(9L)._1.isEmpty, "lang stays NULL in the output")
+    // the three null-lang docs tier among THEMSELVES: one per third
+    assert(Seq(9L, 12L, 13L).map(out(_)._2).toSet
+      == Set("head", "middle", "tail"))
+    assert(out(9L)._2 == "head" && out(12L)._2 == "tail")
+  }
+
   test("trainer feed: balanced round-robin shards, exact chunk spans") {
     val rows = DataSelection
       .trainerFeed(docs, numShards = 3, budget = 4, seed = 7L)
