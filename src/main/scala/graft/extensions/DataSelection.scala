@@ -234,6 +234,27 @@ object DataSelection {
     dsirWeights(documents, buckets, k)
       .orderBy(col("llr_avg").desc_nulls_last, col("doc_id")).limit(topK)
 
+  /** Curation cross-check: do the two selectors agree? Per perplexity
+    * tier, how many of its docs DSIR's top-K also picked — the
+    * diagnostic a pipeline reads before trusting either method alone
+    * (strong agreement in the head and none in the tail is the healthy
+    * shape; agreement concentrated in the tail means one of the two
+    * yardsticks is mis-trained). All-int64 output (agreement in ppm);
+    * both inputs are the memoized frames, so this costs two ≤3-group
+    * aggregates over frozen state. */
+  def selectionAgreement(
+      documents: DataFrame, topK: Int = 200,
+      buckets: Int = 4096, k: Double = 0.5): DataFrame = {
+    val tiers = perplexityPartition(documents, k).select("doc_id", "bucket")
+    val top = dsirSelect(documents, topK, buckets, k)
+      .select(col("doc_id")).withColumn("in_top", lit(1L))
+    tiers.join(top, Seq("doc_id"), "left_outer")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("in_top"), lit(0L))).as("n_dsir_top"))
+      .withColumn("agree_ppm", expr("(n_dsir_top * 1000000) div n_docs"))
+  }
+
   /** Curriculum order: stage = the perplexity tier as 0/1/2 (head
     * first — train on reference-like text before tail noise), position
     * = one more [[Packing.globalRowNumber]] over (stage, md5(seed ":"

@@ -238,7 +238,50 @@ object Round15Queries {
              FROM ex JOIN fin USING (source)
              ORDER BY source"""))
 
+  /** [[DataSelection.selectionAgreement]] — the curation cross-check:
+    * per perplexity tier, how many docs DSIR's top-200 also picked
+    * (agreement in ppm, all int64). The healthy shape — agreement
+    * concentrated in the head — is itself the diagnostic. */
+  private val selectionOverlap = Q("q_selection_overlap",
+    (s, dir) => DataSelection.selectionAgreement(
+      table(s, dir, "documents"), topK = 200)
+      .orderBy("bucket"),
+    Some(s"""WITH $pplCtes,
+             d2 AS (SELECT doc_id,
+                           list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                       t -> t <> '') AS arr,
+                           doc_id % 5 = 0 AS is_ref
+                    FROM documents),
+             t2 AS (SELECT doc_id, is_ref,
+                           CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT)
+                             % 4096 AS f
+                    FROM (SELECT doc_id, is_ref, unnest(arr) AS tok FROM d2)),
+             cnts2 AS (SELECT f,
+                              sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_t,
+                              sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_r
+                       FROM t2 GROUP BY 1),
+             tot2 AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM cnts2),
+             ratio2 AS (SELECT f, log2(((c_t + 0.5) / (n_t + 2048.0))
+                                  * ((n_r + 2048.0) / (c_r + 0.5))) AS lr
+                        FROM cnts2 CROSS JOIN tot2),
+             sc2 AS (SELECT doc_id, round(avg(lr), 4) AS llr_avg
+                     FROM t2 JOIN ratio2 USING (f) WHERE NOT is_ref
+                     GROUP BY 1),
+             w2 AS (SELECT d2.doc_id, sc2.llr_avg
+                    FROM d2 LEFT JOIN sc2 USING (doc_id)
+                    WHERE NOT d2.is_ref),
+             top AS (SELECT doc_id FROM w2
+                     ORDER BY llr_avg DESC NULLS LAST, doc_id LIMIT 200)
+             SELECT bucket, count(*) AS n_docs,
+                    CAST(sum(CASE WHEN top.doc_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir_top,
+                    (CAST(sum(CASE WHEN top.doc_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                      // count(*) AS agree_ppm
+             FROM pt LEFT JOIN top USING (doc_id)
+             GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(
     pplScore, pplPartition, pplSummary, dsirWeights, dsirTop, curriculumQ,
-    trainerFeed, hllDistinct)
+    trainerFeed, hllDistinct, selectionOverlap)
 }
