@@ -1325,6 +1325,51 @@ object Bench {
     }
   }
 
+  /** The r15 curation family's memo lever, priced: the registry rows
+    * share one scored/partitioned/weights frame through the dedup
+    * sharedFrame memo, and this section measures what that buys — each
+    * `cold_*` row rebuilds its full pipeline per rep (shareFrames off:
+    * LM train + scoring joins + rank for the partition; feature table +
+    * broadcast scoring for DSIR), while the `memo_*` rows are what
+    * every downstream consumer actually pays reading the frozen frames
+    * (the curriculum re-ranks per seed by design — its rank is the
+    * irreducible per-call work). At cluster scale the same gap is
+    * scan-vs-persisted-stage; the memo is the single-session stand-in. */
+  def curationBench(
+      spark: SparkSession, sfDir: String, reps: Int = 3): Seq[(String, Double)] = {
+    import graft.extensions.DataSelection
+    def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = Tables.table(spark, sfDir, "documents")
+    val conf = spark.conf
+    def cold(name: String)(body: => Unit): Double = {
+      conf.set("spark.graft.dedup.shareFrames", "false")
+      try timeMed(reps, name)(body)
+      finally conf.unset("spark.graft.dedup.shareFrames")
+    }
+    val coldPart = cold("cold_partition_build")(
+      noopWrite(DataSelection.perplexityPartition(docs)))
+    val coldDsir = cold("cold_dsir_weights")(
+      noopWrite(DataSelection.dsirWeights(docs)))
+    // memo warm from the suite's registry pass — these are steady-state
+    // consumer reads, not first touches
+    val memoPart = timeMed(reps, "memo_read_partition")(
+      noopWrite(DataSelection.perplexityPartition(docs)))
+    val memoCurr = timeMed(reps, "memo_curriculum_rank")(
+      noopWrite(DataSelection.curriculum(docs, seed = 11L)))
+    val memoOverlap = timeMed(reps, "memo_overlap")(
+      noopWrite(DataSelection.selectionAgreement(docs)))
+    val memoDsirTop = timeMed(reps, "memo_dsir_top")(
+      noopWrite(DataSelection.dsirSelect(docs, topK = 200)))
+    Seq(
+      "cold_partition_build" -> coldPart,
+      "memo_read_partition" -> memoPart,
+      "memo_curriculum_rank" -> memoCurr,
+      "memo_overlap" -> memoOverlap,
+      "cold_dsir_weights" -> coldDsir,
+      "memo_dsir_top" -> memoDsirTop)
+  }
+
   /** The runtime half of the skew story — [[graft.plans.Skew]] salts
     * the groupBy half; join-side skew is AQE's job
     * (spark.sql.adaptive.skewJoin, on in [[GraftSession]] and here) and
@@ -1618,7 +1663,8 @@ object Bench {
     val skewjoin = section("skewjoin")(skewJoinBench(spark, reps))
     val paged = section("paged")(pagedBench(spark, reps))
     val rtfilter = section("rtfilter")(runtimeFilterBench(spark, sfDir, reps))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"rtfilter":${jsonNum(rtfilter)},"rtfilter_reps":${jsonReps(rtfilter)},"sf":"$sfDir"}""")
+    val curation = section("curation")(curationBench(spark, sfDir, reps))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"rtfilter":${jsonNum(rtfilter)},"rtfilter_reps":${jsonReps(rtfilter)},"curation":${jsonNum(curation)},"curation_reps":${jsonReps(curation)},"sf":"$sfDir"}""")
     // Final SHORT line so a tail-truncated capture of this output still
     // contains a complete, parseable summary (r10 VERDICT #4: the full
     // artifact line above exceeds the driver's 2000-byte tail window).
