@@ -369,4 +369,18 @@ object Sketches {
       .groupBy("source").agg(countDistinct(col("s")).as("n_exact"))
     exact.join(hllEstimate(hllState(documents, n)), Seq("source"))
   }
+
+  /** Merge-transparency twin of [[hllDistinct]]: the state is built in
+    * two doc_id-parity halves and [[mergeHll]]'d, reported beside the
+    * SAME exact count — and oracled against the FLAT one-pass SQL, so
+    * merge ∘ build ≡ build ∘ union is pinned by the driver's hash gate,
+    * not only by a spec (the q_card_merged discipline). */
+  def hllDistinctMerged(documents: DataFrame, n: Int = 3): DataFrame = {
+    val a = documents.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    val b = documents.filter(pmod(col("doc_id"), lit(2L)) =!= 0)
+    val exact = shingleHashes(documents, n)
+      .groupBy("source").agg(countDistinct(col("s")).as("n_exact"))
+    exact.join(
+      hllEstimate(mergeHll(hllState(a, n), hllState(b, n))), Seq("source"))
+  }
 }

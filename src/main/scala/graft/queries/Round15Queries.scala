@@ -198,11 +198,8 @@ object Round15Queries {
     * beside the m=64 HLL estimate. rho is derived from length(bin(·))
     * — pure integer/string ops — and the register power sum is int64
     * fixed point, so the one float division is mirrored verbatim. */
-  private val hllDistinct = Q("q_hll_distinct",
-    (s, dir) => graft.extensions.Sketches
-      .hllDistinct(table(s, dir, "documents"), n = 3)
-      .orderBy("source"),
-    Some("""WITH d AS (SELECT source,
+  private val hllSql =
+    """WITH d AS (SELECT source,
                               list_filter(string_split(lower(coalesce(text, '')), ' '),
                                           t -> t <> '') AS arr
                        FROM documents),
@@ -236,7 +233,23 @@ object Round15Queries {
                                ELSE 0.709 * 3.6028797018963968e16 / s_fixed END,
                           4) AS hll_est
              FROM ex JOIN fin USING (source)
-             ORDER BY source"""))
+             ORDER BY source"""
+
+  private val hllDistinct = Q("q_hll_distinct",
+    (s, dir) => graft.extensions.Sketches
+      .hllDistinct(table(s, dir, "documents"), n = 3)
+      .orderBy("source"),
+    Some(hllSql))
+
+  /** [[graft.extensions.Sketches.hllDistinctMerged]] — the SAME flat
+    * oracle, but the Spark side builds the state in two doc_id-parity
+    * halves and merges: the driver's hash gate (not only a spec) pins
+    * merge ∘ build ≡ build ∘ union (the q_card_merged discipline). */
+  private val hllMerged = Q("q_hll_merged",
+    (s, dir) => graft.extensions.Sketches
+      .hllDistinctMerged(table(s, dir, "documents"), n = 3)
+      .orderBy("source"),
+    Some(hllSql))
 
   /** [[DataSelection.selectionAgreement]] — the curation cross-check:
     * per perplexity tier, how many docs DSIR's top-200 also picked
@@ -283,5 +296,5 @@ object Round15Queries {
 
   val all: Seq[Q] = Seq(
     pplScore, pplPartition, pplSummary, dsirWeights, dsirTop, curriculumQ,
-    trainerFeed, hllDistinct, selectionOverlap)
+    trainerFeed, hllDistinct, hllMerged, selectionOverlap)
 }
