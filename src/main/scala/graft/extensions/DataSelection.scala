@@ -195,34 +195,59 @@ object DataSelection {
       dsirWeightsBuild(documents, buckets, k)
     }
 
-  private def dsirWeightsBuild(
+  /** The frozen DSIR feature-ratio table over the FULL domain [0, B):
+    * per feature id, log₂ p_target/p_raw with add-k smoothing —
+    * exactly `buckets` rows (features the corpus never hashed to carry
+    * the all-zero smoothed ratio), so a NEW document's tokens always
+    * find their feature — the streaming-scoring contract
+    * ([[graft.streaming.StreamingDsir]] freezes this once) — and the
+    * broadcast is fixed-size by construction. localCheckpoint'ed: the
+    * build (and its bounded single-partition total) never re-enters a
+    * consumer plan (census discipline). */
+  private[graft] def featureRatio(
       documents: DataFrame, buckets: Int, k: Double): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val docs = tokenized(documents)
-    val tokens = docs
+    val seen = docs
       .select(col("doc_id"), col("is_ref"), explode(col("arr")).as("tok"))
       .withColumn("f", pmod(Sketches.kmvHash(col("tok")), lit(buckets.toLong)))
-    val counts = tokens.groupBy("f").agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_t"),
-      sum(when(col("is_ref"), 0L).otherwise(1L)).as("c_r"))
+      .groupBy("f").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("c_r"))
+    val counts = docs.sparkSession.range(buckets).select(col("id").as("f"))
+      .join(seen, Seq("f"), "left_outer")
+      .select(col("f"), coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"))
     val totals = counts.agg(sum("c_t").as("n_t"), sum("c_r").as("n_r"))
-    // frozen once: ≤ `buckets` rows by construction, and the freeze
-    // keeps the feature-table build (and its bounded single-partition
-    // total) out of the per-consumer scoring plan (census discipline)
-    val ratio = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("f"),
         log2(((col("c_t") + lit(k)) / (col("n_t") + lit(k * buckets))) *
           ((col("n_r") + lit(k * buckets)) / (col("c_r") + lit(k)))).as("lr"))
       .localCheckpoint()
-    val scored = tokens.filter(!col("is_ref"))
+  }
+
+  /** Score a `(doc_id, arr)` projection against a frozen ratio table —
+    * the one scoring formula batch and streaming share, so they cannot
+    * drift apart. Zero-token docs weight NULL. */
+  private[graft] def scoreTokensAgainst(
+      docs: DataFrame, ratio: DataFrame, buckets: Int): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), explode(col("arr")).as("tok"))
+      .withColumn("f", pmod(Sketches.kmvHash(col("tok")), lit(buckets.toLong)))
       .join(broadcast(ratio), Seq("f"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), round(avg(col("lr")), 4).as("llr_avg"))
-    docs.filter(!col("is_ref")).select("doc_id")
+    docs.select("doc_id")
       .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"), col("llr_avg"))
   }
+
+  private def dsirWeightsBuild(
+      documents: DataFrame, buckets: Int, k: Double): DataFrame =
+    scoreTokensAgainst(
+      tokenized(documents).filter(!col("is_ref")).select("doc_id", "arr"),
+      featureRatio(documents, buckets, k), buckets)
 
   /** The resampling step: the `topK` most reference-like raw docs by
     * (weight desc, doc_id). Plans as TakeOrderedAndProject — every task
