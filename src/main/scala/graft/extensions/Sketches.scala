@@ -323,17 +323,22 @@ object Sketches {
   private val HllAlpha = 0.709 // Flajolet's alpha_64
   private val HllFixed1 = 1L << 43 // 2^43, the rho fixed-point scale
 
-  /** Per-source HLL state over `n`-token shingles: ≤ m rows of
-    * (source, bucket, r) with r = max rho seen. One map-side-
-    * combinable aggregation; merge with [[mergeHll]]. */
-  def hllState(documents: DataFrame, n: Int = 3): DataFrame =
-    shingleHashes(documents, n)
+  /** Registers from a `(source, h)` hash stream — the state-building
+    * half [[hllState]] and [[hllDistinctMerged]] share. */
+  private def hllRegisters(hashes: DataFrame): DataFrame =
+    hashes
       .select(col("source"),
         pmod(col("h"), lit(HllM.toLong)).as("bucket"),
         expr(s"""CAST(CASE WHEN h div ${HllM} > 0
                       THEN 43 - length(bin(h div ${HllM}))
                       ELSE 43 END AS INT)""").as("rho"))
       .groupBy("source", "bucket").agg(max("rho").as("r"))
+
+  /** Per-source HLL state over `n`-token shingles: ≤ m rows of
+    * (source, bucket, r) with r = max rho seen. One map-side-
+    * combinable aggregation; merge with [[mergeHll]]. */
+  def hllState(documents: DataFrame, n: Int = 3): DataFrame =
+    hllRegisters(shingleHashes(documents, n))
 
   /** Union+MAX of two HLL states — the exact merge; replayed slices
     * are no-ops (max is idempotent). */
@@ -376,11 +381,20 @@ object Sketches {
     * merge ∘ build ≡ build ∘ union is pinned by the driver's hash gate,
     * not only by a spec (the q_card_merged discipline). */
   def hllDistinctMerged(documents: DataFrame, n: Int = 3): DataFrame = {
-    val a = documents.filter(pmod(col("doc_id"), lit(2L)) === 0)
-    val b = documents.filter(pmod(col("doc_id"), lit(2L)) =!= 0)
-    val exact = shingleHashes(documents, n)
-      .groupBy("source").agg(countDistinct(col("s")).as("n_exact"))
-    exact.join(
-      hllEstimate(mergeHll(hllState(a, n), hllState(b, n))), Seq("source"))
+    // ONE shingle pass, frozen (the q_postings_compact termPairs
+    // discipline): the two half-states and the exact side all slice
+    // this frame, so the demonstration costs one corpus scan, not
+    // three
+    val hashes = documents.select(col("doc_id"), col("source"),
+        explode(TextAnalysis.wordNgrams(n)).as("s"))
+      .select(col("doc_id"), col("source"), col("s"),
+        kmvHash(col("s")).as("h"))
+      .localCheckpoint()
+    def half(parity: Int) = hllRegisters(
+      hashes.filter(pmod(col("doc_id"), lit(2L)) === parity)
+        .select("source", "h"))
+    val exact = hashes.groupBy("source")
+      .agg(countDistinct(col("s")).as("n_exact"))
+    exact.join(hllEstimate(mergeHll(half(0), half(1))), Seq("source"))
   }
 }
