@@ -99,6 +99,26 @@ class RetryDeterminismSpec extends SparkSpec {
     assert(withRetry == clean)
   }
 
+  test("curriculum: LM, tiers, shuffle and positions survive a retry bitwise") {
+    // the r15 pipeline end to end: reference-LM train + scoring joins,
+    // per-language rank thirds, seeded within-stage shuffle, global
+    // position — all under one injected attempt-0 failure, which fires
+    // inside the LM localCheckpoint (the first consumption of the
+    // flaky frame). shareFrames off so the flaky run really builds.
+    val cdocs = (0L until 200L).map(i =>
+        (i, s"alpha bravo w$i x${i % 7} charlie delta", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang").repartition(4)
+    spark.conf.set("spark.graft.dedup.shareFrames", "false")
+    try {
+      val clean = canon(
+        graft.extensions.DataSelection.curriculum(cdocs, seed = 7L))
+      val withRetry = canon(
+        graft.extensions.DataSelection.curriculum(flaky(cdocs, "curr"), seed = 7L))
+      assertRetried("curr")
+      assert(withRetry == clean)
+    } finally spark.conf.unset("spark.graft.dedup.shareFrames")
+  }
+
   test("reduce-side retry: a post-shuffle task re-fetches and reproduces") {
     def agg(d: DataFrame): DataFrame = d
       .groupBy((col("doc_id") % 11).as("k"))
