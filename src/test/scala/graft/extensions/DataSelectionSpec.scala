@@ -122,6 +122,18 @@ class DataSelectionSpec extends SparkSpec {
     assert(a.map(_._3) != b.map(_._3), "order within stages is seeded")
   }
 
+  test("the family memo engages: repeat calls return the one frozen frame") {
+    // the shared-frame economics (bench `curation` section: ~165×)
+    // depend on the memo actually hitting — a changed tag or key would
+    // silently rebuild per consumer; reference identity pins the hit
+    val a = DataSelection.perplexityPartition(docs)
+    assert(a eq DataSelection.perplexityPartition(docs))
+    val w = DataSelection.dsirWeights(docs, buckets = 64)
+    assert(w eq DataSelection.dsirWeights(docs, buckets = 64))
+    // different params are different yardsticks — never the same frame
+    assert(!(w eq DataSelection.dsirWeights(docs, buckets = 32)))
+  }
+
   test("a NULL lang is its own partition, never dropped") {
     val withNull = docs.union(Seq(
       (9L, "the cat sat on the mat", null.asInstanceOf[String]),
