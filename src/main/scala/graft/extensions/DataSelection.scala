@@ -44,8 +44,13 @@ import org.apache.spark.sql.functions._
 object DataSelection {
 
   /** The shared oracle tokenizer (lowered, empties dropped) — the
-    * [[TextTokens]] definition as the ARRAY, which scoring needs. */
-  private def toks: Column =
+    * [[TextTokens]] definition as the ARRAY, which scoring needs.
+    * private[graft] so the streaming twins ([[graft.streaming
+    * .StreamingDsir]], [[graft.streaming.StreamingPerplexity]]) build
+    * their batch projections through THE SAME expression — a re-inlined
+    * copy could silently desynchronize batch and streaming scores if
+    * this definition ever changed (r15 ADVICE). */
+  private[graft] def toks: Column =
     filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
 
   /** Deterministic held-out membership: every 5th doc_id is reference. */
@@ -149,9 +154,17 @@ object DataSelection {
       documents: DataFrame, k: Double): DataFrame = {
     // rank/group on a null-safe language key: a NULL lang is its own
     // CCNet partition (the oracle's window groups nulls the same way);
-    // a plain equi-join on lang would silently DROP null-lang docs
+    // a plain equi-join on lang would silently DROP null-lang docs.
+    // The key is a (isnull, value) STRUCT, not coalesce(lang, filler):
+    // any filler string — the prior NUL sentinel included — is some
+    // conceivable real lang value and would silently merge that
+    // language with the NULL partition while the DuckDB oracle's
+    // PARTITION BY lang keeps them separate (r15 ADVICE). A struct is
+    // orderable and range-partitionable, and collision-free by
+    // construction.
     val scored = perplexityScore(documents, k)
-      .withColumn("_lg", coalesce(col("lang"), lit(" ")))
+      .withColumn("_lg",
+        struct(col("lang").isNull.as("n"), coalesce(col("lang"), lit("")).as("v")))
     val ranked = Packing.globalRowNumber(scored,
       Seq(col("_lg"), col("avg_log2_p").desc_nulls_last, col("doc_id")), "_rn")
     val extents = ranked.groupBy("_lg")

@@ -482,6 +482,76 @@ object CoreQueries {
                         ELSE NULL END AS removed_at
             FROM f ORDER BY id"""))
 
+  /** Reference-width SCD merge (r15 VERDICT #3): the reference diffs ALL
+    * 53 tracked vacancy columns stringwise per key (feeder_postgres.py:162),
+    * while q_merge_scd tracks 2 — verifying lifecycle logic but not the
+    * change predicate at reference width. Here the snapshot carries 53
+    * synthesized columns (w00..w52, mixed string/double/long, all derived
+    * deterministically from the same orders row so unperturbed keys
+    * compare EQUAL across snapshots), and snapshot B perturbs exactly one
+    * column (w06, keys ≡ 0 mod 7) — so updated_at moves iff the 53-way
+    * null-safe `<=>` OR-chain actually fires on that one column out of
+    * 53. The oracle reproduces w06 and the membership/perturbation logic
+    * directly. PlanAssertionsSpec pins that WholeStageCodegen still
+    * compiles the wide chain (codegen bails near ~100-branch widths; 53
+    * must stay inside). */
+  private val wideCols: Seq[String] = (0 until 53).map(i => f"w$i%02d")
+
+  private def wideSnap(s: SparkSession, dir: String, perturb: Boolean,
+      cond: org.apache.spark.sql.Column): DataFrame = {
+    val cols = (0 until 53).map { i =>
+      val c = i % 3 match {
+        case 0 => concat_ws(":", lit(i), col("o_orderstatus"),
+          substring(col("o_orderpriority"), (i % 5) + 1, 5))
+        case 1 => col("o_totalprice") + lit(i.toDouble)
+        case 2 => col("o_custkey") + lit(i.toLong)
+      }
+      val cc =
+        if (perturb && i == 6)
+          when(pmod(col("o_orderkey"), lit(7L)) === 0, concat(c, lit("#v2")))
+            .otherwise(c)
+        else c
+      cc.as(f"w$i%02d")
+    }
+    table(s, dir, "orders").filter(cond)
+      .select(col("o_orderkey").as("id") +: cols: _*)
+  }
+
+  private val mergeScdWide = Q("q_merge_scd_wide",
+    (s, dir) => {
+      val a = wideSnap(s, dir, perturb = false,
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val b = wideSnap(s, dir, perturb = true,
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      val s1 = ScdMerge.applySnapshot(
+        ScdMerge.emptyState(a), a, "1998-01-01", "id", wideCols)
+      val s2 = ScdMerge.applySnapshot(s1, b, "1998-06-01", "id", wideCols)
+      s2.select(col("id"), col("w06"),
+          date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
+          date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
+          date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
+        .orderBy("id")
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS id FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                 b AS (SELECT o_orderkey AS id FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+                 w AS (SELECT o_orderkey AS id,
+                              concat_ws(':', '6', o_orderstatus,
+                                        substr(o_orderpriority, 2, 5)) AS w06b
+                       FROM orders)
+            SELECT coalesce(a.id, b.id) AS id,
+                   CASE WHEN b.id IS NOT NULL AND b.id % 7 = 0
+                        THEN w.w06b || '#v2' ELSE w.w06b END AS w06,
+                   CASE WHEN a.id IS NOT NULL THEN '1998-01-01' ELSE '1998-06-01' END AS added_at,
+                   CASE WHEN a.id IS NULL THEN '1998-06-01'
+                        WHEN b.id IS NOT NULL AND b.id % 7 = 0 THEN '1998-06-01'
+                        ELSE '1998-01-01' END AS updated_at,
+                   CASE WHEN b.id IS NULL THEN '1998-06-01' ELSE NULL END AS removed_at
+            FROM a FULL OUTER JOIN b ON a.id = b.id
+            JOIN w ON w.id = coalesce(a.id, b.id)
+            ORDER BY id"""))
+
   // ---- 2.5 sort / top-k, 2.6 set ops --------------------------------------
 
   /** T1: sort by count desc with deterministic tiebreak (ipynb:752). */
@@ -961,7 +1031,7 @@ object CoreQueries {
     joinLeft, joinAnti, joinPivot, joinBroadcast, joinSemi, rangeJoin,
     countTokens, countFiltered, totalPerYear, pctWindow,
     cube, rollup, countDistinct, unixTs, formatString,
-    dedup, mergeStats, mergeScd, mergeScd3,
+    dedup, mergeStats, mergeScd, mergeScd3, mergeScdWide,
     sortDesc, topk, rankWindow, movingAvg, lagLead, percentile, unionYears,
     collectSet, explodeOuter, setOps, strKit, rangeFrame,
     strSplit, strJoin, strTrunc, regex, dateParse, dateArith,

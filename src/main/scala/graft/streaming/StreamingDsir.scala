@@ -40,9 +40,7 @@ object StreamingDsir {
   def scoreBatch(
       batch: DataFrame, ratio: DataFrame, buckets: Int = 4096): DataFrame =
     DataSelection.scoreTokensAgainst(
-      batch.select(col("doc_id"),
-        filter(split(lower(coalesce(col("text"), lit(""))), " "),
-          t => t =!= "").as("arr")),
+      batch.select(col("doc_id"), DataSelection.toks.as("arr")),
       ratio, buckets)
 
   /** foreachBatch sink: every micro-batch's weights, handed to

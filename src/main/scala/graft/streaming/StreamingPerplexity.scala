@@ -45,9 +45,7 @@ object StreamingPerplexity {
   def scoreBatch(
       batch: DataFrame, lm: DataSelection.RefLm, k: Double = 0.5): DataFrame =
     DataSelection.scoreAgainst(
-      batch.select(col("doc_id"), col("lang"),
-        filter(split(lower(coalesce(col("text"), lit(""))), " "),
-          t => t =!= "").as("arr")),
+      batch.select(col("doc_id"), col("lang"), DataSelection.toks.as("arr")),
       lm, k)
 
   /** foreachBatch sink: every micro-batch's scores, handed to `onBatch`

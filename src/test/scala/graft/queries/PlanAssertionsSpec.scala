@@ -455,8 +455,47 @@ class PlanAssertionsSpec extends SparkSpec {
     // stream by feature id. (The per-doc spine join may SMJ pre-AQE;
     // that one shuffles on doc_id, the result key, which is fine.)
     assert("BroadcastHashJoin \\[f#".r.findFirstIn(p).isDefined, p)
-    assert(!"SortMergeJoin \\[f#".r.matches(p), p)
+    // findFirstIn, not .matches: Scala Regex.matches anchors to the
+    // WHOLE input, so a negated .matches against a full plan dump is
+    // vacuously true and the SMJ guard would be dead code (r15 ADVICE)
+    assert("SortMergeJoin \\[f#".r.findFirstIn(p).isEmpty, p)
     assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_merge_scd_wide: the 53-column <=> change chain compiles inside WholeStageCodegen") {
+    // r15 VERDICT #3: the reference diffs 53 columns stringwise; the wide
+    // merge's updated_at CASE carries the 53-way null-safe OR-chain
+    // (106 attribute references). Codegen declines operators with >100
+    // OUTPUT fields (spark.sql.codegen.maxFields) — the 111-field
+    // full-outer join itself correctly falls outside codegen — but the
+    // Project holding the chain has 5 outputs and must stay compiled.
+    // fallback=false turns a silent compile bail into a test failure.
+    import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Registry.queries("q_merge_scd_wide")(spark, dir)
+      val qe = df.queryExecution
+      qe.toRdd.count() // materialize so the AQE final plan carries WSCG nodes
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case q: QueryStageExec => p +: walk(q.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val compiledProjects = walk(qe.executedPlan).collect {
+        case w: WholeStageCodegenExec => walk(w).collect { case pr: ProjectExec => pr }
+      }.flatten
+      val wide = compiledProjects.filter(pr =>
+        pr.output.exists(_.name == "updated_at") &&
+          pr.projectList.exists(_.references.exists(_.name == "w52")))
+      assert(wide.nonEmpty,
+        s"53-way change chain not inside any WholeStageCodegen; compiled projects: " +
+          compiledProjects.map(_.output.map(_.name).take(8).mkString(",")).mkString(" | "))
+    } finally prevFallback match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 
   test("q_dsir_top: selection is a per-task top-K heap, never a global sort") {
