@@ -1,6 +1,7 @@
 package graft.extensions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -149,6 +150,68 @@ class DataSelectionSpec extends SparkSpec {
     assert(Seq(9L, 12L, 13L).map(out(_)._2).toSet
       == Set("head", "middle", "tail"))
     assert(out(9L)._2 == "head" && out(12L)._2 == "tail")
+  }
+
+  test("skewed reference: a one-language reference still scores every language") {
+    // r15 VERDICT #7: a real curated reference is rarely language-
+    // balanced — here the ENTIRE reference slice is English, and the
+    // raw pool carries fr/de docs whose bigrams (and, for the de doc,
+    // every single token) the reference never saw. The add-k smoothing
+    // path must score them LOW, never NULL, and never drop them.
+    val skew = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (5L, "the cat ran on the mat", "en"),
+      (10L, "the dog sat on the mat", "en"),
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "le chat dort sur le tapis", "fr"),
+      (3L, "le chien dort", "fr"),
+      (4L, "der hund schlaeft tief", "de")
+    ).toDF("doc_id", "text", "lang")
+    val ppl = DataSelection.perplexityScore(skew).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(ppl.keySet == Set(1L, 2L, 3L, 4L), "every raw doc scored")
+    Seq(2L, 3L, 4L).foreach(id => assert(ppl(id).isDefined,
+      s"out-of-reference doc $id must score via add-k, not NULL: $ppl"))
+    assert(ppl(1L).get > ppl(2L).get && ppl(1L).get > ppl(4L).get,
+      s"the in-reference doc outranks cross-language docs: $ppl")
+    // tiers stay well-defined per language even when the reference has
+    // no docs in that language at all
+    val parts = DataSelection.perplexityPartition(skew).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(parts.keySet == Set(1L, 2L, 3L, 4L))
+    assert(parts.values.forall(Set("head", "middle", "tail")), parts.toString)
+    // DSIR: the fully-OOV de doc weighs non-null negative (raw-like)
+    val w = DataSelection.dsirWeights(skew, buckets = 64).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(w(4L).isDefined, "fully-OOV doc still weighs (add-k path)")
+    assert(w(4L).get < 0, s"fully-OOV doc is raw-like: $w")
+    assert(w(1L).get > w(4L).get, s"reference-vocab doc outranks OOV: $w")
+  }
+
+  test("a language with fewer than 3 docs still tiers deterministically") {
+    // rank thirds via (3r) div n never divide by zero or skip a doc:
+    // n=1 -> head; n=2 -> head, middle
+    val tiny = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (5L, "the dog sat on the mat", "en"),
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ran", "en"),
+      (3L, "the cat sat here", "fr"),            // lone fr doc
+      (4L, "the dog sat on the mat", "de"),      // two de docs
+      (6L, "qq zz ww vv", "de")
+    ).toDF("doc_id", "text", "lang")
+    val parts = DataSelection.perplexityPartition(tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(parts(3L) == "head", s"a 1-doc language is all head: $parts")
+    assert(parts(4L) == "head" && parts(6L) == "middle",
+      s"a 2-doc language cuts head/middle by (3r) div 2: $parts")
+    // deterministic under re-evaluation (fresh frame, same content)
+    val again = DataSelection.perplexityPartition(
+      tiny.filter(col("doc_id") >= 0L)).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(again == parts, "tiering is content-pure")
   }
 
   test("trainer feed: balanced round-robin shards, exact chunk spans") {
