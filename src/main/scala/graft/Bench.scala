@@ -439,6 +439,16 @@ object Bench {
         })
       }
     }
+    // r15 VERDICT #5: the compact leg's zero-parquet-scan contract as an
+    // ARTIFACT row (the spec pins it; this makes the round artifact
+    // self-evident): 0 = every leg cuts from the one checkpointed
+    // termPairs frame; any parquet scan means a leg re-derived its
+    // pairs from the corpus (the r12 4-scan shape).
+    rows += ("lsm_compact_leg_scans" -> {
+      val p = SparkEntry.queries("q_postings_compact")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      "Scan parquet".r.findAllIn(p).size.toDouble
+    })
     rows.result()
   }
 
