@@ -17,7 +17,8 @@ object Registry {
       Round4Queries.all ++ Round5Queries.all ++ Round6Queries.all ++
       Round7Queries.all ++ Round8Queries.all ++ Round9Queries.all ++
       Round10Queries.all ++ Round11Queries.all ++ Round12Queries.all ++
-      Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all
+      Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all ++
+      Round16Queries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
