@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.extensions.Dedup
+
+/** The q_media_text_dedup composition with REAL media payloads — the
+  * registry row derives its media fingerprint deterministically so
+  * DuckDB can reproduce it; this spec pins the "drop-in" claim by
+  * running the SAME composition over [[Multimodal.imageHashes]]' aHash
+  * column computed from genuine PNG bytes: text SimHash banding ∘
+  * image perceptual-hash banding, one full-outer join on the pair key,
+  * channel attribution (text / media / both) exact. */
+class MediaTextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 32×24 PNG of black/white 4×3 blocks aligned to aHash's 8×8 grid.
+    * The block pattern is a splitmix64-mixed function of the seed, so
+    * distinct seeds land ~32 aHash bits apart (uncorrelated), while
+    * `perturb` flips exactly ONE block — aHash hamming distance 1.
+    * (A smooth gradient fixture fails here: aHash thresholds against
+    * the image mean, which a constant seed offset doesn't move.) */
+  private def seededPng(seed: Int, perturb: Boolean = false): Array[Byte] = {
+    var z = seed.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val pattern = (z ^ (z >>> 31)) ^ (if (perturb) 1L else 0L)
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y / 3) * 8 + (x / 4)
+        img.setRGB(x, y,
+          if (((pattern >>> cell) & 1L) == 1L) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("joint pairs channel-attribute exactly over real aHash + text SimHash") {
+    // d1/d2: same caption, near-identical image  -> both
+    // d3: same caption as d1/d2, unrelated image -> text with d1, d2
+    // d4: distinct caption, near-dup of d3's image -> media with d3
+    // d5: distinct caption, unrelated image -> no pairs
+    val t1 = "senior spark engineer wanted for the lakehouse team"
+    val docs = Seq(
+      (1L, t1), (2L, t1), (3L, t1),
+      (4L, "completely unrelated gibberish zq xv ww pp"),
+      (5L, "another disjoint caption about embedded firmware qa")
+    ).toDF("doc_id", "text")
+    val media = Seq(
+      (1L, seededPng(1)), (2L, seededPng(1, perturb = true)),
+      (3L, seededPng(9)), (4L, seededPng(9, perturb = true)),
+      (5L, seededPng(77))
+    ).map { case (id, p) =>
+      Multimodal.MediaRow(id, "image", p,
+        Multimodal.MediaMeta(None, None, None, None))
+    }.toDS()
+
+    // the registry row's synthesized mhash column swapped for the REAL
+    // perceptual hash — structurally identical composition
+    val mediaFp = Multimodal.imageHashes(media).toDF()
+      .select(col("media_id").as("doc_id"), col("ahash"))
+    val textPairs = Dedup
+      .hammingBandPairs(Dedup.simHash(docs), "doc_id", "simhash",
+        maxHamming = 3, numBands = 4)
+      .select(col("a"), col("b"), col("hamming").as("t_hamming"))
+    val mediaPairs = Dedup
+      .hammingBandPairs(mediaFp, "doc_id", "ahash",
+        maxHamming = 3, numBands = 4)
+      .select(col("a"), col("b"), col("hamming").as("m_hamming"))
+    val joint = textPairs.join(mediaPairs, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        when(col("t_hamming").isNotNull && col("m_hamming").isNotNull, "both")
+          .when(col("t_hamming").isNotNull, "text")
+          .otherwise("media").as("channel"))
+
+    val got = joint.as[(Long, Long, String)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got == Map(
+      (1L, 2L) -> "both",
+      (1L, 3L) -> "text", (2L, 3L) -> "text",
+      (3L, 4L) -> "media"), got.toString)
+
+    // both legs stay banded — the composition never goes all-pairs
+    val p = joint.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
