@@ -19,10 +19,66 @@ import org.apache.spark.sql.functions._
   * of 10 (and 5), so the `doc_id % 5` reference slice and `doc_id % 10`
   * benchmark-slice conventions keep their per-replica proportions.
   *
+  * Embeddings replicate under disjoint vec_id AND label strides (cells
+  * keep their size, so cell-blocked ops scale linearly in the cell
+  * count and IVF's query-cell restriction stays constant-cost — the
+  * measurable analogue of partition pruning), and replicas i>0 get a
+  * per-replica md5-keyed ±1 sign pattern applied element-wise. The SAME
+  * pattern multiplies every vector of the replica, so within-replica
+  * dot products are preserved EXACTLY ((s⊙a)·(s⊙b) = Σ sᵢ²aᵢbᵢ = a·b)
+  * while cross-replica cosines decorrelate — the vector-space analogue
+  * of the per-replica token prefix. [[MakeSf1Spec]] pins both
+  * invariants.
+  *
   * Usage: runMain graft.MakeSf1 [srcDir] [dstDir] [reps]
-  * Writes <dstDir>/{documents,orders}.parquet (the only tables the heavy
-  * families read). Never part of the library surface. */
+  * Writes <dstDir>/{documents,embeddings,orders}.parquet (the only
+  * tables the heavy families read). Never part of the library
+  * surface. */
 object MakeSf1 {
+  val docStride = 1000000L // multiple of 10: slice conventions survive
+  val vecStride = 1000000L
+  val labelStride = 1000
+  val orderStride = 100000000L
+
+  def synthesize(spark: SparkSession, src: String, dst: String,
+                 reps: Int, parts: Int): Unit = {
+    val docs = Tables.table(spark, src, "documents")
+    (0 until reps).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * docStride)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = Tables.table(spark, src, "embeddings")
+    (0 until reps).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * vecStride)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr(
+           s"""transform(embedding, (x, idx) -> x *
+                 CAST(CASE WHEN substring(md5(concat('s$i:',
+                                CAST(idx AS STRING))), 1, 1) < '8'
+                      THEN 1.0 ELSE -1.0 END AS FLOAT))""")).as("embedding"),
+        (col("label") + lit(i * labelStride)).as("label"))
+    }.reduce(_ unionByName _)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val orders = Tables.table(spark, src, "orders")
+    (0 until reps).map { i =>
+      orders.select(
+        (col("o_orderkey") + lit(i * orderStride)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "testdata_sf1"
@@ -33,30 +89,7 @@ object MakeSf1 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val docs = Tables.table(spark, src, "documents")
-    val docStride = 1000000L // multiple of 10: slice conventions survive
-    (0 until reps).map { i =>
-      docs.select(
-        (col("doc_id") + lit(i * docStride)).as("doc_id"),
-        (if (i == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-
-    val orders = Tables.table(spark, src, "orders")
-    val oStride = 100000000L
-    (0 until reps).map { i =>
-      orders.select(
-        (col("o_orderkey") + lit(i * oStride)).as("o_orderkey"),
-        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
-        col("o_orderdate"), col("o_orderpriority"))
-    }.reduce(_ unionByName _)
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
-
+    synthesize(spark, src, dst, reps, cpus.toInt)
     println(s"MAKESF1 done: $dst at ${reps}x $src")
     spark.stop()
   }
