@@ -1774,7 +1774,17 @@ object Bench {
     //     the final list — a transient burst mid-suite adjudicates
     //     itself as "box_load" without any judge re-run.
     // Floor: sub-half-second rows 2×-ing is timer noise, not triage.
-    val calBase = calTimes.map(_._2).min
+    // Baseline = MEDIAN probe, not min: the first probe fires on a
+    // fresh heap and runs 2–4× faster than every later one on an IDLE
+    // box (pure JVM/GC-state drift — the committed r16 solo run reads
+    // 0.10 s then 0.24–0.40 s throughout). A min baseline makes idle
+    // segments print factor 2.4–4.0 (a false "loaded" story) and
+    // inflates retimeFactor the same way, loosening the retime gate to
+    // ~8× — wide enough to mis-adjudicate a real 3–7× plan regression
+    // as box_load. Against the median, idle factors sit at ~1.0 (the
+    // fresh-heap first probe reads <1, an obvious warm anomaly) and
+    // only genuine contention pushes a segment above ~1.5.
+    val calBase = median(calTimes.map(_._2).toSeq)
     val allRatios = results.flatMap { case (n, _) =>
       prevMins.get(n).filter(_ > 0).map(minsNow(n) / _)
     }.sorted
