@@ -15,8 +15,9 @@ import graft.multimodal.Multimodal
   * or `both` (straight re-post) — the triage a curation pipeline runs
   * on re-uploads.
   *
-  * Shape: the corpus persists TWO band indexes, text SimHash and image
-  * perceptual hash, both `(id, h, i, bv)` frames from
+  * Shape: the corpus persists per-channel band indexes — text SimHash,
+  * image perceptual hash, and (optionally) audio envelope hash,
+  * kind-segregated — all `(id, h, i, bv)` frames from
   * [[Dedup.hammingBands]] (at 100 TB each written bucketed by
   * `(i, bv)`, so per-batch probes need no index-side shuffle — the
   * [[StreamingDedup]] bucketed-index contract). ALL per-batch work runs
@@ -65,16 +66,27 @@ object StreamingJointDedup {
   /** The per-batch composition over a STATIC paired frame
     * (`doc_id`, `text`, media payload columns of
     * [[Multimodal.MediaRow]] keyed by doc_id = media_id): probe both
-    * indexes, full-outer join on the pair key, attribute the channel.
-    * Exposed so the spec (and any batch backfill) can run the exact
-    * code path the sink runs per micro-batch. */
+    * channels' indexes, full-outer join on the pair key, attribute the
+    * channel. Exposed so the spec (and any batch backfill) can run the
+    * exact code path the sink runs per micro-batch.
+    *
+    * Modality-complete on the media channel: image attachments probe
+    * `imageIndex` (perceptual aHash), audio attachments probe
+    * `audioIndex` (energy-envelope hash) when one is supplied — each
+    * kind against its OWN index, never cross-kind (an aHash and an
+    * ehash occupying the same 64-bit space must not be compared). The
+    * two kind legs union and collapse to min-hamming per pair, so a
+    * doc carrying both an image and an audio attachment still yields
+    * ONE media row per counterpart and the attribution join stays
+    * key-unique. */
   def jointCandidates(
       spark: SparkSession,
       textIndex: DataFrame,
-      mediaIndex: DataFrame,
+      imageIndex: DataFrame,
       batch: DataFrame,
       maxHamming: Int = 3,
-      numBands: Int = 4): DataFrame = {
+      numBands: Int = 4,
+      audioIndex: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val textCands = probe(textIndex,
       Dedup.simHash(batch.select(col("doc_id"), col("text")), share = false),
@@ -84,9 +96,18 @@ object StreamingJointDedup {
       .select(col("doc_id").as("media_id"), col("kind"), col("payload"),
         col("meta"))
       .as[Multimodal.MediaRow]
-    val mediaCands = probe(mediaIndex,
+    val imageCands = probe(imageIndex,
       Multimodal.imageHashes(media).toDF(), "media_id", "ahash",
       maxHamming, numBands)
+    val mediaCands = audioIndex
+      .map { ai =>
+        imageCands.unionByName(
+            probe(ai, Multimodal.audioHashes(media).toDF(), "media_id",
+              "ehash", maxHamming, numBands))
+          .groupBy("corpus_id", "new_id")
+          .agg(min(col("hamming")).as("hamming"))
+      }
+      .getOrElse(imageCands)
       .withColumnRenamed("hamming", "m_hamming")
     textCands.join(mediaCands, Seq("corpus_id", "new_id"), "full_outer")
       .select(col("corpus_id"), col("new_id"), col("t_hamming"),
@@ -103,15 +124,16 @@ object StreamingJointDedup {
     * batch). Call `.start()` on the result. */
   def sink(
       textIndex: DataFrame,
-      mediaIndex: DataFrame,
+      imageIndex: DataFrame,
       arriving: DataFrame,
       onBatch: (DataFrame, Long) => Unit,
       maxHamming: Int = 3,
-      numBands: Int = 4): DataStreamWriter[Row] =
+      numBands: Int = 4,
+      audioIndex: Option[DataFrame] = None): DataStreamWriter[Row] =
     arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        onBatch(jointCandidates(batch.sparkSession, textIndex, mediaIndex,
-          batch.toDF(), maxHamming, numBands), batchId)
+        onBatch(jointCandidates(batch.sparkSession, textIndex, imageIndex,
+          batch.toDF(), maxHamming, numBands, audioIndex), batchId)
       }
 }

@@ -175,27 +175,9 @@ class MultimodalSpec extends SparkSpec {
   }
 
   /** An 8-bit mono WAV with a seed-derived AMPLITUDE-MODULATED tone —
-    * envelope hashing fingerprints dynamics, so the test signal must
-    * have some (a constant-amplitude tone has a flat envelope and its
-    * gradient bits are numeric coin flips; the envelopeHash scaladoc
-    * carries that caveat). `perturbAt` nudges one sample by one
-    * quantization step; `gain` scales uniformly. */
-  private def seededWav(seed: Int, perturbAt: Int = -1, gain: Double = 1.0): Array[Byte] = {
-    val n = 4000
-    val pcm = Array.tabulate[Byte](n) { j =>
-      val amp = 0.3 + 0.7 * math.abs(math.sin(j * 0.003 + seed))
-      val v = math.sin(j * 0.25 + seed) * amp * 100 * gain
-      v.toByte
-    }
-    if (perturbAt >= 0) pcm(perturbAt) = (pcm(perturbAt) + 2).toByte
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+    * shared fixture, see [[TestAudio.seededWav]]. */
+  private def seededWav(seed: Int, perturbAt: Int = -1, gain: Double = 1.0): Array[Byte] =
+    TestAudio.seededWav(seed, perturbAt, gain)
 
   test("audio envelope hash: perturbation and uniform gain stay near; different clips stay far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

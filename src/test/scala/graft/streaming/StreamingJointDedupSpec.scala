@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.extensions.Dedup
-import graft.multimodal.{Multimodal, TestImages}
+import graft.multimodal.{Multimodal, TestAudio, TestImages}
 
 object StreamingJointDedupSpec {
   /** One arriving row of the paired stream: a document AND its
@@ -107,6 +107,46 @@ class StreamingJointDedupSpec extends SparkSpec {
       .select("corpus_id", "new_id", "t_hamming", "m_hamming")
       .as[(Long, Long, Option[Int], Option[Int])].collect().toSet
     assert(streamed == static, s"stream $streamed != static $static")
+  }
+
+  test("modality-complete media channel: audio attachments probe the envelope index, never cross-kind") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: d1 image-attached, d4 AUDIO-attached (kind-segregated
+    // indexes — an ahash and an ehash must never be compared)
+    val audioCorpusRow = PairedRow(4L,
+      "a fourth caption narrating the incident postmortem call",
+      "audio", TestAudio.seededWav(7), noMeta)
+    val full = corpus :+ audioCorpusRow
+    val docs = full.toDF().select(col("doc_id"), col("text"))
+    val media = full.map(r =>
+      Multimodal.MediaRow(r.doc_id, r.kind, r.payload, r.meta)).toDS()
+    val ti = Dedup.hammingBands(
+      Dedup.simHash(docs, share = false), "doc_id", "simhash")
+      .localCheckpoint()
+    val ii = Dedup.hammingBands(
+      Multimodal.imageHashes(media).toDF(), "media_id", "ahash")
+      .localCheckpoint()
+    val ai = Dedup.hammingBands(
+      Multimodal.audioHashes(media).toDF(), "media_id", "ehash")
+      .localCheckpoint()
+    // arriving: 201 audio near-dup of d4's clip (1-sample nudge), novel
+    // caption -> media; 202 d4's caption + near-dup clip -> both;
+    // 203 novel audio + novel caption -> nothing; 101 (image leg) must
+    // keep working beside the audio leg
+    val audioBatch = Seq(
+      batch.head, // 101: d1's caption, novel image -> text with 1
+      PairedRow(201L, "novel words on the migration of arctic terns",
+        "audio", TestAudio.seededWav(7, perturbAt = 777), noMeta),
+      PairedRow(202L, audioCorpusRow.text, "audio",
+        TestAudio.seededWav(7, perturbAt = 1234), noMeta),
+      PairedRow(203L, "entirely fresh caption on sourdough hydration",
+        "audio", TestAudio.seededWav(40), noMeta))
+    val got = channels(StreamingJointDedup.jointCandidates(
+      spark, ti, ii, audioBatch.toDF(), audioIndex = Some(ai)))
+    assert(got == Map(
+      (1L, 101L) -> "text",
+      (4L, 201L) -> "media",
+      (4L, 202L) -> "both"), got.toString)
   }
 
   test("both probe legs stay banded equi-joins — no cartesian, no nested loop") {
