@@ -40,22 +40,32 @@ object Round16Queries {
     * join; pair volume is Σ per-template g², bounded by template
     * cardinality exactly like the LSH family, with the same maxDf-style
     * cap available if a template goes viral. */
+  /** The channel pair frames of the joint composition — shared by the
+    * attribution row (q_media_text_dedup) and the resolution row
+    * (q_media_text_resolve). */
+  private def jointChannelPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+                     org.apache.spark.sql.DataFrame) = {
+    val docs = table(s, dir, "documents")
+    val media = docs.select(col("doc_id"),
+      Sketches.kmvHash(concat_ws(" ",
+          slice(split(lower(coalesce(col("text"), lit(""))), " "), 1, 3)))
+        .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))"))
+        .as("mhash"))
+    val textPairs = Dedup
+      .hammingBandPairs(Dedup.simHash(docs), "doc_id", "simhash",
+        maxHamming = 3, numBands = 4)
+      .select(col("a"), col("b"), col("hamming").as("t_hamming"))
+    val mediaPairs = Dedup
+      .hammingBandPairs(media, "doc_id", "mhash",
+        maxHamming = 3, numBands = 4)
+      .select(col("a"), col("b"), col("hamming").as("m_hamming"))
+    (textPairs, mediaPairs)
+  }
+
   private val mediaTextDedup = Q("q_media_text_dedup",
     (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val media = docs.select(col("doc_id"),
-        Sketches.kmvHash(concat_ws(" ",
-            slice(split(lower(coalesce(col("text"), lit(""))), " "), 1, 3)))
-          .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))"))
-          .as("mhash"))
-      val textPairs = Dedup
-        .hammingBandPairs(Dedup.simHash(docs), "doc_id", "simhash",
-          maxHamming = 3, numBands = 4)
-        .select(col("a"), col("b"), col("hamming").as("t_hamming"))
-      val mediaPairs = Dedup
-        .hammingBandPairs(media, "doc_id", "mhash",
-          maxHamming = 3, numBands = 4)
-        .select(col("a"), col("b"), col("hamming").as("m_hamming"))
+      val (textPairs, mediaPairs) = jointChannelPairs(s, dir)
       textPairs.join(mediaPairs, Seq("a", "b"), "full_outer")
         .select(col("a"), col("b"), col("t_hamming"), col("m_hamming"),
           when(col("t_hamming").isNotNull && col("m_hamming").isNotNull,
@@ -98,5 +108,66 @@ object Round16Queries {
              FROM tp FULL OUTER JOIN mp ON tp.a = mp.a AND tp.b = mp.b
              ORDER BY a, b"""))
 
-  val all: Seq[Q] = Seq(mediaTextDedup)
+  /** Joint RESOLUTION — the step after attribution: near-dup clusters
+    * under the UNION of both channels' pair sets (transitive closure
+    * can span channels: A↔B by caption, B↔C by attachment ⇒ {A,B,C}
+    * is ONE cluster — the cross-channel chaining neither single-channel
+    * row exhibits), survivor = the component-minimum doc
+    * ([[graft.extensions.ConnectedComponents.label]]'s min-id
+    * convention, the q_dedup_cc contract). Output is the full
+    * assignment map `(id, comp, kept)` — dropped docs keep pointing at
+    * what replaced them, the provenance shape of Dedup.canonical.
+    *
+    * 100 TB shape: the pair sets are the banded joins above (never
+    * all-pairs); CC is the large-star/small-star O(log n)-round loop
+    * whose per-round cost is edge-linear — and near-dup edge sets are
+    * corpus-sparse by construction. */
+  private val mediaTextResolve = Q("q_media_text_resolve",
+    (s, dir) => {
+      val (textPairs, mediaPairs) = jointChannelPairs(s, dir)
+      val pairs = textPairs.select(col("a"), col("b"))
+        .unionByName(mediaPairs.select(col("a"), col("b")))
+        .distinct()
+      graft.extensions.ConnectedComponents
+        .label(table(s, dir, "documents").select(col("doc_id")), pairs)
+        .select(col("id"), col("comp"), (col("id") === col("comp")).as("kept"))
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.simhashCtes},
+             tb AS (SELECT doc_id, simhash, bi.i,
+                           (simhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
+                    FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
+             tp AS (SELECT a, b
+                    FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                                 x.simhash AS ha, y.simhash AS hb
+                          FROM tb x JOIN tb y
+                            ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
+                    WHERE bit_count(xor(ha, hb)) <= 3),
+             mk AS (SELECT doc_id,
+                           xor(CAST(concat('0x', substr(md5(array_to_string(
+                                 list_slice(string_split(lower(coalesce(text, '')), ' '),
+                                            1, 3), ' ')), 1, 12)) AS BIGINT),
+                               CAST(1 AS BIGINT) << CAST(doc_id % 4 AS INTEGER))
+                             AS mhash
+                    FROM documents),
+             mb AS (SELECT doc_id, mhash, bi.i,
+                           (mhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
+                    FROM mk CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
+             mp AS (SELECT a, b
+                    FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                                 x.mhash AS ha, y.mhash AS hb
+                          FROM mb x JOIN mb y
+                            ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
+                    WHERE bit_count(xor(ha, hb)) <= 3),
+             jp AS (SELECT a, b FROM tp UNION SELECT a, b FROM mp),
+             edges AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+             reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+                       UNION
+                       SELECT e.b AS id, reach.r
+                       FROM reach JOIN edges e ON reach.id = e.a)
+             SELECT id, min(r) AS comp,
+                    CAST(id = min(r) AS BOOLEAN) AS kept
+             FROM reach GROUP BY id ORDER BY id"""))
+
+  val all: Seq[Q] = Seq(mediaTextDedup, mediaTextResolve)
 }
