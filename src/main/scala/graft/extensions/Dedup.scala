@@ -346,19 +346,37 @@ object Dedup {
       .select(col("id"), col("h"), col("band.i"), col("band.bv"))
   }
 
+  /** @param bucketCols optional PRE-BUCKET key columns (e.g. lang,
+    *   source): candidates are restricted to same-bucket pairs, which
+    *   divides the banding's n²/2^width same-band collision kernel by
+    *   the bucket count — the scale lever for band saturation (the sf1
+    *   slope note in PLANS.md). Within a bucket the pigeonhole
+    *   completeness guarantee is unchanged; cross-bucket pairs are
+    *   deliberately out of scope (a cross-language "near-dup" under a
+    *   content hash is noise, which is what makes the key safe). */
   def hammingBandPairs(
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      numBands: Int = 4): DataFrame = {
+      numBands: Int = 4,
+      bucketCols: Seq[String] = Nil): DataFrame = {
     require(numBands > maxHamming,
       s"completeness needs numBands > maxHamming, got $numBands <= $maxHamming")
-    val bands = hammingBands(hashes, idCol, hashCol, numBands)
+    val bands0 = hammingBands(hashes, idCol, hashCol, numBands)
+    // bucket columns ride along only when asked — the default path's
+    // plan (and cost) is untouched
+    val bands = if (bucketCols.isEmpty) bands0
+      else bands0.join(
+        hashes.select((idCol +: bucketCols).map(col): _*)
+          .withColumnRenamed(idCol, "id"),
+        Seq("id"))
+    val sameBucket = bucketCols
+      .map(c => col(s"x.$c") <=> col(s"y.$c"))
+      .foldLeft(col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
+        col("x.id") < col("y.id"))(_ && _)
     bands.alias("x")
-      .join(bands.alias("y"),
-        col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
+      .join(bands.alias("y"), sameBucket)
       .select(col("x.id").as("a"), col("y.id").as("b"),
         expr("CAST(bit_count(x.h ^ y.h) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -62,4 +62,22 @@ object HammingBandProperties extends Properties("HammingBandPairs") {
           r.getInt(2) == java.lang.Long.bitCount(byId(r.getLong(0)) ^ byId(r.getLong(1)))
         }
     }
+
+  property("bucketCols restricts candidates to same-bucket pairs, complete within") =
+    Prop.forAll(population, config) { case (hashes, (maxHam, nBands)) =>
+      // deterministic 2-way bucket split (id parity stands in for lang)
+      val df = hashes.zipWithIndex.map { case (h, i) =>
+        (i.toLong, h, if (i % 2 == 0) "a" else "b") }
+        .toDF("id", "h", "lang")
+      val bucketed = Dedup
+        .hammingBandPairs(df, "id", "h", maxHam, nBands, bucketCols = Seq("lang"))
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val idx = hashes.zipWithIndex
+      val brute = (for {
+        (ha, ia) <- idx; (hb, ib) <- idx
+        if ia < ib && ia % 2 == ib % 2 &&
+          java.lang.Long.bitCount(ha ^ hb) <= maxHam
+      } yield (ia.toLong, ib.toLong)).toSet
+      bucketed == brute
+    }
 }
