@@ -392,6 +392,54 @@ object TextAnalysis {
         coalesce(col("top_tok_ratio"), lit(0.0)).as("top_tok_ratio"))
   }
 
+  /** Okapi BM25 retrieval: top-`k` documents for a bag of query terms —
+    * the lexical ranking a curation pipeline runs for retrieval-based
+    * selection and decontamination triage (find the corpus documents
+    * closest to a benchmark prompt BEFORE the n-gram containment pass).
+    * Lucene's idf variant: ln(1 + (N − df + 0.5)/(df + 0.5)), tf
+    * saturation k1, length normalization b against the corpus mean
+    * document length.
+    *
+    * Scale shape: the query-term filter prunes the exploded tokens to
+    * ≤|terms| rows per doc BEFORE any aggregation; df/idf collapse to
+    * ≤|terms| rows and broadcast; dl is one narrow per-doc count; the
+    * final top-k is TakeOrderedAndProject (per-task heaps, never a
+    * global sort). Per-term contributions are 6-decimal-rounded and
+    * summed as EXACT DECIMAL, so the ≤|terms|-row per-doc sum is
+    * order-independent and bitwise-stable (the [[docNovelty]]
+    * discipline — a double sum would hash-diverge run to run). */
+  def bm25(documents: DataFrame, queryTerms: Seq[String], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = documents.select(col("doc_id"),
+      explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val qt = toks.filter(col("token").isInCollection(queryTerms))
+    val tf = qt.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val idf = qt.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+          .as("idf"))
+    tf.join(broadcast(idf), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .select(col("doc_id"),
+        round(col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") +
+              lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("s"))
+      .select(col("doc_id"), round(col("s").cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Distribution-based quality cutoff — keep documents at or above their
     * stratum's `q`-quantile of a quality metric (percentile filters are
     * how real pipelines set thresholds: "drop the worst quartile per

@@ -169,5 +169,40 @@ object Round16Queries {
                     CAST(id = min(r) AS BOOLEAN) AS kept
              FROM reach GROUP BY id ORDER BY id"""))
 
-  val all: Seq[Q] = Seq(mediaTextDedup, mediaTextResolve)
+  /** Okapi BM25 retrieval over the corpus ([[graft.extensions
+    * .TextAnalysis.bm25]]): the lexical ranking behind retrieval-based
+    * selection and decontamination triage. Fixed query-term bag, top-15;
+    * per-term contributions 6-decimal-rounded and DECIMAL-summed on
+    * BOTH engines so the per-doc sum is order-independent. */
+  private val bm25Q = Q("q_bm25",
+    (s, dir) => graft.extensions.TextAnalysis.bm25(
+      table(s, dir, "documents"), Seq("spark", "vector", "stream"), k = 15),
+    Some("""WITH t2 AS (SELECT doc_id, tok FROM
+                          (SELECT doc_id,
+                                  unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                           FROM documents)
+                        WHERE tok <> ''),
+                 dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+                 st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+                 qt AS (SELECT doc_id, tok FROM t2
+                        WHERE tok IN ('spark', 'vector', 'stream')),
+                 tf AS (SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY 1, 2),
+                 idf AS (SELECT df.tok,
+                                round(ln(1.0 + (st.n_docs - df.df + 0.5)
+                                               / (df.df + 0.5)), 6) AS idf
+                         FROM (SELECT tok, count(*) AS df
+                               FROM (SELECT DISTINCT doc_id, tok FROM qt)
+                               GROUP BY 1) df CROSS JOIN st),
+                 contrib AS (SELECT tf.doc_id,
+                                    CAST(round(idf.idf * (tf.tf * 2.2)
+                                          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+                                         6) AS DECIMAL(18,6)) AS c
+                             FROM tf JOIN idf USING (tok)
+                                     JOIN dl USING (doc_id)
+                                     CROSS JOIN st)
+            SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+            FROM contrib GROUP BY 1
+            ORDER BY bm25 DESC, doc_id LIMIT 15"""))
+
+  val all: Seq[Q] = Seq(mediaTextDedup, mediaTextResolve, bm25Q)
 }
