@@ -40,8 +40,34 @@ object MakeSf1 {
   val labelStride = 1000
   val orderStride = 100000000L
 
+  /** The disjoint-replica invariants (id/label ranges never overlap
+    * across replicas) hold only when every source key fits under its
+    * stride — true of the driver's sf≤0.1 fixtures, FALSE of e.g. an
+    * already-synthesized sf1 (doc_id up to 9×10⁶+). Checked loudly
+    * here (r16 ADVICE): a violating source must fail, not produce a
+    * subtly wrong scaling fixture that PLANS.md slopes get measured
+    * on. One tiny agg per table. */
+  private def requireUnder(df: org.apache.spark.sql.DataFrame,
+                           keyCol: String, stride: Long, tbl: String): Unit = {
+    val mx = df.agg(max(col(keyCol))).head().getLong(0)
+    require(mx < stride,
+      s"$tbl.$keyCol max $mx >= replica stride $stride — replicas would " +
+        "overlap and silently merge cells; synthesize only from a source " +
+        "whose keys fit under the stride (use a larger stride or the " +
+        "original sf<=0.1 fixtures)")
+  }
+
   def synthesize(spark: SparkSession, src: String, dst: String,
                  reps: Int, parts: Int): Unit = {
+    requireUnder(Tables.table(spark, src, "documents"), "doc_id",
+      docStride, "documents")
+    requireUnder(Tables.table(spark, src, "embeddings"), "vec_id",
+      vecStride, "embeddings")
+    requireUnder(Tables.table(spark, src, "embeddings")
+      .select(col("label").cast("long").as("label")), "label",
+      labelStride.toLong, "embeddings")
+    requireUnder(Tables.table(spark, src, "orders"), "o_orderkey",
+      orderStride, "orders")
     val docs = Tables.table(spark, src, "documents")
     (0 until reps).map { i =>
       docs.select(

@@ -400,33 +400,52 @@ object TextAnalysis {
     * saturation k1, length normalization b against the corpus mean
     * document length.
     *
-    * Scale shape: the query-term filter prunes the exploded tokens to
-    * ≤|terms| rows per doc BEFORE any aggregation; df/idf collapse to
-    * ≤|terms| rows and broadcast; dl is one narrow per-doc count; the
-    * final top-k is TakeOrderedAndProject (per-task heaps, never a
-    * global sort). Per-term contributions are 6-decimal-rounded and
-    * summed as EXACT DECIMAL, so the ≤|terms|-row per-doc sum is
-    * order-independent and bitwise-stable (the [[docNovelty]]
-    * discipline — a double sum would hash-diverge run to run). */
+    * Scale shape (r16 ADVICE rewrite — the old explode-based plan
+    * tokenized the corpus three times: dl, stats-via-dl, and qt each
+    * re-derived the exploded tokens): the corpus is now scanned ONCE
+    * into a narrow per-doc frame `(doc_id, dl, per-term tf array)` —
+    * dl is `size(tokens)` and each query term's tf a codegen'd array
+    * `filter`+`size`, so there is NO token explode and NO full-corpus
+    * token shuffle anywhere in the plan. That frame rides the
+    * [[Dedup.sharedFrame]] memo (keyed on corpus plan + terms), so its
+    * three consumers — corpus stats, df/idf, and the contribution join
+    * — read one materialized build instead of re-scanning (at cluster
+    * scale: the standard persist-intermediate stage; opt out via
+    * `spark.graft.dedup.shareFrames=false`, which leaves three scans of
+    * the still-explode-free projection). df/idf collapse to ≤|terms|
+    * rows and broadcast; the final top-k is TakeOrderedAndProject
+    * (per-task heaps, never a global sort). Per-term contributions are
+    * 6-decimal-rounded and summed as EXACT DECIMAL, so the
+    * ≤|terms|-row per-doc sum is order-independent and bitwise-stable
+    * (the [[docNovelty]] discipline — a double sum would hash-diverge
+    * run to run). */
   def bm25(documents: DataFrame, queryTerms: Seq[String], k: Int = 10,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val toks = documents.select(col("doc_id"),
-      explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
-        t => t =!= "")).as("token"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val qt = toks.filter(col("token").isInCollection(queryTerms))
-    val tf = qt.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val idf = qt.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    val perDoc = Dedup.sharedFrame(documents, "bm25_perdoc", queryTerms)(
+      documents
+        .select(col("doc_id"),
+          filter(split(lower(coalesce(col("text"), lit(""))), " "),
+            t => t =!= "").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          array(queryTerms.map(t =>
+            struct(lit(t).as("token"),
+              size(filter(col("toks"), x => x === lit(t)))
+                .cast("long").as("tf"))): _*).as("tfs"))
+        .filter(col("dl") > 0))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("tfs")).as("t"))
+      .select(col("doc_id"), col("dl"), col("t.token").as("token"),
+        col("t.tf").as("tf"))
+      .filter(col("tf") > 0)
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("token"),
         round(log(lit(1.0) +
           (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
           .as("idf"))
     tf.join(broadcast(idf), "token")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats.select("avgdl")))
       .select(col("doc_id"),
         round(col("idf") * (col("tf") * (k1 + 1)) /

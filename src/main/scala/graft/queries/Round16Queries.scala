@@ -29,10 +29,17 @@ object Round16Queries {
     * q_hamming_pairs_b4 precedent — the oracle-verified row derives
     * its media fingerprint deterministically on BOTH engines: docs
     * sharing a 3-token caption prefix share an attachment (the
-    * meme-template pairing), fingerprint = 48-bit md5 lane of the
-    * template ([[Sketches.kmvHash]]) xor ≤1 per-doc perturbation bit,
-    * so within-template Hamming ≤ 2 and cross-template ~24. Swapping
-    * in [[graft.multimodal.Multimodal.imageHashes]]' real aHash column
+    * meme-template pairing), fingerprint = 63 md5 bits of the template
+    * (the 48-bit [[Sketches.kmvHash]] lane OR'd with a second 15-bit
+    * lane shifted into bits 48–62 — 15 not 16 because DuckDB's `<<`
+    * raises on signed overflow, so bit 63 stays clear on both engines)
+    * xor ≤1 per-doc perturbation bit, so within-template Hamming ≤ 2
+    * and cross-template ~31. The high lane matters (r16 ADVICE): a
+    * 48-bit value banded 4×16 leaves band 3 constant-zero, collapsing
+    * that band's bucket join to all-pairs; with bits 48–62 populated
+    * every band partitions the corpus (MediaTextDedupSpec pins bucket
+    * occupancy). Swapping in
+    * [[graft.multimodal.Multimodal.imageHashes]]' real aHash column
     * changes nothing structural.
     *
     * 100 TB shape: two banded self-joins (never all-pairs — candidates
@@ -40,28 +47,82 @@ object Round16Queries {
     * join; pair volume is Σ per-template g², bounded by template
     * cardinality exactly like the LSH family, with the same maxDf-style
     * cap available if a template goes viral. */
+  /** The synthesized 63-bit media fingerprint frame (doc_id, mhash) —
+    * exposed for the occupancy spec and the bench's joint-admission
+    * index build. */
+  private[graft] def mediaFingerprints(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tpl = concat_ws(" ",
+      slice(split(lower(coalesce(col("text"), lit(""))), " "), 1, 3))
+    docs.select(col("doc_id"),
+      Sketches.kmvHash(tpl)
+        .bitwiseOR(shiftleft(
+          conv(substring(md5(tpl.cast("binary")), 13, 4), 16, 10)
+            .cast("long") % 32768, 48))
+        .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))"))
+        .as("mhash"))
+  }
+
   /** The channel pair frames of the joint composition — shared by the
-    * attribution row (q_media_text_dedup) and the resolution row
-    * (q_media_text_resolve). */
-  private def jointChannelPairs(s: org.apache.spark.sql.SparkSession,
+    * attribution row (q_media_text_dedup), the resolution row
+    * (q_media_text_resolve) and the streaming twin's index build, so
+    * they ride ONE memoized build per (corpus plan, params) via
+    * [[Dedup.sharedFrame]] (r16 VERDICT #7): the second joint row
+    * reads the localCheckpoint'ed pair frames instead of re-running
+    * both banding self-joins. */
+  private[graft] def jointChannelPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
                      org.apache.spark.sql.DataFrame) = {
     val docs = table(s, dir, "documents")
-    val media = docs.select(col("doc_id"),
-      Sketches.kmvHash(concat_ws(" ",
-          slice(split(lower(coalesce(col("text"), lit(""))), " "), 1, 3)))
-        .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))"))
-        .as("mhash"))
-    val textPairs = Dedup
-      .hammingBandPairs(Dedup.simHash(docs), "doc_id", "simhash",
-        maxHamming = 3, numBands = 4)
-      .select(col("a"), col("b"), col("hamming").as("t_hamming"))
-    val mediaPairs = Dedup
-      .hammingBandPairs(media, "doc_id", "mhash",
-        maxHamming = 3, numBands = 4)
-      .select(col("a"), col("b"), col("hamming").as("m_hamming"))
+    val textPairs = Dedup.sharedFrame(docs, "joint_text_pairs", 3, 4)(
+      Dedup
+        .hammingBandPairs(Dedup.simHash(docs), "doc_id", "simhash",
+          maxHamming = 3, numBands = 4)
+        .select(col("a"), col("b"), col("hamming").as("t_hamming")))
+    val mediaPairs = Dedup.sharedFrame(docs, "joint_media_pairs", 3, 4)(
+      Dedup
+        .hammingBandPairs(mediaFingerprints(docs), "doc_id", "mhash",
+          maxHamming = 3, numBands = 4)
+        .select(col("a"), col("b"), col("hamming").as("m_hamming")))
     (textPairs, mediaPairs)
   }
+
+  /** The shared tb/tp/mk/mb/mp CTE chain of BOTH joint oracles — one
+    * copy so the Spark-vs-oracle semantics can never silently fork
+    * between the attribution and resolution rows (r16 VERDICT #8).
+    * `mk` mirrors [[mediaFingerprints]] bit-for-bit: 48-bit md5 lane |
+    * (15-bit md5 lane << 48), xor the per-doc perturbation bit. */
+  private[queries] val jointPairCtes =
+    s"""${ExtensionQueries.simhashCtes},
+             tb AS (SELECT doc_id, simhash, bi.i,
+                           (simhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
+                    FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
+             tp AS (SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS t_hamming
+                    FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                                 x.simhash AS ha, y.simhash AS hb
+                          FROM tb x JOIN tb y
+                            ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
+                    WHERE bit_count(xor(ha, hb)) <= 3),
+             mk AS (SELECT doc_id,
+                           xor(CAST(concat('0x', substr(md5(tpl), 1, 12)) AS BIGINT)
+                                 | ((CAST(concat('0x', substr(md5(tpl), 13, 4)) AS BIGINT)
+                                     % 32768) << 48),
+                               CAST(1 AS BIGINT) << CAST(doc_id % 4 AS INTEGER))
+                             AS mhash
+                    FROM (SELECT doc_id,
+                                 array_to_string(
+                                   list_slice(string_split(lower(coalesce(text, '')), ' '),
+                                              1, 3), ' ') AS tpl
+                          FROM documents)),
+             mb AS (SELECT doc_id, mhash, bi.i,
+                           (mhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
+                    FROM mk CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
+             mp AS (SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS m_hamming
+                    FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                                 x.mhash AS ha, y.mhash AS hb
+                          FROM mb x JOIN mb y
+                            ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
+                    WHERE bit_count(xor(ha, hb)) <= 3)"""
 
   private val mediaTextDedup = Q("q_media_text_dedup",
     (s, dir) => {
@@ -74,32 +135,7 @@ object Round16Queries {
             .otherwise(lit("media")).as("channel"))
         .orderBy("a", "b")
     },
-    Some(s"""WITH ${ExtensionQueries.simhashCtes},
-             tb AS (SELECT doc_id, simhash, bi.i,
-                           (simhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
-                    FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
-             tp AS (SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS t_hamming
-                    FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                                 x.simhash AS ha, y.simhash AS hb
-                          FROM tb x JOIN tb y
-                            ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
-                    WHERE bit_count(xor(ha, hb)) <= 3),
-             mk AS (SELECT doc_id,
-                           xor(CAST(concat('0x', substr(md5(array_to_string(
-                                 list_slice(string_split(lower(coalesce(text, '')), ' '),
-                                            1, 3), ' ')), 1, 12)) AS BIGINT),
-                               CAST(1 AS BIGINT) << CAST(doc_id % 4 AS INTEGER))
-                             AS mhash
-                    FROM documents),
-             mb AS (SELECT doc_id, mhash, bi.i,
-                           (mhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
-                    FROM mk CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
-             mp AS (SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS m_hamming
-                    FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                                 x.mhash AS ha, y.mhash AS hb
-                          FROM mb x JOIN mb y
-                            ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
-                    WHERE bit_count(xor(ha, hb)) <= 3)
+    Some(s"""WITH $jointPairCtes
              SELECT coalesce(tp.a, mp.a) AS a, coalesce(tp.b, mp.b) AS b,
                     tp.t_hamming, mp.m_hamming,
                     CASE WHEN tp.a IS NOT NULL AND mp.a IS NOT NULL THEN 'both'
@@ -133,32 +169,7 @@ object Round16Queries {
         .select(col("id"), col("comp"), (col("id") === col("comp")).as("kept"))
         .orderBy("id")
     },
-    Some(s"""WITH RECURSIVE ${ExtensionQueries.simhashCtes},
-             tb AS (SELECT doc_id, simhash, bi.i,
-                           (simhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
-                    FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
-             tp AS (SELECT a, b
-                    FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                                 x.simhash AS ha, y.simhash AS hb
-                          FROM tb x JOIN tb y
-                            ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
-                    WHERE bit_count(xor(ha, hb)) <= 3),
-             mk AS (SELECT doc_id,
-                           xor(CAST(concat('0x', substr(md5(array_to_string(
-                                 list_slice(string_split(lower(coalesce(text, '')), ' '),
-                                            1, 3), ' ')), 1, 12)) AS BIGINT),
-                               CAST(1 AS BIGINT) << CAST(doc_id % 4 AS INTEGER))
-                             AS mhash
-                    FROM documents),
-             mb AS (SELECT doc_id, mhash, bi.i,
-                           (mhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
-                    FROM mk CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi),
-             mp AS (SELECT a, b
-                    FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                                 x.mhash AS ha, y.mhash AS hb
-                          FROM mb x JOIN mb y
-                            ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)
-                    WHERE bit_count(xor(ha, hb)) <= 3),
+    Some(s"""WITH RECURSIVE $jointPairCtes,
              jp AS (SELECT a, b FROM tp UNION SELECT a, b FROM mp),
              edges AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
              reach AS (SELECT doc_id AS id, doc_id AS r FROM documents

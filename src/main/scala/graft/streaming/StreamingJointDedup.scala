@@ -78,7 +78,14 @@ object StreamingJointDedup {
     * two kind legs union and collapse to min-hamming per pair, so a
     * doc carrying both an image and an audio attachment still yields
     * ONE media row per counterpart and the attribution join stays
-    * key-unique. */
+    * key-unique.
+    *
+    * FAILS FAST (r16 ADVICE) when the batch carries an attachment kind
+    * with no matching index — e.g. audio rows with `audioIndex = None`:
+    * admitting such a row would silently treat a re-post as novel, a
+    * coverage hole in an admission path that advertises modality
+    * completeness. The check is one narrow distinct over the batch's
+    * `kind` column — trivial beside the two hash probes. */
   def jointCandidates(
       spark: SparkSession,
       textIndex: DataFrame,
@@ -88,6 +95,14 @@ object StreamingJointDedup {
       numBands: Int = 4,
       audioIndex: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    val probedKinds = Set("image") ++ audioIndex.map(_ => "audio")
+    val unprobed = batch.select("kind").distinct().as[String].collect()
+      .filterNot(probedKinds)
+    require(unprobed.isEmpty,
+      s"batch carries attachment kinds with no matching index: " +
+        s"${unprobed.sorted.mkString(", ")} — supply the kind's index " +
+        "(audioIndex for 'audio') or filter those rows; admitting them " +
+        "unprobed would silently pass re-posts as novel")
     val textCands = probe(textIndex,
       Dedup.simHash(batch.select(col("doc_id"), col("text")), share = false),
       "doc_id", "simhash", maxHamming, numBands)

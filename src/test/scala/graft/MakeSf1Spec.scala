@@ -70,6 +70,19 @@ class MakeSf1Spec extends SparkSpec {
     }
   }
 
+  test("a source whose keys exceed the stride fails loudly, not subtly") {
+    // r16 ADVICE: synthesizing FROM an already-synthesized fixture
+    // (doc_id up to reps×stride) would overlap replica id ranges and
+    // merge cells — the scaling fixture would silently measure a
+    // different workload. The guard must reject such a source.
+    val e = intercept[IllegalArgumentException] {
+      MakeSf1.synthesize(spark, dst,
+        java.nio.file.Files.createTempDirectory("graft-sf1-bad").toString,
+        reps = 2, parts = 2)
+    }
+    assert(e.getMessage.contains("stride"), e.getMessage)
+  }
+
   test("cross-replica vectors land in disjoint cells (no pair interaction)") {
     val out = spark.read.parquet(s"$dst/embeddings.parquet")
     val mixedCells = out

@@ -68,4 +68,29 @@ class MediaTextDedupSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("registry fixture's media bands all partition the corpus — no constant band") {
+    // r16 ADVICE: the old 48-bit fixture hash banded 4×16 left band 3
+    // constant-zero, so that band's bucket held the ENTIRE corpus and
+    // its self-join was all-pairs behind an equi-join node — a plan-node
+    // assertion can't see it. The honest check is band-bucket OCCUPANCY:
+    // with the 63-bit fingerprint every band's largest bucket must stay
+    // a small fraction of the corpus (it is bounded by the meme-template
+    // group sizes plus md5 collisions, not by n).
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.table(spark, dir, "documents")
+    val n = docs.count()
+    val worst = Dedup.hammingBands(
+        graft.queries.Round16Queries.mediaFingerprints(docs),
+        "doc_id", "mhash", numBands = 4)
+      .groupBy("i", "bv").count()
+      .groupBy("i").agg(max("count").as("worst"))
+      .select("i", "worst").as[(Int, Long)].collect().toMap
+    assert(worst.keySet == Set(0, 1, 2, 3), worst.toString)
+    worst.foreach { case (band, occ) =>
+      assert(occ <= n / 4,
+        s"band $band's largest bucket holds $occ of $n docs — a " +
+          "degenerate (constant) band makes that band's self-join all-pairs")
+    }
+  }
 }

@@ -149,6 +149,28 @@ class StreamingJointDedupSpec extends SparkSpec {
       (4L, 202L) -> "both"), got.toString)
   }
 
+  test("fails fast on attachment kinds with no matching index — no silent unprobed admission") {
+    // r16 ADVICE: an audio re-post arriving while audioIndex = None used
+    // to be admitted as novel with zero signal that a modality went
+    // unprobed. Now the batch is rejected loudly.
+    val (ti, mi) = indexes()
+    val audioRow = PairedRow(301L, "caption that rides an audio attachment",
+      "audio", graft.multimodal.TestAudio.seededWav(3), noMeta)
+    val e = intercept[IllegalArgumentException] {
+      StreamingJointDedup.jointCandidates(
+        spark, ti, mi, (batch :+ audioRow).toDF())
+    }
+    assert(e.getMessage.contains("audio"), e.getMessage)
+    // and the same batch WITH the audio index supplied goes through
+    val ai = Dedup.hammingBands(
+      Multimodal.audioHashes(Seq(Multimodal.MediaRow(4L, "audio",
+        graft.multimodal.TestAudio.seededWav(7), noMeta)).toDS()).toDF(),
+      "media_id", "ehash").localCheckpoint()
+    val got = channels(StreamingJointDedup.jointCandidates(
+      spark, ti, mi, (batch :+ audioRow).toDF(), audioIndex = Some(ai)))
+    assert(got == expected, got.toString)
+  }
+
   test("both probe legs stay banded equi-joins — no cartesian, no nested loop") {
     val (ti, mi) = indexes()
     val p = StreamingJointDedup.jointCandidates(spark, ti, mi, batch.toDF())
