@@ -459,6 +459,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Two-stage retrieval-based decontamination triage — the composition
+    * [[bm25]]'s scaladoc advertises (r16 VERDICT #4): BM25 retrieves the
+    * top-`k` corpus documents for the benchmark prompt's term bag, and
+    * ONLY those k candidates pay the n-gram containment pass against the
+    * benchmark's gram set. The standard two-stage shape at corpus scale:
+    * the expensive directional check (which fraction of the candidate's
+    * distinct `n`-grams appear in the benchmark) runs over a
+    * k-bounded frame, never the corpus — the corpus pays exactly the
+    * BM25 retrieval (one memoized narrow scan) plus one broadcast-k
+    * row-lookup join to fetch candidate text.
+    *
+    * Output per retrieved candidate: its BM25 score, distinct-gram
+    * count, shared-gram count, containment ratio, and the drop verdict
+    * — ordered by retrieval rank. The containment direction is the
+    * [[Dedup.containment]] convention (candidate-side denominator: how
+    * much of the DOC is benchmark material).
+    *
+    * Scale shape: `topk` is TakeOrderedAndProject (k rows) and
+    * BROADCASTS into the text-fetch join, so the candidate gram
+    * generate sits above a k-row frame (PlanAssertionsSpec pins
+    * TakeOrderedAndProject inside the broadcast build side); the
+    * benchmark gram dim rides the same conditional-broadcast guard as
+    * [[decontaminate]]. */
+  def retrievalDecon(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      n: Int = 4): DataFrame = {
+    val topk = bm25(documents, queryTerms, k)
+    val cands = broadcast(topk)
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
+    val dg = cands.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(n))).as("gram"))
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(n)).as("gram")).distinct()
+    val ng = dg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val sh = dg.join(maybeBroadcastGrams(benchGrams, BroadcastGramLimit), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    topk.join(ng, Seq("doc_id"), "left_outer")
+      .join(sh, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("bm25"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(coalesce(col("n_shared"), lit(0L)) / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("containment"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
   /** Distribution-based quality cutoff — keep documents at or above their
     * stratum's `q`-quantile of a quality metric (percentile filters are
     * how real pipelines set thresholds: "drop the worst quartile per

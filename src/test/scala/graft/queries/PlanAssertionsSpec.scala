@@ -508,4 +508,37 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("_gr_pid"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q_retrieval_decon: containment's left side is the broadcast top-k frame, never the corpus") {
+    // r16 VERDICT #4's pin: the two-stage shape only earns its keep if
+    // the candidate gram generate sits ABOVE the k-bounded retrieval —
+    // every doc-gram GenerateExec must have, in its own subtree, a
+    // broadcast join whose build side is the TakeOrderedAndProject
+    // top-k. Traversed on the pre-AQE physical plan (node types are
+    // stable there; the executed-plan string hides them behind AQE).
+    import org.apache.spark.sql.execution.{GenerateExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val sp = Registry.queries("q_retrieval_decon")(spark, dir)
+      .queryExecution.sparkPlan
+    val candGens = sp.collect {
+      case g: GenerateExec
+        if g.requiredChildOutput.exists(_.name == "doc_id") &&
+          g.generatorOutput.exists(_.name == "gram") => g
+    }
+    assert(candGens.nonEmpty, s"no candidate gram generate found:\n$sp")
+    candGens.foreach { g =>
+      val kBounded = g.collectFirst {
+        case b: BroadcastHashJoinExec if b.collectFirst {
+          case t: TakeOrderedAndProjectExec => t
+        }.isDefined => b
+      }.isDefined
+      assert(kBounded,
+        s"candidate gram generate is not fed by the broadcast top-k:\n$g")
+    }
+    // and the benchmark gram dim still broadcasts (the decontaminate
+    // discipline) — the containment join itself is a broadcast join
+    val p = sp.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
