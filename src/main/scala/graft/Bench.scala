@@ -1784,22 +1784,20 @@ object Bench {
     // as box_load. Against the median, idle factors sit at ~1.0 (the
     // fresh-heap first probe reads <1, an obvious warm anomaly) and
     // only genuine contention pushes a segment above ~1.5.
-    val calBase = median(calTimes.map(_._2).toSeq)
-    val allRatios = results.flatMap { case (n, _) =>
-      prevMins.get(n).filter(_ > 0).map(minsNow(n) / _)
-    }.sorted
-    val boxFactor =
-      if (allRatios.isEmpty) 1.0 else allRatios(allRatios.size / 2)
-    val normThreshold = 2.0 * math.max(1.0, boxFactor)
-    val flaggedInitial = results.collect {
-      case (name, _) if minsNow(name) > 0.5 &&
-          prevMins.get(name).exists(p => p > 0 && minsNow(name) > normThreshold * p) =>
-        name
-    }
-    val retimeProbe = if (flaggedInitial.nonEmpty) calProbe() else calBase
-    val retimeFactor = math.max(1.0, retimeProbe / calBase)
-    val retimes: Map[String, Double] = flaggedInitial.map { name =>
-      val xs = (1 to 3).map { _ =>
+    // Probe 0 fires on a fresh heap and reads 2–4× FASTER than every
+    // later probe on an idle box (pure JVM/GC-state drift) — r16
+    // VERDICT #5: it is excluded from the baseline median and tagged
+    // "warmup" in the artifact, so the calibration array self-describes
+    // without a footnote.
+    val calBase = median(
+      (if (calTimes.size > 1) calTimes.drop(1) else calTimes).map(_._2).toSeq)
+    // adjudication core factored into BenchDetector (r16 VERDICT #1) so
+    // BenchDetectorSpec can drive it with a REAL injected plan
+    // regression; semantics unchanged.
+    val adj = BenchDetector.adjudicate(
+      results.map { case (n, _) => n -> minsNow(n) },
+      prevMins,
+      retime = name => (1 to 3).map { _ =>
         time {
           try SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
@@ -1807,23 +1805,22 @@ object Bench {
             System.err.println(s"[bench] retime $name failed: ${e.getMessage}")
           }
         }
-      }
-      name -> xs.min
-    }.toMap
-    val regressions = flaggedInitial.collect {
-      case name if retimes(name) > 2.0 * retimeFactor * prevMins(name) =>
-        name -> (retimes(name) / prevMins(name))
-    }
+      }.min,
+      retimeProbeFactor = calProbe() / calBase)
+    val boxFactor = adj.boxFactor
+    val flaggedInitial = adj.flagged
+    val retimeFactor = adj.retimeFactor
+    val retimes = adj.retimes
+    val regressions = adj.regressions
     val regStr = regressions
       .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val retimeStr = flaggedInitial.map { name =>
-      val verdict =
-        if (regressions.exists(_._1 == name)) "regressed" else "box_load"
-      s""""$name":{"suite_min":${minsNow(name)},"retime_min":${retimes(name)},"prev_min":${prevMins(name)},"verdict":"$verdict"}"""
+      s""""$name":{"suite_min":${minsNow(name)},"retime_min":${retimes(name)},"prev_min":${prevMins(name)},"verdict":"${adj.verdict(name)}"}"""
     }.mkString("{", ",", "}")
-    val calStr = calTimes.map { case (i, t) =>
-      f"""{"after_query":$i,"sec":$t%.4f,"factor":${t / calBase}%.2f}"""
+    val calStr = calTimes.zipWithIndex.map { case ((i, t), idx) =>
+      val warm = if (idx == 0) ""","warmup":true""" else ""
+      f"""{"after_query":$i,"sec":$t%.4f,"factor":${t / calBase}%.2f$warm}"""
     }.mkString("[", ",", "]")
     println(f"""{"metric":"regressions_vs_prev","count":${regressions.size},"stat":"min","threshold":2.0,"box_factor":$boxFactor%.3f,"floor_sec":0.5,"rows":$regStr,"flagged_pre_retime":${flaggedInitial.size},"retimes":$retimeStr,"retime_factor":$retimeFactor%.2f,"calibration":$calStr}""")
 
