@@ -1404,6 +1404,82 @@ object Bench {
     * by construction. Thresholds are scaled to bench bytes (the 256 MB
     * default assumes cluster-sized partitions; the factor-over-median
     * trigger and advisory slice size keep their production shape). */
+  /** Per-batch economics of the JOINT (text ∘ media) admission twin
+    * ([[graft.streaming.StreamingJointDedup.jointCandidates]]) — the
+    * single-channel twins are priced in [[streamingBench]]; this section
+    * prices the two-channel composition (r16 VERDICT #6): each channel's
+    * index build, then the per-batch probe against the FULL corpus
+    * indexes and against HALF-size indexes, so the artifact shows the
+    * per-batch cost's dependence on corpus size directly (both probes
+    * are banded equi-joins into bucket-keyed indexes — near-flat in
+    * corpus size — while the batch pays its own SimHash + PNG-decode
+    * hashing every batch, proportional to the batch). Batch rows are
+    * genuine re-posts on BOTH channels (corpus captions under new ids
+    * paired with re-posted corpus PNG payloads), so the candidate frame
+    * is non-trivial; `joint_candidates_found` is emitted beside the
+    * timings so a silently-empty probe can never read as fast. */
+  def jointAdmissionBench(spark: SparkSession, sfDir: String,
+      reps: Int = 3): Seq[(String, Double)] = {
+    import graft.extensions.Dedup
+    import graft.multimodal.Multimodal
+    import graft.streaming.StreamingJointDedup
+    import spark.implicits._
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val nMedia = 4000
+    val photos = Multimodal.syntheticPhotos(spark, nMedia).toDF().localCheckpoint()
+    var textIdx: org.apache.spark.sql.DataFrame = null
+    val textIdxT = timeMed(reps, "joint_text_index_build") {
+      textIdx = Dedup.hammingBands(
+        Dedup.simHash(docs, share = false), "doc_id", "simhash")
+        .localCheckpoint()
+    }
+    var mediaIdx: org.apache.spark.sql.DataFrame = null
+    val mediaIdxT = timeMed(reps, "joint_media_index_build") {
+      mediaIdx = Dedup.hammingBands(
+        Multimodal.imageHashes(photos.as[Multimodal.MediaRow]).toDF(),
+        "media_id", "ahash").localCheckpoint()
+    }
+    // half-size indexes: the corpus-size lever
+    val textIdxHalf = Dedup.hammingBands(
+      Dedup.simHash(docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        share = false), "doc_id", "simhash").localCheckpoint()
+    val mediaIdxHalf = Dedup.hammingBands(
+      Multimodal.imageHashes(
+        photos.filter(pmod(col("media_id"), lit(2L)) === 0)
+          .as[Multimodal.MediaRow]).toDF(),
+      "media_id", "ahash").localCheckpoint()
+    // arriving batch: 1/25 of the corpus captions re-posted under new
+    // ids, each paired with a re-posted corpus PNG — hits on both
+    // channels (window pairing is build-time only; the batch is frozen)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val bd = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+      .select(row_number().over(w).cast("long").as("rid"), col("text"))
+    val bp = photos.filter(col("media_id") < 2000)
+      .select((col("media_id") + 1L).as("rid"), col("kind"),
+        col("payload"), col("meta"))
+    val batch = bd.join(bp, "rid")
+      .select((col("rid") + 10000000L).as("doc_id"), col("text"),
+        col("kind"), col("payload"), col("meta"))
+      .localCheckpoint()
+    val batchRows = batch.count().toDouble
+    def probeT(ti: org.apache.spark.sql.DataFrame, mi: org.apache.spark.sql.DataFrame, name: String): Double =
+      timeMed(reps, name) {
+        StreamingJointDedup.jointCandidates(spark, ti, mi, batch)
+          .write.format("noop").mode("overwrite").save()
+      }
+    val pFull = probeT(textIdx, mediaIdx, "joint_probe_batch_fullcorpus")
+    val pHalf = probeT(textIdxHalf, mediaIdxHalf, "joint_probe_batch_halfcorpus")
+    val found = StreamingJointDedup
+      .jointCandidates(spark, textIdx, mediaIdx, batch).count().toDouble
+    Seq(
+      "joint_text_index_build" -> textIdxT,
+      "joint_media_index_build" -> mediaIdxT,
+      "joint_batch_rows" -> batchRows,
+      "joint_probe_batch_fullcorpus" -> pFull,
+      "joint_probe_batch_halfcorpus" -> pHalf,
+      "joint_candidates_found" -> found)
+  }
+
   def skewJoinBench(
       spark: SparkSession, reps: Int = 3,
       n: Long = 2000000L): Seq[(String, Double)] = {
@@ -1722,7 +1798,9 @@ object Bench {
     val paged = section("paged")(pagedBench(spark, reps))
     val rtfilter = section("rtfilter")(runtimeFilterBench(spark, sfDir, reps))
     val curation = section("curation")(curationBench(spark, sfDir, reps))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"rtfilter":${jsonNum(rtfilter)},"rtfilter_reps":${jsonReps(rtfilter)},"curation":${jsonNum(curation)},"curation_reps":${jsonReps(curation)},"sf":"$sfDir"}""")
+    val jointAdm = section("joint_admission")(
+      jointAdmissionBench(spark, sfDir, reps))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"rtfilter":${jsonNum(rtfilter)},"rtfilter_reps":${jsonReps(rtfilter)},"curation":${jsonNum(curation)},"curation_reps":${jsonReps(curation)},"joint_admission":${jsonNum(jointAdm)},"joint_admission_reps":${jsonReps(jointAdm)},"sf":"$sfDir"}""")
     // Final SHORT line so a tail-truncated capture of this output still
     // contains a complete, parseable summary (r10 VERDICT #4: the full
     // artifact line above exceeds the driver's 2000-byte tail window).

@@ -30,6 +30,7 @@ object BenchSection {
       case "skewjoin" => Bench.skewJoinBench(spark, reps)
       case "paged" => Bench.pagedBench(spark, reps)
       case "rtfilter" => Bench.runtimeFilterBench(spark, sfDir, reps)
+      case "joint_admission" => Bench.jointAdmissionBench(spark, sfDir, reps)
       case other => sys.error(s"unknown section: $other")
     }
     rows.foreach { case (k, v) => println(f"SECTION $section $k = $v%.3f") }
