@@ -15,6 +15,7 @@ object BenchSection {
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -16,6 +16,9 @@ object SparkSpec {
       .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
+      // see GraftSession: Spark 4.1's zip-merging union crashes when
+      // AQE changes a child's runtime partition count (r17, sf10)
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
