@@ -41,6 +41,51 @@ object Similarity {
       .withColumn("nrm", norm(col("e")))
   }
 
+  /** Hybrid retrieval by Reciprocal Rank Fusion — the standard fusion
+    * of a LEXICAL ranking ([[TextAnalysis.bm25]] over the document
+    * text) and a SEMANTIC ranking ([[bruteForceTopK]] cosine over the
+    * document embedding, vec_id ≡ doc_id) when neither channel alone is
+    * trustworthy: rrf(d) = Σ_channels 1/(k0 + rank_c(d)) over the
+    * channels that retrieved d in their top-k (Cormack et al.'s k0=60
+    * default). Rank-based, so the two channels' incomparable score
+    * scales never need calibrating — which is why RRF is what retrieval
+    * selection pipelines actually deploy.
+    *
+    * Scale shape: each channel is its own already-bounded top-k
+    * (TakeOrderedAndProject — per-task heaps over the corpus, never a
+    * global sort); everything after operates on ≤ kLex + kSem rows —
+    * the rank windows and the fusion full-outer join are
+    * constant-bounded, not corpus-shaped. Rank ties are impossible
+    * (row_number over a total order: score desc, id). */
+  def hybridRrf(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      queryTerms: Seq[String],
+      queryVecId: Long = 0L,
+      kLex: Int = 50,
+      kSem: Int = 50,
+      k: Int = 10,
+      k0: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25(documents, queryTerms, kLex)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val sem = bruteForceTopK(embeddings, queryVecId, kSem)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos_r").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("sem_rank")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against the vector with id `queryId`.
     * The 1-row query side is broadcast; one scan, one TakeOrdered. */
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {

@@ -419,32 +419,57 @@ object TextAnalysis {
     * ≤|terms|-row per-doc sum is order-independent and bitwise-stable
     * (the [[docNovelty]] discipline — a double sum would hash-diverge
     * run to run). */
-  def bm25(documents: DataFrame, queryTerms: Seq[String], k: Int = 10,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val perDoc = Dedup.sharedFrame(documents, "bm25_perdoc", queryTerms)(
-      documents
-        .select(col("doc_id"),
-          filter(split(lower(coalesce(col("text"), lit(""))), " "),
-            t => t =!= "").as("toks"))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          array(queryTerms.map(t =>
-            struct(lit(t).as("token"),
-              size(filter(col("toks"), x => x === lit(t)))
-                .cast("long").as("tf"))): _*).as("tfs"))
-        .filter(col("dl") > 0))
+  /** The narrow per-doc lexical frame `(doc_id, dl, per-term tf array)`
+    * — [[bm25]]'s single corpus scan, memoized; also the per-BATCH
+    * frame the streaming twin derives inside foreachBatch (share=false
+    * there: a micro-batch is never re-read). */
+  private[graft] def bm25PerDoc(documents: DataFrame,
+      queryTerms: Seq[String], share: Boolean = true): DataFrame = {
+    val build = documents
+      .select(col("doc_id"),
+        filter(split(lower(coalesce(col("text"), lit(""))), " "),
+          t => t =!= "").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        array(queryTerms.map(t =>
+          struct(lit(t).as("token"),
+            size(filter(col("toks"), x => x === lit(t)))
+              .cast("long").as("tf"))): _*).as("tfs"))
+      .filter(col("dl") > 0)
+    if (share) Dedup.sharedFrame(documents, "bm25_perdoc", queryTerms)(build)
+    else build
+  }
+
+  /** Explode a [[bm25PerDoc]] frame to present-term rows
+    * (doc_id, dl, token, tf > 0). */
+  private[graft] def bm25Tf(perDoc: DataFrame): DataFrame = perDoc
+    .select(col("doc_id"), col("dl"), explode(col("tfs")).as("t"))
+    .select(col("doc_id"), col("dl"), col("t.token").as("token"),
+      col("t.tf").as("tf"))
+    .filter(col("tf") > 0)
+
+  /** The two FROZEN corpus dims of the lexical ranking: the 1-row
+    * (n_docs, avgdl) stats and the ≤|terms|-row idf table. These are
+    * what a streaming deployment derives once from the corpus, persists,
+    * and broadcasts per batch (refreshed at compaction cadence) —
+    * [[graft.streaming.StreamingRetrievalDecon]]. */
+  private[graft] def bm25Dims(perDoc: DataFrame,
+      tf: DataFrame): (DataFrame, DataFrame) = {
     val stats = perDoc.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val tf = perDoc
-      .select(col("doc_id"), col("dl"), explode(col("tfs")).as("t"))
-      .select(col("doc_id"), col("dl"), col("t.token").as("token"),
-        col("t.tf").as("tf"))
-      .filter(col("tf") > 0)
     val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("token"),
         round(log(lit(1.0) +
           (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
           .as("idf"))
+    (stats, idf)
+  }
+
+  /** Score present-term rows against (possibly frozen) dims — the exact
+    * contribution formula of [[bm25]], shared verbatim by the static
+    * ranking and the streaming twin so batch ≡ static is true by
+    * construction, not by parallel reimplementation. */
+  private[graft] def bm25Score(tf: DataFrame, stats: DataFrame,
+      idf: DataFrame, k1: Double, b: Double): DataFrame =
     tf.join(broadcast(idf), "token")
       .crossJoin(broadcast(stats.select("avgdl")))
       .select(col("doc_id"),
@@ -455,6 +480,14 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum("c").as("s"))
       .select(col("doc_id"), round(col("s").cast("double"), 4).as("bm25"))
+
+  def bm25(documents: DataFrame, queryTerms: Seq[String], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val perDoc = bm25PerDoc(documents, queryTerms)
+    val tf = bm25Tf(perDoc)
+    val (stats, idf) = bm25Dims(perDoc, tf)
+    bm25Score(tf, stats, idf, k1, b)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
@@ -482,6 +515,31 @@ object TextAnalysis {
     * TakeOrderedAndProject inside the broadcast build side); the
     * benchmark gram dim rides the same conditional-broadcast guard as
     * [[decontaminate]]. */
+  /** The benchmark's distinct n-gram dim under the conditional-broadcast
+    * guard — built once and reused across calls/batches (the frozen dim
+    * of the streaming twin). */
+  private[graft] def benchGramDim(benchmark: DataFrame, n: Int): DataFrame =
+    maybeBroadcastGrams(
+      benchmark.select(explode(wordNgrams(n)).as("gram")).distinct(),
+      BroadcastGramLimit)
+
+  /** Per-candidate distinct-gram and shared-gram counts against a
+    * prebuilt [[benchGramDim]] — the containment stage shared verbatim
+    * by [[retrievalDecon]] and the streaming twin. `cands` must carry
+    * (doc_id, text); docs too short to shingle are absent (callers
+    * coalesce to 0). */
+  private[graft] def candidateContainment(cands: DataFrame,
+      benchGrams: DataFrame, n: Int): DataFrame = {
+    val dg = cands.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(n))).as("gram"))
+    val ng = dg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val sh = dg.join(benchGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    ng.join(sh, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   def retrievalDecon(
       documents: DataFrame,
       benchmark: DataFrame,
@@ -491,15 +549,8 @@ object TextAnalysis {
     val topk = bm25(documents, queryTerms, k)
     val cands = broadcast(topk)
       .join(documents.select(col("doc_id"), col("text")), "doc_id")
-    val dg = cands.select(col("doc_id"),
-      explode(array_distinct(wordNgrams(n))).as("gram"))
-    val benchGrams = benchmark
-      .select(explode(wordNgrams(n)).as("gram")).distinct()
-    val ng = dg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val sh = dg.join(maybeBroadcastGrams(benchGrams, BroadcastGramLimit), "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    topk.join(ng, Seq("doc_id"), "left_outer")
-      .join(sh, Seq("doc_id"), "left_outer")
+    val cont = candidateContainment(cands, benchGramDim(benchmark, n), n)
+    topk.join(cont, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("bm25"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -508,6 +559,63 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("containment"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  /** Bootstrap quality classifier — the cheap linear text classifier a
+    * curation pipeline trains on a weak label and sweeps over the whole
+    * corpus (the fastText-quality-filter stage, minus the external
+    * model): the weak label here is the corpus' own length median
+    * (docs above median n_chars = "good"), the weights are the classic
+    * Naive-Bayes log-count ratios w(tok) = ln(((tfg+1)/(Tg+V)) /
+    * ((tfb+1)/(Tb+V))) (the NBSVM construction), and each document
+    * scores the length-normalized sum Σ w(tok)·tf / dl with
+    * `keep = score > threshold`. Entirely corpus-derived, so the DuckDB
+    * oracle reproduces training AND inference bit-for-bit.
+    *
+    * Scale shape: ONE token shuffle builds the class-count vocab dim
+    * (vocab-sized, broadcast back under the same conditional-broadcast
+    * guard as [[decontaminate]] — degrade to a shuffle join, never OOM
+    * the driver); the median and the class totals are broadcast
+    * scalars; scoring is the per-doc tf groupBy joined against the
+    * broadcast weights. Per-token contributions are 6-decimal-rounded
+    * and DECIMAL-summed (the [[bm25]] discipline) so the per-doc sum is
+    * order-independent and bitwise-stable. */
+  def classifierScore(documents: DataFrame,
+                      threshold: Double = 0.0): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("n_chars"),
+        filter(split(lower(coalesce(col("text"), lit(""))), " "),
+          t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val med = docs.agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    val toks = docs
+      .select(col("doc_id"), col("n_chars"), explode(col("toks")).as("tok"))
+      .crossJoin(broadcast(med))
+      .withColumn("good", col("n_chars") > col("med"))
+    val classCounts = toks.groupBy("tok").agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("tfg"),
+      sum(when(!col("good"), 1L).otherwise(0L)).as("tfb"))
+    val totals = classCounts
+      .agg(sum("tfg").as("tg"), sum("tfb").as("tb"), count(lit(1)).as("v"))
+    val weights = classCounts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(log(((col("tfg") + lit(1.0)) / (col("tg") + col("v"))) /
+          ((col("tfb") + lit(1.0)) / (col("tb") + col("v")))), 6).as("w"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(maybeBroadcastGrams(weights, BroadcastGramLimit), "tok")
+      .select(col("doc_id"),
+        round(col("w") * col("tf"), 6).cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id").agg(sum("c").as("s"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(scored, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        // + 0.0 collapses IEEE −0.0 (a tiny negative score rounded to
+        // zero) to +0.0, which the engines otherwise stringify apart
+        (round(col("s").cast("double") / col("n_toks"), 4) + lit(0.0))
+          .as("score"))
+      .withColumn("keep", col("score") > threshold)
+      .orderBy("doc_id")
   }
 
   /** Distribution-based quality cutoff — keep documents at or above their

@@ -199,5 +199,111 @@ object Round17Queries {
             FROM topk t LEFT JOIN ng USING (doc_id) LEFT JOIN sh USING (doc_id)
             ORDER BY t.bm25 DESC, t.doc_id"""))
 
-  val all: Seq[Q] = Seq(mergeScdNull, retrievalDecon)
+  // ---- q_hybrid_rrf ----------------------------------------------------
+
+  /** Hybrid retrieval ([[graft.extensions.Similarity.hybridRrf]]):
+    * Reciprocal Rank Fusion of the BM25 lexical top-50 (q_bm25's term
+    * bag) and the cosine semantic top-50 (q_ann_cosine's query vector,
+    * vec_id ≡ doc_id — the tables are the same 1:1 corpus), fused as
+    * Σ 1/(60 + rank) and cut to the top-10. Both channels and the
+    * fusion are rank-based with total-order tiebreaks, so the row is
+    * bitwise-deterministic despite mixing two incomparable score
+    * scales. */
+  private val hybridRrf = Q("q_hybrid_rrf",
+    (s, dir) => graft.extensions.Similarity.hybridRrf(
+      table(s, dir, "documents"), table(s, dir, "embeddings"),
+      Seq("spark", "vector", "stream")),
+    Some(s"""WITH t2 AS (SELECT doc_id, tok FROM
+                          (SELECT doc_id,
+                                  unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+                           FROM documents)
+                        WHERE tok <> ''),
+                 dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+                 st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+                 qt AS (SELECT doc_id, tok FROM t2
+                        WHERE tok IN ('spark', 'vector', 'stream')),
+                 tf AS (SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY 1, 2),
+                 idf AS (SELECT df.tok,
+                                round(ln(1.0 + (st.n_docs - df.df + 0.5)
+                                               / (df.df + 0.5)), 6) AS idf
+                         FROM (SELECT tok, count(*) AS df
+                               FROM (SELECT DISTINCT doc_id, tok FROM qt)
+                               GROUP BY 1) df CROSS JOIN st),
+                 contrib AS (SELECT tf.doc_id,
+                                    CAST(round(idf.idf * (tf.tf * 2.2)
+                                          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+                                         6) AS DECIMAL(18,6)) AS c
+                             FROM tf JOIN idf USING (tok)
+                                     JOIN dl USING (doc_id)
+                                     CROSS JOIN st),
+                 lexk AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+                          FROM contrib GROUP BY 1
+                          ORDER BY bm25 DESC, doc_id LIMIT 50),
+                 lex AS (SELECT doc_id,
+                                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                                     AS BIGINT) AS lex_rank
+                         FROM lexk),
+                 ${ExtensionQueries.duckNorm},
+                 q AS (SELECT e AS qe, nrm AS qn FROM nn WHERE vec_id = 0),
+                 semk AS (SELECT vec_id,
+                                 round(list_sum(list_transform(range(1, len(e) + 1),
+                                                               i -> e[i] * qe[i]))
+                                       / (nrm * qn), 4) AS cos_r
+                          FROM nn, q WHERE vec_id <> 0
+                          ORDER BY cos_r DESC, vec_id LIMIT 50),
+                 sem AS (SELECT vec_id AS doc_id,
+                                CAST(row_number() OVER (ORDER BY cos_r DESC, vec_id)
+                                     AS BIGINT) AS sem_rank
+                         FROM semk)
+            SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                   lex_rank, sem_rank,
+                   round(coalesce(1.0 / (60 + lex_rank), 0)
+                         + coalesce(1.0 / (60 + sem_rank), 0), 6) AS rrf
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
+  // ---- q_classifier_score ----------------------------------------------
+
+  /** Bootstrap quality classifier ([[graft.extensions.TextAnalysis
+    * .classifierScore]]): NB log-count-ratio weights trained on the
+    * corpus' own length-median weak label, swept back over every
+    * document — training and inference both oracle-reproduced. */
+  private val classifierScore = Q("q_classifier_score",
+    (s, dir) => graft.extensions.TextAnalysis.classifierScore(
+      table(s, dir, "documents")),
+    Some("""WITH d AS (SELECT doc_id, n_chars,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr
+                       FROM documents),
+                 dd AS (SELECT doc_id, n_chars, arr, len(arr) AS dl
+                        FROM d WHERE len(arr) > 0),
+                 md AS (SELECT median(n_chars) AS med FROM dd),
+                 t AS (SELECT doc_id, n_chars > md.med AS good,
+                              unnest(arr) AS tok
+                       FROM dd, md),
+                 cc AS (SELECT tok,
+                               sum(CASE WHEN good THEN 1 ELSE 0 END) AS tfg,
+                               sum(CASE WHEN good THEN 0 ELSE 1 END) AS tfb
+                        FROM t GROUP BY 1),
+                 tot AS (SELECT sum(tfg) AS tg, sum(tfb) AS tb,
+                                count(*) AS v
+                         FROM cc),
+                 w AS (SELECT tok,
+                              round(ln(((tfg + 1.0) / (tg + v))
+                                       / ((tfb + 1.0) / (tb + v))), 6) AS w
+                       FROM cc, tot),
+                 tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+                 c AS (SELECT tf.doc_id,
+                              CAST(round(w.w * tf.tf, 6) AS DECIMAL(18,6)) AS c
+                       FROM tf JOIN w USING (tok)),
+                 sc AS (SELECT c.doc_id, sum(c.c) AS s FROM c GROUP BY 1),
+                 out AS (SELECT dd.doc_id,
+                                CAST(dd.dl AS BIGINT) AS n_toks,
+                                round(CAST(sc.s AS DOUBLE) / dd.dl, 4) + 0.0 AS score
+                         FROM dd JOIN sc ON dd.doc_id = sc.doc_id)
+            SELECT doc_id, n_toks, score, score > 0.0 AS keep
+            FROM out ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(mergeScdNull, retrievalDecon, hybridRrf,
+    classifierScore)
 }
