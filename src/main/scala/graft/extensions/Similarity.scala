@@ -41,6 +41,49 @@ object Similarity {
       .withColumn("nrm", norm(col("e")))
   }
 
+  /** SEMANTIC decontamination — the third decon channel beside the
+    * n-gram containment pass (q_decontaminate) and the lexical
+    * retrieval triage (q_retrieval_decon): flag corpus documents whose
+    * EMBEDDING sits within cosine `tau` of any held-out benchmark
+    * embedding, the paraphrase leak the other two channels cannot see
+    * (a reworded eval prompt shares no 4-gram and few query terms but
+    * keeps its embedding). Cell-blocked like [[semDedup]]: candidates
+    * are same-`label` pairs only, the documented approximation —
+    * cross-cell paraphrases are out of scope by design, exactly the
+    * SemDeDup trade.
+    *
+    * Output is total over the corpus: (vec_id, n_hits, max_cos,
+    * contaminated) — max_cos NULL when no benchmark shares the cell,
+    * so "never compared" is distinguishable from "compared and clean".
+    *
+    * Scale shape: the benchmark side is eval-suite-sized and
+    * BROADCASTS; the corpus side stays a narrow scan into a
+    * broadcast-hash join on the cell key (never all-pairs, never a
+    * corpus shuffle) plus one per-doc aggregate. At 100 TB with the
+    * corpus bucketed by cell the join is also partition-pruned to
+    * cells the benchmark occupies. */
+  def semanticDecon(corpus: DataFrame, benchmark: DataFrame,
+                    tau: Double = 0.3): DataFrame = {
+    val c = withNorm(corpus)
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"))
+    val b = withNorm(benchmark)
+      .select(col("label").as("blabel"), col("e").as("be"),
+        col("nrm").as("bnrm"))
+    val hits = c.join(broadcast(b), col("label") === col("blabel"))
+      .withColumn("cos_r",
+        round(dot(col("e"), col("be")) / (col("nrm") * col("bnrm")), 4))
+      .groupBy("vec_id")
+      .agg(sum(when(col("cos_r") >= tau, 1L).otherwise(0L)).as("n_hits"),
+        max("cos_r").as("max_cos"))
+    corpus.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cos"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Hybrid retrieval by Reciprocal Rank Fusion — the standard fusion
     * of a LEXICAL ranking ([[TextAnalysis.bm25]] over the document
     * text) and a SEMANTIC ranking ([[bruteForceTopK]] cosine over the

@@ -304,6 +304,44 @@ object Round17Queries {
             SELECT doc_id, n_toks, score, score > 0.0 AS keep
             FROM out ORDER BY doc_id"""))
 
+  // ---- q_semantic_decon --------------------------------------------------
+
+  /** Semantic decontamination ([[graft.extensions.Similarity
+    * .semanticDecon]]): the vec_id % 10 = 0 embeddings play the
+    * held-out benchmark (the q_decontaminate membership convention in
+    * embedding space); every remaining corpus vector reports its
+    * same-cell benchmark hits at cosine ≥ 0.3 — NULL max_cos
+    * distinguishes "no benchmark in my cell" from "compared and
+    * clean". */
+  private val semanticDecon = Q("q_semantic_decon",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.extensions.Similarity.semanticDecon(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0))
+    },
+    Some(s"""WITH ${ExtensionQueries.duckNorm},
+                 c AS (SELECT vec_id, label, e, nrm FROM nn
+                       WHERE vec_id % 10 <> 0),
+                 b AS (SELECT label AS blabel, e AS be, nrm AS bnrm
+                       FROM nn WHERE vec_id % 10 = 0),
+                 p AS (SELECT c.vec_id,
+                              round(list_sum(list_transform(range(1, len(c.e) + 1),
+                                                            i -> c.e[i] * b.be[i]))
+                                    / (c.nrm * b.bnrm), 4) AS cos_r
+                       FROM c JOIN b ON c.label = b.blabel),
+                 h AS (SELECT vec_id,
+                              CAST(sum(CASE WHEN cos_r >= 0.3 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS n_hits,
+                              max(cos_r) AS max_cos
+                       FROM p GROUP BY 1)
+            SELECT c.vec_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   h.max_cos,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM c LEFT JOIN h ON c.vec_id = h.vec_id
+            ORDER BY c.vec_id"""))
+
   val all: Seq[Q] = Seq(mergeScdNull, retrievalDecon, hybridRrf,
-    classifierScore)
+    classifierScore, semanticDecon)
 }

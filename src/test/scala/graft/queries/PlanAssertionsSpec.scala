@@ -509,6 +509,27 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q_hybrid_rrf: both channels are bounded heaps; fusion never touches the corpus") {
+    // each channel must be TakeOrderedAndProject (per-task heaps) and
+    // the fusion join must be over those bounded frames — no corpus-
+    // shaped shuffle after the channel cuts, no cartesian anywhere
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val sp = Registry.queries("q_hybrid_rrf")(spark, dir)
+      .queryExecution.sparkPlan
+    val heaps = sp.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(heaps.size >= 2, s"expected both channel top-k heaps:\n$sp")
+    // scalar crossJoins (stats dims) legitimately plan as 1-row
+    // broadcast BNLJ — only a true cartesian is a red flag
+    assert(!sp.toString.contains("CartesianProduct"), sp.toString)
+  }
+
+  test("q_classifier_score: weight dim broadcasts back as a hash join; no cartesian") {
+    val sp = Registry.queries("q_classifier_score")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+  }
+
   test("q_retrieval_decon: containment's left side is the broadcast top-k frame, never the corpus") {
     // r16 VERDICT #4's pin: the two-stage shape only earns its keep if
     // the candidate gram generate sits ABOVE the k-bounded retrieval —
