@@ -580,13 +580,20 @@ object TextAnalysis {
     * broadcast weights. Per-token contributions are 6-decimal-rounded
     * and DECIMAL-summed (the [[bm25]] discipline) so the per-doc sum is
     * order-independent and bitwise-stable. */
-  def classifierScore(documents: DataFrame,
-                      threshold: Double = 0.0): DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), col("n_chars"),
-        filter(split(lower(coalesce(col("text"), lit(""))), " "),
-          t => t =!= "").as("toks"))
-      .filter(size(col("toks")) > 0)
+  /** (doc_id, n_chars, toks) for token-bearing docs — the classifier's
+    * input projection, shared by training and inference. */
+  private def classifierDocs(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), col("n_chars"),
+      filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "").as("toks"))
+    .filter(size(col("toks")) > 0)
+
+  /** TRAIN: the NB log-count-ratio weight table (tok, w) from the
+    * corpus' length-median weak label — the frozen dim a streaming
+    * deployment persists and broadcasts per batch
+    * ([[graft.streaming.StreamingClassifier]]). */
+  private[graft] def nbWeights(documents: DataFrame): DataFrame = {
+    val docs = classifierDocs(documents)
     val med = docs.agg(percentile(col("n_chars"), lit(0.5)).as("med"))
     val toks = docs
       .select(col("doc_id"), col("n_chars"), explode(col("toks")).as("tok"))
@@ -597,26 +604,45 @@ object TextAnalysis {
       sum(when(!col("good"), 1L).otherwise(0L)).as("tfb"))
     val totals = classCounts
       .agg(sum("tfg").as("tg"), sum("tfb").as("tb"), count(lit(1)).as("v"))
-    val weights = classCounts.crossJoin(broadcast(totals))
+    classCounts.crossJoin(broadcast(totals))
       .select(col("tok"),
         round(log(((col("tfg") + lit(1.0)) / (col("tg") + col("v"))) /
           ((col("tfb") + lit(1.0)) / (col("tb") + col("v")))), 6).as("w"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+  }
+
+  /** INFER: score documents against a (possibly frozen) weight table —
+    * Σ w(tok)·tf / dl with keep = score > threshold. Tokens outside the
+    * weight vocab contribute 0 (the inner join drops them) while still
+    * counting toward dl — unseen-token behavior a frozen-vocab
+    * deployment needs. Shared verbatim by [[classifierScore]] and the
+    * streaming twin. */
+  private[graft] def scoreWithWeights(documents: DataFrame,
+      weights: DataFrame, threshold: Double): DataFrame = {
+    val docs = classifierDocs(documents)
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val scored = tf
       .join(maybeBroadcastGrams(weights, BroadcastGramLimit), "tok")
       .select(col("doc_id"),
         round(col("w") * col("tf"), 6).cast("decimal(18,6)").as("c"))
       .groupBy("doc_id").agg(sum("c").as("s"))
+    // left join: a doc with NO vocab token still reports (score 0) —
+    // the frozen-vocab streaming case; self-trained corpora always match
     docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
-      .join(scored, "doc_id")
+      .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_toks"),
         // + 0.0 collapses IEEE −0.0 (a tiny negative score rounded to
         // zero) to +0.0, which the engines otherwise stringify apart
-        (round(col("s").cast("double") / col("n_toks"), 4) + lit(0.0))
-          .as("score"))
+        (round(coalesce(col("s").cast("double"), lit(0.0)) /
+          col("n_toks"), 4) + lit(0.0)).as("score"))
       .withColumn("keep", col("score") > threshold)
       .orderBy("doc_id")
   }
+
+  def classifierScore(documents: DataFrame,
+                      threshold: Double = 0.0): DataFrame =
+    scoreWithWeights(documents, nbWeights(documents), threshold)
 
   /** Distribution-based quality cutoff — keep documents at or above their
     * stratum's `q`-quantile of a quality metric (percentile filters are

@@ -342,6 +342,90 @@ object Round17Queries {
             FROM c LEFT JOIN h ON c.vec_id = h.vec_id
             ORDER BY c.vec_id"""))
 
+  // ---- q_decon_tri ---------------------------------------------------------
+
+  /** The decon DASHBOARD: every training document's verdict across the
+    * two whole-corpus channels — n-gram containment
+    * ([[graft.extensions.TextAnalysis.decontaminate]], the surface-leak
+    * channel) and embedding cosine ([[graft.extensions.Similarity
+    * .semanticDecon]], the paraphrase channel) — joined 1:1 on
+    * doc_id ≡ vec_id and attributed (`gram` / `sem` / `both` / `none`),
+    * the report a scrub run actually publishes (the third channel,
+    * retrieval triage, is k-bounded by design and reported separately
+    * by q_retrieval_decon). Both legs keep their own membership
+    * convention (id % 10 = 0 plays the held-out set in both spaces).
+    *
+    * Scale shape: both channels broadcast their benchmark-sized dim and
+    * keep the corpus side narrow; the final join is corpus-row 1:1 on
+    * the primary key. */
+  private val deconTri = Q("q_decon_tri",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val gram = graft.extensions.TextAnalysis.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), n = 4)
+        .select(col("doc_id"), col("n_shared").as("gram_hits"))
+      val sem = graft.extensions.Similarity.semanticDecon(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0))
+        .select(col("vec_id").as("doc_id"), col("n_hits").as("sem_hits"),
+          col("max_cos"))
+      gram.join(sem, "doc_id")
+        .select(col("doc_id"), col("gram_hits"), col("sem_hits"),
+          col("max_cos"),
+          when(col("gram_hits") > 0 && col("sem_hits") > 0, lit("both"))
+            .when(col("gram_hits") > 0, lit("gram"))
+            .when(col("sem_hits") > 0, lit("sem"))
+            .otherwise(lit("none")).as("channel"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH g AS (SELECT doc_id,
+                              len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                              t -> t <> '')) AS n,
+                              list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                          t -> t <> '') AS arr
+                       FROM documents),
+                 grams AS (SELECT doc_id,
+                                  unnest(CASE WHEN n < 4 THEN []
+                                         ELSE list_transform(range(1, CAST(n AS INTEGER) - 2),
+                                                i -> array_to_string(arr[i : i + 3], ' '))
+                                         END) AS gram
+                           FROM g),
+                 bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+                 train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 <> 0),
+                 gh AS (SELECT doc_id, count(*) AS gram_hits
+                        FROM train JOIN bench USING (gram) GROUP BY 1),
+                 ${ExtensionQueries.duckNorm},
+                 c AS (SELECT vec_id, label, e, nrm FROM nn
+                       WHERE vec_id % 10 <> 0),
+                 b AS (SELECT label AS blabel, e AS be, nrm AS bnrm
+                       FROM nn WHERE vec_id % 10 = 0),
+                 p AS (SELECT c.vec_id,
+                              round(list_sum(list_transform(range(1, len(c.e) + 1),
+                                                            i -> c.e[i] * b.be[i]))
+                                    / (c.nrm * b.bnrm), 4) AS cos_r
+                       FROM c JOIN b ON c.label = b.blabel),
+                 sh AS (SELECT vec_id,
+                              CAST(sum(CASE WHEN cos_r >= 0.3 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS sem_hits,
+                              max(cos_r) AS max_cos
+                       FROM p GROUP BY 1),
+                 tri AS (SELECT d.doc_id,
+                                coalesce(gh.gram_hits, 0) AS gram_hits,
+                                coalesce(sh.sem_hits, 0) AS sem_hits,
+                                sh.max_cos
+                         FROM documents d
+                           LEFT JOIN gh ON gh.doc_id = d.doc_id
+                           LEFT JOIN sh ON sh.vec_id = d.doc_id
+                         WHERE d.doc_id % 10 <> 0)
+            SELECT doc_id, gram_hits, sem_hits, max_cos,
+                   CASE WHEN gram_hits > 0 AND sem_hits > 0 THEN 'both'
+                        WHEN gram_hits > 0 THEN 'gram'
+                        WHEN sem_hits > 0 THEN 'sem'
+                        ELSE 'none' END AS channel
+            FROM tri ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(mergeScdNull, retrievalDecon, hybridRrf,
-    classifierScore, semanticDecon)
+    classifierScore, semanticDecon, deconTri)
 }
