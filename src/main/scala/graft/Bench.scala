@@ -1480,6 +1480,66 @@ object Bench {
       "joint_candidates_found" -> found)
   }
 
+  /** Per-batch economics of the round-17 ADMISSION twins — the frozen-dim
+    * pattern priced the way [[streamingBench]] prices the LSH probe:
+    * build cost for the corpus-derived dims (paid once, at refresh
+    * cadence) beside the steady-state per-batch cost, with work-proof
+    * counters so an accidentally-empty probe can never read as fast.
+    *  - retrieval decon ([[graft.streaming.StreamingRetrievalDecon]]):
+    *    frozen (stats, idf, benchmark grams); per batch = one narrow
+    *    batch scan + the k-bounded containment join.
+    *  - quality classifier ([[graft.streaming.StreamingClassifier]]):
+    *    frozen NB weight table; per batch = batch tf + broadcast weight
+    *    join. */
+  def admissionBench(spark: SparkSession, sfDir: String,
+      reps: Int = 3): Seq[(String, Double)] = {
+    import graft.streaming.{StreamingClassifier, StreamingRetrievalDecon}
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val terms = Seq("spark", "vector", "stream")
+    val bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+    // the arriving batch: a 1/25 corpus slice re-posted under new ids
+    // (guaranteed containment hits), frozen so probes bill only the work
+    val batch = docs.filter(pmod(col("doc_id"), lit(25L)) === 1)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"),
+        col("n_chars"))
+      .localCheckpoint()
+    val batchRows = batch.count().toDouble
+    var dims: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = null
+    val dimsT = timeMed(reps, "decon_dims_build") {
+      graft.extensions.Dedup.evictShared(spark) // bill a cold dims build
+      dims = StreamingRetrievalDecon.dims(corpus, bench, terms, n = 4)
+    }
+    val (st, idf, bg) = dims
+    val deconT = timeMed(reps, "decon_probe_batch") {
+      StreamingRetrievalDecon.admitBatch(batch, st, idf, bg, terms)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val deconFlagged = StreamingRetrievalDecon
+      .admitBatch(batch, st, idf, bg, terms)
+      .filter(col("contaminated")).count().toDouble
+    var w: org.apache.spark.sql.DataFrame = null
+    val wT = timeMed(reps, "classifier_weights_build") {
+      w = StreamingClassifier.weights(corpus)
+    }
+    val clsT = timeMed(reps, "classifier_probe_batch") {
+      StreamingClassifier.admitBatch(batch, w)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val clsKept = StreamingClassifier.admitBatch(batch, w)
+      .filter(col("keep")).count().toDouble
+    Seq(
+      "admission_batch_rows" -> batchRows,
+      "decon_dims_build" -> dimsT,
+      "decon_probe_batch" -> deconT,
+      "decon_flagged" -> deconFlagged,
+      "classifier_weights_build" -> wT,
+      "classifier_probe_batch" -> clsT,
+      "classifier_kept" -> clsKept)
+  }
+
   def skewJoinBench(
       spark: SparkSession, reps: Int = 3,
       n: Long = 2000000L): Seq[(String, Double)] = {
@@ -1801,7 +1861,8 @@ object Bench {
     val curation = section("curation")(curationBench(spark, sfDir, reps))
     val jointAdm = section("joint_admission")(
       jointAdmissionBench(spark, sfDir, reps))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"rtfilter":${jsonNum(rtfilter)},"rtfilter_reps":${jsonReps(rtfilter)},"curation":${jsonNum(curation)},"curation_reps":${jsonReps(curation)},"joint_admission":${jsonNum(jointAdm)},"joint_admission_reps":${jsonReps(jointAdm)},"sf":"$sfDir"}""")
+    val admission = section("admission")(admissionBench(spark, sfDir, reps))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"rtfilter":${jsonNum(rtfilter)},"rtfilter_reps":${jsonReps(rtfilter)},"curation":${jsonNum(curation)},"curation_reps":${jsonReps(curation)},"joint_admission":${jsonNum(jointAdm)},"joint_admission_reps":${jsonReps(jointAdm)},"admission":${jsonNum(admission)},"admission_reps":${jsonReps(admission)},"sf":"$sfDir"}""")
     // Final SHORT line so a tail-truncated capture of this output still
     // contains a complete, parseable summary (r10 VERDICT #4: the full
     // artifact line above exceeds the driver's 2000-byte tail window).

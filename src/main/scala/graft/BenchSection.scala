@@ -32,6 +32,7 @@ object BenchSection {
       case "paged" => Bench.pagedBench(spark, reps)
       case "rtfilter" => Bench.runtimeFilterBench(spark, sfDir, reps)
       case "joint_admission" => Bench.jointAdmissionBench(spark, sfDir, reps)
+      case "admission" => Bench.admissionBench(spark, sfDir, reps)
       case other => sys.error(s"unknown section: $other")
     }
     rows.foreach { case (k, v) => println(f"SECTION $section $k = $v%.3f") }

@@ -57,9 +57,12 @@ class SharedCteSpec extends AnyFunSuite {
       // embeddings — a different construction by design
       "q_ann_quantized")
     heads.foreach { case (name, (frag, head)) =>
+      // token-boundary match: `semk AS (` must not count as `mk AS (`
+      val headRe = ("(?<![A-Za-z0-9_])" +
+        java.util.regex.Pattern.quote(head.stripSuffix("("))).r
       val suspects = oracles.collect {
-        case (q, sql) if sql.contains(head) && !sql.contains(frag) &&
-          !knownLocal.contains(q) => q
+        case (q, sql) if headRe.findFirstIn(sql).isDefined &&
+          !sql.contains(frag) && !knownLocal.contains(q) => q
       }.toSeq.sorted
       assert(suspects.isEmpty,
         s"oracles declare `$head` without embedding shared $name " +
