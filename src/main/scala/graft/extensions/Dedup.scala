@@ -706,6 +706,46 @@ object Dedup {
       ConnectedComponents.label(documents.select("doc_id"),
         minHashLsh(documents)))
 
+  /** SOFT dedup — down-WEIGHT near-duplicates instead of dropping them:
+    * every document gets sampling weight 1/|its near-dup component|, so
+    * each duplicate cluster contributes ONE document's worth of mass in
+    * expectation while keeping all its variants available (the
+    * repetition-control alternative to hard dedup that large-corpus
+    * recipes use when duplicates carry signal — boilerplate variants,
+    * quoting chains — and hard dropping would bias the distribution).
+    * Output: (doc_id, comp, cluster_size, weight), weight
+    * 6-decimal-rounded so downstream DECIMAL sums are
+    * order-independent.
+    *
+    * Cost on top of [[ccLabels]] (session-shared): one comp-keyed count
+    * and a join back — both on the (doc_id, comp) metadata frame, never
+    * the text. Inherits ccLabels' static-input contract. */
+  def softDedupWeights(documents: DataFrame): DataFrame = {
+    val labels = ccLabels(documents)
+    val sz = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sz, "comp")
+      .select(col("id").as("doc_id"), col("comp"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
+  /** The mixture-facing aggregate of [[softDedupWeights]]: per SOURCE,
+    * raw document count vs dedup-adjusted effective mass (Σ 1/|comp|)
+    * and their ratio — the number a mixture step feeds its sampling
+    * rates so heavily-duplicated sources don't buy weight with copies.
+    * Per-doc weights are DECIMAL-summed (order-independent). */
+  def softDedupMass(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"))
+      .join(softDedupWeights(documents)
+        .select(col("doc_id"),
+          col("weight").cast("decimal(18,6)").as("w")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("eff"))
+      .select(col("source"), col("n_docs"),
+        round(col("eff").cast("double"), 4).as("eff_docs"),
+        round(col("eff").cast("double") / col("n_docs"), 4)
+          .as("dedup_ratio"))
+      .orderBy("source")
+
   /** Leakage-safe fold assignment: every near-dup CONNECTED COMPONENT
     * lands wholly in one of `nFolds` folds, so a train/eval split drawn
     * from folds can never put a near-duplicate of a training document

@@ -426,6 +426,46 @@ object Round17Queries {
                         ELSE 'none' END AS channel
             FROM tri ORDER BY doc_id"""))
 
+  // ---- soft dedup ----------------------------------------------------------
+
+  /** Soft dedup weights ([[graft.extensions.Dedup.softDedupWeights]]):
+    * 1/|near-dup component| per document — down-weighting instead of
+    * dropping. Oracle rides the shared recursive CC closure. */
+  private val softDedup = Q("q_soft_dedup",
+    (s, dir) => graft.extensions.Dedup
+      .softDedupWeights(table(s, dir, "documents")).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             szs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+                     FROM comps GROUP BY 1)
+             SELECT doc_id, comps.comp, cluster_size,
+                    round(1.0 / cluster_size, 6) AS weight
+             FROM comps JOIN szs ON comps.comp = szs.comp
+             ORDER BY doc_id"""))
+
+  /** Per-source dedup-adjusted mass ([[graft.extensions.Dedup
+    * .softDedupMass]]): raw count vs Σ 1/|comp| — what a mixture step
+    * feeds its sampling rates so duplicated sources don't buy weight
+    * with copies. */
+  private val softDedupMass = Q("q_soft_dedup_mass",
+    (s, dir) => graft.extensions.Dedup
+      .softDedupMass(table(s, dir, "documents")),
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             szs AS (SELECT comp, count(*) AS sz FROM comps GROUP BY 1),
+             w AS (SELECT doc_id,
+                          CAST(round(1.0 / sz, 6) AS DECIMAL(18,6)) AS w
+                   FROM comps JOIN szs ON comps.comp = szs.comp),
+             agg AS (SELECT d.source,
+                            CAST(count(*) AS BIGINT) AS n_docs,
+                            sum(w.w) AS eff
+                     FROM documents d JOIN w ON w.doc_id = d.doc_id
+                     GROUP BY 1)
+             SELECT source, n_docs,
+                    round(CAST(eff AS DOUBLE), 4) AS eff_docs,
+                    round(CAST(eff AS DOUBLE) / n_docs, 4) AS dedup_ratio
+             FROM agg ORDER BY source"""))
+
   val all: Seq[Q] = Seq(mergeScdNull, retrievalDecon, hybridRrf,
-    classifierScore, semanticDecon, deconTri)
+    classifierScore, semanticDecon, deconTri, softDedup, softDedupMass)
 }
