@@ -72,6 +72,24 @@ object Mixture {
     documents.select(col("source"), nTok.as("n_tok"))
       .groupBy("source").agg(sum(col("n_tok")).as("tokens_total"))
 
+  /** DEDUP-ADJUSTED totals: per source, the effective token mass
+    * Σ (1/|near-dup component|)·n_tok, floored to whole tokens — what
+    * [[totalsOf]] should feed the plan when duplicated sources must not
+    * buy mixture share with copies ([[Dedup.softDedupMass]]'s
+    * discipline applied at token granularity). Per-doc contributions
+    * are 6-decimal-rounded and DECIMAL-summed (order-independent);
+    * `planFromTotals(effectiveTotalsOf(docs), w)` is then the
+    * dedup-aware mixture plan with unchanged arithmetic. */
+  def effectiveTotalsOf(documents: DataFrame): DataFrame =
+    documents.select(col("source"), col("doc_id"), nTok.as("n_tok"))
+      .join(Dedup.softDedupWeights(documents)
+        .select(col("doc_id"), col("weight")), "doc_id")
+      .select(col("source"),
+        round(col("weight") * col("n_tok"), 6)
+          .cast("decimal(28,6)").as("eff"))
+      .groupBy("source")
+      .agg(floor(sum("eff")).cast("long").as("tokens_total"))
+
   /** Fold two totals states: union + re-sum. NOT idempotent (sums) —
     * a streaming caller persists merged state keyed by batch id,
     * overwrite-by-id, the [[graft.streaming.StreamingSketch]]

@@ -15,16 +15,16 @@ object Round14Queries {
   /** Test-mixture weights derived in-plan from the source name
     * (srcN → N % 4 + 1) so Spark and the oracle build the identical
     * weights frame from the data alone — no literal table to drift. */
-  private def testWeights(s: SparkSession, dir: String): DataFrame =
+  private[queries] def testWeights(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select("source").distinct()
       .withColumn("weight",
         pmod(expr("CAST(substr(source, 4) AS BIGINT)"), lit(4L)) + lit(1L))
 
-  private val weightsSql =
+  private[queries] val weightsSql =
     """SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS weight
        FROM (SELECT DISTINCT source FROM documents)"""
 
-  private val tokSql =
+  private[queries] val tokSql =
     """SELECT source, doc_id,
               CAST(len(list_filter(
                 string_split(lower(coalesce(text, '')), ' '),

@@ -466,6 +466,55 @@ object Round17Queries {
                     round(CAST(eff AS DOUBLE) / n_docs, 4) AS dedup_ratio
              FROM agg ORDER BY source"""))
 
+  /** Dedup-aware mixture plan ([[graft.extensions.Mixture
+    * .effectiveTotalsOf]] ∘ planFromTotals): the q_mixture_plan
+    * contract re-planned over EFFECTIVE token mass (Σ (1/|near-dup
+    * component|)·n_tok per source, floored), so a source that padded
+    * its holdings with duplicate clusters serves a smaller share of the
+    * same target mixture — the soft-dedup weights composed into the
+    * data-mixing step end to end. Oracle re-derives the CC closure, the
+    * effective totals, and the integer plan arithmetic. */
+  private val mixtureSoft = Q("q_mixture_soft",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.extensions.Mixture.planFromTotals(
+        graft.extensions.Mixture.effectiveTotalsOf(docs),
+        Round14Queries.testWeights(s, dir))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
+             comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             szs AS (SELECT comp, count(*) AS sz FROM comps GROUP BY 1),
+             dw AS (SELECT doc_id, round(1.0 / sz, 6) AS dwt
+                    FROM comps JOIN szs ON comps.comp = szs.comp),
+             t AS (${Round14Queries.tokSql}),
+             tot0 AS (SELECT source,
+                             CAST(floor(sum(CAST(round(dwt * n_tok, 6)
+                                                 AS DECIMAL(28,6)))) AS BIGINT)
+                               AS tokens_total
+                      FROM t JOIN dw ON t.doc_id = dw.doc_id
+                      GROUP BY source),
+             wts AS (${Round14Queries.weightsSql}),
+             tot AS (SELECT wts.source,
+                            CAST(coalesce(tokens_total, 0) AS BIGINT)
+                              AS tokens_total,
+                            weight
+                     FROM wts LEFT JOIN tot0 ON wts.source = tot0.source
+                     WHERE weight > 0),
+             ws AS (SELECT CAST(sum(weight) AS BIGINT) AS w_sum FROM wts
+                    WHERE weight > 0),
+             b AS (SELECT CAST(min((tokens_total * w_sum) // weight) AS BIGINT)
+                            AS budget
+                   FROM tot, ws)
+             SELECT source, tokens_total, weight, budget,
+                    (weight * budget) // w_sum AS keep_tokens,
+                    CASE WHEN tokens_total = 0 THEN CAST(0 AS BIGINT)
+                         ELSE ((weight * budget * 2) // w_sum
+                                 + tokens_total - 1) // tokens_total
+                    END AS epochs_at_2x
+             FROM tot, ws, b ORDER BY source"""))
+
   val all: Seq[Q] = Seq(mergeScdNull, retrievalDecon, hybridRrf,
-    classifierScore, semanticDecon, deconTri, softDedup, softDedupMass)
+    classifierScore, semanticDecon, deconTri, softDedup, softDedupMass,
+    mixtureSoft)
 }
