@@ -371,12 +371,20 @@ object Round17Queries {
           emb.filter(col("vec_id") % 10 === 0))
         .select(col("vec_id").as("doc_id"), col("n_hits").as("sem_hits"),
           col("max_cos"))
-      gram.join(sem, "doc_id")
-        .select(col("doc_id"), col("gram_hits"), col("sem_hits"),
+      // LEFT join: at sf ≥ 0.1 only a subset of documents carries an
+      // embedding row — those docs still belong on the dashboard with
+      // sem_hits 0 / max_cos NULL (the semantic channel could not run),
+      // exactly like a doc whose cell holds no benchmark (caught by the
+      // tri-scale sweep: an inner join silently dropped 2,700 docs at
+      // sf0.1 while matching at sf0.01's 1:1 coverage)
+      gram.join(sem, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("gram_hits"),
+          coalesce(col("sem_hits"), lit(0L)).as("sem_hits"),
           col("max_cos"),
-          when(col("gram_hits") > 0 && col("sem_hits") > 0, lit("both"))
+          when(col("gram_hits") > 0 && coalesce(col("sem_hits"), lit(0L)) > 0,
+            lit("both"))
             .when(col("gram_hits") > 0, lit("gram"))
-            .when(col("sem_hits") > 0, lit("sem"))
+            .when(coalesce(col("sem_hits"), lit(0L)) > 0, lit("sem"))
             .otherwise(lit("none")).as("channel"))
         .orderBy("doc_id")
     },
