@@ -84,6 +84,39 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** [[semanticDecon]] inverted to the BENCHMARK's perspective — the
+    * eval-integrity readout of the semantic channel (the
+    * [[TextAnalysis.contaminationReport]] relationship, in embedding
+    * space): for every held-out vector, how many corpus vectors sit
+    * within cosine `tau` in its cell and how close the nearest one is.
+    * A benchmark row whose n_leaks stays high after scrubbing is the
+    * prompt the paraphrase channel says still leaks. Total over the
+    * benchmark: max_cos NULL distinguishes "no corpus vector shares my
+    * cell" from "compared and clean". Same broadcast/cell-blocked
+    * shape as the forward direction. */
+  def semanticReport(corpus: DataFrame, benchmark: DataFrame,
+                     tau: Double = 0.3): DataFrame = {
+    val c = withNorm(corpus)
+      .select(col("label").as("clabel"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+    val b = withNorm(benchmark)
+      .select(col("vec_id").as("bench_id"), col("label"), col("e"),
+        col("nrm"))
+    val hits = c.join(broadcast(b), col("clabel") === col("label"))
+      .withColumn("cos_r",
+        round(dot(col("ce"), col("e")) / (col("cnrm") * col("nrm")), 4))
+      .groupBy("bench_id")
+      .agg(sum(when(col("cos_r") >= tau, 1L).otherwise(0L)).as("n_leaks"),
+        max("cos_r").as("max_cos"))
+    benchmark.select(col("vec_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
+        col("max_cos"),
+        (coalesce(col("n_leaks"), lit(0L)) > 0).as("leaked"))
+      .orderBy("bench_id")
+  }
+
   /** Hybrid retrieval by Reciprocal Rank Fusion — the standard fusion
     * of a LEXICAL ranking ([[TextAnalysis.bm25]] over the document
     * text) and a SEMANTIC ranking ([[bruteForceTopK]] cosine over the

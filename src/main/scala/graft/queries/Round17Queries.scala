@@ -522,7 +522,41 @@ object Round17Queries {
                     END AS epochs_at_2x
              FROM tot, ws, b ORDER BY source"""))
 
+  /** The semantic channel's eval-integrity readout
+    * ([[graft.extensions.Similarity.semanticReport]]): per held-out
+    * embedding, how many corpus vectors sit within cosine 0.3 in its
+    * cell — the q_contamination_report ↔ q_decontaminate symmetry, in
+    * embedding space. */
+  private val semanticReport = Q("q_semantic_report",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.extensions.Similarity.semanticReport(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0))
+    },
+    Some(s"""WITH ${ExtensionQueries.duckNorm},
+                 c AS (SELECT label AS clabel, e AS ce, nrm AS cnrm
+                       FROM nn WHERE vec_id % 10 <> 0),
+                 b AS (SELECT vec_id AS bench_id, label, e, nrm FROM nn
+                       WHERE vec_id % 10 = 0),
+                 p AS (SELECT b.bench_id,
+                              round(list_sum(list_transform(range(1, len(c.ce) + 1),
+                                                            i -> c.ce[i] * b.e[i]))
+                                    / (c.cnrm * b.nrm), 4) AS cos_r
+                       FROM c JOIN b ON c.clabel = b.label),
+                 h AS (SELECT bench_id,
+                              CAST(sum(CASE WHEN cos_r >= 0.3 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS n_leaks,
+                              max(cos_r) AS max_cos
+                       FROM p GROUP BY 1)
+            SELECT b.bench_id,
+                   coalesce(h.n_leaks, 0) AS n_leaks,
+                   h.max_cos,
+                   coalesce(h.n_leaks, 0) > 0 AS leaked
+            FROM b LEFT JOIN h ON b.bench_id = h.bench_id
+            ORDER BY b.bench_id"""))
+
   val all: Seq[Q] = Seq(mergeScdNull, retrievalDecon, hybridRrf,
     classifierScore, semanticDecon, deconTri, softDedup, softDedupMass,
-    mixtureSoft)
+    mixtureSoft, semanticReport)
 }
