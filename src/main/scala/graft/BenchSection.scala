@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Micro-harness: run ONE bench section by name (the full Bench main
   * takes ~25 min at sf0.1; iterating on a single section's shape
@@ -11,15 +10,7 @@ object BenchSection {
     val section = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.unionOutputPartitioning", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.toolMax(logLevel = "ERROR")
     graft.functions.GraftFunctions.register(spark)
     val rows: Seq[(String, Double)] = section match {
       case "layout" => Bench.layoutBench(spark, sfDir, reps)

@@ -1,12 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.unionOutputPartitioning", "false")
-      .config("spark.sql.session.timeZone","UTC").config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.tool(defaultCpus = 8, logLevel = "ERROR")
     val df = SparkEntry.entry(spark)
     println("ENTRY ROWS=" + df.count())
     df.show(12, false)

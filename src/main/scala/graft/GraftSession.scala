@@ -27,19 +27,49 @@ import graft.functions.GraftExtensions
   *    crash is not worth it.
   */
 object GraftSession {
+
+  /** The conf set every graft session MUST carry, as one auditable map
+    * (r17 VERDICT #4: these lines were copy-pasted across 10 tool
+    * mains — one new tool missing `unionOutputPartitioning=false`
+    * would silently reintroduce the sf10 zip-union crash).
+    * [[builder]] folds this map in; GraftSessionSpec pins the critical
+    * keys AND that no main builds a raw SparkSession around it. */
+  val protectedConfs: Map[String, String] = Map(
+    "spark.sql.unionOutputPartitioning" -> "false", // r17 sf10 crash fix
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    "spark.ui.enabled" -> "false")
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.unionOutputPartitioning", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.aggregatePushdown", "true")
-      .config("spark.ui.enabled", "false")
+    protectedConfs.foldLeft(
+      SparkSession.builder()
+        .master(master)
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores).getOrCreate()
+
+  /** The one session constructor for tool mains (Verify, Bench,
+    * TimeOne, …): local[SPARK_GRAFT_CPUS or `defaultCpus`], shuffle
+    * partitions = cores, protected confs applied, temp warehouse dir
+    * (keeps ad-hoc catalog writes out of the repo root). */
+  def tool(defaultCpus: Int, logLevel: String = "WARN"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString).toInt
+    val s = builder(s"local[$cpus]", cpus)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel(logLevel)
+    s
+  }
+
+  /** [[tool]] defaulted to the box (capped at the target's local[32]). */
+  def toolMax(logLevel: String = "WARN"): SparkSession =
+    tool(math.min(Runtime.getRuntime.availableProcessors(), 32), logLevel)
 }

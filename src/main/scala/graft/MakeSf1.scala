@@ -49,7 +49,13 @@ object MakeSf1 {
     * on. One tiny agg per table. */
   private def requireUnder(df: org.apache.spark.sql.DataFrame,
                            keyCol: String, stride: Long, tbl: String): Unit = {
-    val mx = df.agg(max(col(keyCol))).head().getLong(0)
+    val row = df.agg(max(col(keyCol))).head()
+    // empty source → max is NULL; fail with the loud fixture diagnostic,
+    // not getLong's opaque NPE (r17 ADVICE)
+    require(!row.isNullAt(0),
+      s"$tbl is empty at the source — nothing to synthesize from; " +
+        "point MakeSf1 at a populated sf<=0.1 fixture dir")
+    val mx = row.getLong(0)
     require(mx < stride,
       s"$tbl.$keyCol max $mx >= replica stride $stride — replicas would " +
         "overlap and silently merge cells; synthesize only from a source " +
@@ -109,14 +115,9 @@ object MakeSf1 {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "testdata_sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.unionOutputPartitioning", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, src, dst, reps, cpus.toInt)
+    val spark = GraftSession.tool(defaultCpus = 16)
+    synthesize(spark, src, dst, reps,
+      spark.sparkContext.defaultParallelism)
     println(s"MAKESF1 done: $dst at ${reps}x $src")
     spark.stop()
   }

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev measurement for the band-saturation lever: times
@@ -15,13 +14,7 @@ object TimeHammingLever {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "testdata_sf1"
     val reps = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.unionOutputPartitioning", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.tool(defaultCpus = 16, logLevel = "ERROR")
     val docs = Tables.table(spark, sfDir, "documents")
     val hashes = graft.extensions.Dedup
       .simHash(docs, share = false)

@@ -425,17 +425,24 @@ object TextAnalysis {
     * there: a micro-batch is never re-read). */
   private[graft] def bm25PerDoc(documents: DataFrame,
       queryTerms: Seq[String], share: Boolean = true): DataFrame = {
+    // distinct FIRST (r17 ADVICE): a duplicated query term would emit two
+    // identical tf structs, doubling that term's df (shifting idf) and
+    // double-counting its per-doc contribution — the old explode+
+    // isInCollection form was duplicate-robust, this array build must be
+    // made so explicitly. The memo key uses the same deduped bag so
+    // bm25(["a","a"]) and bm25(["a"]) share one materialization.
+    val terms = queryTerms.distinct
     val build = documents
       .select(col("doc_id"),
         filter(split(lower(coalesce(col("text"), lit(""))), " "),
           t => t =!= "").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        array(queryTerms.map(t =>
+        array(terms.map(t =>
           struct(lit(t).as("token"),
             size(filter(col("toks"), x => x === lit(t)))
               .cast("long").as("tf"))): _*).as("tfs"))
       .filter(col("dl") > 0)
-    if (share) Dedup.sharedFrame(documents, "bm25_perdoc", queryTerms)(build)
+    if (share) Dedup.sharedFrame(documents, "bm25_perdoc", terms)(build)
     else build
   }
 
@@ -610,12 +617,24 @@ object TextAnalysis {
           ((col("tfb") + lit(1.0)) / (col("tb") + col("v")))), 6).as("w"))
   }
 
-  /** INFER: score documents against a (possibly frozen) weight table —
-    * Σ w(tok)·tf / dl with keep = score > threshold. Tokens outside the
-    * weight vocab contribute 0 (the inner join drops them) while still
-    * counting toward dl — unseen-token behavior a frozen-vocab
-    * deployment needs. Shared verbatim by [[classifierScore]] and the
-    * streaming twin. */
+  /** Prepare the NB weight table as a frozen dim: ONE localCheckpoint +
+    * sizing count, broadcast if it fits — decided HERE, once, not inside
+    * the per-call/per-batch scorer (r17 ADVICE: [[scoreWithWeights]]
+    * used to re-run maybeBroadcastGrams on every invocation, so a
+    * long-running stream re-materialized the vocab dim and leaked a
+    * checkpointed RDD per micro-batch). Mirrors how
+    * [[graft.streaming.StreamingRetrievalDecon]] freezes benchGrams. */
+  private[graft] def prepareWeightDim(weights: DataFrame): DataFrame =
+    maybeBroadcastGrams(weights, BroadcastGramLimit)
+
+  /** INFER: score documents against a PREPARED weight dim
+    * ([[prepareWeightDim]]) — Σ w(tok)·tf / dl with keep =
+    * score > threshold. Consumes the dim as-is (no re-materialization:
+    * per batch = batch tf + the already-decided weight join). Tokens
+    * outside the weight vocab contribute 0 (the inner join drops them)
+    * while still counting toward dl — unseen-token behavior a
+    * frozen-vocab deployment needs. Shared verbatim by
+    * [[classifierScore]] and the streaming twin. */
   private[graft] def scoreWithWeights(documents: DataFrame,
       weights: DataFrame, threshold: Double): DataFrame = {
     val docs = classifierDocs(documents)
@@ -623,7 +642,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val scored = tf
-      .join(maybeBroadcastGrams(weights, BroadcastGramLimit), "tok")
+      .join(weights, "tok")
       .select(col("doc_id"),
         round(col("w") * col("tf"), 6).cast("decimal(18,6)").as("c"))
       .groupBy("doc_id").agg(sum("c").as("s"))
@@ -642,7 +661,8 @@ object TextAnalysis {
 
   def classifierScore(documents: DataFrame,
                       threshold: Double = 0.0): DataFrame =
-    scoreWithWeights(documents, nbWeights(documents), threshold)
+    scoreWithWeights(documents, prepareWeightDim(nbWeights(documents)),
+      threshold)
 
   /** Distribution-based quality cutoff — keep documents at or above their
     * stratum's `q`-quantile of a quality metric (percentile filters are

@@ -21,10 +21,13 @@ import graft.extensions.TextAnalysis
   * batch scan + the broadcast weight join); zero streaming state. */
 object StreamingClassifier {
 
-  /** The frozen weight dim, localCheckpoint'ed so every batch reads one
-    * materialization. */
+  /** The frozen weight dim: localCheckpoint'ed AND broadcast-decided
+    * here, once (TextAnalysis.prepareWeightDim), so every batch reads
+    * one materialization and the scorer never re-sizes or re-checkpoints
+    * it per micro-batch (r17 ADVICE — the old path accumulated one
+    * never-unpersisted checkpointed RDD per batch). */
   def weights(corpus: DataFrame): DataFrame =
-    TextAnalysis.nbWeights(corpus).localCheckpoint()
+    TextAnalysis.prepareWeightDim(TextAnalysis.nbWeights(corpus))
 
   /** Score one STATIC batch frame (doc_id, text, n_chars) against the
     * frozen weights — the exact per-micro-batch code path. */

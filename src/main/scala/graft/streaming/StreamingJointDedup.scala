@@ -96,7 +96,11 @@ object StreamingJointDedup {
       audioIndex: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val probedKinds = Set("image") ++ audioIndex.map(_ => "audio")
+    // String.valueOf: a NULL kind must reach the require's diagnostic as
+    // "null", not NPE out of Ordering[String].sorted before the message
+    // prints (r17 ADVICE)
     val unprobed = batch.select("kind").distinct().as[String].collect()
+      .map(String.valueOf(_: String))
       .filterNot(probedKinds)
     require(unprobed.isEmpty,
       s"batch carries attachment kinds with no matching index: " +

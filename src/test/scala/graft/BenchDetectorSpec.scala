@@ -141,4 +141,36 @@ class BenchDetectorSpec extends SparkSpec {
     assert(adjUniform.flagged.isEmpty, adjUniform.toString)
     assert(adjUniform.regressions.isEmpty, adjUniform.toString)
   }
+
+  test("drift gate (1.5x vs best-ever anchors) catches sub-2x compounding drift the per-round gate is blind to") {
+    // r17 VERDICT #1: q_pct_window sat at 1.69x its r16 min across two
+    // rounds with "regressions EMPTY" on every cover — under the 2.0x
+    // per-round threshold a compounding sub-gate creep never flags.
+    // Bench now runs adjudicate a SECOND time against best-ever-min
+    // anchors (bench_anchors.json) at threshold 1.5 / floor 0.25; this
+    // pins the gate arithmetic on exactly that shape. Pure-function leg
+    // — the Spark-measured legs above already prove retime reality.
+    val anchors = Map("q_driftish" -> 0.40, "q_steady_a" -> 1.0,
+      "q_steady_b" -> 2.0, "q_steady_c" -> 0.9)
+    val now = Seq("q_steady_a" -> 1.02, "q_steady_b" -> 2.01,
+      "q_steady_c" -> 0.91, "q_driftish" -> 0.676) // 1.69x its anchor
+    // drifted: the solo retime reproduces the inflated min
+    val drift = BenchDetector.adjudicate(now, anchors,
+      retime = { n => assert(n == "q_driftish"); 0.66 },
+      retimeProbeFactor = 1.0, threshold = 1.5, floorSec = 0.25)
+    assert(drift.flagged == Seq("q_driftish"), drift.toString)
+    assert(drift.regressions.map(_._1) == Seq("q_driftish"), drift.toString)
+    // box_load: the solo retime lands back at the anchor
+    val clean = BenchDetector.adjudicate(now, anchors,
+      retime = { n => assert(n == "q_driftish"); 0.41 },
+      retimeProbeFactor = 1.0, threshold = 1.5, floorSec = 0.25)
+    assert(clean.flagged == Seq("q_driftish") && clean.regressions.isEmpty,
+      clean.toString)
+    // under the old per-round gate the same row never flags — the blind
+    // spot this second pass exists to close
+    val blind = BenchDetector.adjudicate(now, anchors,
+      retime = n => sys.error(s"must not retime at 2.0x: $n"),
+      retimeProbeFactor = 1.0, threshold = 2.0, floorSec = 0.5)
+    assert(blind.flagged.isEmpty, blind.toString)
+  }
 }

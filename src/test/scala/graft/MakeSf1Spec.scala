@@ -83,6 +83,20 @@ class MakeSf1Spec extends SparkSpec {
     assert(e.getMessage.contains("stride"), e.getMessage)
   }
 
+  test("an EMPTY source table fails with the fixture diagnostic, not an NPE") {
+    // r17 ADVICE: max(key) over an empty table is NULL; getLong(0) threw
+    // an opaque NullPointerException where the guard exists to be loud.
+    val empty = java.nio.file.Files.createTempDirectory("graft-sf1-empty")
+    Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(0).write.parquet(s"$empty/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      MakeSf1.synthesize(spark, empty.toString,
+        java.nio.file.Files.createTempDirectory("graft-sf1-empty-out").toString,
+        reps = 2, parts = 2)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("cross-replica vectors land in disjoint cells (no pair interaction)") {
     val out = spark.read.parquet(s"$dst/embeddings.parquet")
     val mixedCells = out

@@ -171,6 +171,21 @@ class StreamingJointDedupSpec extends SparkSpec {
     assert(got == expected, got.toString)
   }
 
+  test("a NULL kind reaches the diagnostic, not an NPE out of sorted") {
+    // r17 ADVICE: the unprobed-kind guard collected a null element and
+    // NPE'd inside Ordering[String].sorted before its require message
+    // could print — the one failure mode worse than admitting the row.
+    val (ti, mi) = indexes()
+    val nullKindRow = PairedRow(302L, "caption whose kind column is null",
+      null, TestImages.seededPng(13), noMeta)
+    val e = intercept[IllegalArgumentException] {
+      StreamingJointDedup.jointCandidates(
+        spark, ti, mi, (batch :+ nullKindRow).toDF())
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+    assert(e.getMessage.contains("no matching index"), e.getMessage)
+  }
+
   test("both probe legs stay banded equi-joins — no cartesian, no nested loop") {
     val (ti, mi) = indexes()
     val p = StreamingJointDedup.jointCandidates(spark, ti, mi, batch.toDF())
