@@ -1920,10 +1920,11 @@ object Bench {
     // adjudication core factored into BenchDetector (r16 VERDICT #1) so
     // BenchDetectorSpec can drive it with a REAL injected plan
     // regression; semantics unchanged.
-    val adj = BenchDetector.adjudicate(
-      results.map { case (n, _) => n -> minsNow(n) },
-      prevMins,
-      retime = name => (1 to 3).map { _ =>
+    // solo-retime MEMO shared by the per-round pass and the drift pass
+    // below — a row flagged by both gates is re-timed once, not twice
+    val retimeMemo = scala.collection.mutable.Map.empty[String, Double]
+    def soloRetime(name: String): Double = retimeMemo.getOrElseUpdate(name,
+      (1 to 3).map { _ =>
         time {
           try SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
@@ -1931,7 +1932,11 @@ object Bench {
             System.err.println(s"[bench] retime $name failed: ${e.getMessage}")
           }
         }
-      }.min,
+      }.min)
+    val adj = BenchDetector.adjudicate(
+      results.map { case (n, _) => n -> minsNow(n) },
+      prevMins,
+      retime = soloRetime,
       retimeProbeFactor = calProbe() / calBase)
     val boxFactor = adj.boxFactor
     val flaggedInitial = adj.flagged
@@ -1950,7 +1955,65 @@ object Bench {
     }.mkString("[", ",", "]")
     println(f"""{"metric":"regressions_vs_prev","count":${regressions.size},"stat":"min","threshold":2.0,"box_factor":$boxFactor%.3f,"floor_sec":0.5,"rows":$regStr,"flagged_pre_retime":${flaggedInitial.size},"retimes":$retimeStr,"retime_factor":$retimeFactor%.2f,"calibration":$calStr}""")
 
-    val summary = f"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"regressions_vs_prev":$regStr,"stat":"min","flagged_pre_retime":${flaggedInitial.size},"retimes":$retimeStr,"box_factor":$boxFactor%.3f,"calibration":$calStr,"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
+    // r17 VERDICT #1: cross-round drift memory. The per-round gate above
+    // (2.0x vs the PREVIOUS run) is structurally blind to compounding
+    // sub-2x creep — q_pct_window reached 1.69x its r16 min across two
+    // rounds with "regressions EMPTY" on every cover. A second
+    // adjudication pass runs against bench_anchors.json (per-query
+    // BEST-EVER min, seeded from the full git history of
+    // bench_queries.json by tools/seed_anchors.py) at threshold 1.5 /
+    // floor 0.25, through the SAME retime/box-factor machinery — a
+    // flagged row either retimes back toward its anchor (box_load) or
+    // stays listed as `drifted` for attribution. Anchor maintenance is
+    // min-merge (monotone non-increasing), so a loaded run can never
+    // RAISE an anchor; both the comparison and the write are gated on
+    // the sf0.1 contract scale — at any other sf the mins are a
+    // different workload and min-merging them would poison every anchor
+    // downward.
+    val anchorPath = java.nio.file.Paths.get("bench_anchors.json")
+    val sfIsContract = sfDir.endsWith("sf0.1")
+    val anchorLines: Seq[String] = try {
+      if (!java.nio.file.Files.exists(anchorPath)) Seq.empty
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(anchorPath)).asScala.toSeq
+    } catch { case _: Throwable => Seq.empty }
+    val bestRe = "\"best_min\":([-0-9.eE]+)".r
+    val anchors: Map[String, Double] = anchorLines.flatMap { line =>
+      for (q <- qRe.findFirstMatchIn(line); m <- bestRe.findFirstMatchIn(line))
+        yield q.group(1) -> m.group(1).toDouble
+    }.toMap
+    val drift =
+      if (sfIsContract && anchors.nonEmpty) BenchDetector.adjudicate(
+        results.map { case (n, _) => n -> minsNow(n) },
+        anchors,
+        retime = soloRetime,
+        retimeProbeFactor = calProbe() / calBase,
+        threshold = 1.5, floorSec = 0.25)
+      else BenchDetector.Adjudication(1.0, Seq.empty, 1.0, Map.empty, Seq.empty)
+    val driftRows = drift.regressions
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val driftRetimeStr = drift.flagged.map { name =>
+      val v = if (drift.regressions.exists(_._1 == name)) "drifted"
+        else "box_load"
+      s""""$name":{"suite_min":${minsNow(name)},"retime_min":${retimeMemo(name)},"best_min":${anchors(name)},"verdict":"$v"}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"drift_vs_anchor","count":${drift.regressions.size},"stat":"min","threshold":1.5,"floor_sec":0.25,"box_factor":${drift.boxFactor}%.3f,"rows":$driftRows,"flagged_pre_retime":${drift.flagged.size},"retimes":$driftRetimeStr,"retime_factor":${drift.retimeFactor}%.2f,"anchored":${anchors.size},"applied":$sfIsContract}""")
+    if (sfIsContract) {
+      val mergedAnchors = results.map(_._1).sorted.flatMap { q =>
+        val cands = Seq(anchors.get(q),
+          Some(minsNow(q)).filter(_ > 0), retimeMemo.get(q)).flatten
+        if (cands.isEmpty) None else Some(q -> cands.min)
+      }
+      try java.nio.file.Files.writeString(anchorPath,
+        mergedAnchors.map { case (q, m) => s"""{"q":"$q","best_min":$m}""" }
+          .mkString("", "\n", "\n"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_anchors.json write failed: ${e.getMessage}")
+      }
+    }
+
+    val summary = f"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${results.size},"flagship":${byName.getOrElse("q_flagship", -1.0)},"slowest":${jsonNum(slowest)},"regressions_vs_prev":$regStr,"stat":"min","flagged_pre_retime":${flaggedInitial.size},"retimes":$retimeStr,"box_factor":$boxFactor%.3f,"drift_vs_anchor":$driftRows,"drift_flagged":${drift.flagged.size},"drift_retimes":$driftRetimeStr,"calibration":$calStr,"shared_build":$sharedBuild,"reps":$reps,"sf":"$sfDir"}"""
     println(summary)
     // r11 VERDICT #5: the summary as its own FILE, immune to any stdout
     // tail window — the driver (or a human) can always json.load this.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -233,6 +234,19 @@ object ExtensionQueries {
        nn AS (SELECT vec_id, label, e,
                      sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
               FROM ne)"""
+
+  /** The held-out membership convention every decontamination /
+    * leakage row shares (r17 VERDICT #8): key % [[HeldOutMod]] == 0
+    * plays the benchmark (held-out) side, the rest the corpus being
+    * cleaned — doc_id for text rows, vec_id for embedding rows (the
+    * tables are the same 1:1 corpus). ONE constant + two predicates so
+    * a future row can't quietly pick `% 7` and stop agreeing with the
+    * family; the oracles state the convention literally
+    * ("% 10 = 0" / "% 10 <> 0") and SharedCteSpec pins the literal and
+    * the constant to each other. */
+  private[queries] val HeldOutMod = 10
+  private[queries] def heldOut(key: Column): Column = key % HeldOutMod === 0
+  private[queries] def corpusSide(key: Column): Column = key % HeldOutMod =!= 0
 
   private val dedupEmbcos = Q("q_dedup_embcos",
     (s, dir) => Similarity.blockedCosinePairs(table(s, dir, "embeddings"), 20),
@@ -550,8 +564,8 @@ object ExtensionQueries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       graft.extensions.CorpusPipeline.cleanFull(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0))
+        docs.filter(corpusSide(col("doc_id"))),
+        docs.filter(heldOut(col("doc_id"))))
         .orderBy("doc_id")
     },
     Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
@@ -816,8 +830,8 @@ object ExtensionQueries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       TextAnalysis.decontaminate(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), n = 4)
+        docs.filter(corpusSide(col("doc_id"))),
+        docs.filter(heldOut(col("doc_id"))), n = 4)
         .orderBy("doc_id")
     },
     Some("""WITH g AS (SELECT doc_id,

@@ -1264,8 +1264,8 @@ object Round10Queries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       graft.extensions.CorpusPipeline.funnelFull(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0))
+        docs.filter(ExtensionQueries.corpusSide(col("doc_id"))),
+        docs.filter(ExtensionQueries.heldOut(col("doc_id"))))
         .orderBy("stage_idx")
     },
     Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),

@@ -180,18 +180,24 @@ object Round16Queries {
                     CAST(id = min(r) AS BOOLEAN) AS kept
              FROM reach GROUP BY id ORDER BY id"""))
 
-  /** Okapi BM25 retrieval over the corpus ([[graft.extensions
-    * .TextAnalysis.bm25]]): the lexical ranking behind retrieval-based
-    * selection and decontamination triage. Fixed query-term bag, top-15;
-    * per-term contributions 6-decimal-rounded and DECIMAL-summed on
-    * BOTH engines so the per-doc sum is order-independent. */
-  private val bm25Q = Q("q_bm25",
-    (s, dir) => graft.extensions.TextAnalysis.bm25(
-      table(s, dir, "documents"), Seq("spark", "vector", "stream"), k = 15),
-    Some("""WITH t2 AS (SELECT doc_id, tok FROM
+  /** The BM25 scoring chain (t2 → dl → st → qt → tf → idf → contrib,
+    * Lucene idf, k1=1.2 b=0.75, the fixed 'spark vector stream' term
+    * bag, DECIMAL per-term contributions) as ONE parameterized oracle
+    * fragment — the shared-CTE discipline (r16 VERDICT #8, extended to
+    * BM25 by r17 VERDICT #2: three hand-copies of this chain had
+    * already diverged by a corpus filter inside t2, the exact drift
+    * class SharedCteSpec exists to stop). `corpusFilter` is the only
+    * legitimate variation point (q_retrieval_decon scores the
+    * training slice; q_bm25 / q_hybrid_rrf the whole corpus) and is
+    * spliced into t2's FROM clause, e.g. " WHERE doc_id % 10 <> 0".
+    * Consumers SELECT from `contrib` (sum per doc → bm25).
+    * SharedCteSpec pins that every oracle declaring `contrib AS (`
+    * embeds an instantiation of this fragment verbatim. */
+  private[queries] def duckBm25(corpusFilter: String): String =
+    s"""t2 AS (SELECT doc_id, tok FROM
                           (SELECT doc_id,
                                   unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
-                           FROM documents)
+                           FROM documents$corpusFilter)
                         WHERE tok <> ''),
                  dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
                  st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -210,7 +216,17 @@ object Round16Queries {
                                          6) AS DECIMAL(18,6)) AS c
                              FROM tf JOIN idf USING (tok)
                                      JOIN dl USING (doc_id)
-                                     CROSS JOIN st)
+                                     CROSS JOIN st)"""
+
+  /** Okapi BM25 retrieval over the corpus ([[graft.extensions
+    * .TextAnalysis.bm25]]): the lexical ranking behind retrieval-based
+    * selection and decontamination triage. Fixed query-term bag, top-15;
+    * per-term contributions 6-decimal-rounded and DECIMAL-summed on
+    * BOTH engines so the per-doc sum is order-independent. */
+  private val bm25Q = Q("q_bm25",
+    (s, dir) => graft.extensions.TextAnalysis.bm25(
+      table(s, dir, "documents"), Seq("spark", "vector", "stream"), k = 15),
+    Some(s"""WITH ${duckBm25("")}
             SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
             FROM contrib GROUP BY 1
             ORDER BY bm25 DESC, doc_id LIMIT 15"""))

@@ -141,33 +141,11 @@ object Round17Queries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       graft.extensions.TextAnalysis.retrievalDecon(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(ExtensionQueries.corpusSide(col("doc_id"))),
+        docs.filter(ExtensionQueries.heldOut(col("doc_id"))),
         Seq("spark", "vector", "stream"), k = 20, n = 4)
     },
-    Some("""WITH t2 AS (SELECT doc_id, tok FROM
-                          (SELECT doc_id,
-                                  unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
-                           FROM documents WHERE doc_id % 10 <> 0)
-                        WHERE tok <> ''),
-                 dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
-                 st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-                 qt AS (SELECT doc_id, tok FROM t2
-                        WHERE tok IN ('spark', 'vector', 'stream')),
-                 tf AS (SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY 1, 2),
-                 idf AS (SELECT df.tok,
-                                round(ln(1.0 + (st.n_docs - df.df + 0.5)
-                                               / (df.df + 0.5)), 6) AS idf
-                         FROM (SELECT tok, count(*) AS df
-                               FROM (SELECT DISTINCT doc_id, tok FROM qt)
-                               GROUP BY 1) df CROSS JOIN st),
-                 contrib AS (SELECT tf.doc_id,
-                                    CAST(round(idf.idf * (tf.tf * 2.2)
-                                          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
-                                         6) AS DECIMAL(18,6)) AS c
-                             FROM tf JOIN idf USING (tok)
-                                     JOIN dl USING (doc_id)
-                                     CROSS JOIN st),
+    Some(s"""WITH ${Round16Queries.duckBm25(" WHERE doc_id % 10 <> 0")},
                  topk AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
                           FROM contrib GROUP BY 1
                           ORDER BY bm25 DESC, doc_id LIMIT 20),
@@ -213,29 +191,7 @@ object Round17Queries {
     (s, dir) => graft.extensions.Similarity.hybridRrf(
       table(s, dir, "documents"), table(s, dir, "embeddings"),
       Seq("spark", "vector", "stream")),
-    Some(s"""WITH t2 AS (SELECT doc_id, tok FROM
-                          (SELECT doc_id,
-                                  unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
-                           FROM documents)
-                        WHERE tok <> ''),
-                 dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
-                 st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-                 qt AS (SELECT doc_id, tok FROM t2
-                        WHERE tok IN ('spark', 'vector', 'stream')),
-                 tf AS (SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY 1, 2),
-                 idf AS (SELECT df.tok,
-                                round(ln(1.0 + (st.n_docs - df.df + 0.5)
-                                               / (df.df + 0.5)), 6) AS idf
-                         FROM (SELECT tok, count(*) AS df
-                               FROM (SELECT DISTINCT doc_id, tok FROM qt)
-                               GROUP BY 1) df CROSS JOIN st),
-                 contrib AS (SELECT tf.doc_id,
-                                    CAST(round(idf.idf * (tf.tf * 2.2)
-                                          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
-                                         6) AS DECIMAL(18,6)) AS c
-                             FROM tf JOIN idf USING (tok)
-                                     JOIN dl USING (doc_id)
-                                     CROSS JOIN st),
+    Some(s"""WITH ${Round16Queries.duckBm25("")},
                  lexk AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
                           FROM contrib GROUP BY 1
                           ORDER BY bm25 DESC, doc_id LIMIT 50),
@@ -317,8 +273,8 @@ object Round17Queries {
     (s, dir) => {
       val emb = table(s, dir, "embeddings")
       graft.extensions.Similarity.semanticDecon(
-        emb.filter(col("vec_id") % 10 =!= 0),
-        emb.filter(col("vec_id") % 10 === 0))
+        emb.filter(ExtensionQueries.corpusSide(col("vec_id"))),
+        emb.filter(ExtensionQueries.heldOut(col("vec_id"))))
     },
     Some(s"""WITH ${ExtensionQueries.duckNorm},
                  c AS (SELECT vec_id, label, e, nrm FROM nn
@@ -363,12 +319,12 @@ object Round17Queries {
       val docs = table(s, dir, "documents")
       val emb = table(s, dir, "embeddings")
       val gram = graft.extensions.TextAnalysis.decontaminate(
-          docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0), n = 4)
+          docs.filter(ExtensionQueries.corpusSide(col("doc_id"))),
+          docs.filter(ExtensionQueries.heldOut(col("doc_id"))), n = 4)
         .select(col("doc_id"), col("n_shared").as("gram_hits"))
       val sem = graft.extensions.Similarity.semanticDecon(
-          emb.filter(col("vec_id") % 10 =!= 0),
-          emb.filter(col("vec_id") % 10 === 0))
+          emb.filter(ExtensionQueries.corpusSide(col("vec_id"))),
+          emb.filter(ExtensionQueries.heldOut(col("vec_id"))))
         .select(col("vec_id").as("doc_id"), col("n_hits").as("sem_hits"),
           col("max_cos"))
       // LEFT join: at sf ≥ 0.1 only a subset of documents carries an
@@ -531,8 +487,8 @@ object Round17Queries {
     (s, dir) => {
       val emb = table(s, dir, "embeddings")
       graft.extensions.Similarity.semanticReport(
-        emb.filter(col("vec_id") % 10 =!= 0),
-        emb.filter(col("vec_id") % 10 === 0))
+        emb.filter(ExtensionQueries.corpusSide(col("vec_id"))),
+        emb.filter(ExtensionQueries.heldOut(col("vec_id"))))
     },
     Some(s"""WITH ${ExtensionQueries.duckNorm},
                  c AS (SELECT label AS clabel, e AS ce, nrm AS cnrm

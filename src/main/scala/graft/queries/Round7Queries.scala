@@ -90,8 +90,8 @@ object Round7Queries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       TextAnalysis.contaminationReport(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(ExtensionQueries.corpusSide(col("doc_id"))),
+        docs.filter(ExtensionQueries.heldOut(col("doc_id"))),
         n = 4).orderBy("bench_id")
     },
     Some("""WITH g AS (SELECT doc_id,

@@ -71,4 +71,51 @@ class SharedCteSpec extends AnyFunSuite {
           "a reason")
     }
   }
+
+  test("every oracle declaring the BM25 contrib chain embeds a duckBm25 instantiation verbatim") {
+    // the PARAMETERIZED shared fragment (r17 VERDICT #2): duckBm25's
+    // corpusFilter is its one variation point, so verbatim-sharing is
+    // pinned per INSTANTIATION — the whole-corpus form (q_bm25,
+    // q_hybrid_rrf) and the training-slice form (q_retrieval_decon).
+    // Any oracle that declares `contrib AS (` without one of these
+    // instantiations is a new hand-copy of the scoring chain.
+    val instantiations = Seq(
+      Round16Queries.duckBm25(""),
+      Round16Queries.duckBm25(" WHERE doc_id % 10 <> 0"))
+    instantiations.foreach(f => assert(f.trim.nonEmpty))
+    val declaring = oracles.collect {
+      case (q, sql) if sql.contains("contrib AS (") => q -> sql
+    }
+    assert(declaring.size >= 3,
+      s"expected the three BM25 consumers, found ${declaring.keys.toSeq.sorted}")
+    val handCopies = declaring.collect {
+      case (q, sql) if !instantiations.exists(sql.contains) => q
+    }.toSeq.sorted
+    assert(handCopies.isEmpty,
+      s"oracles declare `contrib AS (` without embedding a duckBm25 " +
+        s"instantiation verbatim: ${handCopies.mkString(", ")}")
+    // and the whole-corpus instantiation is genuinely SHARED (>= 2 users)
+    val wholeCorpusUsers = oracles.collect {
+      case (q, sql) if sql.contains(instantiations.head) => q
+    }.toSeq.sorted
+    assert(wholeCorpusUsers.size >= 2, wholeCorpusUsers.toString)
+  }
+
+  test("the held-out membership convention is one constant and the oracle family states it literally") {
+    // r17 VERDICT #8: the `% 10 = 0` held-out convention used to be
+    // restated per row; the Spark side now derives from
+    // ExtensionQueries.heldOut/corpusSide. The oracles keep the literal
+    // (hand-written SQL stays self-contained) — this pin ties the
+    // constant and the literal together so changing one without the
+    // other fails loudly.
+    assert(ExtensionQueries.HeldOutMod == 10,
+      "HeldOutMod changed — every decon oracle's literal `% 10` and " +
+        "this pin must change with it")
+    val family = oracles.collect {
+      case (q, sql) if sql.contains("% 10 = 0") || sql.contains("% 10 <> 0") => q
+    }.toSeq.sorted
+    assert(family.size >= 5,
+      s"expected the decon/leakage family to state `% 10` literally, " +
+        s"found only: ${family.mkString(", ")}")
+  }
 }
