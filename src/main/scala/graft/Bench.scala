@@ -1490,7 +1490,11 @@ object Bench {
     *    batch scan + the k-bounded containment join.
     *  - quality classifier ([[graft.streaming.StreamingClassifier]]):
     *    frozen NB weight table; per batch = batch tf + broadcast weight
-    *    join. */
+    *    join.
+    *  - soft dedup ([[graft.streaming.StreamingSoftDedup]]): corpus
+    *    state (membership + remap) and band index built at refresh
+    *    cadence; per batch = row-local banding + index probe +
+    *    batch-sized CC fold. */
   def admissionBench(spark: SparkSession, sfDir: String,
       reps: Int = 3): Seq[(String, Double)] = {
     import graft.streaming.{StreamingClassifier, StreamingRetrievalDecon}
@@ -1530,6 +1534,39 @@ object Bench {
     }
     val clsKept = StreamingClassifier.admitBatch(batch, w)
       .filter(col("keep")).count().toDouble
+    // soft dedup (r17 verdict #5): the dedup-adjusted source-mass input
+    // of mixture planning maintained incrementally — state bootstrap at
+    // refresh cadence (the whole-corpus CC, paid once) beside the
+    // steady-state per-batch fold (row-local banding + index probe +
+    // batch-sized CC). The arriving slice reuses corpus TEXTS under new
+    // ids, so every batch doc near-dups its original — the fold pays
+    // the full merge path, and the mass delta proves the probe fired.
+    val sdDocs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+      .filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+    val sdBatch = sdDocs.filter(pmod(col("doc_id"), lit(25L)) === 1)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
+        col("text"))
+      .localCheckpoint()
+    var sdIndex: org.apache.spark.sql.DataFrame = null
+    var sdState: graft.streaming.StreamingSoftDedup.State = null
+    val sdBuildT = timeMed(reps, "softdedup_state_build") {
+      graft.extensions.Dedup.evictShared(spark) // bill a cold CC build
+      sdIndex = graft.extensions.Dedup.bandBuckets(
+        graft.extensions.Dedup.shingles(sdDocs, share = false),
+        share = false).localCheckpoint()
+      sdState = graft.streaming.StreamingSoftDedup.fromCorpus(sdDocs)
+    }
+    var sdNext: graft.streaming.StreamingSoftDedup.State = null
+    val sdAdmitT = timeMed(reps, "softdedup_admit_batch") {
+      sdNext = graft.streaming.StreamingSoftDedup
+        .admitBatch(sdState, sdIndex, sdBatch)
+    }
+    // work proof: re-posted texts join their originals' clusters, so
+    // admitted mass must land as fractional weight, not new singletons
+    val sdMerged = graft.streaming.StreamingSoftDedup.weights(sdNext)
+      .filter(col("doc_id") >= 10000000L && col("cluster_size") > 1)
+      .count().toDouble
     Seq(
       "admission_batch_rows" -> batchRows,
       "decon_dims_build" -> dimsT,
@@ -1537,7 +1574,10 @@ object Bench {
       "decon_flagged" -> deconFlagged,
       "classifier_weights_build" -> wT,
       "classifier_probe_batch" -> clsT,
-      "classifier_kept" -> clsKept)
+      "classifier_kept" -> clsKept,
+      "softdedup_state_build" -> sdBuildT,
+      "softdedup_admit_batch" -> sdAdmitT,
+      "softdedup_batch_merged" -> sdMerged)
   }
 
   def skewJoinBench(
