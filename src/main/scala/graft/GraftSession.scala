@@ -57,11 +57,15 @@ object GraftSession {
 
   /** The one session constructor for tool mains (Verify, Bench,
     * TimeOne, …): local[SPARK_GRAFT_CPUS or `defaultCpus`], shuffle
-    * partitions = cores, protected confs applied, temp warehouse dir
-    * (keeps ad-hoc catalog writes out of the repo root). */
+    * partitions = cores (overridable via SPARK_GRAFT_SHUFFLE — the
+    * spill-sizing lever: r18 used it to attribute the wide-merge
+    * decade cliff to sort spill with cores held constant), protected
+    * confs applied, temp warehouse dir (keeps ad-hoc catalog writes
+    * out of the repo root). */
   def tool(defaultCpus: Int, logLevel: String = "WARN"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString).toInt
-    val s = builder(s"local[$cpus]", cpus)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus.toString).toInt
+    val s = builder(s"local[$cpus]", shuffle)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()

@@ -77,6 +77,25 @@ object CorpusPipeline {
       maxDupBigram: Double = 0.2,
       contamGram: Int = 5,
       containmentTau: Option[Double] = None): DataFrame = {
+    val decon = gatedDecon(documents, benchmark, t, maxDupBigram, contamGram)
+    // shareShingles=false: the checkpointed frame's plan is unique per
+    // run, so session-memoizing shingles keyed on it would only grow the
+    // memo without ever hitting
+    dedupAndSplit(decon, decon, t, shareShingles = false,
+      containmentTau = containmentTau)
+  }
+
+  /** [[cleanFull]]'s GATE stage, exposed as the pipeline's natural
+    * seam (and the decade lever's stage boundary — TimeDecadeLever
+    * bills it solo at sf1/sf10): quality → repetition →
+    * decontamination, MATERIALIZED. Returns the checkpointed
+    * decontaminated frame the dedup tail consumes. */
+  def gatedDecon(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      t: Thresholds = Thresholds(),
+      maxDupBigram: Double = 0.2,
+      contamGram: Int = 5): DataFrame = {
     val quality = TextAnalysis.qualityScore(documents)
       .filter(col("n_tok").between(t.minTokens, t.maxTokens) &&
         col("stop_ratio") <= t.maxStopRatio)
@@ -92,19 +111,14 @@ object CorpusPipeline {
     // that coincidental phrase reuse does not wipe the corpus)
     val contaminated = TextAnalysis
       .contaminationHits(gated, benchmark, contamGram).select("doc_id")
-    val decon = gated.join(contaminated, Seq("doc_id"), "left_anti")
+    gated.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    // shareShingles=false: the checkpointed frame's plan is unique per
-    // run, so session-memoizing shingles keyed on it would only grow the
-    // memo without ever hitting
-    dedupAndSplit(decon, decon, t, shareShingles = false,
-      containmentTau = containmentTau)
   }
 
   /** Shared tail of [[clean]]/[[cleanFull]]: exact dedup → LSH near-dup
     * removal (± containment gate) → split, over `gated` (a filtered
     * view of `documents`). */
-  private def dedupAndSplit(
+  private[graft] def dedupAndSplit(
       documents: DataFrame, gated: DataFrame, t: Thresholds,
       shareShingles: Boolean = true,
       containmentTau: Option[Double] = None): DataFrame = {

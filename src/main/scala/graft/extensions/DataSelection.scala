@@ -190,6 +190,61 @@ object DataSelection {
       .select(col("lang"), col("bucket"), col("n_docs"), col("bigram_sum"),
         expr("(n_docs * 1000000) div lang_docs").as("share_ppm"))
 
+  /** DoReMi-style excess-loss domain weights (Xie et al. 2023,
+    * simplified to the deterministic one-shot a data engine can run
+    * without a proxy-model training loop): per SOURCE, the mean
+    * reference-LM loss (−[[perplexityScore]], the engine's proxy for
+    * "how hard this domain still is"), its EXCESS over the
+    * cross-source mean (clipped at 0 — domains already easier than
+    * average get no boost, DoReMi's clipping), and the resulting
+    * mixture weight softmax(η·excess) smoothed with `epsilon` of
+    * uniform (the Group-DRO smoothing that keeps every domain
+    * sampled). Feeds [[Mixture]] the same way q_mixture_soft feeds
+    * dedup-adjusted mass — an alternative weighting channel, biased
+    * toward learnable-headroom domains instead of raw token mass.
+    *
+    * Determinism discipline: per-doc scores are rounded(4) upstream →
+    * DECIMAL-summed per source; per-source losses rounded(4) →
+    * DECIMAL-summed for the cross-source mean; exp() outputs
+    * rounded(6) → DECIMAL-summed for the softmax denominator — every
+    * sum is order-independent, so both engines divide identical exact
+    * numerators (the q_shard_balance lesson applied to a transcendental
+    * chain). Sources with no scorable docs take excess 0 (the neutral
+    * uniform share).
+    *
+    * Scale shape: rides the memoized scored frame ([[perplexityScore]])
+    * with one narrow source join; everything after the per-source
+    * aggregate is K-row arithmetic on broadcast scalars. */
+  def excessLossWeights(
+      documents: DataFrame, eta: Double = 1.0,
+      epsilon: Double = 0.1): DataFrame = {
+    val scored = perplexityScore(documents)
+      .select(col("doc_id"), col("avg_log2_p").cast("decimal(18,4)").as("s"))
+    val bySrc = documents.select(col("doc_id"), col("source"))
+      .join(scored, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("s").as("ssum"),
+        count(col("s")).as("n_scored"))
+      .select(col("source"), col("n_docs"),
+        round(-col("ssum").cast("double") / col("n_scored"), 4).as("loss"))
+    val base = bySrc.agg(
+      (sum(col("loss").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("base"))
+    val withW = bySrc.crossJoin(broadcast(base))
+      .withColumn("excess",
+        coalesce(round(greatest(col("loss") - col("base"), lit(0.0)), 4),
+          lit(0.0)))
+      .withColumn("w0",
+        round(exp(lit(eta) * col("excess")), 6).cast("decimal(18,6)"))
+    val tot = withW.agg(sum(col("w0")).cast("double").as("wsum"),
+      count(lit(1)).as("k"))
+    withW.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("loss"), col("excess"),
+        round(lit(1.0 - epsilon) * col("w0").cast("double") / col("wsum") +
+          lit(epsilon) / col("k"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** DSIR importance weights: hash every token into one of `buckets`
     * feature ids (the 48-bit md5 lane [[Sketches.kmvHash]] mod B), fit
     * add-k unigram feature models for the reference (target) and

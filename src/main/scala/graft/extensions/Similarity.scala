@@ -535,4 +535,93 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** [[centroids]] re-assembled into one vector row per cell with its
+    * norm — the broadcastable (k × dim) dim table the IVF family and
+    * the centroid-relative operators below share. */
+  def centroidArrays(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    centroids(embeddings)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+      .withColumn("cnrm", norm(col("cent")))
+  }
+
+  /** Hard-negative mining for contrastive embedding training: for each
+    * ANCHOR vector (every `anchorMod`-th id — a bounded sample, the
+    * knob a mining job tunes to its batch budget), the top-`k`
+    * highest-cosine vectors from OTHER cells among the anchor's
+    * `nprobe` nearest foreign cells — the near-misses a contrastive
+    * loss learns the most from (same spirit as ANCE's ANN-negative
+    * refresh, Xiong et al. 2021).
+    *
+    * Scale shape: the centroid table is k·dim rows (broadcast); the
+    * anchor→cell ranking is anchors × (k−1) cells on the broadcast dim;
+    * the candidate scan joins the corpus to the anchors' probe list by
+    * cell — the anchor side (with its query vectors) is
+    * anchors × nprobe rows and BROADCASTS, so the corpus side stays a
+    * narrow pass into per-anchor top-k windows. No all-pairs anywhere:
+    * cost ∝ corpus × (anchors per cell), bounded by anchorMod. */
+  def hardNegatives(
+      embeddings: DataFrame,
+      anchorMod: Long = 100,
+      nprobe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings)
+    val anchors = e.filter(pmod(col("vec_id"), lit(anchorMod)) === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("albl"),
+        col("e").as("ae"), col("nrm").as("anrm"))
+    val cells = centroidArrays(embeddings)
+    val byCell = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_c").desc, col("label"))
+    val probe = anchors.join(broadcast(cells), col("label") =!= col("albl"))
+      .withColumn("cos_c",
+        round(dot(col("ae"), col("cent")) / (col("anrm") * col("cnrm")), 4))
+      .withColumn("cr", row_number().over(byCell))
+      .filter(col("cr") <= nprobe)
+      .select("anchor_id", "ae", "anrm", "label")
+    val byCos = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    e.join(broadcast(probe), "label")
+      .withColumn("cos_r",
+        round(dot(col("ae"), col("e")) / (col("anrm") * col("nrm")), 4))
+      .withColumn("nrank", row_number().over(byCos).cast("long"))
+      .filter(col("nrank") <= k)
+      .select("anchor_id", "nrank", "vec_id", "label", "cos_r")
+      .orderBy("anchor_id", "nrank")
+  }
+
+  /** D4-style prototypicality pruning (Tirumala et al. 2023): per
+    * cell, DROP the `dropPerMille`/1000 most prototypical vectors —
+    * the ones closest (cosine) to their own centroid, i.e. the
+    * near-redundant cluster cores — and keep the diverse remainder.
+    * The complement of [[centroidOutliers]]: outliers flag the far
+    * tail for quarantine; this trims the dense core for diversity.
+    *
+    * Exact integer cut: within-cell rank (cos desc, vec_id) over
+    * [[Packing.globalRowNumber]] minus broadcast per-cell offsets —
+    * the q_length_buckets idiom, so one hot cell never becomes a
+    * single window partition — and keep ⇔ rank·1000 > n·dropPerMille.
+    * Output (vec_id, label, cos_c, keep), total over the corpus. */
+  def prototypicalityPrune(
+      embeddings: DataFrame,
+      dropPerMille: Int = 200): DataFrame = {
+    require(dropPerMille >= 0 && dropPerMille <= 1000,
+      s"dropPerMille in [0, 1000], got $dropPerMille")
+    val scored = withNorm(embeddings)
+      .join(broadcast(centroidArrays(embeddings)), "label")
+      .withColumn("cos_c",
+        round(dot(col("e"), col("cent")) / (col("nrm") * col("cnrm")), 4))
+      .select("vec_id", "label", "cos_c")
+    val ranked = Packing.globalRowNumber(scored,
+      Seq(col("label"), col("cos_c").desc, col("vec_id")), "_rn")
+    val extents = ranked.groupBy("label")
+      .agg(min("_rn").as("_l0"), count(lit(1)).as("_n"))
+    ranked.join(broadcast(extents), "label")
+      .select(col("vec_id"), col("label"), col("cos_c"),
+        ((col("_rn") - col("_l0") + 1L) * 1000L >
+          col("_n") * dropPerMille).as("keep"))
+  }
 }

@@ -495,9 +495,9 @@ object CoreQueries {
     * directly. PlanAssertionsSpec pins that WholeStageCodegen still
     * compiles the wide chain (codegen bails near ~100-branch widths; 53
     * must stay inside). */
-  private val wideCols: Seq[String] = (0 until 53).map(i => f"w$i%02d")
+  private[graft] val wideCols: Seq[String] = (0 until 53).map(i => f"w$i%02d")
 
-  private def wideSnap(s: SparkSession, dir: String, perturb: Boolean,
+  private[graft] def wideSnap(s: SparkSession, dir: String, perturb: Boolean,
       cond: org.apache.spark.sql.Column): DataFrame = {
     val cols = (0 until 53).map { i =>
       val c = i % 3 match {

@@ -18,7 +18,7 @@ object Round15Queries {
     * transcendental discipline: round(avg(log2(...)), 4)), and rank
     * score thirds per language ((3·r) div n over the 0-based rank —
     * exact integer tiers, no quantile estimation to drift). */
-  private val pplCtes =
+  private[queries] val pplCtes =
     """d AS (SELECT doc_id, lang,
                     list_filter(string_split(lower(coalesce(text, '')), ' '),
                                 t -> t <> '') AS arr,
