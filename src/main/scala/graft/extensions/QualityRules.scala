@@ -52,8 +52,22 @@ object QualityRules {
         * lit(1.0) / nTok, 4))
     val stopArr = array(t.stopwords.map(lit): _*)
     val nStop = size(filter(arr, x => array_contains(stopArr, x))).cast("long")
-    val topCnt = array_max(transform(array_distinct(arr),
-      d => size(filter(arr, x => x === d)).cast("long")))
+    // most-frequent-token count as a run-length fold over the SORTED
+    // array — O(n log n) per row, the tokenEntropy idiom (the first
+    // shape folded once per DISTINCT token, O(n·n_distinct) per row:
+    // measured 45 s → the sorted fold at sf10's 5M docs)
+    val topCnt = element_at(transform(array(array_sort(arr)), sa =>
+      aggregate(
+        sa,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))), 1)
     val topRatio = when(nTok > 0, round(topCnt * lit(1.0) / nTok, 4))
     val distinctRatio = when(nTok > 0, round(
       size(array_distinct(arr)).cast("long") * lit(1.0) / nTok, 4))
@@ -93,14 +107,16 @@ object QualityRules {
       t: Thresholds = Thresholds()): DataFrame = {
     val flags = gopherFlags(documents, t)
     val ruleNames = metrics(tokenArr, t).map(_._1)
-    val perRule = flags.select(explode(array(ruleNames.map(n =>
-      struct(lit(n).as("rule"),
-        (!col(n)).cast("long").as("f"))): _*)).as("x"))
-      .groupBy(col("x.rule").as("rule"))
-      .agg(sum(col("x.f")).as("n_docs"))
-    perRule.unionByName(
-      flags.agg(sum(col("pass").cast("long")).as("n_docs"))
-        .select(lit("pass").as("rule"), col("n_docs")))
+    // ONE corpus scan: every rule's fail count and the survivor count
+    // ride a single scalar aggregate (bounded SINGLE_PARTITION — the
+    // census' benign scalar-agg class), then pivot to rows driver-free
+    val agg = flags.agg(
+      sum((!col(ruleNames.head)).cast("long")).as(ruleNames.head),
+      (ruleNames.tail.map(n => sum((!col(n)).cast("long")).as(n)) :+
+        sum(col("pass").cast("long")).as("pass")): _*)
+    agg.select(explode(array((ruleNames :+ "pass").map(n =>
+      struct(lit(n).as("rule"), col(n).as("n_docs"))): _*)).as("x"))
+      .select(col("x.rule").as("rule"), col("x.n_docs").as("n_docs"))
       .orderBy("rule")
   }
 }
