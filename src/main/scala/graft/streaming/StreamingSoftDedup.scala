@@ -111,6 +111,25 @@ object StreamingSoftDedup {
           .as("dedup_ratio"))
       .orderBy("source")
 
+  /** Persist the state as two parquet directories — the
+    * refresh-cadence checkpoint a long-running admission loop writes so
+    * a RESTART resumes from disk instead of replaying history (the
+    * StreamingDedup no-state-migration discipline applied to this
+    * twin's state). At 100 TB the membership table is APPEND-ONLY by
+    * construction (each batch only adds rows), so a production loop
+    * appends per-batch deltas and rewrites only the merge-bounded
+    * remap; this whole-state writer is the spec-sized form of the same
+    * contract (StreamingSoftDedupSpec pins save → load → continue ≡
+    * uninterrupted). */
+  def save(state: State, dir: String): Unit = {
+    state.membership.write.mode("overwrite").parquet(s"$dir/membership")
+    state.remap.write.mode("overwrite").parquet(s"$dir/remap")
+  }
+
+  def load(spark: SparkSession, dir: String): State = State(
+    spark.read.parquet(s"$dir/membership"),
+    spark.read.parquet(s"$dir/remap"))
+
   /** One micro-batch of admissions folded into the state. `batch` is
     * (doc_id, source, text) with doc_ids disjoint from the corpus;
     * `index` is the corpus' (doc_id, band, bkey) band index INCLUDING

@@ -150,6 +150,37 @@ class StreamingSoftDedupSpec extends SparkSpec {
       Set(("s1", 2L, 0.6667, 0.3333), ("s2", 1L, 0.3333, 0.3333)))
   }
 
+  test("restart from persisted state: save -> load -> continue equals uninterrupted") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "text")
+    val rows = docs.as[(Long, String, String)].collect().sortBy(_._1)
+    val batches = Seq(
+      rows.filter(_._1 % 3 == 0).toSeq,
+      rows.filter(_._1 % 3 == 1).toSeq,
+      rows.filter(_._1 % 3 == 2).toSeq)
+    // first two batches, then the loop "dies": state checkpointed to
+    // parquet, index persisted the way StreamingDedup's growth loop
+    // already does
+    val twoIn = replay(batches.take(2),
+      StreamingSoftDedup.emptyState(spark), emptyIndex)
+    val dir = java.nio.file.Files
+      .createTempDirectory("softdedup-state").toString
+    StreamingSoftDedup.save(twoIn.last, dir)
+    val indexAfter2 = emptyIndex.unionByName(
+      Dedup.bandBucketsRowLocal(
+        batches.take(2).flatten.toDF("doc_id", "source", "text")
+          .select("doc_id", "text")))
+      .localCheckpoint()
+
+    // restart: state reloaded from disk, batch 2 folds in
+    val resumed = replay(Seq(batches(2)),
+      StreamingSoftDedup.load(spark, dir), indexAfter2)
+    assert(massSet(StreamingSoftDedup.mass(resumed.last)) ==
+      massSet(Dedup.softDedupMass(docs)))
+    assert(weightSet(StreamingSoftDedup.weights(resumed.last)) ==
+      weightSet(Dedup.softDedupWeights(docs)))
+  }
+
   test("fromCorpus bootstrap: admissions continue a batch-deduped corpus") {
     // corpus processed in batch mode, then the stream takes over — the
     // refresh-cadence handoff the scaladoc promises
