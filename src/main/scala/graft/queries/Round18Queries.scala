@@ -82,6 +82,31 @@ object Round18Queries {
                  AS BIGINT) FROM gp)
              ORDER BY rule"""))
 
+  /** Shared oracle fragment (used by q_doremi_weights AND
+    * q_mixture_doremi — the SharedCteSpec discipline): per-source
+    * reference-LM loss, clipped excess over the cross-source mean,
+    * and the exp(excess) softmax numerators + denominator. Expects
+    * Round15Queries.pplCtes in scope (the `base` CTE). */
+  private[queries] val duckDoremi =
+    """bs AS (SELECT d2.source, count(*) AS n_docs,
+                     CAST(sum(CAST(b.avg_log2_p AS DECIMAL(18,4)))
+                          AS DOUBLE) AS ssum,
+                     count(b.avg_log2_p) AS n_scored
+              FROM base b JOIN documents d2 USING (doc_id)
+              GROUP BY 1),
+       ls AS (SELECT source, n_docs,
+                     round(-ssum / n_scored, 4) AS loss FROM bs),
+       bb AS (SELECT CAST(sum(CAST(loss AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*) AS base_loss FROM ls),
+       ex AS (SELECT source, n_docs, loss,
+                     coalesce(round(greatest(loss - base_loss, 0), 4),
+                              0.0) AS excess
+              FROM ls CROSS JOIN bb),
+       w0 AS (SELECT *, CAST(round(exp(1.0 * excess), 6)
+                             AS DECIMAL(18,6)) AS w0 FROM ex),
+       tt AS (SELECT CAST(sum(w0) AS DOUBLE) AS wsum,
+                     count(*) AS k FROM w0)"""
+
   /** [[DataSelection.excessLossWeights]] — per-source excess loss over
     * the cross-source mean under the reference LM, softmaxed into the
     * smoothed DoReMi mixture weights. Reuses the ppl oracle CTE chain
@@ -89,28 +114,58 @@ object Round18Queries {
   private val doremiWeights = Q("q_doremi_weights",
     (s, dir) => DataSelection.excessLossWeights(table(s, dir, "documents")),
     Some(s"""WITH ${Round15Queries.pplCtes},
-                 bs AS (SELECT d2.source, count(*) AS n_docs,
-                               CAST(sum(CAST(b.avg_log2_p AS DECIMAL(18,4)))
-                                    AS DOUBLE) AS ssum,
-                               count(b.avg_log2_p) AS n_scored
-                        FROM base b JOIN documents d2 USING (doc_id)
-                        GROUP BY 1),
-                 ls AS (SELECT source, n_docs,
-                               round(-ssum / n_scored, 4) AS loss FROM bs),
-                 bb AS (SELECT CAST(sum(CAST(loss AS DECIMAL(18,4))) AS DOUBLE)
-                               / count(*) AS base_loss FROM ls),
-                 ex AS (SELECT source, n_docs, loss,
-                               coalesce(round(greatest(loss - base_loss, 0), 4),
-                                        0.0) AS excess
-                        FROM ls CROSS JOIN bb),
-                 w0 AS (SELECT *, CAST(round(exp(1.0 * excess), 6)
-                                       AS DECIMAL(18,6)) AS w0 FROM ex),
-                 tt AS (SELECT CAST(sum(w0) AS DOUBLE) AS wsum,
-                               count(*) AS k FROM w0)
+                 $duckDoremi
             SELECT source, n_docs, loss, excess,
                    round(0.9 * CAST(w0 AS DOUBLE) / wsum + 0.1 / k, 6)
                      AS weight
             FROM w0 CROSS JOIN tt ORDER BY source"""))
+
+  /** The excess-loss channel fed END-TO-END into mixture planning —
+    * the channel symmetry q_mixture_soft set up: raw token mass
+    * (q_mixture_plan), dedup-adjusted mass (q_mixture_soft), and now
+    * learnability-weighted shares ([[DataSelection.excessLossWeights]]
+    * → [[graft.extensions.Mixture.plan]]). Weights enter the plan as
+    * integer PPM (round(weight·10⁶) — the plan's exact int64
+    * arithmetic requires integral weights; at ≥10¹³-token corpora use
+    * per-mille instead, since tokens_total·Σweights must stay inside
+    * int64 — the Mixture scaladoc's headroom rule). */
+  private val mixtureDoremi = Q("q_mixture_doremi",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val w = DataSelection.excessLossWeights(docs)
+        .select(col("source"),
+          round(col("weight") * lit(1000000L)).cast("long").as("weight"))
+      graft.extensions.Mixture.plan(docs, w).orderBy("source")
+    },
+    Some(s"""WITH ${Round15Queries.pplCtes},
+                 $duckDoremi,
+                 wts AS (SELECT source,
+                                CAST(round((0.9 * CAST(w0 AS DOUBLE) / wsum
+                                            + 0.1 / k) * 1000000)
+                                     AS BIGINT) AS weight
+                         FROM w0 CROSS JOIN tt),
+                 t AS (${Round14Queries.tokSql}),
+                 tot0 AS (SELECT source, CAST(sum(n_tok) AS BIGINT)
+                                 AS tokens_total
+                          FROM t GROUP BY source),
+                 tot AS (SELECT wts.source,
+                                CAST(coalesce(tokens_total, 0) AS BIGINT)
+                                  AS tokens_total,
+                                weight
+                         FROM wts LEFT JOIN tot0 ON wts.source = tot0.source
+                         WHERE weight > 0),
+                 ws AS (SELECT CAST(sum(weight) AS BIGINT) AS w_sum FROM wts
+                        WHERE weight > 0),
+                 b AS (SELECT CAST(min((tokens_total * w_sum) // weight)
+                                   AS BIGINT) AS budget
+                       FROM tot, ws)
+            SELECT source, tokens_total, weight, budget,
+                   (weight * budget) // w_sum AS keep_tokens,
+                   CASE WHEN tokens_total = 0 THEN CAST(0 AS BIGINT)
+                        ELSE ((weight * budget * 2) // w_sum
+                                + tokens_total - 1) // tokens_total
+                   END AS epochs_at_2x
+            FROM tot, ws, b ORDER BY source"""))
 
   /** [[SpanCorrupt.corrupt]] — deterministic T5-style (input, target)
     * denoising pairs; md5 window coins, ordinal sentinels. */
@@ -223,5 +278,5 @@ object Round18Queries {
             FROM rk ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(gopherRules, gopherReport, doremiWeights,
-    spanCorrupt, hardNegatives, prototypePrune)
+    mixtureDoremi, spanCorrupt, hardNegatives, prototypePrune)
 }

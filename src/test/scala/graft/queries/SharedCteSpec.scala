@@ -21,7 +21,11 @@ class SharedCteSpec extends AnyFunSuite {
     "duckCcReach" -> ExtensionQueries.duckCcReach,
     "duckNorm" -> ExtensionQueries.duckNorm,
     "duckMinhashPairs" -> Round8Queries.duckMinhashPairs,
-    "jointPairCtes" -> Round16Queries.jointPairCtes)
+    "jointPairCtes" -> Round16Queries.jointPairCtes,
+    "pplCtes" -> Round15Queries.pplCtes,
+    "duckDoremi" -> Round18Queries.duckDoremi,
+    "duckGopher" -> Round18Queries.duckGopher,
+    "duckCentroids" -> Round18Queries.duckCentroids)
 
   test("every shared CTE fragment is used verbatim by at least two registered oracles") {
     shared.foreach { case (name, frag) =>
