@@ -1567,6 +1567,25 @@ object Bench {
     val sdMerged = graft.streaming.StreamingSoftDedup.weights(sdNext)
       .filter(col("doc_id") >= 10000000L && col("cluster_size") > 1)
       .count().toDouble
+    // corpus-size sensitivity (the joint_admission full-vs-half
+    // discipline): the banding is batch-local and the index probe is
+    // bucket-keyed, but membership RESOLUTION is one narrow metadata
+    // scan per batch — this pair of rows measures what that costs as
+    // the corpus doubles (16 B/row metadata, honest number not a claim)
+    val sdDocsHalf = sdDocs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+    var sdIndexHalf: org.apache.spark.sql.DataFrame = null
+    var sdStateHalf: graft.streaming.StreamingSoftDedup.State = null
+    timeMed(1, "softdedup_half_build") {
+      graft.extensions.Dedup.evictShared(spark)
+      sdIndexHalf = graft.extensions.Dedup.bandBuckets(
+        graft.extensions.Dedup.shingles(sdDocsHalf, share = false),
+        share = false).localCheckpoint()
+      sdStateHalf = graft.streaming.StreamingSoftDedup.fromCorpus(sdDocsHalf)
+    }
+    val sdAdmitHalfT = timeMed(reps, "softdedup_admit_batch_halfcorpus") {
+      graft.streaming.StreamingSoftDedup
+        .admitBatch(sdStateHalf, sdIndexHalf, sdBatch)
+    }
     Seq(
       "admission_batch_rows" -> batchRows,
       "decon_dims_build" -> dimsT,
@@ -1577,6 +1596,7 @@ object Bench {
       "classifier_kept" -> clsKept,
       "softdedup_state_build" -> sdBuildT,
       "softdedup_admit_batch" -> sdAdmitT,
+      "softdedup_admit_batch_halfcorpus" -> sdAdmitHalfT,
       "softdedup_batch_merged" -> sdMerged)
   }
 
