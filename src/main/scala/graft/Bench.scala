@@ -237,6 +237,22 @@ object Bench {
     val cellFilesTotal = parquetFiles(java.nio.file.Paths.get(cellDir))
     val cellFilesRead = parquetFiles(
       java.nio.file.Paths.get(cellDir, s"cell_id=$probeCell"))
+    // persisted IVF index (r18 VERDICT #2) — the exact path q_ann_ivf
+    // rides: ONE label-partitioned write (billed cold via eviction),
+    // then every probe statically prunes to the query cell's directory;
+    // build-vs-probe is the postings pricing discipline
+    var ivfIdxDir: String = null
+    val ivfIdxBuildT = timeMed(reps, "ivf_index_build") {
+      Similarity.evictIvfIndex(spark)
+      ivfIdxDir = Similarity.ivfIndexPath(emb)
+    }
+    val ivfIdx = spark.read.parquet(ivfIdxDir)
+    val ivfIdxProbeT = timeMed(reps, "ivf_index_probe")(
+      Similarity.ivfTopKIndexed(ivfIdx, 0L, 10).collect())
+    val ivfIdxFilesTotal =
+      graft.plans.Layout.scannedFiles(ivfIdx).size
+    val ivfIdxFilesRead = graft.plans.Layout
+      .scannedFiles(Similarity.ivfTopKIndexed(ivfIdx, 0L, 10)).size
     (Seq(1, 2, 4).map { nprobe =>
       val recalls = valid.map { qid =>
         val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
@@ -251,6 +267,10 @@ object Bench {
       "cellpart_files_read" -> cellFilesRead.toDouble,
       "index_build_k64" -> idxBuild,
       "index_build_k4096" -> idxBuild4k,
+      "ivf_index_build" -> ivfIdxBuildT,
+      "ivf_index_probe" -> ivfIdxProbeT,
+      "ivf_index_files_total" -> ivfIdxFilesTotal.toDouble,
+      "ivf_index_files_read" -> ivfIdxFilesRead.toDouble,
       "pq_train_m8k256" -> pqTrainT,
       "pq_encode" -> pqEncodeT,
       "pq_recall10_adc" ->
@@ -1534,6 +1554,14 @@ object Bench {
     }
     val clsKept = StreamingClassifier.admitBatch(batch, w)
       .filter(col("keep")).count().toDouble
+    // Gopher rule battery at admission (r18 VERDICT #7): stateless
+    // per-doc flags — one narrow codegen'd batch projection, zero state
+    val gopherT = timeMed(reps, "gopher_probe_batch") {
+      graft.streaming.StreamingGopherGate.admitBatch(batch)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val gopherRejected = graft.streaming.StreamingGopherGate.admitBatch(batch)
+      .filter(!col("pass")).count().toDouble
     // soft dedup (r17 verdict #5): the dedup-adjusted source-mass input
     // of mixture planning maintained incrementally — state bootstrap at
     // refresh cadence (the whole-corpus CC, paid once) beside the
@@ -1544,8 +1572,12 @@ object Bench {
     val sdDocs = Tables.table(spark, sfDir, "documents")
       .select("doc_id", "source", "text")
       .filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+    // arriving ids must be disjoint from the corpus (the admitBatch
+    // contract): derive the offset from the corpus max, not a fixed
+    // constant that a larger sf would silently collide with (r18 ADVICE)
+    val sdOffset = sdDocs.agg(max("doc_id")).head.getLong(0) + 1L
     val sdBatch = sdDocs.filter(pmod(col("doc_id"), lit(25L)) === 1)
-      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
+      .select((col("doc_id") + lit(sdOffset)).as("doc_id"), col("source"),
         col("text"))
       .localCheckpoint()
     var sdIndex: org.apache.spark.sql.DataFrame = null
@@ -1565,7 +1597,7 @@ object Bench {
     // work proof: re-posted texts join their originals' clusters, so
     // admitted mass must land as fractional weight, not new singletons
     val sdMerged = graft.streaming.StreamingSoftDedup.weights(sdNext)
-      .filter(col("doc_id") >= 10000000L && col("cluster_size") > 1)
+      .filter(col("doc_id") >= sdOffset && col("cluster_size") > 1)
       .count().toDouble
     // corpus-size sensitivity (the joint_admission full-vs-half
     // discipline): the banding is batch-local and the index probe is
@@ -1594,6 +1626,8 @@ object Bench {
       "classifier_weights_build" -> wT,
       "classifier_probe_batch" -> clsT,
       "classifier_kept" -> clsKept,
+      "gopher_probe_batch" -> gopherT,
+      "gopher_rejected" -> gopherRejected,
       "softdedup_state_build" -> sdBuildT,
       "softdedup_admit_batch" -> sdAdmitT,
       "softdedup_admit_batch_halfcorpus" -> sdAdmitHalfT,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.merge.ScdMerge
+import graft.plans.Layout
+import graft.queries.CoreQueries
+
+/** Dev measurement for the bucketed, SORT-FREE wide SCD merge (r18
+  * VERDICT #1): the r18 noop billing measured q_merge_scd_wide
+  * SUPER-linear at a fixed 8 GiB heap (13.7×/decade, attributed to the
+  * full-outer SMJ sort-spilling 53-column UnsafeRows; PLANS.md r18
+  * block), with "bucket the state on the merge key" as the stated —
+  * but undemonstrated — remedy. This lever runs that remedy end to
+  * end at sf1/sf10 and bills its pieces solo, at the ORIGINAL heap:
+  *
+  *  - state_build: snapshot A merged into empty state (the same wide
+  *    projection q_merge_scd_wide uses), then written by
+  *    [[Layout.writeBucketedSorted]] — the one-time index price.
+  *  - merge_noop: [[ScdMerge.applySnapshot]] of the perturbed snapshot
+  *    B against the BUCKETED state table, full projection via a noop
+  *    sink (TimeOne's honest-billing mode). The state side runs with
+  *    no Exchange and no Sort (ScdBucketedMergeSpec pins the plan), so
+  *    the only sort left is the arriving snapshot's.
+  *  - merge_noop_bktsnap: the same merge with snapshot B ALSO
+  *    pre-bucketed — the zero-sort plan a 100 TB pipeline gets when
+  *    arrivals are ingest-normalized into the state's bucketing.
+  *
+  * Usage: runMain graft.TimeBucketedMerge [sfDir] [buckets] [reps] */
+object TimeBucketedMerge {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "testdata_sf1"
+    val buckets = if (args.length > 1) args(1).toInt else 32
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = GraftSession.tool(defaultCpus = 8, logLevel = "ERROR")
+    // expose the bucketed scan's sort order (2.4 semantics: claimed
+    // only when a bucket is one file — writeBucketedSorted's invariant)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def time[A](label: String)(f: => A): Unit =
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        f
+        println(f"TIMING $label rep=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+
+    val a = CoreQueries.wideSnap(spark, sfDir, perturb = false,
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    def b = CoreQueries.wideSnap(spark, sfDir, perturb = true,
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+    val cols = CoreQueries.wideCols
+
+    time("state_build") {
+      val s1 = ScdMerge.applySnapshot(
+        ScdMerge.emptyState(a), a, "1998-01-01", "id", cols)
+      Layout.writeBucketedSorted(s1, "scd_state_bench", Seq("id"), buckets)
+    }
+    time("merge_noop") {
+      ScdMerge.applySnapshot(
+          spark.table("scd_state_bench"), b, "1998-06-01", "id", cols)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // arrivals ingest-normalized into the state's bucketing: dedupe
+    // at write time, then merge with snapshotDeduped = true — the
+    // ZERO-Exchange ZERO-Sort plan on both sides
+    Layout.writeBucketedSorted(
+      b.dropDuplicates("id"), "scd_snap_bench", Seq("id"), buckets)
+    time("merge_noop_bktsnap") {
+      ScdMerge.applySnapshot(
+          spark.table("scd_state_bench"), spark.table("scd_snap_bench"),
+          "1998-06-01", "id", cols, snapshotDeduped = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

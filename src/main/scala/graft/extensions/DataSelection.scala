@@ -209,8 +209,13 @@ object DataSelection {
     * rounded(6) → DECIMAL-summed for the softmax denominator — every
     * sum is order-independent, so both engines divide identical exact
     * numerators (the q_shard_balance lesson applied to a transcendental
-    * chain). Sources with no scorable docs take excess 0 (the neutral
-    * uniform share).
+    * chain). EVERY source appears in the output (a LEFT join from the
+    * per-source doc counts — r18 ADVICE: an inner join silently dropped
+    * a source whose docs all sit in the reference slice): sources with
+    * no scorable docs carry loss NULL and take excess 0 (the neutral
+    * uniform share), and the cross-source mean divides by the number of
+    * sources WITH a loss, so unscorable sources can't deflate the base.
+    * `n_docs` counts ALL of a source's documents.
     *
     * Scale shape: rides the memoized scored frame ([[perplexityScore]])
     * with one narrow source join; everything after the per-source
@@ -220,16 +225,19 @@ object DataSelection {
       epsilon: Double = 0.1): DataFrame = {
     val scored = perplexityScore(documents)
       .select(col("doc_id"), col("avg_log2_p").cast("decimal(18,4)").as("s"))
-    val bySrc = documents.select(col("doc_id"), col("source"))
+    val srcs = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val scoredBySrc = documents.select(col("doc_id"), col("source"))
       .join(scored, "doc_id")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("s").as("ssum"),
-        count(col("s")).as("n_scored"))
+      .agg(sum("s").as("ssum"), count(col("s")).as("n_scored"))
+    val bySrc = srcs.join(scoredBySrc, Seq("source"), "left")
       .select(col("source"), col("n_docs"),
-        round(-col("ssum").cast("double") / col("n_scored"), 4).as("loss"))
+        when(coalesce(col("n_scored"), lit(0L)) > 0,
+          round(-col("ssum").cast("double") / col("n_scored"), 4))
+          .as("loss"))
     val base = bySrc.agg(
       (sum(col("loss").cast("decimal(18,4)")).cast("double") /
-        count(lit(1))).as("base"))
+        count(col("loss"))).as("base"))
     val withW = bySrc.crossJoin(broadcast(base))
       .withColumn("excess",
         coalesce(round(greatest(col("loss") - col("base"), lit(0.0)), 4),

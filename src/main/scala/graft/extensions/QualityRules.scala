@@ -39,6 +39,34 @@ object QualityRules {
       maxTopRatio: Double = 0.2,
       minDistinctRatio: Double = 0.3)
 
+  /** The default Thresholds above are HARNESS-corpus-adapted (short
+    * synthetic docs); this companion carries the publish-parity preset
+    * so a real-corpus run can cite the paper's settings directly. */
+  object Thresholds {
+
+    /** Rae et al. 2021 table A1's published values, mapped field by
+      * field onto this battery's five rules:
+      *  - word count in [50, 100000]            → minTok / maxTok
+      *  - mean word length in [3, 10] chars     → minMeanLen / maxMeanLen
+      *  - ≥ 2 hits of the paper's 8-word stop list
+      *    {the, be, to, of, and, that, have, with} → stopwords / minStop
+      *  - most-frequent-token ratio ≤ 0.2 — the repetition symptom,
+      *    this battery's token-count form of the paper's
+      *    top-word character-fraction rule     → maxTopRatio
+      *  - distinct-token ratio ≥ 0.8 — the diversity floor at the
+      *    published shape (the paper states it as the complementary
+      *    duplicate-fraction family)           → minDistinctRatio */
+    val published: Thresholds = Thresholds(
+      minTok = 50,
+      maxTok = 100000,
+      minMeanLen = 3.0,
+      maxMeanLen = 10.0,
+      stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStop = 2,
+      maxTopRatio = 0.2,
+      minDistinctRatio = 0.8)
+  }
+
   /** The rules' shared per-doc metrics, as columns over a token-array
     * column `arr` — exposed so the flags and the report derive from
     * ONE expression set (no drift between them). */

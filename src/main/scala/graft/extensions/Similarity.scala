@@ -191,6 +191,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persisted IVF index — [[ivfTopK]]'s scaladoc promise ("at 100 TB
+    * the cell is a partition key and this becomes partition pruning")
+    * DEMONSTRATED (r18 VERDICT #2): the normalized corpus is written
+    * ONCE, label-partitioned, so a probe's cell predicate statically
+    * prunes to the probed cells' directories — IvfIndexSpec pins the
+    * scanned-file set via [[graft.plans.Layout.scannedFiles]] (the
+    * delta-log-pruning evidence pattern). Build cost is one corpus
+    * scan + write, amortized across every subsequent query; Bench's
+    * ann section prices build vs probe (the postings discipline). */
+  def writeIvfIndex(embeddings: DataFrame, path: String): Unit =
+    withNorm(embeddings)
+      .write.mode("overwrite").partitionBy("label").parquet(path)
+
+  /** Session-memoized index build: one write per (session, corpus
+    * plan); every caller probes the same on-disk index (the
+    * Dedup.sharedFrame discipline applied to a persisted artifact —
+    * fresh temp dir per JVM, so no cross-run staleness). */
+  private val ivfIndexMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def ivfIndexPath(embeddings: DataFrame): String = {
+    val spark = embeddings.sparkSession
+    val key = (spark, embeddings.queryExecution.analyzed.canonicalized.toString)
+    ivfIndexMemo.getOrElseUpdate(key, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+        .toFile.getAbsolutePath
+      writeIvfIndex(embeddings, dir)
+      dir
+    })
+  }
+
+  /** Drop this session's memoized index paths (bench billing: evict,
+    * then the next [[ivfIndexPath]] pays a cold build). */
+  def evictIvfIndex(spark: org.apache.spark.sql.SparkSession): Unit =
+    ivfIndexMemo.keys.filter(_._1 eq spark).foreach(ivfIndexMemo.remove)
+
+  /** Probe the persisted index: the query row is a point lookup (at
+    * scale a kv fetch — or the caller already holds the vector), and
+    * the cell search then filters on the LITERAL cell id, so the scan
+    * is statically partition-pruned to the query's cell directory.
+    * Same rows as [[ivfTopK]] bit for bit: the index stores the exact
+    * float→double cast and unrounded norm ivfTopK computes inline
+    * (q_ann_ivf rides this path; the driver hash gate pins the
+    * equivalence). */
+  def ivfTopKIndexed(index: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    val qr = index.filter(col("vec_id") === queryId)
+      .select("label", "e", "nrm").head()
+    val (qlabel, qe, qn) =
+      (qr.getInt(0), qr.getSeq[Double](1).toArray, qr.getDouble(2))
+    index.filter(col("label") === qlabel && col("vec_id") =!= queryId)
+      .withColumn("cos_r",
+        round(dot(col("e"), typedLit(qe)) / (col("nrm") * lit(qn)), 4))
+      .select("vec_id", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Brute-force top-k cosine over int8-QUANTIZED vectors — searching the
     * 4×-smaller representation a 100 TB corpus actually holds in memory.
     * The per-vector max-abs scales cancel in cosine, so the score is the
@@ -563,16 +622,28 @@ object Similarity {
     * cell — the anchor side (with its query vectors) is
     * anchors × nprobe rows and BROADCASTS, so the corpus side stays a
     * narrow pass into per-anchor top-k windows. No all-pairs anywhere:
-    * cost ∝ corpus × (anchors per cell), bounded by anchorMod. */
+    * cost ∝ corpus × (anchors per cell), bounded by anchorMod.
+    *
+    * The anchor side is corpus-proportional through anchorMod (corpus /
+    * anchorMod rows, each carrying a full vector), so the broadcast is
+    * GUARDED (r18 VERDICT #5): one narrow count() of the anchor slice
+    * adjudicates — at or under `broadcastAnchorCap` anchors the probe
+    * list broadcasts (the default path, plan and hashes unchanged);
+    * above it the probe join runs as a plain cell-keyed shuffle join
+    * (both sides exchange on `label` — the right plan when the anchor
+    * side is itself data-scaled). Both sides of the threshold are
+    * plan-pinned in HardNegativesSpec. */
   def hardNegatives(
       embeddings: DataFrame,
       anchorMod: Long = 100,
       nprobe: Int = 2,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      broadcastAnchorCap: Long = 100000L): DataFrame = {
     val e = withNorm(embeddings)
     val anchors = e.filter(pmod(col("vec_id"), lit(anchorMod)) === 0)
       .select(col("vec_id").as("anchor_id"), col("label").as("albl"),
         col("e").as("ae"), col("nrm").as("anrm"))
+    val anchorCount = anchors.count()
     val cells = centroidArrays(embeddings)
     val byCell = Window.partitionBy("anchor_id")
       .orderBy(col("cos_c").desc, col("label"))
@@ -584,7 +655,9 @@ object Similarity {
       .select("anchor_id", "ae", "anrm", "label")
     val byCos = Window.partitionBy("anchor_id")
       .orderBy(col("cos_r").desc, col("vec_id"))
-    e.join(broadcast(probe), "label")
+    val probeSide =
+      if (anchorCount <= broadcastAnchorCap) broadcast(probe) else probe
+    e.join(probeSide, "label")
       .withColumn("cos_r",
         round(dot(col("ae"), col("e")) / (col("anrm") * col("nrm")), 4))
       .withColumn("nrank", row_number().over(byCos).cast("long"))

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   * a pure function of the doc. No randomness, no state.
   *
   * Scale shape: one narrow projection per document — token split,
-  * window flags, two array folds — zero shuffles, embarrassingly
-  * parallel, whole-stage-codegen'd HOFs end to end. The sentinel
-  * prefix-count is O(windows²) per doc via slice+filter, bounded by
-  * (doc tokens / windowLen)² — trivially small for token-bounded docs
-  * and still linearizable per-partition if a corpus ever needed it. */
+  * window flags, one prefix-sum fold, two array transforms — zero
+  * shuffles, embarrassingly parallel, whole-stage-codegen'd HOFs end
+  * to end. The sentinel ordinal comes from ONE aggregate fold over the
+  * flags (js[i] = masked windows before window i, O(windows) fold
+  * steps per doc), so both transforms read it as an O(1) element_at —
+  * the per-window slice+filter prefix count this replaced re-scanned
+  * the flag prefix per window (O(windows²) per doc, r18 VERDICT #4). */
 object SpanCorrupt {
 
   /** (doc_id, n_tok, n_windows, n_masked, input_text, target_text).
@@ -45,8 +47,13 @@ object SpanCorrupt {
             i -> substring(md5(CAST(concat(CAST(doc_id AS STRING), ':',
                    CAST(i AS STRING)) AS BINARY)), 1, 1) < '$maskHexBound')
           END"""
-    // sentinel ordinal = masked windows BEFORE window i
-    val jSql = "size(filter(slice(flags, 1, i), f -> f))"
+    // sentinel ordinal = masked windows BEFORE window i, as ONE
+    // prefix-sum fold (js has size(flags)+1 entries; js[i+1] in
+    // element_at's 1-based indexing = masked count before window i)
+    val jsSql =
+      """aggregate(flags, array(0),
+         (acc, f) -> array_append(acc, element_at(acc, -1) + IF(f, 1, 0)))"""
+    val jSql = "element_at(js, i + 1)"
     val spanSql = s"array_join(slice(arr, i * $L + 1, $L), ' ')"
     val inputSql =
       s"""CASE WHEN size(flags) = 0 THEN ''
@@ -66,6 +73,8 @@ object SpanCorrupt {
     documents
       .select(col("doc_id"), expr(arrSql).as("arr"))
       .select(col("doc_id"), col("arr"), expr(flagsSql).as("flags"))
+      .select(col("doc_id"), col("arr"), col("flags"),
+        expr(jsSql).as("js"))
       .select(col("doc_id"),
         size(col("arr")).cast("long").as("n_tok"),
         size(col("flags")).cast("long").as("n_windows"),

@@ -1,0 +1,172 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer — BPE's missing sibling
+  * (Kudo 2018, "Subword Regularization"; r18 VERDICT #3): instead of
+  * greedily growing merges, START from a large seed vocabulary of
+  * candidate pieces, fit unigram piece probabilities, and PRUNE to the
+  * target size; segmentation is the Viterbi best path under the piece
+  * log-probabilities. Deterministic one-shot simplification of the
+  * paper's EM loop (the DoReMi discipline — what a data engine can run
+  * without a training loop): seed counts → one hard-EM round (Viterbi
+  * E-step, recount M-step) → frequency prune → renormalize.
+  *
+  * The corpus-scale insight is [[BpeTrain]]'s, inherited: training
+  * never iterates the corpus — ONE scan builds the (word, freq) table
+  * and everything after works on vocabulary-sized frames. The model
+  * itself (piece → logp) is bounded like [[KMeans]]' centroids or the
+  * q_pq_adc codebooks, so the Viterbi DP consumes it as a broadcast
+  * map literal: segmentation is a NARROW per-row fold — no joins, no
+  * shuffles, O(len · maxPieceLen) per word — embarrassingly parallel
+  * at any corpus size.
+  *
+  * Determinism (both q_unigram rows have bitwise DuckDB oracles, the
+  * oracle re-deriving Viterbi INDEPENDENTLY by full segmentation
+  * enumeration + argmax): scores are round(log2(count/total), 6) at
+  * every handoff; path scores accumulate left-to-right in both
+  * engines (identical doubles per path); and the best path is the max
+  * under the TOTAL order (score DESC, n_pieces ASC, segmentation ASC)
+  * — a suffix-compatible order (ties diverge at a space-vs-letter
+  * position inside the common prefix), so the DP's local tie-breaks
+  * compose to the oracle's global argmax. */
+object UnigramLm {
+
+  /** (word, freq) over the corpus — the one corpus scan. */
+  def wordFreqs(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Seed candidate counts: every substring of length ≤ `maxPieceLen`
+    * of every corpus word, occurrence-weighted by word frequency
+    * (single characters included by construction — full coverage). */
+  def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+              i -> transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})),
+                     j -> substring(word, i, j - i + 1))))""")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("c"))
+
+  /** (piece, logp) with logp = round(log2(c / Σc), 6) — the rounded
+    * handoff that keeps every downstream comparison cross-engine. */
+  private def logProbs(counts: DataFrame): DataFrame = {
+    val total = counts.agg(sum("c")).head.getLong(0)
+    counts.select(col("piece"),
+      round(log2(col("c") * lit(1.0) / lit(total.toDouble)), 6).as("logp"))
+  }
+
+  /** The Viterbi best segmentation of `word` under the bounded
+    * (piece → logp) model `mp`, as one HOF fold: acc[p] is the best
+    * (score, n_pieces, segmentation) reaching position p; step i
+    * extends from the ≤ `maxPieceLen` predecessors through the map
+    * lookups. Returns struct(score, np, seg) — null fields when the
+    * word cannot be covered by the vocabulary. */
+  private def viterbiCol(word: Column, mp: Column, maxPieceLen: Int): Column = {
+    val unreachable = struct(
+      lit(null).cast("double").as("s"),
+      lit(null).cast("int").as("np"),
+      lit(null).cast("string").as("seg"))
+    val fold = aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0.0).as("s"), lit(0).as("np"), lit("").as("seg"))),
+      (acc, i) => {
+        val best = aggregate(
+          sequence(lit(1), least(lit(maxPieceLen), i)),
+          unreachable,
+          (b, l) => {
+            val piece = word.substr(i - l + lit(1), l)
+            val prev = element_at(acc, i - l + lit(1))
+            val lp = try_element_at(mp, piece)
+            val cs = prev.getField("s") + lp
+            val cnp = prev.getField("np") + lit(1)
+            val cseg = when(prev.getField("np") === 0, piece)
+              .otherwise(concat(prev.getField("seg"), lit(" "), piece))
+            // total order (s desc, np asc, seg asc); candidates with an
+            // unreachable predecessor or an out-of-vocab piece are null
+            val better = prev.getField("s").isNotNull && lp.isNotNull &&
+              (b.getField("s").isNull ||
+                cs > b.getField("s") ||
+                (cs === b.getField("s") &&
+                  (cnp < b.getField("np") ||
+                    (cnp === b.getField("np") && cseg < b.getField("seg")))))
+            when(better,
+              struct(cs.as("s"), cnp.as("np"), cseg.as("seg"))).otherwise(b)
+          })
+        array_append(acc, best)
+      },
+      acc => element_at(acc, length(word) + lit(1)))
+    when(length(word) === 0, unreachable).otherwise(fold)
+  }
+
+  /** Viterbi-segment each (word, freq) row under a bounded vocabulary:
+    * (word, freq, segmentation, n_pieces, score(4)). Unsegmentable
+    * words keep NULL segmentation (can't happen when the vocab covers
+    * all single characters, as [[train]]'s output does). */
+  def viterbiSegment(
+      words: DataFrame,
+      vocab: Map[String, Double],
+      maxPieceLen: Int): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    val mp = typedLit(vocab)
+    words
+      .withColumn("_v", viterbiCol(col("word"), mp, maxPieceLen))
+      .select(col("word"), col("freq"),
+        col("_v.seg").as("segmentation"),
+        col("_v.np").cast("long").as("n_pieces"),
+        round(col("_v.s"), 4).as("score"))
+  }
+
+  /** Train: seed → ONE hard-EM round → prune → renormalize.
+    * Output (piece, count, logp, is_char):
+    *  - count: the M-step count (Viterbi-segment every word under the
+    *    SEED scores, recount pieces freq-weighted);
+    *  - prune: keep single characters unconditionally (coverage) plus
+    *    the top `vocabSize` pieces by (count DESC, piece ASC);
+    *  - logp: renormalized over the kept mass, NULL for a kept
+    *    character the E-step never used (count 0).
+    * The seed and model are vocabulary-sized; the only corpus-scaled
+    * work is [[wordFreqs]]' one scan. The Viterbi E-step runs on the
+    * DISTINCT-WORD table, not the corpus — the BpeTrain insight. */
+  def train(
+      documents: DataFrame,
+      vocabSize: Int = 24,
+      maxPieceLen: Int = 4): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(maxPieceLen > 0, s"maxPieceLen must be positive: $maxPieceLen")
+    val words = wordFreqs(documents).localCheckpoint()
+    val seed = logProbs(seedCounts(words, maxPieceLen))
+    // bounded collect: the seed is vocabulary-sized (distinct
+    // substrings of distinct words), the KMeans-centroid class
+    val seedMap = seed.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val eStep = viterbiSegment(words, seedMap, maxPieceLen)
+    val mCounts = eStep
+      .select(col("freq"), explode(split(col("segmentation"), " ")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("c"))
+    val chars = words.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("piece"))
+      .distinct()
+    val ranked = mCounts.withColumn("_rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("piece"))))
+    // the rank window is a single partition by construction — the
+    // frame is vocabulary-sized (≤ seed pieces), the census' benign
+    // bounded class, same as BpeTrain's per-round argmax
+    val kept = ranked
+      .join(chars.withColumn("_ch", lit(true)), Seq("piece"), "full_outer")
+      .filter(col("_ch").isNotNull || col("_rk") <= vocabSize)
+      .select(col("piece"), coalesce(col("c"), lit(0L)).as("count"))
+    val keptTotal = kept.agg(sum("count")).head.getLong(0)
+    kept.select(col("piece"), col("count"),
+        when(col("count") > 0,
+          round(log2(col("count") * lit(1.0) / lit(keptTotal.toDouble)), 6))
+          .as("logp"),
+        (length(col("piece")) === 1).as("is_char"))
+      .orderBy(col("count").desc, col("piece"))
+  }
+}

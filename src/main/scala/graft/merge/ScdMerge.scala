@@ -53,16 +53,26 @@ object ScdMerge {
 
   /** Applies one dated snapshot to the state. `snapshot` must carry the key
     * plus `trackedCols`; duplicate keys are dropped first (the reference's
-    * scraper dedupes ids with a set, get_vacancies.py:67-72). */
+    * scraper dedupes ids with a set, get_vacancies.py:67-72).
+    *
+    * `snapshotDeduped = true` skips that dedup pass — for arrivals
+    * already unique on the key (e.g. ingest-normalized into the
+    * state's bucketing via [[graft.plans.Layout.writeBucketedSorted]]).
+    * The point is plan shape, not just the saved aggregate: the
+    * HashAggregate the dedup inserts destroys the scan's sort order,
+    * so only a deduped bucketed snapshot joins a bucketed state with
+    * ZERO Exchange and ZERO Sort on BOTH sides (ScdBucketedMergeSpec
+    * pins it) — the 100 TB merge plan. */
   def applySnapshot(
       state: DataFrame,
       snapshot: DataFrame,
       snapshotDate: String,
       keyCol: String,
-      trackedCols: Seq[String]): DataFrame = {
+      trackedCols: Seq[String],
+      snapshotDeduped: Boolean = false): DataFrame = {
 
     val d = to_date(lit(snapshotDate))
-    val snap = snapshot.dropDuplicates(keyCol)
+    val snap = if (snapshotDeduped) snapshot else snapshot.dropDuplicates(keyCol)
 
     val s = state.alias("s")
     val n = snap.alias("n")

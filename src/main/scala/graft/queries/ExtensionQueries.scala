@@ -294,7 +294,13 @@ object ExtensionQueries {
             ORDER BY cos_q DESC, vec_id LIMIT 10"""))
 
   private val annIvf = Q("q_ann_ivf",
-    (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"), 0L, 10),
+    // rides the PERSISTED label-partitioned index (r18 VERDICT #2):
+    // build memoized per session, probe statically partition-pruned to
+    // the query's cell; rows identical to the inline ivfTopK (oracle
+    // unchanged, IvfIndexSpec pins the scanned-file set)
+    (s, dir) => Similarity.ivfTopKIndexed(
+      s.read.parquet(Similarity.ivfIndexPath(table(s, dir, "embeddings"))),
+      0L, 10),
     Some(s"""WITH $duckNorm,
              q AS (SELECT label AS qlabel, e AS qe, nrm AS qn FROM nn WHERE vec_id = 0)
              SELECT vec_id,

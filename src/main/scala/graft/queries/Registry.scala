@@ -18,7 +18,8 @@ object Registry {
       Round7Queries.all ++ Round8Queries.all ++ Round9Queries.all ++
       Round10Queries.all ++ Round11Queries.all ++ Round12Queries.all ++
       Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all ++
-      Round16Queries.all ++ Round17Queries.all ++ Round18Queries.all
+      Round16Queries.all ++ Round17Queries.all ++ Round18Queries.all ++
+      Round19Queries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

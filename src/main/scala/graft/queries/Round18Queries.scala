@@ -88,16 +88,20 @@ object Round18Queries {
     * and the exp(excess) softmax numerators + denominator. Expects
     * Round15Queries.pplCtes in scope (the `base` CTE). */
   private[queries] val duckDoremi =
-    """bs AS (SELECT d2.source, count(*) AS n_docs,
+    """srcs AS (SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY 1),
+       bs AS (SELECT d2.source,
                      CAST(sum(CAST(b.avg_log2_p AS DECIMAL(18,4)))
                           AS DOUBLE) AS ssum,
                      count(b.avg_log2_p) AS n_scored
               FROM base b JOIN documents d2 USING (doc_id)
               GROUP BY 1),
-       ls AS (SELECT source, n_docs,
-                     round(-ssum / n_scored, 4) AS loss FROM bs),
+       ls AS (SELECT s.source, s.n_docs,
+                     CASE WHEN coalesce(n_scored, 0) > 0
+                          THEN round(-ssum / n_scored, 4) END AS loss
+              FROM srcs s LEFT JOIN bs USING (source)),
        bb AS (SELECT CAST(sum(CAST(loss AS DECIMAL(18,4))) AS DOUBLE)
-                     / count(*) AS base_loss FROM ls),
+                     / count(loss) AS base_loss FROM ls),
        ex AS (SELECT source, n_docs, loss,
                      coalesce(round(greatest(loss - base_loss, 0), 4),
                               0.0) AS excess

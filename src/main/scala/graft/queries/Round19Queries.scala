@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.extensions.UnigramLm
+
+/** Round-19 additions: the unigram-LM (SentencePiece-style) tokenizer
+  * twin of the BPE pair ([[UnigramLm]] — Kudo 2018), as two rows:
+  * training (seed → hard-EM round → prune → renormalize) and Viterbi
+  * segmentation under a FROZEN vocabulary (the pqBooks freezing
+  * discipline — both engines parse the SAME literals, so every path
+  * score is bit-identical cross-engine). The oracles re-derive Viterbi
+  * INDEPENDENTLY of the engine's DP: a recursive CTE enumerates every
+  * segmentation (bounded — corpus words are ≤ 8 chars) and takes the
+  * argmax under the same total order (score DESC, n_pieces ASC,
+  * segmentation ASC), so a DP bug cannot hide in a shared shortcut. */
+object Round19Queries {
+
+  /** The q_unigram_segment fixture vocabulary: full single-character
+    * coverage (so every word segments) plus generic multi-character
+    * pieces with handcrafted 6-decimal log-probs — values chosen
+    * generic (no additive coincidences), so the Viterbi argmax is
+    * tie-free over the corpus words and bitwise reproducible. */
+  private[graft] val uniVocab: Seq[(String, Double)] = Seq(
+    "a" -> -6.0, "all" -> -4.1837, "an" -> -3.9744, "ark" -> -4.393,
+    "b" -> -6.0822, "ba" -> -2.5093, "ble" -> -2.4191, "c" -> -6.1501,
+    "col" -> -2.5833, "cust" -> -2.6735, "d" -> -6.2323, "dat" -> -2.7926,
+    "der" -> -3.6749, "dow" -> -4.8116, "e" -> -6.3002, "eam" -> -4.4832,
+    "f" -> -6.3681, "fa" -> -2.8377, "fil" -> -2.9279, "g" -> -6.4503,
+    "ge" -> -3.5558, "gg" -> -4.8567, "gr" -> -3.047, "h" -> -6.5182,
+    "ha" -> -3.1372, "i" -> -6.5861, "in" -> -3.3014, "j" -> -6.6683,
+    "jo" -> -3.2563, "k" -> -6.7362, "key" -> -3.3465, "l" -> -6.8041,
+    "li" -> -3.3916, "m" -> -6.8863, "mer" -> -3.5107, "n" -> -6.9542,
+    "ne" -> -3.4656, "o" -> -7.0364, "omer" -> -2.7186, "or" -> -3.6009,
+    "oup" -> -3.0921, "ow" -> -4.0646, "p" -> -7.1043, "par" -> -3.72,
+    "q" -> -7.1722, "que" -> -3.7651, "r" -> -7.2544, "row" -> -3.8842,
+    "rt" -> -4.2739, "ry" -> -3.8102, "s" -> -7.3223, "sc" -> -3.9293,
+    "sh" -> -3.1823, "sl" -> -4.0195, "sm" -> -4.1386, "so" -> -4.2288,
+    "sp" -> -4.3479, "st" -> -2.8828, "str" -> -4.4381, "t" -> -7.3902,
+    "ta" -> -2.374, "tch" -> -2.4642, "ter" -> -3.0019, "the" -> -2.3,
+    "tor" -> -4.6925, "u" -> -7.4724, "ue" -> -4.6023, "umn" -> -2.6284,
+    "v" -> -7.5403, "val" -> -4.5572, "vec" -> -4.6474, "w" -> -7.6082,
+    "win" -> -4.7665, "y" -> -7.6904)
+
+  /** One source of truth for the fixture: the SQL VALUES list is built
+    * from [[uniVocab]], so the two engines cannot drift. */
+  private def uniVocabValues: String =
+    uniVocab.map { case (p, l) => s"('$p', CAST($l AS DOUBLE))" }
+      .mkString(", ")
+
+  /** Shared oracle fragments: (word, freq) and the Viterbi-by-
+    *-enumeration recursion over a (piece, lp) vocab CTE named `vv` —
+    * every segmentation is enumerated (pos strictly increases, so the
+    * recursion terminates) and the per-word argmax is taken under
+    * (score DESC, n_pieces ASC, segmentation ASC), exactly the
+    * engine-side DP's total order. */
+  private def duckWords: String =
+    """w AS (SELECT word, count(*) AS freq
+            FROM (SELECT unnest(list_filter(
+                    string_split(lower(coalesce(text, '')), ' '),
+                    t -> t <> '')) AS word
+                  FROM documents)
+            GROUP BY 1)"""
+
+  private def duckViterbi(vocabCte: String): String =
+    s"""paths(word, freq, pos, np, seg, score) AS (
+          SELECT word, freq, 0, 0, '', CAST(0.0 AS DOUBLE) FROM w
+          UNION ALL
+          SELECT p.word, p.freq, p.pos + len(v.piece), p.np + 1,
+                 CASE WHEN p.np = 0 THEN v.piece
+                      ELSE p.seg || ' ' || v.piece END,
+                 p.score + v.lp
+          FROM paths p JOIN $vocabCte v
+            ON v.piece = substr(p.word, p.pos + 1, len(v.piece))
+          WHERE p.pos < len(p.word)),
+        best AS (SELECT word, freq, seg, np, score
+                 FROM (SELECT *, row_number() OVER (PARTITION BY word
+                         ORDER BY score DESC, np ASC, seg ASC) AS rn
+                       FROM paths WHERE pos = len(word))
+                 WHERE rn = 1)"""
+
+  /** [[UnigramLm.train]] — seed substring counts, one hard-EM round
+    * (Viterbi E-step under the seed scores, freq-weighted recount),
+    * prune to top-24 with unconditional single-char coverage,
+    * renormalized log-probs. */
+  private val unigramTrain = Q("q_unigram_train",
+    (s, dir) => UnigramLm.train(table(s, dir, "documents"),
+      vocabSize = 24, maxPieceLen = 4),
+    Some(s"""WITH RECURSIVE $duckWords,
+          sp AS (SELECT freq,
+                        unnest(flatten(list_transform(range(1, len(word) + 1),
+                          i -> list_transform(
+                                 range(i, least(len(word), i + 3) + 1),
+                                 j -> substr(word, i, j - i + 1)))))
+                          AS piece
+                 FROM w),
+          sc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+                 FROM sp GROUP BY 1),
+          stot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sc),
+          sv AS (SELECT piece, round(log2(c * 1.0 / t), 6) AS lp
+                 FROM sc, stot),
+          ${duckViterbi("sv")},
+          mc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+                 FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece
+                       FROM best)
+                 GROUP BY 1),
+          ch AS (SELECT DISTINCT unnest(list_transform(
+                   range(1, len(word) + 1), i -> substr(word, i, 1)))
+                   AS piece
+                 FROM w),
+          rk AS (SELECT piece, c,
+                        row_number() OVER (ORDER BY c DESC, piece) AS rk
+                 FROM mc),
+          kp AS (SELECT coalesce(r.piece, ch.piece) AS piece,
+                        CAST(coalesce(r.c, 0) AS BIGINT) AS cnt
+                 FROM rk r FULL OUTER JOIN ch ON ch.piece = r.piece
+                 WHERE ch.piece IS NOT NULL OR r.rk <= 24),
+          kt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kp)
+        SELECT piece, cnt AS "count",
+               CASE WHEN cnt > 0
+                    THEN round(log2(cnt * 1.0 / t), 6) END AS logp,
+               len(piece) = 1 AS is_char
+        FROM kp, kt ORDER BY "count" DESC, piece"""))
+
+  /** [[UnigramLm.viterbiSegment]] under the frozen [[uniVocab]] — the
+    * best path's pieces, count, and rounded score per corpus word. */
+  private val unigramSegment = Q("q_unigram_segment",
+    (s, dir) => UnigramLm.viterbiSegment(
+      UnigramLm.wordFreqs(table(s, dir, "documents")),
+      uniVocab.toMap, maxPieceLen = 4).orderBy("word"),
+    Some(s"""WITH RECURSIVE $duckWords,
+          uv(piece, lp) AS (SELECT * FROM (VALUES $uniVocabValues)),
+          ${duckViterbi("uv")}
+        SELECT word, freq, seg AS segmentation,
+               CAST(np AS BIGINT) AS n_pieces,
+               round(score, 4) AS score
+        FROM best ORDER BY word"""))
+
+  val all: Seq[Q] = Seq(unigramTrain, unigramSegment)
+}

@@ -194,13 +194,61 @@ object StreamingSoftDedup {
       compressed.unionByName(newRemap).localCheckpoint())
   }
 
+  /** The sink's per-batch fold with its REPLAY GUARD, exposed so the
+    * guard is directly testable (r18 ADVICE): Structured Streaming
+    * re-delivers a batchId to foreachBatch after driver recovery or a
+    * transient failure, and an unguarded fold would admit the batch
+    * TWICE — duplicate membership rows inflating cluster_size (and
+    * skewing mass) and the band rows appended to the index twice. The
+    * guard skips any batchId at or below the last applied one
+    * (exactly-once fold on top of the engine's at-least-once replay —
+    * the standard idempotent-foreachBatch discipline). A restarted
+    * loop passes the persisted id as `startAfterBatchId` so a replay
+    * of the pre-crash batch is skipped too ([[saveLastBatchId]]). */
+  final class Fold(
+      index: () => DataFrame,
+      initial: State,
+      appendIndex: DataFrame => Unit,
+      onBatch: (State, Long) => Unit,
+      numHashes: Int,
+      rowsPerBand: Int,
+      fastHash: Boolean,
+      startAfterBatchId: Long) extends ((Dataset[Row], Long) => Unit) {
+    @volatile private var lastApplied: Long = startAfterBatchId
+    @volatile private var current: State = initial
+    def state: State = current
+    def lastAppliedBatchId: Long = lastApplied
+    override def apply(batch: Dataset[Row], batchId: Long): Unit = {
+      if (batchId <= lastApplied) return // replayed batch: already folded
+      val frozen = batch.localCheckpoint()
+      current = admitBatch(current, index(), frozen, numHashes, rowsPerBand,
+        fastHash)
+      appendIndex(Dedup.bandBucketsRowLocal(
+        frozen.select("doc_id", "text"), numHashes, rowsPerBand, fastHash))
+      lastApplied = batchId // after the fold: a crash mid-batch replays it
+      onBatch(current, batchId)
+    }
+  }
+
+  /** Persist/read the fold's replay cursor beside the state dirs, so a
+    * restarted admission loop can hand [[sink]] the id it must not
+    * re-apply (write it from `onBatch`, atomically with [[save]]). */
+  def saveLastBatchId(spark: SparkSession, dir: String, batchId: Long): Unit =
+    spark.range(1).select(lit(batchId).as("batch_id"))
+      .write.mode("overwrite").parquet(s"$dir/last_batch")
+
+  def loadLastBatchId(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/last_batch").head.getLong(0)
+
   /** foreachBatch sink closing the loop: per micro-batch, fold the
     * batch into the state, append its band rows to the growing index
     * (`appendIndex` — the same discipline as [[StreamingDedup]]'s
     * admission loop, so later batches' probes see earlier admissions),
     * and hand the updated state to `onBatch` with the micro-batch id.
     * `index` is BY-NAME so each batch re-resolves the grown index.
-    * Call `.start()` on the result. */
+    * Replayed batchIds are skipped (see [[Fold]]); pass the persisted
+    * cursor as `startAfterBatchId` on restart. Call `.start()` on the
+    * result. */
   def sink(
       index: => DataFrame,
       arriving: DataFrame,
@@ -209,17 +257,12 @@ object StreamingSoftDedup {
       onBatch: (State, Long) => Unit,
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
-      fastHash: Boolean = false): DataStreamWriter[Row] = {
-    var state = initial
+      fastHash: Boolean = false,
+      startAfterBatchId: Long = -1L): DataStreamWriter[Row] = {
+    val fold = new Fold(() => index, initial, appendIndex, onBatch,
+      numHashes, rowsPerBand, fastHash, startAfterBatchId)
     arriving.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val frozen = batch.localCheckpoint()
-        state = admitBatch(state, index, frozen, numHashes, rowsPerBand,
-          fastHash)
-        appendIndex(Dedup.bandBucketsRowLocal(
-          frozen.select("doc_id", "text"), numHashes, rowsPerBand, fastHash))
-        onBatch(state, batchId)
-      }
+      .foreachBatch(fold)
   }
 }

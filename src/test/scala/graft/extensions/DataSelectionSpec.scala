@@ -54,6 +54,35 @@ class DataSelectionSpec extends SparkSpec {
     assert(s(1L)._1 == 5L, "n_bigrams = n_tok - 1")
   }
 
+  test("excess-loss weights: an all-reference source keeps its uniform share (r18 ADVICE)") {
+    val d = Seq(
+      // "refonly": every doc in the reference slice (doc_id % 5 == 0)
+      (0L, "the cat sat on the mat", "en", "refonly"),
+      (5L, "the cat sat on the mat again", "en", "refonly"),
+      // "a": one reference doc + one reference-like scorable doc
+      (10L, "the dog sat on the mat", "en", "a"),
+      (1L, "the cat sat on the mat", "en", "a"),
+      // "b": scorable gibberish — the only source with learnable headroom
+      (2L, "zq xv qq pp zz ww", "en", "b"),
+      (3L, "the dog sat", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = DataSelection.excessLossWeights(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("refonly", "a", "b"),
+      "every source appears, all-reference ones included")
+    val ro = out("refonly")
+    assert(ro.getLong(1) == 2L, "n_docs counts ALL docs")
+    assert(ro.isNullAt(2), "no scorable docs -> loss NULL")
+    assert(ro.getDouble(3) == 0.0, "excess 0: the neutral uniform share")
+    assert(out("a").getLong(1) == 2L, "a source's reference docs count too")
+    // the cross-source mean is over sources WITH a loss: reference-like
+    // "a" sits below the (a, b) mean, gibberish "b" above it
+    assert(out("a").getDouble(3) == 0.0)
+    assert(out("b").getDouble(3) > 0.0)
+    val wsum = out.values.map(_.getDouble(4)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to 1: $wsum")
+  }
+
   test("tiers are exact per-language rank thirds, unscorable in tail") {
     val buckets = DataSelection.perplexityPartition(docs).collect()
       .map(r => r.getLong(0) -> r.getString(4)).toMap

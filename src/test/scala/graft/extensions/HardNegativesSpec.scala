@@ -48,6 +48,29 @@ class HardNegativesSpec extends SparkSpec {
       s"centroid/probe dims must broadcast:\n$plan")
   }
 
+  test("anchor broadcast is guarded: under the cap the probe list broadcasts, over it the probe join shuffles, rows identical") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable AUTO broadcast so the plan shows only what the guard
+      // decides (the LayoutSkewSpec discipline)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val under = Similarity.hardNegatives(emb) // cap default ≫ anchors
+      assert(under.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "under the cap the probe join must be broadcast")
+      val over = Similarity.hardNegatives(emb, broadcastAnchorCap = 0)
+      val overPlan = over.queryExecution.executedPlan.toString
+      assert(!overPlan.contains("CartesianProduct"), overPlan)
+      assert(overPlan.contains("SortMergeJoin") ||
+        overPlan.contains("ShuffledHashJoin"),
+        s"over the cap the probe join must shuffle, not broadcast:\n$overPlan")
+      val a = under.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val b = over.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(a == b, "the fallback path must return identical rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("prototypicality prune: exact per-cell cut, cores dropped, tails kept") {
     val out = Similarity.prototypicalityPrune(
       Tables.table(spark, "/root/testdata/sf0.001", "embeddings"),

@@ -61,6 +61,48 @@ class QualityRulesSpec extends SparkSpec {
     assert(rep("pass") == flags.filter(col("pass")).count())
   }
 
+  test("published preset: each rule flips exactly at Rae table A1's bound") {
+    // distinct 5-char filler words; every doc carries enough stopwords
+    // and healthy ratios except the one dimension it straddles
+    def w(n: Int) = (1 to n).map(i => f"w$i%04d")
+    val docs = Seq(
+      // word count 50 passes, 49 fails (bound: [50, 100000])
+      1L -> (Seq("that", "have") ++ w(48)),
+      2L -> (Seq("that", "have") ++ w(47)),
+      // mean word length 2.0 < 3 fails (others: 4.96, inside [3, 10])
+      3L -> (Seq("be", "to") ++ (10 to 57).map(_.toString)),
+      // stopword hits: 1 < 2 fails, 2 passes
+      4L -> (Seq("the") ++ w(49)),
+      // top-token ratio: 10/50 = 0.2 passes (≤ 0.2), 11/50 fails
+      5L -> (Seq.fill(10)("that") ++ Seq("have") ++ w(39)),
+      6L -> (Seq.fill(11)("that") ++ Seq("have") ++ w(38)),
+      // distinct ratio: 41/50 = 0.82 passes (≥ 0.8), 39/50 fails
+      7L -> ((1 to 9).flatMap(i => Seq(f"d$i%04d", f"d$i%04d")) ++
+        Seq("that", "have") ++ w(30)),
+      8L -> ((1 to 11).flatMap(i => Seq(f"d$i%04d", f"d$i%04d")) ++
+        Seq("that", "have") ++ w(26))
+    ).map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val flags = QualityRules
+      .gopherFlags(docs, QualityRules.Thresholds.published)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def only(id: Long, rule: String): Unit = {
+      val r = flags(id)
+      val idx = Map("r_word_count" -> 2, "r_mean_word_len" -> 3,
+        "r_stopword" -> 4, "r_top_token" -> 5, "r_distinct" -> 6)
+      idx.foreach { case (n, i) =>
+        assert(r.getBoolean(i) == (n != rule), s"doc $id rule $n") }
+      assert(!r.getBoolean(7), s"doc $id must fail the battery")
+    }
+    assert(flags(1L).getBoolean(7), "50 words at the published floor passes")
+    only(2L, "r_word_count")
+    only(3L, "r_mean_word_len")
+    only(4L, "r_stopword")
+    assert(flags(5L).getBoolean(7), "top ratio exactly 0.2 passes")
+    only(6L, "r_top_token")
+    assert(flags(7L).getBoolean(7), "distinct ratio 0.82 passes")
+    only(8L, "r_distinct")
+  }
+
   test("the battery is one narrow projection: no shuffle in the flags plan") {
     val plan = QualityRules.gopherFlags(fixture)
       .queryExecution.executedPlan.toString

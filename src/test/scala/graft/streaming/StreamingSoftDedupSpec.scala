@@ -92,6 +92,41 @@ class StreamingSoftDedupSpec extends SparkSpec {
       .filter(col("cluster_size") > 1).count() > 0)
   }
 
+  test("replay guard: a re-delivered batchId folds once; restart skips the pre-crash batch") {
+    var index = emptyIndex.localCheckpoint()
+    def appendIdx(bands: DataFrame): Unit =
+      index = index.unionByName(bands).localCheckpoint()
+    val fold = new StreamingSoftDedup.Fold(
+      () => index, StreamingSoftDedup.emptyState(spark), appendIdx,
+      (_, _) => (), 8, 4, false, -1L)
+    val b0 = Seq((1L, "s", T1), (2L, "s", T1))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq((3L, "s", T2)).toDF("doc_id", "source", "text")
+    fold(b0, 0L)
+    val massOnce = massSet(StreamingSoftDedup.mass(fold.state))
+    val idxOnce = index.count()
+    // recovery replay: Structured Streaming re-delivers batch 0
+    fold(b0, 0L)
+    assert(fold.state.membership.count() == 2,
+      "a replayed batch must not duplicate membership rows")
+    assert(massSet(StreamingSoftDedup.mass(fold.state)) == massOnce)
+    assert(index.count() == idxOnce,
+      "a replayed batch must not append its band rows twice")
+    fold(b1, 1L)
+    assert(fold.lastAppliedBatchId == 1L)
+    val massAll = massSet(StreamingSoftDedup.mass(fold.state))
+    // restart: the persisted cursor makes the pre-crash batch a no-op
+    val dir = java.nio.file.Files
+      .createTempDirectory("ssd-cursor").toFile.getAbsolutePath
+    StreamingSoftDedup.saveLastBatchId(spark, dir, fold.lastAppliedBatchId)
+    val fold2 = new StreamingSoftDedup.Fold(
+      () => index, fold.state, appendIdx, (_, _) => (), 8, 4, false,
+      StreamingSoftDedup.loadLastBatchId(spark, dir))
+    fold2(b1, 1L) // replay of the already-folded batch after restart
+    assert(massSet(StreamingSoftDedup.mass(fold2.state)) == massAll)
+    assert(fold2.state.membership.count() == 3)
+  }
+
   test("a later batch merges two admitted components; remap stays depth-1") {
     // batch 0 admits two UNCONNECTED docs; batch 1's bridge doc shares
     // a band with each, so its admission must merge their components —
