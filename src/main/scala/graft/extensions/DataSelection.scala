@@ -225,14 +225,16 @@ object DataSelection {
       epsilon: Double = 0.1): DataFrame = {
     val scored = perplexityScore(documents)
       .select(col("doc_id"), col("avg_log2_p").cast("decimal(18,4)").as("s"))
-    val srcs = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val scoredBySrc = documents.select(col("doc_id"), col("source"))
-      .join(scored, "doc_id")
+    // ONE documents pass: the LEFT join keeps every doc (so n_docs
+    // counts the reference slice too and no source is dropped), while
+    // ssum/n_scored aggregate only the matched scores
+    val bySrc = documents.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
       .groupBy("source")
-      .agg(sum("s").as("ssum"), count(col("s")).as("n_scored"))
-    val bySrc = srcs.join(scoredBySrc, Seq("source"), "left")
+      .agg(count(lit(1)).as("n_docs"), sum("s").as("ssum"),
+        count(col("s")).as("n_scored"))
       .select(col("source"), col("n_docs"),
-        when(coalesce(col("n_scored"), lit(0L)) > 0,
+        when(col("n_scored") > 0,
           round(-col("ssum").cast("double") / col("n_scored"), 4))
           .as("loss"))
     val base = bySrc.agg(

@@ -200,9 +200,14 @@ object Similarity {
     * delta-log-pruning evidence pattern). Build cost is one corpus
     * scan + write, amortized across every subsequent query; Bench's
     * ann section prices build vs probe (the postings discipline). */
-  def writeIvfIndex(embeddings: DataFrame, path: String): Unit =
-    withNorm(embeddings)
-      .write.mode("overwrite").partitionBy("label").parquet(path)
+  def writeIvfIndex(embeddings: DataFrame, path: String): Unit = {
+    val e = withNorm(embeddings)
+    // a zero-row partitioned write leaves NO part files, and a later
+    // read cannot infer the schema (the EmptyCorpusSpec day-one case);
+    // an empty corpus gets a plain empty file carrying the schema
+    if (e.isEmpty) e.write.mode("overwrite").parquet(path)
+    else e.write.mode("overwrite").partitionBy("label").parquet(path)
+  }
 
   /** Session-memoized index build: one write per (session, corpus
     * plan); every caller probes the same on-disk index (the
@@ -238,8 +243,12 @@ object Similarity {
     * equivalence). */
   def ivfTopKIndexed(index: DataFrame, queryId: Long, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(index.sparkSession)
-    val qr = index.filter(col("vec_id") === queryId)
-      .select("label", "e", "nrm").head()
+    val qrows = index.filter(col("vec_id") === queryId)
+      .select("label", "e", "nrm").take(1)
+    if (qrows.isEmpty) // absent query vector: the inline path's empty
+      return index.limit(0) // result, not a crash (EmptyCorpusSpec)
+        .select(col("vec_id"), lit(0.0).as("cos_r"))
+    val qr = qrows(0)
     val (qlabel, qe, qn) =
       (qr.getInt(0), qr.getSeq[Double](1).toArray, qr.getDouble(2))
     index.filter(col("label") === qlabel && col("vec_id") =!= queryId)

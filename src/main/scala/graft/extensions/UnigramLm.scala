@@ -52,10 +52,14 @@ object UnigramLm {
       .groupBy("piece").agg(sum("freq").as("c"))
 
   /** (piece, logp) with logp = round(log2(c / Σc), 6) — the rounded
-    * handoff that keeps every downstream comparison cross-engine. */
+    * handoff that keeps every downstream comparison cross-engine.
+    * An empty counts frame stays empty (sum NULL guarded — the
+    * EmptyCorpusSpec day-one contract). */
   private def logProbs(counts: DataFrame): DataFrame = {
-    val total = counts.agg(sum("c")).head.getLong(0)
-    counts.select(col("piece"),
+    val row = counts.agg(sum("c")).head
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (total == 0L) counts.select(col("piece"), lit(0.0).as("logp")).limit(0)
+    else counts.select(col("piece"),
       round(log2(col("c") * lit(1.0) / lit(total.toDouble)), 6).as("logp"))
   }
 
@@ -143,6 +147,10 @@ object UnigramLm {
     // substrings of distinct words), the KMeans-centroid class
     val seedMap = seed.collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    if (seedMap.isEmpty) // empty corpus: an empty vocabulary, not a crash
+      return documents.sparkSession.range(0).select(
+        lit("").as("piece"), col("id").as("count"),
+        lit(0.0).as("logp"), lit(false).as("is_char"))
     val eStep = viterbiSegment(words, seedMap, maxPieceLen)
     val mCounts = eStep
       .select(col("freq"), explode(split(col("segmentation"), " ")).as("piece"))
@@ -161,9 +169,10 @@ object UnigramLm {
       .join(chars.withColumn("_ch", lit(true)), Seq("piece"), "full_outer")
       .filter(col("_ch").isNotNull || col("_rk") <= vocabSize)
       .select(col("piece"), coalesce(col("c"), lit(0L)).as("count"))
-    val keptTotal = kept.agg(sum("count")).head.getLong(0)
+    val keptRow = kept.agg(sum("count")).head
+    val keptTotal = if (keptRow.isNullAt(0)) 0L else keptRow.getLong(0)
     kept.select(col("piece"), col("count"),
-        when(col("count") > 0,
+        when(col("count") > 0 && lit(keptTotal) > 0,
           round(log2(col("count") * lit(1.0) / lit(keptTotal.toDouble)), 6))
           .as("logp"),
         (length(col("piece")) === 1).as("is_char"))

@@ -517,22 +517,20 @@ object CoreQueries {
       .select(col("o_orderkey").as("id") +: cols: _*)
   }
 
-  private val mergeScdWide = Q("q_merge_scd_wide",
-    (s, dir) => {
-      val a = wideSnap(s, dir, perturb = false,
-        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val b = wideSnap(s, dir, perturb = true,
-        col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
-      val s1 = ScdMerge.applySnapshot(
-        ScdMerge.emptyState(a), a, "1998-01-01", "id", wideCols)
-      val s2 = ScdMerge.applySnapshot(s1, b, "1998-06-01", "id", wideCols)
-      s2.select(col("id"), col("w06"),
-          date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
-          date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
-          date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
-        .orderBy("id")
-    },
-    Some("""WITH a AS (SELECT o_orderkey AS id FROM orders
+  /** q_merge_scd_wide's presentation projection, shared with the
+    * bucketed-path twin (q_merge_scd_bucketed, Round19Queries). */
+  private[queries] def wideMergePresent(s2: DataFrame): DataFrame =
+    s2.select(col("id"), col("w06"),
+        date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
+        date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
+        date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
+      .orderBy("id")
+
+  /** The q_merge_scd_wide oracle, shared verbatim by
+    * q_merge_scd_bucketed — the bucketed path must compute the
+    * IDENTICAL merge, and the driver hash gate proves it. */
+  private[queries] val duckMergeScdWide: String =
+    """WITH a AS (SELECT o_orderkey AS id FROM orders
                        WHERE o_orderdate < TIMESTAMP '1998-01-01'),
                  b AS (SELECT o_orderkey AS id FROM orders
                        WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
@@ -550,7 +548,20 @@ object CoreQueries {
                    CASE WHEN b.id IS NULL THEN '1998-06-01' ELSE NULL END AS removed_at
             FROM a FULL OUTER JOIN b ON a.id = b.id
             JOIN w ON w.id = coalesce(a.id, b.id)
-            ORDER BY id"""))
+            ORDER BY id"""
+
+  private val mergeScdWide = Q("q_merge_scd_wide",
+    (s, dir) => {
+      val a = wideSnap(s, dir, perturb = false,
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val b = wideSnap(s, dir, perturb = true,
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      val s1 = ScdMerge.applySnapshot(
+        ScdMerge.emptyState(a), a, "1998-01-01", "id", wideCols)
+      val s2 = ScdMerge.applySnapshot(s1, b, "1998-06-01", "id", wideCols)
+      wideMergePresent(s2)
+    },
+    Some(duckMergeScdWide))
 
   // ---- 2.5 sort / top-k, 2.6 set ops --------------------------------------
 

@@ -88,18 +88,16 @@ object Round18Queries {
     * and the exp(excess) softmax numerators + denominator. Expects
     * Round15Queries.pplCtes in scope (the `base` CTE). */
   private[queries] val duckDoremi =
-    """srcs AS (SELECT source, count(*) AS n_docs
-                FROM documents GROUP BY 1),
-       bs AS (SELECT d2.source,
+    """bs AS (SELECT d2.source, count(*) AS n_docs,
                      CAST(sum(CAST(b.avg_log2_p AS DECIMAL(18,4)))
                           AS DOUBLE) AS ssum,
                      count(b.avg_log2_p) AS n_scored
-              FROM base b JOIN documents d2 USING (doc_id)
+              FROM documents d2 LEFT JOIN base b USING (doc_id)
               GROUP BY 1),
-       ls AS (SELECT s.source, s.n_docs,
-                     CASE WHEN coalesce(n_scored, 0) > 0
+       ls AS (SELECT source, n_docs,
+                     CASE WHEN n_scored > 0
                           THEN round(-ssum / n_scored, 4) END AS loss
-              FROM srcs s LEFT JOIN bs USING (source)),
+              FROM bs),
        bb AS (SELECT CAST(sum(CAST(loss AS DECIMAL(18,4))) AS DOUBLE)
                      / count(loss) AS base_loss FROM ls),
        ex AS (SELECT source, n_docs, loss,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 import graft.extensions.UnigramLm
+import graft.merge.ScdMerge
+import graft.plans.Layout
 
 /** Round-19 additions: the unigram-LM (SentencePiece-style) tokenizer
   * twin of the BPE pair ([[UnigramLm]] — Kudo 2018), as two rows:
@@ -137,5 +139,45 @@ object Round19Queries {
                round(score, 4) AS score
         FROM best ORDER BY word"""))
 
-  val all: Seq[Q] = Seq(unigramTrain, unigramSegment)
+  /** The wide post-snapshot-A state as a BUCKETED+SORTED table, built
+    * once per (session, sf dir) — the ivfIndexPath memo discipline
+    * applied to the merge's persisted-state story. The build sets the
+    * 2.4-semantics sorted-bucket-scan conf (order claimed only when a
+    * bucket is one file — exactly writeBucketedSorted's invariant;
+    * every other bucketed table in this repo is append-fragmented, so
+    * the legacy conf never mis-claims order for them). */
+  private val scdBktMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def bucketedWideState(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    scdBktMemo.getOrElseUpdate((s, dir), {
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val a = CoreQueries.wideSnap(s, dir, perturb = false,
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val s1 = ScdMerge.applySnapshot(
+        ScdMerge.emptyState(a), a, "1998-01-01", "id", CoreQueries.wideCols)
+      val tbl = "scd_state_wide_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Layout.writeBucketedSorted(s1, tbl, Seq("id"), 32)
+      tbl
+    })
+
+  /** q_merge_scd_wide's physical twin over a PERSISTED bucketed state
+    * (r18 VERDICT #1, driver-verified): snapshot B merges against the
+    * bucketed+sorted state TABLE — the plan ScdBucketedMergeSpec pins
+    * (no Exchange, no Sort on the state side) — and the hash gate
+    * proves the sort-free path computes the IDENTICAL merge
+    * (the oracle is q_merge_scd_wide's, verbatim). */
+  private val mergeScdBucketed = Q("q_merge_scd_bucketed",
+    (s, dir) => {
+      val tbl = bucketedWideState(s, dir)
+      val b = CoreQueries.wideSnap(s, dir, perturb = true,
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      CoreQueries.wideMergePresent(ScdMerge.applySnapshot(
+        s.table(tbl), b, "1998-06-01", "id", CoreQueries.wideCols))
+    },
+    Some(CoreQueries.duckMergeScdWide))
+
+  val all: Seq[Q] = Seq(unigramTrain, unigramSegment, mergeScdBucketed)
 }

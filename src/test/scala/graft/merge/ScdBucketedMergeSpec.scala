@@ -127,6 +127,80 @@ class ScdBucketedMergeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_merge_scd_bucketed (the driver-verified row) rides the sort-free state scan") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val df = graft.queries.Registry.queries("q_merge_scd_bucketed")(
+        spark, "/root/testdata/sf0.001")
+      df.collect() // finalize the adaptive plan
+      val all = flatten(df.queryExecution.executedPlan)
+      val smj = all.collectFirst {
+        case j: SortMergeJoinExec if j.joinType.sql == "FULL OUTER" => j
+      }.getOrElse(fail("full-outer SMJ expected"))
+      val stateSide = Seq(smj.left, smj.right).find(s => flatten(s).exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("scd_state_wide"))
+        case _ => false
+      }).getOrElse(fail("no bucketed state scan under the SMJ"))
+      val nodes = flatten(stateSide)
+      assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]) &&
+        !nodes.exists(_.isInstanceOf[SortExec]),
+        s"state side must be exchange- and sort-free:\n$stateSide")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("multi-generation loop: each merged state re-persisted bucketed, every generation's state scan sort-free, final rows ≡ chained in-memory merges") {
+    // The production shape: day N's merge consumes day N-1's persisted
+    // bucketed state and its output becomes day N+1's state. Three
+    // generations, each written with writeBucketedSorted (one file per
+    // bucket, so the scan may claim the order) — the chained result
+    // must equal the pure in-memory chain, and EVERY generation's
+    // merge must read its state exchange- and sort-free.
+    val snaps = Seq(
+      snap(1L to 3000L, "a") -> "2024-01-01",
+      snap(1501L to 4500L, "b") -> "2024-02-01",
+      snap(1L to 1000L, "c") -> "2024-03-01",
+      snap(2500L to 5000L, "d") -> "2024-04-01")
+
+    val expected = snaps.foldLeft(ScdMerge.emptyState(snaps.head._1)) {
+      case (st, (sn, day)) => ScdMerge.applySnapshot(st, sn, day, "id", tracked)
+    }.collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try withSortedBucketScan {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val g0 = ScdMerge.applySnapshot(
+        ScdMerge.emptyState(snaps.head._1), snaps.head._1,
+        snaps.head._2, "id", tracked)
+      Layout.writeBucketedSorted(g0, "scd_gen0", Seq("id"), 4)
+      snaps.tail.zipWithIndex.foreach { case ((sn, day), i) =>
+        val merged = ScdMerge.applySnapshot(
+          spark.table(s"scd_gen$i"), sn, day, "id", tracked)
+        // pin the sort-free state scan BEFORE the write consumes it
+        merged.collect()
+        val all = flatten(merged.queryExecution.executedPlan)
+        val smj = all.collectFirst {
+          case j: SortMergeJoinExec if j.joinType.sql == "FULL OUTER" => j
+        }.getOrElse(fail(s"gen$i: full-outer SMJ expected"))
+        val stateSide = Seq(smj.left, smj.right).find(s => flatten(s).exists {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("scd_gen"))
+          case _ => false
+        }).getOrElse(fail(s"gen$i: no bucketed state scan under the SMJ"))
+        val nodes = flatten(stateSide)
+        assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]) &&
+          !nodes.exists(_.isInstanceOf[SortExec]),
+          s"gen$i state side must stay exchange- and sort-free:\n$stateSide")
+        Layout.writeBucketedSorted(merged, s"scd_gen${i + 1}", Seq("id"), 4)
+      }
+      val got = spark.table(s"scd_gen${snaps.size - 1}")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(got == expected,
+        "the persisted-state chain must equal the in-memory chain")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("writeBucketedSorted produces exactly one file per bucket") {
     Layout.writeBucketedSorted(snap(1L to 1000L, "x"), "bkt_onefile", Seq("id"), 4)
     val dir = new java.io.File(
