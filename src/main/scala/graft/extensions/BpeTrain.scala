@@ -195,7 +195,20 @@ object BpeTrain {
     * count — the "apply" half of the tokenizer (subword segmentation is
     * a per-word lookup at inference; here it is the same fold over the
     * bounded merge list, one literal replace per merge). */
-  def segment(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+  def segment(documents: DataFrame, merges: Seq[Merge]): DataFrame =
+    segmentWords(
+      documents
+        .select(explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
+          t => t =!= "")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      merges)
+
+  /** [[segment]] from an already-derived (word, freq) frame — a caller
+    * comparing tokenizers feeds BOTH segmenters the SAME frame, so the
+    * two consumers are identical subtrees and the corpus is scanned
+    * once (ReuseExchange dedups the shared aggregate;
+    * q_tokenizer_fertility's census evidence). */
+  def segmentWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
     val seq0 = concat(lit(" "),
       concat_ws("  ", transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1)))),
@@ -203,12 +216,8 @@ object BpeTrain {
     val merged = merges.foldLeft(seq0) { (s, m) =>
       replace(s, lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))
     }
-    documents
-      .select(explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
-        t => t =!= "")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("word"), col("freq"),
-        concat_ws(" ", split(trim(merged), "  ")).as("segmentation"),
-        size(split(trim(merged), "  ")).cast("bigint").as("n_symbols"))
+    words.select(col("word"), col("freq"),
+      concat_ws(" ", split(trim(merged), "  ")).as("segmentation"),
+      size(split(trim(merged), "  ")).cast("bigint").as("n_symbols"))
   }
 }

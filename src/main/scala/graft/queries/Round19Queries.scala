@@ -139,6 +139,55 @@ object Round19Queries {
                round(score, 4) AS score
         FROM best ORDER BY word"""))
 
+  /** Tokenizer fertility — the freq-weighted mean pieces-per-word of
+    * the two trained tokenizers over the SAME word-frequency table
+    * (fertility is the standard efficiency diagnostic a pretraining
+    * team compares tokenizers by: lower = fewer subword tokens per
+    * word = cheaper training for the same text). BPE segments under
+    * its 4 learned merges (q_bpe_segment's path); unigram under the
+    * frozen [[uniVocab]] Viterbi (q_unigram_segment's path). One
+    * corpus-derived word table feeds both; the whole row is
+    * vocabulary-sized after the first aggregate. */
+  private val tokenizerFertility = Q("q_tokenizer_fertility",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val words = UnigramLm.wordFreqs(docs) // ONE corpus scan feeds both
+      val bpe = graft.extensions.BpeTrain
+        .segmentWords(words, graft.extensions.BpeTrain.learn(docs, numMerges = 4))
+        .select(col("word"), col("freq"), col("n_symbols").cast("long").as("np"))
+      val uni = UnigramLm.viterbiSegment(words, uniVocab.toMap, maxPieceLen = 4)
+        .select(col("word"), col("freq"), col("n_pieces").cast("long").as("np"))
+      def stats(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(
+          count(lit(1)).as("n_words"),
+          sum("freq").as("total_freq"),
+          sum(col("freq") * col("np")).as("total_pieces"),
+          round(sum(col("freq") * col("np")) * lit(1.0) / sum("freq"), 4)
+            .as("fertility"))
+          .select(lit(name).as("tokenizer"), col("n_words"),
+            col("total_freq"), col("total_pieces"), col("fertility"))
+      stats("bpe", bpe).unionAll(stats("unigram", uni)).orderBy("tokenizer")
+    },
+    Some(s"""WITH RECURSIVE ${Round6Queries.bpeCtes(4)},
+          uv(piece, lp) AS (SELECT * FROM (VALUES $uniVocabValues)),
+          ${duckViterbi("uv")},
+          bseg AS (SELECT word, freq,
+                          CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS np
+                   FROM s4),
+          useg AS (SELECT word, freq, CAST(np AS BIGINT) AS np FROM best)
+        SELECT * FROM (
+          SELECT 'bpe' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(freq) AS BIGINT) AS total_freq,
+                 CAST(sum(freq * np) AS BIGINT) AS total_pieces,
+                 round(sum(freq * np) * 1.0 / sum(freq), 4) AS fertility
+          FROM bseg
+          UNION ALL
+          SELECT 'unigram', CAST(count(*) AS BIGINT),
+                 CAST(sum(freq) AS BIGINT), CAST(sum(freq * np) AS BIGINT),
+                 round(sum(freq * np) * 1.0 / sum(freq), 4)
+          FROM useg)
+        ORDER BY tokenizer"""))
+
   /** The wide post-snapshot-A state as a BUCKETED+SORTED table, built
     * once per (session, sf dir) — the ivfIndexPath memo discipline
     * applied to the merge's persisted-state story. The build sets the
@@ -179,5 +228,6 @@ object Round19Queries {
     },
     Some(CoreQueries.duckMergeScdWide))
 
-  val all: Seq[Q] = Seq(unigramTrain, unigramSegment, mergeScdBucketed)
+  val all: Seq[Q] = Seq(unigramTrain, unigramSegment, tokenizerFertility,
+    mergeScdBucketed)
 }

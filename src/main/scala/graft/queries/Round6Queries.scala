@@ -196,7 +196,7 @@ object Round6Queries {
     * before round `n` the chain passes seqs through — matching
     * BpeTrain.learn's early stop — instead of collapsing to zero rows
     * on an empty b_i. */
-  private def bpeCtes(n: Int): String = {
+  private[queries] def bpeCtes(n: Int): String = {
     val s0 =
       """tok AS (SELECT unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
                                            t -> t <> '')) AS word
