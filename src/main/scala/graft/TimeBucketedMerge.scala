@@ -26,12 +26,25 @@ import graft.queries.CoreQueries
   *    pre-bucketed — the zero-sort plan a 100 TB pipeline gets when
   *    arrivals are ingest-normalized into the state's bucketing.
   *
-  * Usage: runMain graft.TimeBucketedMerge [sfDir] [buckets] [reps] */
+  * Usage: runMain graft.TimeBucketedMerge [sfDir] [buckets] [reps] [stages]
+  * `stages` (csv of build,merge,bktmerge; default all) exists for the
+  * disk-bounded scales: at sf100 the fresh-snapshot merge's arriving-
+  * side sort spill PLUS both persisted tables exceed the dev box's
+  * scratch, so the two-decade run does build + bktmerge in one JVM
+  * (the zero-shuffle zero-sort merge needs no shuffle temp at all)
+  * and prices the fresh-snapshot variant separately if disk allows. */
 object TimeBucketedMerge {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "testdata_sf1"
     val buckets = if (args.length > 1) args(1).toInt else 32
     val reps = if (args.length > 2) args(2).toInt else 3
+    val stages: Set[String] = if (args.length > 3) args(3).split(",").toSet
+      else Set("build", "merge", "bktmerge")
+    // passes > 1 routes the two table builds through
+    // Layout.writeBucketedSortedStaged — the bounded-scratch bulk build
+    // (peak shuffle scratch total/passes; required for sf100 on the
+    // dev box, where the monolithic build's spill exceeds the disk)
+    val passes = if (args.length > 4) args(4).toInt else 1
     val spark = GraftSession.tool(defaultCpus = 8, logLevel = "ERROR")
     // expose the bucketed scan's sort order (2.4 semantics: claimed
     // only when a bucket is one file — writeBucketedSorted's invariant)
@@ -51,26 +64,35 @@ object TimeBucketedMerge {
       col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
     val cols = CoreQueries.wideCols
 
-    time("state_build") {
+    def writeState(df: org.apache.spark.sql.DataFrame, tbl: String): Unit =
+      if (passes == 1) Layout.writeBucketedSorted(df, tbl, Seq("id"), buckets)
+      else Layout.writeBucketedSortedStaged(df, tbl, Seq("id"), buckets, passes)
+
+    if (stages("build")) time("state_build") {
       val s1 = ScdMerge.applySnapshot(
         ScdMerge.emptyState(a), a, "1998-01-01", "id", cols)
-      Layout.writeBucketedSorted(s1, "scd_state_bench", Seq("id"), buckets)
+      writeState(s1, "scd_state_bench")
     }
-    time("merge_noop") {
+    if (stages("merge")) time("merge_noop") {
       ScdMerge.applySnapshot(
           spark.table("scd_state_bench"), b, "1998-06-01", "id", cols)
         .write.format("noop").mode("overwrite").save()
     }
-    // arrivals ingest-normalized into the state's bucketing: dedupe
-    // at write time, then merge with snapshotDeduped = true — the
-    // ZERO-Exchange ZERO-Sort plan on both sides
-    Layout.writeBucketedSorted(
-      b.dropDuplicates("id"), "scd_snap_bench", Seq("id"), buckets)
-    time("merge_noop_bktsnap") {
-      ScdMerge.applySnapshot(
-          spark.table("scd_state_bench"), spark.table("scd_snap_bench"),
-          "1998-06-01", "id", cols, snapshotDeduped = true)
-        .write.format("noop").mode("overwrite").save()
+    if (stages("bktmerge") || stages("bktmergeonly")) {
+      // arrivals ingest-normalized into the state's bucketing: dedupe
+      // at write time, then merge with snapshotDeduped = true — the
+      // ZERO-Exchange ZERO-Sort plan on both sides. `bktmergeonly`
+      // re-times the merge against tables a previous invocation built
+      // (the long sf100 builds need not repeat for extra merge reps).
+      if (stages("bktmerge")) time("snap_build") {
+        writeState(b.dropDuplicates("id"), "scd_snap_bench")
+      }
+      time("merge_noop_bktsnap") {
+        ScdMerge.applySnapshot(
+            spark.table("scd_state_bench"), spark.table("scd_snap_bench"),
+            "1998-06-01", "id", cols, snapshotDeduped = true)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

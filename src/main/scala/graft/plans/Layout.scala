@@ -78,6 +78,48 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** [[writeBucketedSorted]] under BOUNDED SCRATCH: builds the table in
+    * `passes` sequential bucket-range passes, each shuffling and
+    * sorting only ~1/passes of the data, so peak shuffle+sort-spill
+    * scratch is total/passes instead of the whole table at once — the
+    * bulk-build shape a 100 TB state table actually needs (a monolithic
+    * repartition of 100 TB demands ~100 TB of simultaneous shuffle
+    * scratch across the cluster; N passes cap it at 100/N TB, paying
+    * N source scans — read amplification traded for scratch, the
+    * compaction-style tradeoff, measured in PLANS.md's sf100 block).
+    *
+    * Correctness rides the [[compactBucketed]] invariant: the SQL
+    * `hash()` IS the writer's bucket hash (murmur3, seed 42), so the
+    * pass filter `pmod(hash(cols), buckets) ∈ [p·B/passes, (p+1)·B/passes)`
+    * selects exactly a bucket RANGE; within a pass, repartition(buckets)
+    * aligns each non-empty task to one bucket (empty tasks write
+    * nothing), and since every bucket receives rows in exactly ONE
+    * pass, the table still ends at one sorted file per bucket — the
+    * single-file condition the sort-free scan requires.
+    * StagedBucketBuildSpec pins file layout, row identity with the
+    * monolithic writer, and the sort-free downstream merge. */
+  def writeBucketedSortedStaged(
+      df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, passes: Int): Unit = {
+    require(passes >= 1 && buckets % passes == 0,
+      s"passes ($passes) must divide buckets ($buckets) so each pass " +
+        "owns a whole bucket range")
+    val per = buckets / passes
+    val bucketId = pmod(hash(bucketCols.map(col): _*), lit(buckets))
+    (0 until passes).foreach { p =>
+      val w = df
+        .filter(bucketId >= lit(p * per) && bucketId < lit((p + 1) * per))
+        .repartition(buckets, bucketCols.map(col): _*)
+        .write
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+      if (p == 0) w.mode("overwrite").saveAsTable(table)
+      else w.mode("append").saveAsTable(table)
+    }
+    df.sparkSession.catalog.refreshTable(table)
+  }
+
   /** Append to a bucketed table with the SAME bucket spec — the growing
     * on-disk index of a continuous admission pipeline (each accepted
     * micro-batch's rows land in the right buckets; later batches' probe
