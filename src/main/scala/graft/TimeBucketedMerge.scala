@@ -45,18 +45,24 @@ object TimeBucketedMerge {
     // (peak shuffle scratch total/passes; required for sf100 on the
     // dev box, where the monolithic build's spill exceeds the disk)
     val passes = if (args.length > 4) args(4).toInt else 1
+    // merge stages may rep more than the (expensive, idempotent)
+    // builds: the tool session's warehouse is a temp dir, so a merge
+    // retime cannot reuse a previous JVM's tables — one invocation
+    // builds once and times the merge mergeReps times
+    val mergeReps = if (args.length > 5) args(5).toInt else reps
     val spark = GraftSession.tool(defaultCpus = 8, logLevel = "ERROR")
     // expose the bucketed scan's sort order (2.4 semantics: claimed
     // only when a bucket is one file — writeBucketedSorted's invariant)
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def time[A](label: String)(f: => A): Unit =
-      (1 to reps).foreach { i =>
+    def timeN[A](label: String, n: Int)(f: => A): Unit =
+      (1 to n).foreach { i =>
         val t0 = System.nanoTime()
         f
         println(f"TIMING $label rep=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
+    def time[A](label: String)(f: => A): Unit = timeN(label, reps)(f)
 
     val a = CoreQueries.wideSnap(spark, sfDir, perturb = false,
       col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -73,7 +79,7 @@ object TimeBucketedMerge {
         ScdMerge.emptyState(a), a, "1998-01-01", "id", cols)
       writeState(s1, "scd_state_bench")
     }
-    if (stages("merge")) time("merge_noop") {
+    if (stages("merge")) timeN("merge_noop", mergeReps) {
       ScdMerge.applySnapshot(
           spark.table("scd_state_bench"), b, "1998-06-01", "id", cols)
         .write.format("noop").mode("overwrite").save()
@@ -87,7 +93,7 @@ object TimeBucketedMerge {
       if (stages("bktmerge")) time("snap_build") {
         writeState(b.dropDuplicates("id"), "scd_snap_bench")
       }
-      time("merge_noop_bktsnap") {
+      timeN("merge_noop_bktsnap", mergeReps) {
         ScdMerge.applySnapshot(
             spark.table("scd_state_bench"), spark.table("scd_snap_bench"),
             "1998-06-01", "id", cols, snapshotDeduped = true)
