@@ -1514,7 +1514,10 @@ object Bench {
     *  - soft dedup ([[graft.streaming.StreamingSoftDedup]]): corpus
     *    state (membership + remap) and band index built at refresh
     *    cadence; per batch = row-local banding + index probe +
-    *    batch-sized CC fold. */
+    *    batch-sized CC fold.
+    *  - tokenizer health ([[graft.streaming.StreamingTokenizerStats]]):
+    *    frozen unigram vocab; per batch = one word aggregate + a 1-row
+    *    fertility/coverage reduce. */
   def admissionBench(spark: SparkSession, sfDir: String,
       reps: Int = 3): Seq[(String, Double)] = {
     import graft.streaming.{StreamingClassifier, StreamingRetrievalDecon}
@@ -1562,6 +1565,21 @@ object Bench {
     }
     val gopherRejected = graft.streaming.StreamingGopherGate.admitBatch(batch)
       .filter(!col("pass")).count().toDouble
+    // tokenizer health at admission (r19): per-batch fertility +
+    // coverage under the frozen unigram vocab — one batch scan, one
+    // word aggregate, a 1-row reduce; zero state. Work proof: the
+    // full-coverage fixture vocab must segment every occurrence
+    // (unseg_frac exactly 0 — an empty probe would read NULL).
+    val tokVocab = graft.queries.Round19Queries.uniVocab.toMap
+    val tokT = timeMed(reps, "tokenizer_probe_batch") {
+      graft.streaming.StreamingTokenizerStats.admitBatch(batch, tokVocab)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val tokRow = graft.streaming.StreamingTokenizerStats
+      .admitBatch(batch, tokVocab).head()
+    require(tokRow.getDouble(5) == 0.0,
+      s"full-coverage vocab must segment the whole batch: $tokRow")
+    val tokFertility = tokRow.getDouble(4)
     // soft dedup (r17 verdict #5): the dedup-adjusted source-mass input
     // of mixture planning maintained incrementally — state bootstrap at
     // refresh cadence (the whole-corpus CC, paid once) beside the
@@ -1628,6 +1646,8 @@ object Bench {
       "classifier_kept" -> clsKept,
       "gopher_probe_batch" -> gopherT,
       "gopher_rejected" -> gopherRejected,
+      "tokenizer_probe_batch" -> tokT,
+      "tokenizer_batch_fertility" -> tokFertility,
       "softdedup_state_build" -> sdBuildT,
       "softdedup_admit_batch" -> sdAdmitT,
       "softdedup_admit_batch_halfcorpus" -> sdAdmitHalfT,
