@@ -42,8 +42,8 @@ object StreamingTokenizerStats {
     seg.agg(
         count(lit(1)).as("n_words"),
         coalesce(sum("freq"), lit(0L)).as("total_freq"),
-        segFreq.as("seg_freq"),
-        pieces.as("total_pieces"))
+        coalesce(segFreq, lit(0L)).as("seg_freq"), // empty batch → 0s,
+        coalesce(pieces, lit(0L)).as("total_pieces")) // not NULLs
       .select(col("n_words"), col("total_freq"), col("seg_freq"),
         col("total_pieces"),
         when(col("seg_freq") > 0,

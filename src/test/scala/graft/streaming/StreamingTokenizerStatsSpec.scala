@@ -52,6 +52,15 @@ class StreamingTokenizerStatsSpec extends SparkSpec {
     assert(twin.getDouble(5) == 0.0, "full coverage: unseg_frac 0")
   }
 
+  test("empty batch: zero counts, NULL rates, no crash (the day-one contract)") {
+    val row = StreamingTokenizerStats.admitBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), vocab).head()
+    assert(row.getLong(0) == 0 && row.getLong(1) == 0 &&
+      row.getLong(2) == 0 && row.getLong(3) == 0, s"zeros: $row")
+    assert(row.isNullAt(4) && row.isNullAt(5),
+      s"rates undefined on an empty batch: $row")
+  }
+
   test("stream ≡ static; zero streaming state") {
     implicit val sqlCtx = spark.sqlContext
     val static = StreamingTokenizerStats.admitBatch(
