@@ -1517,7 +1517,10 @@ object Bench {
     *    batch-sized CC fold.
     *  - tokenizer health ([[graft.streaming.StreamingTokenizerStats]]):
     *    frozen unigram vocab; per batch = one word aggregate + a 1-row
-    *    fertility/coverage reduce. */
+    *    fertility/coverage reduce.
+    *  - boilerplate line gate ([[graft.streaming.StreamingLineGate]]):
+    *    frozen line census; per batch = one explode + broadcast
+    *    anti-join + per-doc reassembly. */
   def admissionBench(spark: SparkSession, sfDir: String,
       reps: Int = 3): Seq[(String, Double)] = {
     import graft.streaming.{StreamingClassifier, StreamingRetrievalDecon}
@@ -1580,6 +1583,24 @@ object Bench {
     require(tokRow.getDouble(5) == 0.0,
       s"full-coverage vocab must segment the whole batch: $tokRow")
     val tokFertility = tokRow.getDouble(4)
+    // boilerplate line gate (r19): frozen census (refresh cadence)
+    // beside the per-batch scrub — broadcast anti-join against the
+    // census, zero streaming state. Work proof: the batch re-posts
+    // corpus texts, so frozen boilerplate MUST be dropped from it.
+    var lgFrozen: org.apache.spark.sql.DataFrame = null
+    val lgFreezeT = timeMed(reps, "linegate_census_build") {
+      lgFrozen = graft.streaming.StreamingLineGate.freezeBoilerplate(corpus)
+        .localCheckpoint()
+    }
+    val lgT = timeMed(reps, "linegate_probe_batch") {
+      graft.streaming.StreamingLineGate.admitBatch(batch, lgFrozen)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val lgDropped = graft.streaming.StreamingLineGate
+      .admitBatch(batch, lgFrozen)
+      .selectExpr("sum(n_lines - n_kept)").head.getLong(0).toDouble
+    require(lgDropped > 0,
+      "re-posted corpus batch must shed frozen boilerplate lines")
     // soft dedup (r17 verdict #5): the dedup-adjusted source-mass input
     // of mixture planning maintained incrementally — state bootstrap at
     // refresh cadence (the whole-corpus CC, paid once) beside the
@@ -1648,6 +1669,9 @@ object Bench {
       "gopher_rejected" -> gopherRejected,
       "tokenizer_probe_batch" -> tokT,
       "tokenizer_batch_fertility" -> tokFertility,
+      "linegate_census_build" -> lgFreezeT,
+      "linegate_probe_batch" -> lgT,
+      "linegate_batch_dropped" -> lgDropped,
       "softdedup_state_build" -> sdBuildT,
       "softdedup_admit_batch" -> sdAdmitT,
       "softdedup_admit_batch_halfcorpus" -> sdAdmitHalfT,

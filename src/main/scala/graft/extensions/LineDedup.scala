@@ -1,0 +1,152 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level (document-frequency) deduplication — the FineWeb /
+  * RefinedWeb boilerplate-removal recipe (Penedo et al. 2023 "The
+  * RefinedWeb Dataset for Falcon LLM", §G.2 line-wise corrections;
+  * Penedo et al. 2024 "The FineWeb Datasets"): a LINE that recurs across
+  * many documents is template boilerplate (nav bars, cookie banners,
+  * share buttons), and is dropped from EVERY document that carries it.
+  *
+  * This is deliberately different policy from the exact-substring family
+  * ([[TextAnalysis.exactSubstrClean]], Lee et al. 2022): substring dedup
+  * keeps one canonical copy of long quoted spans; line dedup keeps ZERO
+  * copies of high-document-frequency lines, because boilerplate carries
+  * no training signal for anyone. The unit is also different — fixed
+  * line boundaries, not every sliding window — so the index is ~1/lineLen
+  * the size of the substring gram index.
+  *
+  * The harness corpus has no newlines (TESTDATA.md: space-separated
+  * token soup), so a "line" here is each NON-OVERLAPPING window of
+  * `lineLen` tokens (the last line keeps its partial tail) — the same
+  * fixed-span analogy C4 uses for its three-sentence unit (Raffel et al.
+  * 2020, §2.2 "we discarded any three-sentence span occurring more than
+  * once"). On a real corpus the splitter would be `split(text, '\n')`;
+  * every downstream step is boundary-agnostic.
+  *
+  * Reference analog: the reference dedups whole rows on content hash at
+  * ingest (feeder_postgres.py upsert) — [[Dedup.exactDedup]] subsumes
+  * that; line dedup is the sub-document upgrade a 100 TB web corpus
+  * needs first (boilerplate dominates duplicated bytes there).
+  *
+  * Scale shape (the whole family): one narrow projection explodes docs
+  * to (doc_id, idx, line) — corpus_tokens/lineLen rows, 1/lineLen of
+  * the substring index; one shuffle keyed on the line string builds the
+  * document-frequency table; the dup-line set (df > maxDf) is the
+  * BOILERPLATE set — tiny relative to the corpus by construction (it is
+  * the point of the filter), so the left_anti join broadcasts it under
+  * AQE; one final shuffle on doc_id reassembles survivors. No corpus×
+  * corpus pairs anywhere, no window over a global ordering. Skew note:
+  * the df groupBy's hottest key IS the most-duplicated line; its
+  * partial_count combines map-side, so the hot key ships one row per
+  * input partition, not one per occurrence. At FineWeb scale the same
+  * pipeline runs with the df table replaced by a 2-pass Bloom
+  * ([[graft.functions.BloomProbe]] is the building block); the exact df
+  * table is the auditable variant and what the oracle can verify.
+  */
+object LineDedup {
+
+  /** House tokenization (the [[TextAnalysis.wordNgrams]] convention):
+    * lower, split on single space, drop empty tokens. */
+  private def toks: Column =
+    filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+
+  /** Non-overlapping `lineLen`-token lines of one doc, in order:
+    * array<string>, empty for empty docs. `slice` past the end returns
+    * the partial tail, which is exactly the last-line semantics. The
+    * token array is let-bound through a single-element `transform`
+    * lambda (the [[Winnowing.winnowedSet]] idiom) so the split+filter
+    * pipeline runs once per ROW, not once per line. */
+  private def lineArray(lineLen: Int): Column =
+    flatten(transform(array(toks), t =>
+      when(size(t) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), ((size(t) - 1) / lineLen).cast("int")),
+          i => concat_ws(" ", slice(t, i * lineLen + 1, lit(lineLen)))))))
+
+  /** Exploded line table: (doc_id, idx, line), idx 0-based within doc.
+    * Empty documents contribute no rows (they rejoin in [[dedupLines]]). */
+  def lines(documents: DataFrame, lineLen: Int): DataFrame = {
+    require(lineLen >= 1, s"lineLen must be >= 1, got $lineLen")
+    documents
+      .select(col("doc_id"), posexplode(lineArray(lineLen)))
+      .toDF("doc_id", "idx", "line")
+  }
+
+  /** Per-line document frequency and occurrence count — the census the
+    * policy thresholds on. */
+  def lineDf(documents: DataFrame, lineLen: Int): DataFrame =
+    lines(documents, lineLen)
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+
+  /** The boilerplate census: the `topN` most-widely-shared lines
+    * (df > maxDf), a total order (n_docs DESC, n_occ DESC, line ASC) so
+    * the cut is deterministic. This is the report a curation run reads
+    * BEFORE committing to a threshold. */
+  def boilerplateLines(
+      documents: DataFrame, lineLen: Int = 6, maxDf: Int = 1,
+      topN: Int = 20): DataFrame =
+    lineDf(documents, lineLen)
+      .filter(col("n_docs") > maxDf)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("line"))
+      .limit(topN)
+
+  /** Drop every line with document frequency > `maxDf` from every doc
+    * and reassemble the survivors in document order. Output: one row
+    * per input document —
+    * (doc_id, n_lines, n_kept, text_clean) — so fully-boilerplate docs
+    * surface as n_kept = 0 / empty text rather than vanishing.
+    *
+    * Keep-ZERO-copies is the deliberate policy (scaladoc above); the
+    * keep-one-canonical-copy alternative for quoted prose is
+    * [[TextAnalysis.exactSubstrClean]]. */
+  def dedupLines(
+      documents: DataFrame, lineLen: Int = 6, maxDf: Int = 1): DataFrame =
+    applyDupSet(documents,
+      lineDf(documents, lineLen).filter(col("n_docs") > maxDf).select("line"),
+      lineLen)
+
+  /** Scrub `documents` against an EXTERNAL duplicated-line set — the
+    * seam [[dedupLines]] (set derived from the corpus itself) and the
+    * admission twin [[graft.streaming.StreamingLineGate]] (set FROZEN
+    * from a reference corpus) share; per-doc output contract is
+    * [[dedupLines]]'s. Stateless given the set, so batch ≡ static. */
+  private[graft] def applyDupSet(
+      documents: DataFrame, dup: DataFrame, lineLen: Int): DataFrame = {
+    val l = lines(documents, lineLen)
+    val rebuilt = l.join(dup, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line")), " ").as("text_clean"))
+    documents
+      .select(col("doc_id"),
+        when(size(toks) === 0, lit(0L))
+          .otherwise(((size(toks) - 1) / lineLen).cast("long") + 1L)
+          .as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Per-source removal mass — the readout that tells a curation run
+    * WHICH feeds are template-heavy (the [[TextAnalysis]] dupSpanReport
+    * discipline applied to the line policy). frac_dropped is NULL for a
+    * source with zero lines. */
+  def report(
+      documents: DataFrame, lineLen: Int = 6, maxDf: Int = 1): DataFrame =
+    dedupLines(documents, lineLen, maxDf)
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_lines").as("total_lines"),
+        sum(col("n_lines") - col("n_kept")).as("dropped_lines"),
+        round(sum(col("n_lines") - col("n_kept")) * lit(1.0) /
+          nullif(sum("n_lines"), lit(0)), 4).as("frac_dropped"))
+}

@@ -228,6 +228,73 @@ object Round19Queries {
     },
     Some(CoreQueries.duckMergeScdWide))
 
+  /** Shared oracle scaffolding for the [[graft.extensions.LineDedup]]
+    * family: tokens, non-overlapping 6-token lines with 0-based idx,
+    * and the df>1 boilerplate set. Kept verbatim-shared across the
+    * three oracles (the duckBm25 shared-CTE discipline). */
+  private val duckLines: String =
+    """w AS (SELECT doc_id, source,
+                   list_filter(string_split(lower(coalesce(text, '')), ' '),
+                     t -> t <> '') AS t
+            FROM documents),
+       ln AS (SELECT doc_id, i AS idx,
+                     array_to_string(t[(i*6)+1:(i+1)*6], ' ') AS line
+              FROM w, unnest(range(0, CASE WHEN len(t) = 0 THEN 0
+                                           ELSE ((len(t)-1)//6)+1 END)) u(i)),
+       ldf AS (SELECT line, count(DISTINCT doc_id) AS n_docs,
+                      count(*) AS n_occ
+               FROM ln GROUP BY 1),
+       dup AS (SELECT line FROM ldf WHERE n_docs > 1),
+       reb AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(line, ' ' ORDER BY idx) AS text_clean
+               FROM ln WHERE line NOT IN (SELECT line FROM dup)
+               GROUP BY 1),
+       per AS (SELECT w.doc_id, w.source,
+                      CASE WHEN len(t) = 0 THEN 0
+                           ELSE ((len(t)-1)//6)+1 END AS n_lines,
+                      coalesce(n_kept, 0) AS n_kept,
+                      coalesce(text_clean, '') AS text_clean
+               FROM w LEFT JOIN reb ON reb.doc_id = w.doc_id)"""
+
+  /** [[graft.extensions.LineDedup.dedupLines]] — FineWeb/RefinedWeb
+    * boilerplate-line removal (drop EVERY copy of a line shared by >1
+    * docs), per-doc survivors in order. */
+  private val lineDedup = Q("q_line_dedup",
+    (s, dir) => graft.extensions.LineDedup
+      .dedupLines(table(s, dir, "documents"), lineLen = 6, maxDf = 1)
+      .orderBy("doc_id"),
+    Some(s"""WITH $duckLines
+          SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+                 CAST(n_kept AS BIGINT) AS n_kept, text_clean
+          FROM per ORDER BY doc_id"""))
+
+  /** [[graft.extensions.LineDedup.boilerplateLines]] — the census a
+    * curation run reads before committing to a threshold: top-20
+    * most-shared lines under a total order. */
+  private val boilerplateLines = Q("q_boilerplate_lines",
+    (s, dir) => graft.extensions.LineDedup
+      .boilerplateLines(table(s, dir, "documents"), lineLen = 6,
+        maxDf = 1, topN = 20),
+    Some(s"""WITH $duckLines
+          SELECT line, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_occ AS BIGINT) AS n_occ
+          FROM ldf WHERE n_docs > 1
+          ORDER BY n_docs DESC, n_occ DESC, line LIMIT 20"""))
+
+  /** [[graft.extensions.LineDedup.report]] — per-source boilerplate
+    * mass: which feeds are template-heavy. */
+  private val lineDedupReport = Q("q_line_dedup_report",
+    (s, dir) => graft.extensions.LineDedup
+      .report(table(s, dir, "documents"), lineLen = 6, maxDf = 1)
+      .orderBy("source"),
+    Some(s"""WITH $duckLines
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_lines) AS BIGINT) AS total_lines,
+                 CAST(sum(n_lines - n_kept) AS BIGINT) AS dropped_lines,
+                 round(sum(n_lines - n_kept) * 1.0 /
+                       nullif(sum(n_lines), 0), 4) AS frac_dropped
+          FROM per GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[Q] = Seq(unigramTrain, unigramSegment, tokenizerFertility,
-    mergeScdBucketed)
+    mergeScdBucketed, lineDedup, boilerplateLines, lineDedupReport)
 }

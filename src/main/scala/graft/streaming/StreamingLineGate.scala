@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.extensions.LineDedup
+
+/** Boilerplate-line scrubbing AT ADMISSION — the streaming twin of
+  * [[LineDedup.dedupLines]] (q_line_dedup), under the frozen-dim
+  * discipline every admission twin here uses: the duplicated-line set
+  * is FROZEN from a reference corpus census
+  * ([[freezeBoilerplate]] — in production, last crawl's
+  * q_boilerplate_lines run), and each arriving micro-batch is scrubbed
+  * against that set by [[LineDedup.applyDupSet]] VERBATIM, so
+  * batch ≡ static by construction (StreamingLineGateSpec pins a
+  * replayed corpus against q_line_dedup's output exactly).
+  *
+  * Freezing is semantically honest for this policy: a boilerplate set
+  * is a property of the TEMPLATE population, which drifts on crawl
+  * cadence, not batch cadence — the same reasoning as the frozen
+  * classifier/vocab twins. Lines newly duplicated WITHIN the live
+  * stream are invisible until the next census re-freeze; that gap is
+  * the documented freshness trade, and the running report's
+  * frac_dropped drifting toward zero is the re-freeze alarm (the
+  * unseg_frac discipline of [[StreamingTokenizerStats]]).
+  *
+  * Scale shape: the frozen set is the boilerplate census — small by
+  * construction — so the per-batch anti-join broadcasts it; per-batch
+  * cost ∝ batch, ZERO streaming state beyond the 1-row running
+  * report. Replay caution (the [[StreamingDataCard]] discipline): the
+  * report fold is a SUM, not idempotent — the caller persists the
+  * merged report keyed by batchId (overwrite-by-id ⇒ exactly-once
+  * under foreachBatch redelivery); the scrubbed frame itself is a pure
+  * function of (batch, frozen set) and safe to re-emit. */
+object StreamingLineGate {
+
+  /** The frozen dim: lines with document frequency > `maxDf` in the
+    * reference corpus (q_boilerplate_lines without the top-N cut). */
+  def freezeBoilerplate(
+      reference: DataFrame, lineLen: Int = 6, maxDf: Int = 1): DataFrame =
+    LineDedup.lineDf(reference, lineLen)
+      .filter(col("n_docs") > maxDf).select("line")
+
+  /** Scrub one micro-batch against the frozen set — the batch operator
+    * verbatim; output contract is [[LineDedup.dedupLines]]'s
+    * (doc_id, n_lines, n_kept, text_clean). */
+  def admitBatch(
+      batch: DataFrame, boilerplate: DataFrame, lineLen: Int = 6): DataFrame =
+    LineDedup.applyDupSet(batch, boilerplate, lineLen)
+
+  /** The zero removal-mass report. */
+  def emptyReport(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("n_docs"),
+      col("id").as("total_lines"), col("id").as("dropped_lines"))
+
+  /** One batch's removal mass from its scrubbed frame. */
+  def batchReport(scrubbed: DataFrame): DataFrame =
+    scrubbed.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum("n_lines"), lit(0L)).as("total_lines"),
+      coalesce(sum(col("n_lines") - col("n_kept")), lit(0L))
+        .as("dropped_lines"))
+
+  /** Merge reports by plain sum (empty side contributes zeros). */
+  def mergeReports(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(
+      coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+      coalesce(sum("total_lines"), lit(0L)).as("total_lines"),
+      coalesce(sum("dropped_lines"), lit(0L)).as("dropped_lines"))
+
+  /** foreachBatch sink: hands the caller the batch's scrubbed frame
+    * and the RUNNING removal-mass report. `state` is by-name so each
+    * batch re-reads the caller's persisted report — the stream-static
+    * shape every twin in this repo uses. */
+  def sink(
+      state: => DataFrame,
+      boilerplate: DataFrame,
+      arriving: DataFrame,
+      onBatch: (DataFrame, DataFrame, Long) => Unit,
+      lineLen: Int = 6): DataStreamWriter[Row] =
+    arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val scrubbed = admitBatch(batch.toDF().localCheckpoint(),
+          boilerplate, lineLen).localCheckpoint()
+        onBatch(scrubbed, mergeReports(state, batchReport(scrubbed)), batchId)
+      }
+}
