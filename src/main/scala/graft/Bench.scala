@@ -1530,9 +1530,12 @@ object Bench {
     val bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
     // the arriving batch: a 1/25 corpus slice re-posted under new ids
-    // (guaranteed containment hits), frozen so probes bill only the work
+    // (guaranteed containment hits), frozen so probes bill only the
+    // work. Offset derived from max(doc_id) so a larger sf can never
+    // silently collide (the sdOffset discipline, r18 ADVICE).
+    val batchOffset = docs.agg(max("doc_id")).head.getLong(0) + 1L
     val batch = docs.filter(pmod(col("doc_id"), lit(25L)) === 1)
-      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"),
+      .select((col("doc_id") + lit(batchOffset)).as("doc_id"), col("text"),
         col("n_chars"))
       .localCheckpoint()
     val batchRows = batch.count().toDouble

@@ -110,15 +110,44 @@ object LineDedup {
       lineDf(documents, lineLen).filter(col("n_docs") > maxDf).select("line"),
       lineLen)
 
+  /** The dictionary-encoded path of [[dedupLines]] (the
+    * [[Dedup.ngramJaccard]] encodeShingles discipline): census and
+    * anti-join keyed on xxhash64(line) instead of the line string, so
+    * the SMJ sorts that dominate once the boilerplate set outgrows the
+    * broadcast threshold compare 8-byte longs, not ~40-byte strings,
+    * and the census shuffle drops the string payload entirely.
+    * Result-identical absent a 64-bit collision — the driver verifies
+    * it end-to-end under q_line_dedup's oracle VERBATIM
+    * (q_line_dedup_encoded). The string path stays the default: its
+    * census is the auditable artifact ([[boilerplateLines]] needs the
+    * strings). */
+  def dedupLinesEncoded(
+      documents: DataFrame, lineLen: Int = 6, maxDf: Int = 1): DataFrame = {
+    val dupHashes = lines(documents, lineLen)
+      .select(xxhash64(col("line")).as("_h"), col("doc_id"))
+      .groupBy("_h").agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDf).select("_h")
+    val l = lines(documents, lineLen)
+      .withColumn("_h", xxhash64(col("line")))
+    rebuild(documents,
+      l.join(dupHashes, Seq("_h"), "left_anti").drop("_h"), lineLen)
+  }
+
   /** Scrub `documents` against an EXTERNAL duplicated-line set — the
     * seam [[dedupLines]] (set derived from the corpus itself) and the
     * admission twin [[graft.streaming.StreamingLineGate]] (set FROZEN
     * from a reference corpus) share; per-doc output contract is
     * [[dedupLines]]'s. Stateless given the set, so batch ≡ static. */
   private[graft] def applyDupSet(
-      documents: DataFrame, dup: DataFrame, lineLen: Int): DataFrame = {
-    val l = lines(documents, lineLen)
-    val rebuilt = l.join(dup, Seq("line"), "left_anti")
+      documents: DataFrame, dup: DataFrame, lineLen: Int): DataFrame =
+    rebuild(documents,
+      lines(documents, lineLen).join(dup, Seq("line"), "left_anti"), lineLen)
+
+  /** Reassemble surviving lines per doc and resurrect empty /
+    * fully-boilerplate docs from the documents side. */
+  private def rebuild(
+      documents: DataFrame, kept: DataFrame, lineLen: Int): DataFrame = {
+    val rebuilt = kept
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(

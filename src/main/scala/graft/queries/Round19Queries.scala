@@ -259,14 +259,29 @@ object Round19Queries {
   /** [[graft.extensions.LineDedup.dedupLines]] — FineWeb/RefinedWeb
     * boilerplate-line removal (drop EVERY copy of a line shared by >1
     * docs), per-doc survivors in order. */
+  private val duckLineDedup: String =
+    s"""WITH $duckLines
+          SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+                 CAST(n_kept AS BIGINT) AS n_kept, text_clean
+          FROM per ORDER BY doc_id"""
+
   private val lineDedup = Q("q_line_dedup",
     (s, dir) => graft.extensions.LineDedup
       .dedupLines(table(s, dir, "documents"), lineLen = 6, maxDf = 1)
       .orderBy("doc_id"),
-    Some(s"""WITH $duckLines
-          SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
-                 CAST(n_kept AS BIGINT) AS n_kept, text_clean
-          FROM per ORDER BY doc_id"""))
+    Some(duckLineDedup))
+
+  /** The xxhash64-keyed path of [[graft.extensions.LineDedup
+    * .dedupLinesEncoded]] under the SAME oracle as q_line_dedup
+    * (the q_dedup_ngram_encoded discipline): hashing line keys to
+    * longs is result-identical absent a 64-bit collision, so the
+    * driver's hash-compare verifies the encoded census + anti-join
+    * end-to-end on this corpus. */
+  private val lineDedupEncoded = Q("q_line_dedup_encoded",
+    (s, dir) => graft.extensions.LineDedup
+      .dedupLinesEncoded(table(s, dir, "documents"), lineLen = 6, maxDf = 1)
+      .orderBy("doc_id"),
+    Some(duckLineDedup))
 
   /** [[graft.extensions.LineDedup.boilerplateLines]] — the census a
     * curation run reads before committing to a threshold: top-20
@@ -296,5 +311,6 @@ object Round19Queries {
           FROM per GROUP BY 1 ORDER BY source"""))
 
   val all: Seq[Q] = Seq(unigramTrain, unigramSegment, tokenizerFertility,
-    mergeScdBucketed, lineDedup, boilerplateLines, lineDedupReport)
+    mergeScdBucketed, lineDedup, lineDedupEncoded, boilerplateLines,
+    lineDedupReport)
 }

@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** [[LineDedup]] — FineWeb/RefinedWeb boilerplate-line removal: hand
   * fixture (shared lines dropped everywhere, partial tails, empty and
@@ -64,6 +64,16 @@ class LineDedupSpec extends SparkSpec {
     val out = LineDedup.dedupLines(d, lineLen = 3, maxDf = 1)
       .collect().map(_.getLong(2)).toSeq
     assert(out == Seq(0L, 0L))
+  }
+
+  test("encoded (xxhash64-keyed) path is result-identical to the string path") {
+    val full = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(LineDedup.dedupLinesEncoded(full)) ==
+      canon(LineDedup.dedupLines(full)))
+    assert(canon(LineDedup.dedupLinesEncoded(docs, lineLen = 3, maxDf = 1)) ==
+      canon(LineDedup.dedupLines(docs, lineLen = 3, maxDf = 1)))
   }
 
   test("plan sanity: no cartesian product anywhere in the executed plan") {
