@@ -1532,8 +1532,13 @@ object Bench {
     // the arriving batch: a 1/25 corpus slice re-posted under new ids
     // (guaranteed containment hits), frozen so probes bill only the
     // work. Offset derived from max(doc_id) so a larger sf can never
-    // silently collide (the sdOffset discipline, r18 ADVICE).
-    val batchOffset = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    // silently collide (r18 ADVICE); the soft-dedup batch below reuses
+    // it (sdDocs ⊆ docs, so this bound covers its contract too). Loud
+    // on an empty fixture, not getLong's opaque NPE (MakeSf1 discipline).
+    val maxIdRow = docs.agg(max("doc_id")).head
+    require(!maxIdRow.isNullAt(0),
+      s"$sfDir documents is empty — nothing to bench admission against")
+    val batchOffset = maxIdRow.getLong(0) + 1L
     val batch = docs.filter(pmod(col("doc_id"), lit(25L)) === 1)
       .select((col("doc_id") + lit(batchOffset)).as("doc_id"), col("text"),
         col("n_chars"))
@@ -1615,9 +1620,9 @@ object Bench {
       .select("doc_id", "source", "text")
       .filter(pmod(col("doc_id"), lit(10L)) =!= 0)
     // arriving ids must be disjoint from the corpus (the admitBatch
-    // contract): derive the offset from the corpus max, not a fixed
-    // constant that a larger sf would silently collide with (r18 ADVICE)
-    val sdOffset = sdDocs.agg(max("doc_id")).head.getLong(0) + 1L
+    // contract): batchOffset = max over ALL docs + 1 ≥ max(sdDocs) + 1,
+    // so one derived bound serves both and skips a second corpus scan
+    val sdOffset = batchOffset
     val sdBatch = sdDocs.filter(pmod(col("doc_id"), lit(25L)) === 1)
       .select((col("doc_id") + lit(sdOffset)).as("doc_id"), col("source"),
         col("text"))

@@ -48,10 +48,10 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
-  /** House tokenization (the [[TextAnalysis.wordNgrams]] convention):
-    * lower, split on single space, drop empty tokens. */
-  private def toks: Column =
-    filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+  /** House tokenization — [[DataSelection.toks]] (the ONE shared
+    * expression, r15 ADVICE: a re-inlined copy could silently
+    * desynchronize this census from every other tokenized surface). */
+  private def toks: Column = DataSelection.toks
 
   /** Non-overlapping `lineLen`-token lines of one doc, in order:
     * array<string>, empty for empty docs. `slice` past the end returns
