@@ -78,6 +78,31 @@ class StreamingLineGateSpec extends SparkSpec {
       2L -> ((2L, 2L, "fresh dup line a b c unique tail q r s"))))
   }
 
+  test("re-freeze alarm: a drifted template population reads ~zero drop under the stale census and recovers after re-freeze") {
+    // old crawl: template T repeated across docs; new crawl: template U
+    val oldCrawl = Seq(
+      (1L, "cookie banner accept all now ok body one a b c"),
+      (2L, "cookie banner accept all now ok body two d e f"))
+      .toDF("doc_id", "text")
+    val newCrawl = Seq(
+      (3L, "subscribe to our newsletter today ok body three g h i"),
+      (4L, "subscribe to our newsletter today ok body four j k l"))
+      .toDF("doc_id", "text")
+    val stale = StreamingLineGate.freezeBoilerplate(oldCrawl).localCheckpoint()
+    def dropped(batch: org.apache.spark.sql.DataFrame,
+        census: org.apache.spark.sql.DataFrame): Long =
+      StreamingLineGate.admitBatch(batch, census)
+        .selectExpr("sum(n_lines - n_kept)").head.getLong(0)
+    // stale census still scrubs the old templates...
+    assert(dropped(oldCrawl, stale) == 2L)
+    // ...but reads ZERO on the drifted crawl — the frac_dropped → 0
+    // alarm the scaladoc promises a pipeline watches for
+    assert(dropped(newCrawl, stale) == 0L)
+    // re-freeze on the new crawl restores the scrub
+    val refrozen = StreamingLineGate.freezeBoilerplate(newCrawl).localCheckpoint()
+    assert(dropped(newCrawl, refrozen) == 2L)
+  }
+
   test("mergeReports: sums with an empty side") {
     val z = StreamingLineGate.emptyReport(spark)
     val a = Seq((3L, 10L, 4L)).toDF("n_docs", "total_lines", "dropped_lines")
