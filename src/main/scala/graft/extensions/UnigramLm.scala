@@ -138,9 +138,32 @@ object UnigramLm {
   def train(
       documents: DataFrame,
       vocabSize: Int = 24,
-      maxPieceLen: Int = 4): DataFrame = {
+      maxPieceLen: Int = 4): DataFrame =
+    trainIterated(documents, vocabSize, maxPieceLen, emRounds = 1)
+
+  /** [[train]] with Kudo's actual loop shape — `emRounds` hard-EM
+    * rounds before the final prune (the publish-parity twin of the
+    * one-round simplification, which is exactly `emRounds = 1`;
+    * UnigramLmEmSpec pins the equivalence bitwise). Each round
+    * re-segments the DISTINCT-WORD table under the renormalized scores
+    * of the previous round's counts — a BOUNDED driver loop (the
+    * BpeTrain.learn discipline): per round one vocabulary-sized
+    * collect and one narrow pass over the checkpointed word table,
+    * never the corpus. Support can only shrink and never strands a
+    * word: every word's previous-round segmentation pieces carry
+    * count ≥ freq > 0, so each word stays segmentable via at least
+    * its own last path (hard-EM's classification-EM monotonicity —
+    * the freq-weighted best-path score is non-decreasing round over
+    * round, spec-pinned on the harness corpus). */
+  def trainIterated(
+      documents: DataFrame,
+      vocabSize: Int = 24,
+      maxPieceLen: Int = 4,
+      emRounds: Int = 2): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
     require(maxPieceLen > 0, s"maxPieceLen must be positive: $maxPieceLen")
+    require(emRounds >= 1 && emRounds <= 8,
+      s"emRounds must be in [1, 8] (a bounded driver loop): $emRounds")
     val words = wordFreqs(documents).localCheckpoint()
     val seed = logProbs(seedCounts(words, maxPieceLen))
     // bounded collect: the seed is vocabulary-sized (distinct
@@ -151,10 +174,17 @@ object UnigramLm {
       return documents.sparkSession.range(0).select(
         lit("").as("piece"), col("id").as("count"),
         lit(0.0).as("logp"), lit(false).as("is_char"))
-    val eStep = viterbiSegment(words, seedMap, maxPieceLen)
-    val mCounts = eStep
-      .select(col("freq"), explode(split(col("segmentation"), " ")).as("piece"))
-      .groupBy("piece").agg(sum("freq").as("c"))
+    var model = seedMap
+    var mCounts: DataFrame = null
+    (1 to emRounds).foreach { r =>
+      mCounts = viterbiSegment(words, model, maxPieceLen)
+        .select(col("freq"),
+          explode(split(col("segmentation"), " ")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("c"))
+      if (r < emRounds) // renormalize over the counted support —
+        model = logProbs(mCounts).collect() // vocabulary-sized collect
+          .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    }
     val chars = words.select(explode(expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
         .as("piece"))

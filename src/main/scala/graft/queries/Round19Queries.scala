@@ -66,31 +66,67 @@ object Round19Queries {
             GROUP BY 1)"""
 
   private def duckViterbi(vocabCte: String): String =
-    s"""paths(word, freq, pos, np, seg, score) AS (
+    duckViterbiSfx(vocabCte, "")
+
+  /** [[duckViterbi]] with suffixed CTE names, so one oracle can run
+    * the enumeration under TWO successive models (q_unigram_train_em2:
+    * paths/best under the seed, paths2/best2 under the re-estimated
+    * round-1 scores). */
+  private def duckViterbiSfx(vocabCte: String, sfx: String): String =
+    s"""paths$sfx(word, freq, pos, np, seg, score) AS (
           SELECT word, freq, 0, 0, '', CAST(0.0 AS DOUBLE) FROM w
           UNION ALL
           SELECT p.word, p.freq, p.pos + len(v.piece), p.np + 1,
                  CASE WHEN p.np = 0 THEN v.piece
                       ELSE p.seg || ' ' || v.piece END,
                  p.score + v.lp
-          FROM paths p JOIN $vocabCte v
+          FROM paths$sfx p JOIN $vocabCte v
             ON v.piece = substr(p.word, p.pos + 1, len(v.piece))
           WHERE p.pos < len(p.word)),
-        best AS (SELECT word, freq, seg, np, score
+        best$sfx AS (SELECT word, freq, seg, np, score
                  FROM (SELECT *, row_number() OVER (PARTITION BY word
                          ORDER BY score DESC, np ASC, seg ASC) AS rn
-                       FROM paths WHERE pos = len(word))
+                       FROM paths$sfx WHERE pos = len(word))
                  WHERE rn = 1)"""
+
+  /** The freq-weighted M-step recount of a best-path CTE. */
+  private def duckRecount(bestCte: String, mcName: String): String =
+    s"""$mcName AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+                 FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece
+                       FROM $bestCte)
+                 GROUP BY 1)"""
+
+  /** The final prune + renormalize tail over a recount CTE — verbatim
+    * [[UnigramLm.trainIterated]]'s: unconditional single-char
+    * coverage, top-`vocabSize` by (count DESC, piece), renormalized
+    * log-probs over the kept mass. */
+  private def duckPruneTail(mc: String, vocabSize: Int): String =
+    s"""ch AS (SELECT DISTINCT unnest(list_transform(
+                   range(1, len(word) + 1), i -> substr(word, i, 1)))
+                   AS piece
+                 FROM w),
+          rk AS (SELECT piece, c,
+                        row_number() OVER (ORDER BY c DESC, piece) AS rk
+                 FROM $mc),
+          kp AS (SELECT coalesce(r.piece, ch.piece) AS piece,
+                        CAST(coalesce(r.c, 0) AS BIGINT) AS cnt
+                 FROM rk r FULL OUTER JOIN ch ON ch.piece = r.piece
+                 WHERE ch.piece IS NOT NULL OR r.rk <= $vocabSize),
+          kt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kp)
+        SELECT piece, cnt AS "count",
+               CASE WHEN cnt > 0
+                    THEN round(log2(cnt * 1.0 / t), 6) END AS logp,
+               len(piece) = 1 AS is_char
+        FROM kp, kt ORDER BY "count" DESC, piece"""
 
   /** [[UnigramLm.train]] — seed substring counts, one hard-EM round
     * (Viterbi E-step under the seed scores, freq-weighted recount),
     * prune to top-24 with unconditional single-char coverage,
     * renormalized log-probs. */
-  private val unigramTrain = Q("q_unigram_train",
-    (s, dir) => UnigramLm.train(table(s, dir, "documents"),
-      vocabSize = 24, maxPieceLen = 4),
-    Some(s"""WITH RECURSIVE $duckWords,
-          sp AS (SELECT freq,
+  /** Seed-model CTEs: substring counts (len ≤ 4) and their
+    * renormalized log-prob scores. */
+  private val duckSeed: String =
+    """sp AS (SELECT freq,
                         unnest(flatten(list_transform(range(1, len(word) + 1),
                           i -> list_transform(
                                  range(i, least(len(word), i + 3) + 1),
@@ -101,29 +137,36 @@ object Round19Queries {
                  FROM sp GROUP BY 1),
           stot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sc),
           sv AS (SELECT piece, round(log2(c * 1.0 / t), 6) AS lp
-                 FROM sc, stot),
+                 FROM sc, stot)"""
+
+  private val unigramTrain = Q("q_unigram_train",
+    (s, dir) => UnigramLm.train(table(s, dir, "documents"),
+      vocabSize = 24, maxPieceLen = 4),
+    Some(s"""WITH RECURSIVE $duckWords,
+          $duckSeed,
           ${duckViterbi("sv")},
-          mc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
-                 FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece
-                       FROM best)
-                 GROUP BY 1),
-          ch AS (SELECT DISTINCT unnest(list_transform(
-                   range(1, len(word) + 1), i -> substr(word, i, 1)))
-                   AS piece
-                 FROM w),
-          rk AS (SELECT piece, c,
-                        row_number() OVER (ORDER BY c DESC, piece) AS rk
-                 FROM mc),
-          kp AS (SELECT coalesce(r.piece, ch.piece) AS piece,
-                        CAST(coalesce(r.c, 0) AS BIGINT) AS cnt
-                 FROM rk r FULL OUTER JOIN ch ON ch.piece = r.piece
-                 WHERE ch.piece IS NOT NULL OR r.rk <= 24),
-          kt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kp)
-        SELECT piece, cnt AS "count",
-               CASE WHEN cnt > 0
-                    THEN round(log2(cnt * 1.0 / t), 6) END AS logp,
-               len(piece) = 1 AS is_char
-        FROM kp, kt ORDER BY "count" DESC, piece"""))
+          ${duckRecount("best", "mc")},
+          ${duckPruneTail("mc", 24)}"""))
+
+  /** [[UnigramLm.trainIterated]] at emRounds = 2 — Kudo's loop shape,
+    * driver-verified: the oracle re-derives BOTH rounds by full
+    * segmentation enumeration (paths/best under the seed scores,
+    * paths2/best2 under the renormalized round-1 counts) and prunes
+    * from the second recount. The renormalization between rounds is
+    * the engine's logProbs handoff verbatim: round(log2(c/Σc), 6). */
+  private val unigramTrainEm2 = Q("q_unigram_train_em2",
+    (s, dir) => UnigramLm.trainIterated(table(s, dir, "documents"),
+      vocabSize = 24, maxPieceLen = 4, emRounds = 2),
+    Some(s"""WITH RECURSIVE $duckWords,
+          $duckSeed,
+          ${duckViterbi("sv")},
+          ${duckRecount("best", "mc")},
+          mt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM mc),
+          uv2(piece, lp) AS (SELECT piece, round(log2(c * 1.0 / t), 6)
+                             FROM mc, mt),
+          ${duckViterbiSfx("uv2", "2")},
+          ${duckRecount("best2", "mc2")},
+          ${duckPruneTail("mc2", 24)}"""))
 
   /** [[UnigramLm.viterbiSegment]] under the frozen [[uniVocab]] — the
     * best path's pieces, count, and rounded score per corpus word. */
@@ -310,7 +353,7 @@ object Round19Queries {
                        nullif(sum(n_lines), 0), 4) AS frac_dropped
           FROM per GROUP BY 1 ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(unigramTrain, unigramSegment, tokenizerFertility,
-    mergeScdBucketed, lineDedup, lineDedupEncoded, boilerplateLines,
-    lineDedupReport)
+  val all: Seq[Q] = Seq(unigramTrain, unigramTrainEm2, unigramSegment,
+    tokenizerFertility, mergeScdBucketed, lineDedup, lineDedupEncoded,
+    boilerplateLines, lineDedupReport)
 }
