@@ -1,0 +1,158 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WordPiece — the third canonical pretraining tokenizer beside
+  * [[BpeTrain]] and [[UnigramLm]] (Schuster & Nakajima 2012; the BERT
+  * tokenizer): training merges like BPE but scores candidate pairs by
+  * LIKELIHOOD GAIN — score(l, r) = count(lr) / (count(l) · count(r)) —
+  * and segmentation is greedy longest-match-first with `##`-prefixed
+  * continuation pieces (maximal munch, no backtracking; a position with
+  * no matching piece makes the whole word [UNK]).
+  *
+  * Training inherits [[BpeTrain.learn]]'s corpus-scale shape verbatim:
+  * ONE corpus scan builds the (word, freq) table, then every merge
+  * round runs two vocabulary-sized aggregations (adjacent-pair counts
+  * and symbol counts — the extra aggregate the likelihood denominator
+  * needs) and one bounded collect. The score is computed in DOUBLE from
+  * the exact long counts (cast BEFORE the product: two ~1e12 symbol
+  * counts overflow int64 multiplied exactly, and IEEE doubles keep the
+  * argmax cross-engine-identical — the q_wordpiece_train oracle replays
+  * the whole loop in SQL with the same casts).
+  *
+  * Segmentation is one narrow codegen'd fold per word (the
+  * [[UnigramLm.viterbiCol]] pattern): O(len · maxPieceLen) map probes,
+  * zero shuffles beyond the word aggregate. Greedy-vs-enumeration
+  * equivalence: under a vocabulary with FULL single-character coverage
+  * (every char both bare and `##`-prefixed, as the registry fixture
+  * has) greedy never dead-ends, and the greedy path is exactly the
+  * complete segmentation whose piece-length sequence is
+  * lexicographically largest — which is how the DuckDB oracle
+  * re-derives it independently (enumerate all segmentations, argmax by
+  * the zero-padded length-sequence key). A gappy vocabulary's [UNK]
+  * behavior is spec-pinned (WordPieceSpec), not driver-verified, since
+  * greedy-without-backtracking and path enumeration legitimately
+  * diverge there. */
+object WordPiece {
+
+  final case class Merge(rank: Int, left: String, right: String,
+      pairFreq: Long, score: Double)
+
+  private def wordSeqs(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(DataSelection.toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit(" "),
+          concat_ws("  ", transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1)))),
+          lit(" ")).as("seq"),
+        col("freq"))
+
+  private def syms: Column = split(trim(col("seq")), "  ")
+
+  /** Adjacent-pair counts joined to both operands' symbol counts, ranked
+    * by likelihood score (score DESC, l, r) — the WordPiece argmax. */
+  private def rankedPairs(seqs: DataFrame): DataFrame = {
+    val pairsArr = when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        j => struct(element_at(syms, j).as("l"),
+          element_at(syms, j + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    val pairs = seqs
+      .select(explode(pairsArr).as("p"), col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("c"))
+    val symCounts = seqs
+      .select(explode(syms).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum("freq").as("sc"))
+    pairs
+      .join(symCounts.select(col("sym").as("l"), col("sc").as("cl")), "l")
+      .join(symCounts.select(col("sym").as("r"), col("sc").as("cr")), "r")
+      .select(col("l"), col("r"), col("c"),
+        (col("c") * lit(1.0) /
+          (col("cl").cast("double") * col("cr").cast("double")))
+          .as("score"))
+      .orderBy(col("score").desc, col("l"), col("r"))
+  }
+
+  /** Learn `numMerges` likelihood-scored merges (the [[BpeTrain.learn]]
+    * loop with the WordPiece argmax). */
+  def learn(documents: DataFrame, numMerges: Int): Seq[Merge] = {
+    var seqs = wordSeqs(documents).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    (1 to numMerges).foreach { rank =>
+      val best = rankedPairs(seqs).limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += Merge(rank, l, r, best(0).getLong(2), best(0).getDouble(3))
+        seqs = seqs.select(
+          replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")).as("seq"),
+          col("freq")).localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  /** [[learn]] as a DataFrame (the q_wordpiece_train contract):
+    * (rank, left, right, pair_freq, score(6)). */
+  def learnDf(spark: SparkSession, documents: DataFrame,
+      numMerges: Int): DataFrame = {
+    import spark.implicits._
+    learn(documents, numMerges)
+      .map(m => (m.rank, m.left, m.right, m.pairFreq,
+        BigDecimal(m.score).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toDF("rank", "left", "right", "pair_freq", "score")
+  }
+
+  /** Greedy longest-match segmentation of each (word, freq) row under a
+    * bounded `##`-convention vocabulary:
+    * (word, freq, segmentation, n_pieces) — NULLs for [UNK] words (no
+    * piece matches at some position). One fold per word: the outer
+    * aggregate walks positions 1..len, acting only when a step lands on
+    * the current frontier; the inner fold probes lengths ascending and
+    * keeps the LAST (longest) vocabulary hit. */
+  def greedySegment(words: DataFrame, vocab: Set[String],
+      maxPieceLen: Int): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    val mp = typedLit(vocab.map(_ -> true).toMap)
+    val word = col("word")
+    val unk = struct(lit(-1).as("pos"), lit(null).cast("int").as("np"),
+      lit(null).cast("string").as("seg"))
+    val fold = aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(0).as("pos"), lit(0).as("np"),
+        lit("").cast("string").as("seg")),
+      (acc, i) => {
+        val pos = acc.getField("pos")
+        val bestLen = aggregate(
+          sequence(lit(1), least(lit(maxPieceLen), length(word) - pos)),
+          lit(0),
+          (b, l) => {
+            val body = word.substr(pos + lit(1), l)
+            val piece = when(pos === 0, body)
+              .otherwise(concat(lit("##"), body))
+            when(try_element_at(mp, piece).isNotNull, l).otherwise(b)
+          })
+        val body = word.substr(pos + lit(1), bestLen)
+        val piece = when(pos === 0, body)
+          .otherwise(concat(lit("##"), body))
+        when(pos < 0 || i =!= pos + 1, acc) // done/UNK, or mid-piece step
+          .when(bestLen === 0, unk) // maximal munch dead end: [UNK]
+          .otherwise(struct(
+            (pos + bestLen).as("pos"),
+            (acc.getField("np") + 1).as("np"),
+            when(acc.getField("np") === 0, piece)
+              .otherwise(concat(acc.getField("seg"), lit(" "), piece))
+              .as("seg")))
+      },
+      acc => when(length(word) === 0, unk).otherwise(acc))
+    words
+      .withColumn("_v", fold)
+      .select(col("word"), col("freq"),
+        col("_v.seg").as("segmentation"),
+        col("_v.np").cast("long").as("n_pieces"))
+  }
+}

@@ -271,6 +271,116 @@ object Round19Queries {
     },
     Some(CoreQueries.duckMergeScdWide))
 
+  /** The q_wordpiece_segment fixture vocabulary: full single-character
+    * coverage both bare and `##`-prefixed (so greedy never dead-ends
+    * and the enumeration oracle is exact — WordPiece.scala's
+    * greedy-vs-enumeration note), plus multi-character pieces chosen to
+    * exercise initial AND continuation longest-match at every length up
+    * to 4. */
+  private[graft] val wpVocab: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+      "abcdefghijklmnopqrstuvwxyz".map(c => s"##$c") ++
+      Seq("ta", "the", "val", "str", "win", "gr", "sc", "cu", "spar",
+        "##ble", "##rk", "##ue", "##dow", "##eam", "##oup", "##umn",
+        "##ort", "##ast", "##art", "##an", "##ata", "##omer")).toSeq
+
+  private def wpVocabValues: String =
+    wpVocab.map(p => s"('$p')").mkString(", ")
+
+  /** WordPiece trainer oracle: the bpeCtes loop with the likelihood
+    * argmax — each stage additionally counts SYMBOL occurrences (the
+    * denominator) and ranks pairs by c / (c_l · c_r) in double, the
+    * engine's cast order. */
+  private def wpCtes(n: Int): String = {
+    val s0 =
+      """tok AS (SELECT unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                           t -> t <> '')) AS word
+                 FROM documents),
+         wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+         s0 AS (SELECT word,
+                       ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+                                i -> substr(word, i, 1)), '  ') || ' ' AS seq,
+                       freq
+                FROM wf)"""
+    val stages = (1 to n).map { i =>
+      s"""ss${i - 1} AS (SELECT word, string_split(trim(seq), '  ') AS syms, freq
+                         FROM s${i - 1}),
+          sy$i AS (SELECT sym, sum(freq) AS c
+                   FROM (SELECT unnest(syms) AS sym, freq FROM ss${i - 1})
+                   GROUP BY 1),
+          pr$i AS (SELECT unnest(list_transform(range(1, len(syms)), j -> syms[j])) AS l,
+                          unnest(list_transform(range(1, len(syms)), j -> syms[j + 1])) AS r,
+                          freq
+                   FROM ss${i - 1} WHERE len(syms) > 1),
+          pc$i AS (SELECT l, r, sum(freq) AS c FROM pr$i GROUP BY 1, 2),
+          b$i AS (SELECT pc.l AS l, pc.r AS r, pc.c AS c,
+                         pc.c * 1.0 / ((sl.c * 1.0) * sr.c) AS score
+                  FROM pc$i pc, sy$i sl, sy$i sr
+                  WHERE sl.sym = pc.l AND sr.sym = pc.r
+                  ORDER BY score DESC, l, r LIMIT 1),
+          s$i AS (SELECT word,
+                         coalesce(replace(seq, ' ' || b$i.l || '  ' || b$i.r || ' ',
+                                          ' ' || b$i.l || b$i.r || ' '), seq) AS seq,
+                         freq
+                  FROM s${i - 1} LEFT JOIN b$i ON true)"""
+    }
+    (s0 +: stages).mkString(",\n")
+  }
+
+  /** [[graft.extensions.WordPiece.learnDf]] — 4 likelihood-scored
+    * merges (Schuster & Nakajima 2012's argmax replayed stage by stage
+    * in SQL). */
+  private val wordpieceTrain = Q("q_wordpiece_train",
+    (s, dir) => graft.extensions.WordPiece
+      .learnDf(s, table(s, dir, "documents"), numMerges = 4)
+      .orderBy("rank"),
+    Some(s"""WITH ${wpCtes(4)}
+             SELECT * FROM (
+               ${(1 to 4).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right",
+                            CAST(c AS BIGINT) AS pair_freq,
+                            round(score, 6) AS score FROM b$i""")
+        .mkString("\n UNION ALL \n")})
+             ORDER BY rank"""))
+
+  /** [[graft.extensions.WordPiece.greedySegment]] under the frozen
+    * [[wpVocab]] — greedy longest-match with `##` continuations; the
+    * oracle re-derives it INDEPENDENTLY of the munch loop by
+    * enumerating every segmentation and taking the one whose
+    * piece-length sequence is lexicographically largest (zero-padded
+    * key), which equals greedy under full single-char coverage. */
+  private val wordpieceSegment = Q("q_wordpiece_segment",
+    (s, dir) => graft.extensions.WordPiece.greedySegment(
+      UnigramLm.wordFreqs(table(s, dir, "documents")),
+      wpVocab.toSet, maxPieceLen = 4).orderBy("word"),
+    Some(s"""WITH RECURSIVE $duckWords,
+          wv(piece) AS (SELECT * FROM (VALUES $wpVocabValues)),
+          wb AS (SELECT piece,
+                        CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                             ELSE piece END AS body,
+                        (piece LIKE '##%') AS cont
+                 FROM wv),
+          gp(word, freq, pos, np, seg, key) AS (
+            SELECT word, freq, 0, 0, '', '' FROM w
+            UNION ALL
+            SELECT p.word, p.freq, p.pos + len(v.body), p.np + 1,
+                   CASE WHEN p.np = 0 THEN v.piece
+                        ELSE p.seg || ' ' || v.piece END,
+                   p.key || lpad(CAST(len(v.body) AS VARCHAR), 2, '0')
+            FROM gp p JOIN wb v
+              ON v.body = substr(p.word, p.pos + 1, len(v.body))
+             AND v.cont = (p.pos > 0)
+            WHERE p.pos < len(p.word)),
+          gbest AS (SELECT word, seg, np FROM (
+                      SELECT *, row_number() OVER (PARTITION BY word
+                               ORDER BY key DESC) AS rn
+                      FROM gp WHERE pos = len(word))
+                    WHERE rn = 1)
+        SELECT w.word, w.freq, b.seg AS segmentation,
+               CAST(b.np AS BIGINT) AS n_pieces
+        FROM w LEFT JOIN gbest b ON b.word = w.word
+        ORDER BY w.word"""))
+
   /** Shared oracle scaffolding for the [[graft.extensions.LineDedup]]
     * family: tokens, non-overlapping 6-token lines with 0-based idx,
     * and the df>1 boilerplate set. Kept verbatim-shared across the
@@ -355,5 +465,5 @@ object Round19Queries {
 
   val all: Seq[Q] = Seq(unigramTrain, unigramTrainEm2, unigramSegment,
     tokenizerFertility, mergeScdBucketed, lineDedup, lineDedupEncoded,
-    boilerplateLines, lineDedupReport)
+    boilerplateLines, lineDedupReport, wordpieceTrain, wordpieceSegment)
 }
