@@ -381,6 +381,56 @@ object Round19Queries {
         FROM w LEFT JOIN gbest b ON b.word = w.word
         ORDER BY w.word"""))
 
+  /** WordPiece's entry in the fertility diagnostic (q_tokenizer_
+    * fertility's stats contract, kept as its own row so the frozen
+    * two-tokenizer row's hash history stays intact): freq-weighted
+    * pieces-per-word under the frozen [[wpVocab]]. Every corpus word
+    * segments (full single-char coverage, WordPieceSpec), so seg_freq
+    * = total_freq and fertility is directly comparable to the bpe /
+    * unigram rows. */
+  private val wordpieceFertility = Q("q_wordpiece_fertility",
+    (s, dir) => {
+      val seg = graft.extensions.WordPiece.greedySegment(
+        UnigramLm.wordFreqs(table(s, dir, "documents")),
+        wpVocab.toSet, maxPieceLen = 4)
+      seg.agg(
+        count(lit(1)).as("n_words"),
+        sum("freq").as("total_freq"),
+        sum(col("freq") * col("n_pieces")).as("total_pieces"),
+        round(sum(col("freq") * col("n_pieces")) * lit(1.0) / sum("freq"), 4)
+          .as("fertility"))
+        .select(lit("wordpiece").as("tokenizer"), col("n_words"),
+          col("total_freq"), col("total_pieces"), col("fertility"))
+    },
+    Some(s"""WITH RECURSIVE $duckWords,
+          wv(piece) AS (SELECT * FROM (VALUES $wpVocabValues)),
+          wb AS (SELECT piece,
+                        CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                             ELSE piece END AS body,
+                        (piece LIKE '##%') AS cont
+                 FROM wv),
+          gp(word, freq, pos, np, seg, key) AS (
+            SELECT word, freq, 0, 0, '', '' FROM w
+            UNION ALL
+            SELECT p.word, p.freq, p.pos + len(v.body), p.np + 1,
+                   CASE WHEN p.np = 0 THEN v.piece
+                        ELSE p.seg || ' ' || v.piece END,
+                   p.key || lpad(CAST(len(v.body) AS VARCHAR), 2, '0')
+            FROM gp p JOIN wb v
+              ON v.body = substr(p.word, p.pos + 1, len(v.body))
+             AND v.cont = (p.pos > 0)
+            WHERE p.pos < len(p.word)),
+          gbest AS (SELECT word, freq, np FROM (
+                      SELECT *, row_number() OVER (PARTITION BY word
+                               ORDER BY key DESC) AS rn
+                      FROM gp WHERE pos = len(word))
+                    WHERE rn = 1)
+        SELECT 'wordpiece' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(freq) AS BIGINT) AS total_freq,
+               CAST(sum(freq * np) AS BIGINT) AS total_pieces,
+               round(sum(freq * np) * 1.0 / sum(freq), 4) AS fertility
+        FROM gbest"""))
+
   /** Shared oracle scaffolding for the [[graft.extensions.LineDedup]]
     * family: tokens, non-overlapping 6-token lines with 0-based idx,
     * and the df>1 boilerplate set. Kept verbatim-shared across the
@@ -465,5 +515,6 @@ object Round19Queries {
 
   val all: Seq[Q] = Seq(unigramTrain, unigramTrainEm2, unigramSegment,
     tokenizerFertility, mergeScdBucketed, lineDedup, lineDedupEncoded,
-    boilerplateLines, lineDedupReport, wordpieceTrain, wordpieceSegment)
+    boilerplateLines, lineDedupReport, wordpieceTrain, wordpieceSegment,
+    wordpieceFertility)
 }
