@@ -381,6 +381,75 @@ object Round19Queries {
         FROM w LEFT JOIN gbest b ON b.word = w.word
         ORDER BY w.word"""))
 
+  /** [[wpVocab]] with the letter q removed in BOTH forms. Dropping a
+    * character entirely keeps greedy ≡ enumeration exact (the
+    * WordPiece.scala equivalence note's edge): a word containing q
+    * dead-ends at q under greedy AND has no complete enumeration path —
+    * both engines agree on [UNK] — while every q-free word still has
+    * full coverage. This makes the [UNK] contract DRIVER-verified, not
+    * only spec-pinned. */
+  private[graft] val wpVocabGappy: Seq[String] =
+    wpVocab.filterNot(p => p == "q" || p == "##q")
+
+  private def wpVocabGappyValues: String =
+    wpVocabGappy.map(p => s"('$p')").mkString(", ")
+
+  /** The OOV-rate diagnostic a tokenizer deployment watches: corpus
+    * segmentation under the GAPPY vocab, rolled up to word and
+    * occurrence UNK rates (the StreamingTokenizerStats unseg_frac
+    * contract, WordPiece-side and driver-verified). */
+  private val wordpieceUnk = Q("q_wordpiece_unk",
+    (s, dir) => {
+      val seg = graft.extensions.WordPiece.greedySegment(
+        UnigramLm.wordFreqs(table(s, dir, "documents")),
+        wpVocabGappy.toSet, maxPieceLen = 4)
+      seg.agg(
+        count(lit(1)).as("n_words"),
+        coalesce(sum("freq"), lit(0L)).as("total_freq"),
+        count(when(col("segmentation").isNull, lit(1))).as("unk_words"),
+        coalesce(sum(when(col("segmentation").isNull, col("freq"))
+          .otherwise(lit(0L))), lit(0L)).as("unk_freq"))
+        .select(col("n_words"), col("total_freq"), col("unk_words"),
+          col("unk_freq"),
+          when(col("total_freq") > 0,
+            round(col("unk_freq") * lit(1.0) / col("total_freq"), 4))
+            .as("unk_frac"))
+    },
+    Some(s"""WITH RECURSIVE $duckWords,
+          wv(piece) AS (SELECT * FROM (VALUES $wpVocabGappyValues)),
+          wb AS (SELECT piece,
+                        CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                             ELSE piece END AS body,
+                        (piece LIKE '##%') AS cont
+                 FROM wv),
+          gp(word, freq, pos, np, seg, key) AS (
+            SELECT word, freq, 0, 0, '', '' FROM w
+            UNION ALL
+            SELECT p.word, p.freq, p.pos + len(v.body), p.np + 1,
+                   CASE WHEN p.np = 0 THEN v.piece
+                        ELSE p.seg || ' ' || v.piece END,
+                   p.key || lpad(CAST(len(v.body) AS VARCHAR), 2, '0')
+            FROM gp p JOIN wb v
+              ON v.body = substr(p.word, p.pos + 1, len(v.body))
+             AND v.cont = (p.pos > 0)
+            WHERE p.pos < len(p.word)),
+          gbest AS (SELECT word, seg FROM (
+                      SELECT *, row_number() OVER (PARTITION BY word
+                               ORDER BY key DESC) AS rn
+                      FROM gp WHERE pos = len(word))
+                    WHERE rn = 1),
+          ws AS (SELECT w.word, w.freq, b.seg
+                 FROM w LEFT JOIN gbest b ON b.word = w.word)
+        SELECT CAST(count(*) AS BIGINT) AS n_words,
+               CAST(coalesce(sum(freq), 0) AS BIGINT) AS total_freq,
+               CAST(count(*) FILTER (seg IS NULL) AS BIGINT) AS unk_words,
+               CAST(coalesce(sum(freq) FILTER (seg IS NULL), 0) AS BIGINT)
+                 AS unk_freq,
+               CASE WHEN coalesce(sum(freq), 0) > 0
+                    THEN round(coalesce(sum(freq) FILTER (seg IS NULL), 0)
+                               * 1.0 / sum(freq), 4) END AS unk_frac
+        FROM ws"""))
+
   /** WordPiece's entry in the fertility diagnostic (q_tokenizer_
     * fertility's stats contract, kept as its own row so the frozen
     * two-tokenizer row's hash history stays intact): freq-weighted
@@ -516,5 +585,5 @@ object Round19Queries {
   val all: Seq[Q] = Seq(unigramTrain, unigramTrainEm2, unigramSegment,
     tokenizerFertility, mergeScdBucketed, lineDedup, lineDedupEncoded,
     boilerplateLines, lineDedupReport, wordpieceTrain, wordpieceSegment,
-    wordpieceFertility)
+    wordpieceFertility, wordpieceUnk)
 }
