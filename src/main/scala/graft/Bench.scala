@@ -1604,9 +1604,14 @@ object Bench {
       graft.streaming.StreamingLineGate.admitBatch(batch, lgFrozen)
         .write.format("noop").mode("overwrite").save()
     }
-    val lgDropped = graft.streaming.StreamingLineGate
+    // sum over an empty batch is NULL — the same opaque-NPE channel the
+    // maxIdRow isNullAt guard closes (r19 ADVICE); fail loudly instead
+    val lgDroppedRow = graft.streaming.StreamingLineGate
       .admitBatch(batch, lgFrozen)
-      .selectExpr("sum(n_lines - n_kept)").head.getLong(0).toDouble
+      .selectExpr("sum(n_lines - n_kept)").head
+    require(!lgDroppedRow.isNullAt(0),
+      "linegate probe batch is empty: sum(n_lines - n_kept) is NULL")
+    val lgDropped = lgDroppedRow.getLong(0).toDouble
     require(lgDropped > 0,
       "re-posted corpus batch must shed frozen boilerplate lines")
     // soft dedup (r17 verdict #5): the dedup-adjusted source-mass input

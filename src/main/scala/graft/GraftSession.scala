@@ -41,6 +41,16 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.aggregatePushdown" -> "true",
+    // r20 (r19 VERDICT #4): the 2.4-semantics sorted-bucket-scan claim
+    // is a REPO-WIDE invariant, pinned at session build instead of
+    // leaked into the session by whichever query first builds a
+    // bucketed state (plan shape must not depend on row order). Safe
+    // here because the conf claims output order only for
+    // one-file-per-bucket tables, which Layout.writeBucketedSorted
+    // genuinely sorts per file; the SPARK-28173 hazard is multi-file
+    // buckets, and those stay unclaimed. Layout.compactBucketed
+    // restores the one-file invariant after appends.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
     "spark.ui.enabled" -> "false")
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

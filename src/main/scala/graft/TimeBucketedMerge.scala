@@ -51,9 +51,8 @@ object TimeBucketedMerge {
     // builds once and times the merge mergeReps times
     val mergeReps = if (args.length > 5) args(5).toInt else reps
     val spark = GraftSession.tool(defaultCpus = 8, logLevel = "ERROR")
-    // expose the bucketed scan's sort order (2.4 semantics: claimed
-    // only when a bucket is one file — writeBucketedSorted's invariant)
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // sorted-bucket-scan claim now rides GraftSession.protectedConfs
+    // (r20) — no per-tool conf mutation
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     def timeN[A](label: String, n: Int)(f: => A): Unit =

@@ -56,7 +56,7 @@ object BpeTrain {
     * one materialized copy per round for the session. Defensive match:
     * if the plan isn't the expected LogicalRDD, do nothing — no worse
     * than not freeing. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[extensions] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

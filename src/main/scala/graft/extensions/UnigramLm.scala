@@ -177,13 +177,24 @@ object UnigramLm {
     var model = seedMap
     var mCounts: DataFrame = null
     (1 to emRounds).foreach { r =>
+      // localCheckpoint the round's M-step counts: logProbs runs TWO
+      // actions over them (the sum(c) agg plus the collect) — and the
+      // final round's frame feeds the rank window, the kept-total agg
+      // and the returned result — so an uncheckpointed frame re-runs
+      // the Viterbi E-step over the word table once per action
+      // (r19 ADVICE). Intermediate rounds free their blocks once the
+      // model map is collected; the final round's frame stays live
+      // because the returned plan reads it.
       mCounts = viterbiSegment(words, model, maxPieceLen)
         .select(col("freq"),
           explode(split(col("segmentation"), " ")).as("piece"))
         .groupBy("piece").agg(sum("freq").as("c"))
-      if (r < emRounds) // renormalize over the counted support —
+        .localCheckpoint()
+      if (r < emRounds) { // renormalize over the counted support —
         model = logProbs(mCounts).collect() // vocabulary-sized collect
           .map(x => x.getString(0) -> x.getDouble(1)).toMap
+        BpeTrain.freeCheckpoint(mCounts)
+      }
     }
     val chars = words.select(explode(expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))

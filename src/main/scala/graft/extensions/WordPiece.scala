@@ -39,6 +39,21 @@ object WordPiece {
   final case class Merge(rank: Int, left: String, right: String,
       pairFreq: Long, score: Double)
 
+  /** Initial/continuation CONFLATION, stated explicitly (the BPE-shape
+    * note's sibling): training operates on bare characters, so a
+    * symbol's word-initial and word-internal occurrences share one
+    * count and one merge identity. Canonical BERT training keeps them
+    * distinct (`a` vs `##a`), which is what lets its merge output BE
+    * the `##`-convention vocabulary [[greedySegment]] consumes; here
+    * the trainer's vocabulary and the segmenter's are separate
+    * artifacts by design — the registry's segmentation rows run under
+    * the FROZEN [[graft.queries.Round19Queries.wpVocab]] fixture, and
+    * the trainer rows verify the likelihood-argmax loop itself. A
+    * production bridge is a one-line change to [[wordSeqs]] (prefix
+    * every non-initial character with `##`) plus the identical change
+    * in the oracle's s0 CTE; it is left unconflated so q_wordpiece_train
+    * stays hash-comparable with the BPE trainer's merge trace on the
+    * same corpus. */
   private def wordSeqs(documents: DataFrame): DataFrame =
     documents
       .select(explode(DataSelection.toks).as("word"))
@@ -78,18 +93,28 @@ object WordPiece {
   }
 
   /** Learn `numMerges` likelihood-scored merges (the [[BpeTrain.learn]]
-    * loop with the WordPiece argmax). */
+    * loop with the WordPiece argmax — same checkpoint discipline: each
+    * round's frame frees its predecessor's blocks, and pair exhaustion
+    * BREAKS the loop rather than re-running a fixed-point aggregation
+    * for every remaining rank). */
   def learn(documents: DataFrame, numMerges: Int): Seq[Merge] = {
     var seqs = wordSeqs(documents).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
-    (1 to numMerges).foreach { rank =>
+    var rank = 1
+    var continue = rank <= numMerges
+    while (continue) {
       val best = rankedPairs(seqs).limit(1).collect()
-      if (best.nonEmpty) {
+      if (best.isEmpty) continue = false
+      else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         merges += Merge(rank, l, r, best(0).getLong(2), best(0).getDouble(3))
+        val prev = seqs
         seqs = seqs.select(
           replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")).as("seq"),
           col("freq")).localCheckpoint()
+        BpeTrain.freeCheckpoint(prev)
+        rank += 1
+        continue = rank <= numMerges
       }
     }
     merges.result()

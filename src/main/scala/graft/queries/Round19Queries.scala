@@ -233,18 +233,19 @@ object Round19Queries {
 
   /** The wide post-snapshot-A state as a BUCKETED+SORTED table, built
     * once per (session, sf dir) — the ivfIndexPath memo discipline
-    * applied to the merge's persisted-state story. The build sets the
-    * 2.4-semantics sorted-bucket-scan conf (order claimed only when a
-    * bucket is one file — exactly writeBucketedSorted's invariant;
-    * every other bucketed table in this repo is append-fragmented, so
-    * the legacy conf never mis-claims order for them). */
+    * applied to the merge's persisted-state story. The 2.4-semantics
+    * sorted-bucket-scan conf the zero-sort probe needs is pinned
+    * SESSION-WIDE at build by [[graft.GraftSession.protectedConfs]]
+    * (r19 VERDICT #4 — the build must not leak conf into the session,
+    * so plan shape never depends on whether this row ran first); a
+    * foreign session without the pin still computes the identical
+    * merge, just with a Sort on the state side. */
   private val scdBktMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
   private def bucketedWideState(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     scdBktMemo.getOrElseUpdate((s, dir), {
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val a = CoreQueries.wideSnap(s, dir, perturb = false,
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val s1 = ScdMerge.applySnapshot(

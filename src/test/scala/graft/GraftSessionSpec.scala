@@ -25,6 +25,28 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(c.get("spark.sql.adaptive.coalescePartitions.enabled").contains("true"))
     assert(c.get("spark.sql.adaptive.skewJoin.enabled").contains("true"))
     assert(c.get("spark.ui.enabled").contains("false"))
+    // r20 (r19 VERDICT #4): the sorted-bucket-scan claim is pinned at
+    // session build — no query builder may leak it into a session
+    assert(c.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      .contains("true"))
+  }
+
+  test("q_merge_scd_bucketed leaves the session conf exactly as it found it (r19 VERDICT #4)") {
+    val s = SparkSpec.session
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = s.conf.get(key, "false")
+    try {
+      // adversarial setting: if the row's builder still conf.set the
+      // legacy key, this would flip to "true" after the call
+      s.conf.set(key, "false")
+      val before = s.conf.getAll
+      graft.queries.Registry.queries("q_merge_scd_bucketed")(
+        s, "/root/testdata/sf0.001").collect()
+      assert(s.conf.get(key, "false") == "false",
+        "the bucketed-state build must not mutate the legacy scan conf")
+      assert(s.conf.getAll == before,
+        "registry rows must be conf-neutral: session conf drifted")
+    } finally s.conf.set(key, prev)
   }
 
   test("no tool main hand-builds a SparkSession outside GraftSession") {

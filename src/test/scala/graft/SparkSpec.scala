@@ -20,6 +20,10 @@ object SparkSpec {
       // AQE changes a child's runtime partition count (r17, sf10)
       .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // see GraftSession.protectedConfs (r20): the sorted-bucket-scan
+      // claim is a repo-wide session invariant, so test plans match
+      // the tool sessions' shape (specs that need it OFF save/restore)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
