@@ -253,6 +253,20 @@ object Bench {
       graft.plans.Layout.scannedFiles(ivfIdx).size
     val ivfIdxFilesRead = graft.plans.Layout
       .scannedFiles(Similarity.ivfTopKIndexed(ivfIdx, 0L, 10)).size
+    // incremental maintenance (r19 VERDICT #5): price the per-batch
+    // UPSERT (dynamic overwrite of touched cells only) against the
+    // full rebuild the upsert replaces — the streaming-embeddings
+    // steady-state vs the re-center event. Upserting a replayed slice
+    // is idempotent (batch-wins anti-join), so reps don't grow the
+    // index; each rep pays the same touched-cell rewrite.
+    val ivfBatch = emb.filter(pmod(col("vec_id"), lit(20L)) === 0L)
+      .localCheckpoint()
+    val ivfUpsertT = timeMed(reps, "ivf_index_upsert_batch") {
+      Similarity.upsertIvfIndex(ivfIdxDir, ivfBatch)
+    }
+    val ivfRebuildT = timeMed(reps, "ivf_index_rebuild") {
+      Similarity.writeIvfIndex(emb, ivfIdxDir)
+    }
     (Seq(1, 2, 4).map { nprobe =>
       val recalls = valid.map { qid =>
         val got = topIds(Similarity.ivfSearch(emb, cents, qid, 10, nprobe))
@@ -271,6 +285,8 @@ object Bench {
       "ivf_index_probe" -> ivfIdxProbeT,
       "ivf_index_files_total" -> ivfIdxFilesTotal.toDouble,
       "ivf_index_files_read" -> ivfIdxFilesRead.toDouble,
+      "ivf_index_upsert_batch" -> ivfUpsertT,
+      "ivf_index_rebuild" -> ivfRebuildT,
       "pq_train_m8k256" -> pqTrainT,
       "pq_encode" -> pqEncodeT,
       "pq_recall10_adc" ->

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * broadcast-anti plan the 100 TB deployment would actually run.
   * Stage B times the full self-census path (q_line_dedup's plan) for
   * contrast; B − A ≈ what the corpus-proportional census costs.
+  * Stage C (r20) times [[graft.extensions.LineDedup.dedupLinesBloom]]
+  * — the 2-pass Bloom path that replaces B's string census with an
+  * 8-byte-key census folded into a broadcast bitset and the anti-join
+  * with a scan-side probe; C − A ≈ what the CHEAP census costs.
+  *
+  * Every stage runs cold per rep (shared lines memo + Bloom memo
+  * evicted), so B and C each pay their own corpus explode + census —
+  * the attribution the lever exists to measure.
   *
   * Usage: runMain graft.TimeLineLever [bigDir] [refDir] [reps] */
 object TimeLineLever {
@@ -30,6 +38,10 @@ object TimeLineLever {
       .freezeBoilerplate(Tables.table(spark, refDir, "documents"))
       .localCheckpoint()
     println(s"LEVER frozen_census_rows=${frozen.count()}")
+    def cold(): Unit = {
+      graft.extensions.Dedup.evictShared(spark)
+      graft.extensions.Membership.evictFilters(spark)
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       graft.streaming.StreamingLineGate.admitBatch(big, frozen)
@@ -37,10 +49,18 @@ object TimeLineLever {
       println(f"LEVER scrub_frozen_census rep=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     (1 to reps).foreach { i =>
+      cold()
       val t0 = System.nanoTime()
       graft.extensions.LineDedup.dedupLines(big)
         .write.format("noop").mode("overwrite").save()
       println(f"LEVER self_census rep=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    (1 to reps).foreach { i =>
+      cold()
+      val t0 = System.nanoTime()
+      graft.extensions.LineDedup.dedupLinesBloom(big)
+        .write.format("noop").mode("overwrite").save()
+      println(f"LEVER self_census_bloom rep=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()
   }

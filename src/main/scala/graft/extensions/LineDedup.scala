@@ -41,10 +41,32 @@ import org.apache.spark.sql.functions._
   * corpus pairs anywhere, no window over a global ordering. Skew note:
   * the df groupBy's hottest key IS the most-duplicated line; its
   * partial_count combines map-side, so the hot key ships one row per
-  * input partition, not one per occurrence. At FineWeb scale the same
-  * pipeline runs with the df table replaced by a 2-pass Bloom
-  * ([[graft.functions.BloomProbe]] is the building block); the exact df
-  * table is the auditable variant and what the oracle can verify.
+  * input partition, not one per occurrence.
+  *
+  * The census-leg single-scan (r19 VERDICT #2): one call exploded the
+  * corpus into lines TWICE — once to derive the dup set, once as the
+  * anti-join's left side — and TimeLineLever attributed about half the
+  * family's sf100 cost to the census leg. [[lines]] now rides
+  * [[Dedup.sharedFrame]] (session-memoized localCheckpoint keyed on the
+  * corpus plan + lineLen), so the explode runs ONCE and both legs — and
+  * every other registry row of the family — read the materialized
+  * frame. Per-batch callers ([[graft.streaming.StreamingLineGate]])
+  * pass `share = false`: a memo keyed on a different plan every
+  * micro-batch would only accumulate entries.
+  *
+  * At FineWeb scale the exact-df path's cost concentrates in the string
+  * census (full line payloads through the shuffle) and in the anti-join
+  * once the dup set outgrows the broadcast threshold.
+  * [[dedupLinesBloom]] is the demonstrated 2-pass answer (r19 VERDICT
+  * #1): pass 1 runs the census on xxhash64(line) ONLY — 8-byte keys,
+  * no string payload, map-side combine — and folds the dup set into a
+  * broadcast Bloom bitset (a treeAggregate; the set never materializes
+  * as a join side); pass 2 scrubs with a codegen'd scan-side probe
+  * ([[graft.functions.BloomProbe]]) — NO join at all. The exact df
+  * table stays the auditable default and what the oracle verifies
+  * line-by-line; the Bloom variant is driver-verified under the SAME
+  * oracle on the harness corpus (where its filter is sized so the
+  * expected false positive count is ≪ 1).
   */
 object LineDedup {
 
@@ -67,18 +89,27 @@ object LineDedup {
           i => concat_ws(" ", slice(t, i * lineLen + 1, lit(lineLen)))))))
 
   /** Exploded line table: (doc_id, idx, line), idx 0-based within doc.
-    * Empty documents contribute no rows (they rejoin in [[dedupLines]]). */
-  def lines(documents: DataFrame, lineLen: Int): DataFrame = {
+    * Empty documents contribute no rows (they rejoin in [[dedupLines]]).
+    * With `share = true` (default) the frame is session-memoized and
+    * localCheckpoint'ed via [[Dedup.sharedFrame]] — ONE corpus explode
+    * feeds the census leg, the scrub leg and every sibling row of the
+    * family; pass `share = false` from per-batch/streaming callers
+    * (plan-keyed memo entries would accumulate batch by batch). */
+  def lines(
+      documents: DataFrame, lineLen: Int, share: Boolean = true): DataFrame = {
     require(lineLen >= 1, s"lineLen must be >= 1, got $lineLen")
-    documents
+    def build = documents
       .select(col("doc_id"), posexplode(lineArray(lineLen)))
       .toDF("doc_id", "idx", "line")
+    if (share) Dedup.sharedFrame(documents, "line_dedup_lines", lineLen)(build)
+    else build
   }
 
   /** Per-line document frequency and occurrence count — the census the
     * policy thresholds on. */
-  def lineDf(documents: DataFrame, lineLen: Int): DataFrame =
-    lines(documents, lineLen)
+  def lineDf(
+      documents: DataFrame, lineLen: Int, share: Boolean = true): DataFrame =
+    lines(documents, lineLen, share)
       .groupBy("line")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
@@ -110,6 +141,51 @@ object LineDedup {
       lineDf(documents, lineLen).filter(col("n_docs") > maxDf).select("line"),
       lineLen)
 
+  /** [[dedupLines]] with the exact-df census replaced by a 2-PASS BLOOM
+    * (r19 VERDICT #1 — the FineWeb-scale path, previously a prose
+    * claim): pass 1 derives the dup-line set keyed on xxhash64(line)
+    * only (the census shuffle carries 8-byte keys, never line strings)
+    * and folds it into a broadcast Bloom bitset; pass 2 drops every
+    * line whose probe hits — a codegen'd scan-side filter, NO anti-join
+    * — and reassembles survivors.
+    *
+    * FALSE-POSITIVE CONTRACT (explicit, keep-zero direction): a Bloom
+    * false positive drops an innocent line from every document carrying
+    * it — extra removal, never resurrection, and never a policy
+    * violation (the keep-zero policy already errs toward dropping).
+    * Expected extra drops ≈ distinct_lines × fpp; at the defaults
+    * (fpp = 1e-9, capacity 2²⁰ dup lines) a corpus of 10⁶ distinct
+    * lines expects ~10⁻³ false drops, so on the harness corpus the
+    * output is bit-identical to [[dedupLines]] (LineDedupBloomSpec pins
+    * parity; the driver verifies q_line_dedup_bloom under q_line_dedup's
+    * oracle verbatim). Size `expectedDupLines`/`fpp` so
+    * corpus_distinct_lines × fpp stays ≪ 1 for exactness, or accept the
+    * documented drop rate for memory: the bitset costs
+    * ~1.44·log₂(1/fpp) bits per dup line (~5.4 MB at the defaults),
+    * against an exact dup-line table that at web scale outgrows any
+    * broadcast threshold.
+    *
+    * The 64-bit hash key carries [[dedupLinesEncoded]]'s collision
+    * caveat unchanged: two distinct lines colliding under xxhash64
+    * alias in the census. */
+  def dedupLinesBloom(
+      documents: DataFrame, lineLen: Int = 6, maxDf: Int = 1,
+      expectedDupLines: Long = 1L << 20, fpp: Double = 1e-9): DataFrame = {
+    val l = lines(documents, lineLen)
+    val dupHashes = l
+      .select(xxhash64(col("line")).as("_h"), col("doc_id"))
+      .groupBy("_h").agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDf).select("_h")
+    // stat.bloomFilter NPEs on zero rows (the Membership guard); an
+    // empty dup set means nothing to scrub — every line survives
+    if (dupHashes.isEmpty) return rebuild(documents, l, lineLen)
+    val bf = Membership.hashSetFilter(dupHashes, "_h", expectedDupLines, fpp)
+    rebuild(documents,
+      Membership.filterByProbe(l, bf, xxhash64(col("line")),
+        keepMembers = false),
+      lineLen)
+  }
+
   /** The dictionary-encoded path of [[dedupLines]] (the
     * [[Dedup.ngramJaccard]] encodeShingles discipline): census and
     * anti-join keyed on xxhash64(line) instead of the line string, so
@@ -123,12 +199,12 @@ object LineDedup {
     * strings). */
   def dedupLinesEncoded(
       documents: DataFrame, lineLen: Int = 6, maxDf: Int = 1): DataFrame = {
-    val dupHashes = lines(documents, lineLen)
+    val shared = lines(documents, lineLen) // one explode, both legs
+    val dupHashes = shared
       .select(xxhash64(col("line")).as("_h"), col("doc_id"))
       .groupBy("_h").agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > maxDf).select("_h")
-    val l = lines(documents, lineLen)
-      .withColumn("_h", xxhash64(col("line")))
+    val l = shared.withColumn("_h", xxhash64(col("line")))
     rebuild(documents,
       l.join(dupHashes, Seq("_h"), "left_anti").drop("_h"), lineLen)
   }
@@ -137,11 +213,15 @@ object LineDedup {
     * seam [[dedupLines]] (set derived from the corpus itself) and the
     * admission twin [[graft.streaming.StreamingLineGate]] (set FROZEN
     * from a reference corpus) share; per-doc output contract is
-    * [[dedupLines]]'s. Stateless given the set, so batch ≡ static. */
+    * [[dedupLines]]'s. Stateless given the set, so batch ≡ static.
+    * Streaming callers pass `share = false` (per-batch plans would
+    * accumulate memo entries — the [[lines]] contract). */
   private[graft] def applyDupSet(
-      documents: DataFrame, dup: DataFrame, lineLen: Int): DataFrame =
+      documents: DataFrame, dup: DataFrame, lineLen: Int,
+      share: Boolean = true): DataFrame =
     rebuild(documents,
-      lines(documents, lineLen).join(dup, Seq("line"), "left_anti"), lineLen)
+      lines(documents, lineLen, share).join(dup, Seq("line"), "left_anti"),
+      lineLen)
 
   /** Reassemble surviving lines per doc and resurrect empty /
     * fully-boilerplate docs from the documents side. */

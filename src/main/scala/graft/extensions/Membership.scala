@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -139,6 +139,47 @@ object Membership {
     evictionHooked.remove(spark)
   }
 
+  /** Build (or fetch the session-memoized) broadcast Bloom over `ref`'s
+    * 64-bit `hashCol` values — the filter half of [[bloomSemiJoin]],
+    * exposed for siblings whose probe is NOT followed by an exact join
+    * ([[LineDedup.dedupLinesBloom]]'s keep-zero scrub, where a false
+    * positive is a tolerated extra drop rather than something a
+    * semi-join re-checks). Same memo, staleness contract and app-end
+    * eviction as [[bloomSemiJoin]]'s filters; callers guard the
+    * zero-row NPE themselves (an empty reference usually short-circuits
+    * the whole probe). */
+  private[graft] def hashSetFilter(
+      ref: DataFrame, hashCol: String, expectedItems: Long,
+      fpp: Double): Broadcast[BloomFilter] = {
+    val spark = ref.sparkSession
+    val memoKey = ("hashset", ref.queryExecution.analyzed.canonicalized,
+      hashCol, expectedItems, fpp)
+    memoizedFilter(spark, memoKey) {
+      spark.sparkContext.broadcast(
+        ref.stat.bloomFilter(hashCol, expectedItems, fpp))
+    }
+  }
+
+  /** Filter `df` by a broadcast Bloom probe of `hash` (a 64-bit key
+    * expression): keeps rows whose membership answer equals
+    * `keepMembers`. The throwaway function-registry seam of
+    * [[bloomSemiJoin]] (DataFrame analysis is eager, so the temp
+    * registration lives only for the filter call). With
+    * `keepMembers = false` the false-positive direction is EXTRA DROPS
+    * — the caller owns that contract. */
+  private[graft] def filterByProbe(
+      df: DataFrame, bfBc: Broadcast[BloomFilter], hash: Column,
+      keepMembers: Boolean): DataFrame = {
+    val fname = s"graft_bloom_probe_${probeId.incrementAndGet()}"
+    val registry = df.sparkSession.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      fname, args => BloomProbe(args.head, bfBc), "built-in")
+    try {
+      val p = call_function(fname, hash)
+      df.filter(if (keepMembers) p else !p)
+    } finally registry.dropFunction(FunctionIdentifier(fname))
+  }
+
   /** Rows of `big` whose `keyCol` appears in `ref`'s `keyCol` —
     * exactly the left-semi join result; the Bloom filter only prunes
     * the shuffle.
@@ -176,19 +217,8 @@ object Membership {
           .stat.bloomFilter("k", expectedItems, fpp))
     }
     // A function-registry builder is the one public seam that lets a
-    // captured broadcast become an Expression. DataFrame analysis is
-    // eager, so the temp registration lives only for the filter() call
-    // below and is dropped before returning — no registry leak.
-    val fname = s"graft_bloom_probe_${probeId.incrementAndGet()}"
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      fname, args => BloomProbe(args.head, bfBc), "built-in")
-    try {
-      big
-        .filter(call_function(fname, xxhash64(col(keyCol))))
-        .join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-    } finally {
-      registry.dropFunction(FunctionIdentifier(fname))
-    }
+    // captured broadcast become an Expression — see [[filterByProbe]].
+    filterByProbe(big, bfBc, xxhash64(col(keyCol)), keepMembers = true)
+      .join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
   }
 }

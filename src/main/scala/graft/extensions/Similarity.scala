@@ -233,6 +233,86 @@ object Similarity {
   def evictIvfIndex(spark: org.apache.spark.sql.SparkSession): Unit =
     ivfIndexMemo.keys.filter(_._1 eq spark).foreach(ivfIndexMemo.remove)
 
+  /** Incremental index maintenance (r19 VERDICT #5): UPSERT an arriving
+    * raw-embeddings batch into the persisted label-partitioned index,
+    * rewriting ONLY the touched cells via dynamic partition overwrite —
+    * a streaming-embeddings deployment must not pay a full index
+    * rebuild per batch when a batch touches a handful of cells.
+    *
+    * Mechanics: the batch is normalized exactly like the build
+    * ([[withNorm]] — so a probe after the upsert is still bit-identical
+    * to the inline path), its touched cell set collected (bounded by
+    * |cells|), and for each touched cell the merged content =
+    * (existing rows whose vec_id the batch does NOT replace) ∪ (batch
+    * rows) is localCheckpoint'ed — severing lineage from the files the
+    * write is about to replace — and written with
+    * partitionOverwriteMode=dynamic, which replaces exactly the
+    * partition directories present in the data and leaves every other
+    * cell's files untouched on disk (IvfIndexSpec pins both the file
+    * identity of untouched cells and the still-pruned probe).
+    *
+    * CONTRACT: a vec_id's cell assignment is stable (the label is a
+    * function of the vector). A re-embedded vector that CHANGES cell
+    * needs delete+insert or a rebuild — the upsert anti-join only sees
+    * the touched cells, so a stale copy in an untouched cell would
+    * survive. That rebuild trigger is what [[maintainIvfIndex]]'s
+    * drift gate exists to catch wholesale (an encoder change moves
+    * distributions, not single vectors).
+    *
+    * Returns the touched cell ids (sorted). */
+  def upsertIvfIndex(indexPath: String, batch: DataFrame): Seq[Int] = {
+    val spark = batch.sparkSession
+    val b = withNorm(batch)
+    val touched = b.select("label").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return touched
+    val merged = spark.read.parquet(indexPath)
+      .filter(col("label").isin(touched: _*))
+      .join(b.select("vec_id"), Seq("vec_id"), "left_anti") // batch wins
+      .unionByName(b.select("vec_id", "e", "nrm", "label"))
+      .localCheckpoint() // materialize BEFORE overwriting the source dirs
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    touched
+  }
+
+  /** The drift-gated maintenance policy over [[upsertIvfIndex]]: score
+    * the arriving batch's CELL distribution against the index's own
+    * profile ([[EmbeddingDrift.driftVsProfile]] — the alarm that fires
+    * on an encoder change or topic shift before any text-level signal);
+    * under `jsThreshold`, upsert the touched cells; at or over it,
+    * REBUILD the whole layout (re-center: with fitted cells this is
+    * where a KMeans refit would re-derive labels — the harness corpus
+    * carries assigned labels, so the rebuild re-lays-out assignments).
+    * Returns ("upsert", touchedCells) or ("rebuild", allCells). */
+  def maintainIvfIndex(
+      indexPath: String, batch: DataFrame,
+      jsThreshold: Double = 0.1): (String, Seq[Int]) = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val profile = EmbeddingDrift.cellProfile(
+      idx.select(col("label").as("cell")))
+    val js = EmbeddingDrift.driftVsProfile(
+      batch.select(col("label").as("cell")), profile).head.getDouble(2)
+    if (js < jsThreshold) ("upsert", upsertIvfIndex(indexPath, batch))
+    else {
+      val b = withNorm(batch)
+      val merged = idx
+        .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(b.select("vec_id", "e", "nrm", "label"))
+        .localCheckpoint()
+      merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
+      ("rebuild", merged.select("label").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted)
+    }
+  }
+
   /** Probe the persisted index: the query row is a point lookup (at
     * scale a kv fetch — or the caller already holds the vector), and
     * the cell search then filters on the LITERAL cell id, so the scan

@@ -120,6 +120,87 @@ object WordPiece {
     merges.result()
   }
 
+  /** Do two candidate WordPiece merges interfere? STRICTLY STRONGER
+    * than [[BpeTrain.conflicts]] (r19 VERDICT #3's "the likelihood
+    * denominator makes batching subtler"): beyond BPE's adjacency
+    * overlap and created-symbol collisions — which change a pair's
+    * occurrence COUNT — applying `a` also changes the SYMBOL counts of
+    * both its operands (each loses c(a) occurrences) and introduces the
+    * merged symbol, so any candidate sharing an operand symbol with `a`
+    * would have had a different likelihood DENOMINATOR (hence score,
+    * hence possibly a different argmax position) under sequential
+    * training, even when its own occurrence count is untouched. Two
+    * candidates are exact-batchable only when their operand symbol sets
+    * are disjoint AND neither's merged symbol spells one of the other's
+    * operands. */
+  def conflicts(a: (String, String), b: (String, String)): Boolean = {
+    val (al, ar) = a
+    val (bl, br) = b
+    al == bl || al == br || ar == bl || ar == br ||
+      al + ar == bl || al + ar == br ||
+      bl + br == al || bl + br == ar
+  }
+
+  /** [[learn]] with the driver round-trips amortized — the
+    * [[BpeTrain.learnBatched]] loop under the WordPiece argmax and the
+    * stronger [[conflicts]] predicate: each round ranks pairs ONCE by
+    * likelihood score, collects a bounded candidate window, greedily
+    * selects the top `batchSize` pairwise non-conflicting pairs
+    * (interfering candidates are skipped, not batch-enders), and
+    * applies the whole batch in one replace pass —
+    * numMerges/batchSize Spark jobs instead of numMerges. At a BERT
+    * 30k-piece vocabulary that is ~1k scheduler round-trips instead of
+    * 30k serial driver rounds.
+    *
+    * Exactness: every selected pair's recorded (count, score) is the
+    * value sequential training would have computed — within a batch no
+    * selected merge touches another's pair occurrences OR operand
+    * symbol counts (that is exactly what [[conflicts]] forbids) — but
+    * the TRACE can diverge when a skipped conflicting candidate, or a
+    * pair involving a symbol created mid-batch, would have been
+    * sequential's next argmax. `batchSize = 1` reproduces [[learn]]
+    * exactly; WordPieceBatchSpec replays each batch one-merge-at-a-time
+    * and pins batched ≡ sequential whenever no such interleaving
+    * occurs. */
+  def learnBatched(
+      documents: DataFrame, numMerges: Int, batchSize: Int): Seq[Merge] = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    var seqs = wordSeqs(documents).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var continue = rank <= numMerges
+    while (continue) {
+      val remaining = numMerges - rank + 1
+      val cap = math.min(batchSize, remaining)
+      val top = rankedPairs(seqs).limit(math.max(cap * 4, 8)).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long, Double)]
+        var i = 0
+        while (i < top.length && selected.size < cap) {
+          val cand = (top(i).getString(0), top(i).getString(1),
+            top(i).getLong(2), top(i).getDouble(3))
+          if (selected.forall(s => !conflicts((s._1, s._2), (cand._1, cand._2))))
+            selected += cand
+          i += 1 // interfering candidates are skipped, not batch-enders
+        }
+        selected.foreach { case (l, r, c, sc) =>
+          merges += Merge(rank, l, r, c, sc)
+          rank += 1
+        }
+        val prev = seqs
+        val mergedSeq = selected.foldLeft(col("seq")) { case (s, (l, r, _, _)) =>
+          replace(s, lit(s" $l  $r "), lit(s" $l$r "))
+        }
+        seqs = seqs.select(mergedSeq.as("seq"), col("freq")).localCheckpoint()
+        BpeTrain.freeCheckpoint(prev)
+        continue = rank <= numMerges
+      }
+    }
+    merges.result()
+  }
+
   /** [[learn]] as a DataFrame (the q_wordpiece_train contract):
     * (rank, left, right, pair_freq, score(6)). */
   def learnDf(spark: SparkSession, documents: DataFrame,

@@ -19,7 +19,7 @@ object Registry {
       Round10Queries.all ++ Round11Queries.all ++ Round12Queries.all ++
       Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all ++
       Round16Queries.all ++ Round17Queries.all ++ Round18Queries.all ++
-      Round19Queries.all
+      Round19Queries.all ++ Round20Queries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

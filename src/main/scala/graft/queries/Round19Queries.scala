@@ -532,7 +532,7 @@ object Round19Queries {
   /** [[graft.extensions.LineDedup.dedupLines]] — FineWeb/RefinedWeb
     * boilerplate-line removal (drop EVERY copy of a line shared by >1
     * docs), per-doc survivors in order. */
-  private val duckLineDedup: String =
+  private[queries] val duckLineDedup: String =
     s"""WITH $duckLines
           SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
                  CAST(n_kept AS BIGINT) AS n_kept, text_clean

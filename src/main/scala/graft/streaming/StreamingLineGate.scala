@@ -44,10 +44,12 @@ object StreamingLineGate {
 
   /** Scrub one micro-batch against the frozen set — the batch operator
     * verbatim; output contract is [[LineDedup.dedupLines]]'s
-    * (doc_id, n_lines, n_kept, text_clean). */
+    * (doc_id, n_lines, n_kept, text_clean). `share = false`: a memo
+    * entry keyed on each micro-batch's distinct plan would accumulate
+    * per batch (the [[LineDedup.lines]] contract). */
   def admitBatch(
       batch: DataFrame, boilerplate: DataFrame, lineLen: Int = 6): DataFrame =
-    LineDedup.applyDupSet(batch, boilerplate, lineLen)
+    LineDedup.applyDupSet(batch, boilerplate, lineLen, share = false)
 
   /** The zero removal-mass report. */
   def emptyReport(spark: SparkSession): DataFrame =
