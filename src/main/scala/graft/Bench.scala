@@ -394,6 +394,104 @@ object Bench {
     }
   }
 
+  /** LSM-persisted SCD state admission economics (r19 VERDICT #6 —
+    * [[graft.streaming.StreamingBucketedMerge]]): against the wide
+    * 53-column state the merge family prices everywhere else, the
+    * steady-state per-batch bill of the delta-append path vs the full
+    * state rewrite a [[graft.streaming.SnapshotStream.mergeSink]]-style
+    * saveState pays per batch, plus the resolving compaction and its
+    * file-count evidence. Admission batches are FULL dated snapshots
+    * with incremental perturbation (the SCD contract — a snapshot is
+    * complete; partial feeds would read as mass tombstones), each
+    * applied ONCE (appends are not idempotent; replaying a date is an
+    * empty delta): the first admission pays the bootstrap-sized delta
+    * (every pre-1996 key tombstones), the two steady batches pay
+    * ~|perturbed keys| — the row reports the steady median and the
+    * first-batch cost separately. */
+  def scdLsmBench(spark: SparkSession, sfDir: String, reps: Int = 3): Seq[(String, Double)] = {
+    import graft.queries.CoreQueries
+    import graft.merge.ScdMerge
+    import graft.streaming.StreamingBucketedMerge
+    val buckets = 32
+    val a = CoreQueries.wideSnap(spark, sfDir, perturb = false,
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val s1 = ScdMerge.applySnapshot(
+      ScdMerge.emptyState(a), a, "1998-01-01", "id", CoreQueries.wideCols)
+    var st: StreamingBucketedMerge.State = null
+    // rep-honest: each rep drops and re-persists the identical state
+    val initT = timeMed(reps, "scdlsm_init") {
+      spark.sql("DROP TABLE IF EXISTS scd_lsm_bench")
+      st = StreamingBucketedMerge.init(
+        s1, "scd_lsm_bench", "id", CoreQueries.wideCols, buckets)
+    }
+    val b = CoreQueries.wideSnap(spark, sfDir, perturb = true,
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+    def drift(base: org.apache.spark.sql.DataFrame, mod: Long) =
+      base.withColumn("w06",
+        when(pmod(col("id"), lit(mod)) === 0, concat(col("w06"), lit(s"#m$mod")))
+          .otherwise(col("w06")))
+    val batches = Seq(
+      ("1998-06-01", b),
+      ("1998-07-01", drift(b, 11L)),
+      ("1998-08-01", drift(drift(b, 11L), 13L)))
+    val admitted = batches.map { case (d, snapDf) =>
+      val slice = snapDf.localCheckpoint()
+      val before = spark.table("scd_lsm_bench").count()
+      val t0 = System.nanoTime()
+      st = StreamingBucketedMerge.applyBatch(spark, st, slice, d)
+      val t = (System.nanoTime() - t0) / 1e9
+      (t, (spark.table("scd_lsm_bench").count() - before).toDouble)
+    }
+    val admitTimes = admitted.map(_._1)
+    repsLog("scdlsm_admit_batch") = admitTimes
+    val stateRows = StreamingBucketedMerge.currentState(spark, st)
+      .count().toDouble
+    def lsmFiles() =
+      graft.plans.Layout.bucketedDataFiles(spark, "scd_lsm_bench").toDouble
+    val filesFragmented = lsmFiles()
+    // the full-rewrite alternative, apples-to-apples: the SAME next
+    // batch persisted mergeSink-style — merge against the current
+    // state, then shuffle + per-bucket sort + write of the WHOLE merged
+    // state (rep-honest: every rep rewrites the identical merged set)
+    val altBatch = drift(drift(drift(b, 11L), 13L), 17L).localCheckpoint()
+    val rewriteT = timeMed(reps, "scdlsm_rewrite_alternative") {
+      spark.sql("DROP TABLE IF EXISTS scd_lsm_alt")
+      graft.plans.Layout.writeBucketedSorted(
+        ScdMerge.applySnapshot(
+          StreamingBucketedMerge.currentState(spark, st), altBatch,
+          "1998-09-01", "id", CoreQueries.wideCols)
+          .withColumn("_gen", lit(0L)),
+        "scd_lsm_alt", Seq("id"), buckets)
+    }
+    spark.sql("DROP TABLE IF EXISTS scd_lsm_alt")
+    // resolving compaction (rep 1 reads the fragmented layout; later
+    // reps rewrite the already-resolved set — the index_compact
+    // rep-honesty note applies)
+    val compactT = timeMed(reps, "scdlsm_compact") {
+      st = StreamingBucketedMerge.compact(spark, st)
+    }
+    val filesCompacted = lsmFiles()
+    spark.sql("DROP TABLE IF EXISTS scd_lsm_bench")
+    // TIMING rows share the (dominant at this sf) merge term between
+    // the two persistence strategies; the STRUCTURAL rows carry the
+    // scale argument — a steady batch WRITES rows_appended_steady rows
+    // where the rewrite strategy writes state_rows, and at 100 TB the
+    // state write is the bill (the wall-clock crossover is where
+    // |state| outgrows what the merge itself costs).
+    Seq(
+      "scdlsm_init" -> initT,
+      "scdlsm_admit_first" -> admitTimes.head,
+      "scdlsm_admit_batch" -> admitTimes.tail.sorted.apply(admitTimes.tail.size / 2),
+      "scdlsm_rows_appended_first" -> admitted.head._2,
+      "scdlsm_rows_appended_steady" ->
+        admitted.tail.map(_._2).sorted.apply(admitted.tail.size / 2),
+      "scdlsm_state_rows" -> stateRows,
+      "scdlsm_files_fragmented" -> filesFragmented,
+      "scdlsm_rewrite_alternative" -> rewriteT,
+      "scdlsm_compact" -> compactT,
+      "scdlsm_files_compacted" -> filesCompacted)
+  }
+
   /** The LSM read-amplification SAWTOOTH, measured (r12 VERDICT #2):
     * an index base plus a delta log that grows one batch at a time,
     * [[graft.streaming.CompactionPolicy]](maxLogBatches = 3) deciding
@@ -2006,6 +2104,7 @@ object Bench {
     val ann = section("ann")(annBench(spark, sfDir, reps))
     val streaming = section("streaming")(streamingBench(spark, sfDir, reps))
     val lsm = section("lsm")(lsmBench(spark, sfDir, reps))
+    val scdLsm = section("scd_lsm")(scdLsmBench(spark, sfDir, reps))
     val capstone = section("capstone")(capstoneBench(spark, sfDir, reps))
     val multimodal = section("multimodal")(multimodalBench(spark, reps))
     val skewjoin = section("skewjoin")(skewJoinBench(spark, reps))
@@ -2015,7 +2114,7 @@ object Bench {
     val jointAdm = section("joint_admission")(
       jointAdmissionBench(spark, sfDir, reps))
     val admission = section("admission")(admissionBench(spark, sfDir, reps))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"rtfilter":${jsonNum(rtfilter)},"rtfilter_reps":${jsonReps(rtfilter)},"curation":${jsonNum(curation)},"curation_reps":${jsonReps(curation)},"joint_admission":${jsonNum(jointAdm)},"joint_admission_reps":${jsonReps(jointAdm)},"admission":${jsonNum(admission)},"admission_reps":${jsonReps(admission)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":${jsonReps(results)},"shared_build":$sharedBuild,"reps":$reps,"layout":${jsonNum(layout)},"layout_reps":${jsonReps(layout)},"scale":${jsonNum(scale)},"scale_reps":${jsonReps(scale)},"ann":${jsonNum(ann)},"ann_reps":${jsonReps(ann)},"streaming":${jsonNum(streaming)},"streaming_reps":${jsonReps(streaming)},"lsm":${jsonNum(lsm)},"lsm_reps":${jsonReps(lsm)},"scd_lsm":${jsonNum(scdLsm)},"scd_lsm_reps":${jsonReps(scdLsm)},"capstone":${jsonNum(capstone)},"capstone_reps":${jsonReps(capstone)},"multimodal":${jsonNum(multimodal)},"multimodal_reps":${jsonReps(multimodal)},"skewjoin":${jsonNum(skewjoin)},"skewjoin_reps":${jsonReps(skewjoin)},"paged":${jsonNum(paged)},"paged_reps":${jsonReps(paged)},"rtfilter":${jsonNum(rtfilter)},"rtfilter_reps":${jsonReps(rtfilter)},"curation":${jsonNum(curation)},"curation_reps":${jsonReps(curation)},"joint_admission":${jsonNum(jointAdm)},"joint_admission_reps":${jsonReps(jointAdm)},"admission":${jsonNum(admission)},"admission_reps":${jsonReps(admission)},"sf":"$sfDir"}""")
     // Final SHORT line so a tail-truncated capture of this output still
     // contains a complete, parseable summary (r10 VERDICT #4: the full
     // artifact line above exceeds the driver's 2000-byte tail window).

@@ -18,6 +18,7 @@ object BenchSection {
       case "ann" => Bench.annBench(spark, sfDir, reps)
       case "streaming" => Bench.streamingBench(spark, sfDir, reps)
       case "lsm" => Bench.lsmBench(spark, sfDir, reps)
+      case "scd_lsm" => Bench.scdLsmBench(spark, sfDir, reps)
       case "capstone" => Bench.capstoneBench(spark, sfDir, reps)
       case "skewjoin" => Bench.skewJoinBench(spark, reps)
       case "paged" => Bench.pagedBench(spark, reps)

@@ -69,6 +69,32 @@ object ScdMerge {
       snapshotDate: String,
       keyCol: String,
       trackedCols: Seq[String],
+      snapshotDeduped: Boolean = false): DataFrame =
+    applySnapshotDelta(state, snapshot, snapshotDate, keyCol, trackedCols,
+      snapshotDeduped).drop(ChangedCol)
+
+  /** The delta flag column [[applySnapshotDelta]] appends. */
+  val ChangedCol = "_changed"
+
+  /** [[applySnapshot]] that ALSO flags whether each output row's
+    * PERSISTED state differs from its input state row (`_changed`) —
+    * the write-side delta an LSM-style persisted state needs
+    * ([[graft.streaming.StreamingBucketedMerge]]: append only flagged
+    * rows, resolve latest-per-key at read). A row changes exactly when
+    * it is a new key, a present key with a tracked-column change, or a
+    * tombstone transition; an unchanged-in-snapshot or
+    * already-tombstoned key is byte-stable under FORWARD-TIME
+    * application (state dates ≤ snapshot date — the [[assertNotLate]]
+    * contract; a late snapshot could move added_at without tripping
+    * these flags, which is one more reason the reference aborts on
+    * late arrivals). [[applySnapshot]] is this minus the flag, so the
+    * two can never drift. */
+  def applySnapshotDelta(
+      state: DataFrame,
+      snapshot: DataFrame,
+      snapshotDate: String,
+      keyCol: String,
+      trackedCols: Seq[String],
       snapshotDeduped: Boolean = false): DataFrame = {
 
     val d = to_date(lit(snapshotDate))
@@ -101,13 +127,16 @@ object ScdMerge {
     // Tombstone: in state, absent from snapshot, added before this date,
     // not already removed earlier (feeder_postgres.py:181-192). Matched
     // rows keep their removed_at (reappearance quirk, see scaladoc).
-    val removedAt = when(
-        inState && !inSnap && col("s.added_at") < d &&
-          (col("s.removed_at").isNull || d < col("s.removed_at")), d)
+    val tombstones = inState && !inSnap && col("s.added_at") < d &&
+      (col("s.removed_at").isNull || d < col("s.removed_at"))
+    val removedAt = when(tombstones, d)
       .otherwise(col("s.removed_at"))
       .as("removed_at")
 
-    j.select((key +: values) ++ Seq(addedAt, updatedAt, removedAt): _*)
+    val deltaFlag = (!inState || (inSnap && changed) || tombstones)
+      .as(ChangedCol)
+
+    j.select((key +: values) ++ Seq(addedAt, updatedAt, removedAt, deltaFlag): _*)
   }
 
   /** Per-key change classification — the reference's
