@@ -219,4 +219,109 @@ object UnigramLm {
         (length(col("piece")) === 1).as("is_char"))
       .orderBy(col("count").desc, col("piece"))
   }
+
+  /** Kudo's SHRINKING-VOCABULARY schedule (Kudo 2018 §3.2; r19 VERDICT
+    * #8): train large, then per round fit → score every piece's
+    * LIKELIHOOD LOSS → prune the bottom fraction, until the target
+    * size. [[trainIterated]] keeps the seed support through every EM
+    * round and cuts once at the end by raw count; the schedule is what
+    * the paper actually runs — the intermediate prunes re-route
+    * probability mass through the survivors before the next fit, so a
+    * piece that only looked good under the bloated seed gets re-judged
+    * under a model that has already shed its competitors.
+    *
+    * Loss, hard-EM style (and SQL-replayable — the q_unigram_train_sched
+    * oracle re-derives every round by full-path enumeration): removing
+    * piece p forces each of its Viterbi occurrences onto an alternative
+    * path; the SINGLE-CHARACTER spelling of p is always available, so
+    * loss(p) = c(p) · (logp(p) − Σ_ch logp(ch)) is the exact likelihood
+    * cost of the char-fallback re-route and an upper bound on Kudo's
+    * lattice-exact loss (the true next-best path is ≥ the char path).
+    * A single character's loss is identically 0 (its fallback is
+    * itself), which is also why characters survive every cut.
+    * Cross-engine determinism: counts are exact longs, model scores are
+    * round(log2, 6) handoffs, and the char-sum folds LEFT-TO-RIGHT in
+    * both engines (FP addition order pinned), so the loss doubles — and
+    * therefore the kept set — are bit-identical; ties break on piece.
+    *
+    * Coverage floor: the NEXT round's model renormalizes the kept
+    * counts with single-character counts floored at 1 (Kudo keeps
+    * characters at small constant probability for the same reason), so
+    * no word ever becomes unsegmentable mid-schedule. The FINAL output
+    * keeps [[train]]'s exact contract — raw counts, renormalized logp
+    * over the kept mass, NULL logp for a kept-but-unused character.
+    *
+    * Bounded driver loop: `pruneRounds ≤ 8` rounds, each one Viterbi
+    * E-step over the checkpointed DISTINCT-WORD table plus
+    * vocabulary-sized collects (the [[BpeTrain.learn]] class); the
+    * loss ranking runs on the collected vocabulary, never on the
+    * corpus. */
+  def trainScheduled(
+      documents: DataFrame,
+      vocabSize: Int = 24,
+      maxPieceLen: Int = 4,
+      pruneRounds: Int = 2,
+      shrink: Double = 0.5): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(maxPieceLen > 0, s"maxPieceLen must be positive: $maxPieceLen")
+    require(pruneRounds >= 1 && pruneRounds <= 8,
+      s"pruneRounds must be in [1, 8] (a bounded driver loop): $pruneRounds")
+    require(shrink > 0.0 && shrink < 1.0, s"shrink must be in (0,1): $shrink")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = wordFreqs(documents).localCheckpoint()
+    val seedMap = logProbs(seedCounts(words, maxPieceLen)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    if (seedMap.isEmpty) // empty corpus: an empty vocabulary, not a crash
+      return spark.range(0).select(
+        lit("").as("piece"), col("id").as("count"),
+        lit(0.0).as("logp"), lit(false).as("is_char"))
+    // the corpus character set — bounded; kept through every cut
+    val chars: Seq[String] = words.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("p")).distinct().as[String].collect().toSeq.sorted
+    var model = seedMap
+    var result: DataFrame = null
+    (1 to pruneRounds).foreach { r =>
+      val mCounts = viterbiSegment(words, model, maxPieceLen)
+        .select(col("freq"),
+          explode(split(col("segmentation"), " ")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("c"))
+      // vocabulary-sized collect — the loss ranking is driver-side math
+      // over exact longs and 6-rounded score literals
+      val counts: Map[String, Long] = mCounts.collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      def charSum(p: String): Double = // left-to-right: FP order pinned
+        p.foldLeft(0.0)((a, ch) => a + model(ch.toString))
+      val ranked = counts.toSeq
+        .map { case (p, c) => (p, c * 1.0 * (model(p) - charSum(p))) }
+        .sortBy { case (p, loss) => (-loss, p) }
+      val keepN =
+        if (r == pruneRounds) vocabSize
+        else math.max(vocabSize, math.ceil(counts.size * shrink).toInt)
+      val kept: Set[String] = ranked.take(keepN).map(_._1).toSet ++ chars
+      if (r < pruneRounds) {
+        val adj = kept.toSeq.sorted.map { p =>
+          val c = counts.getOrElse(p, 0L)
+          (p, if (p.length == 1) math.max(c, 1L) else c) // coverage floor
+        }
+        // the log2/round handoff stays IN SPARK (logProbs), so the next
+        // model's literals are the engine's own — never a driver-side
+        // re-derivation that could differ in the last ulp
+        model = logProbs(adj.toDF("piece", "c")).collect()
+          .map(x => x.getString(0) -> x.getDouble(1)).toMap
+      } else {
+        val keptSeq = kept.toSeq.sorted.map(p => (p, counts.getOrElse(p, 0L)))
+        val tot = keptSeq.map(_._2).sum
+        result = keptSeq.toDF("piece", "count")
+          .select(col("piece"), col("count"),
+            when(col("count") > 0 && lit(tot) > 0,
+              round(log2(col("count") * lit(1.0) / lit(tot.toDouble)), 6))
+              .as("logp"),
+            (length(col("piece")) === 1).as("is_char"))
+          .orderBy(col("count").desc, col("piece"))
+      }
+    }
+    result
+  }
 }

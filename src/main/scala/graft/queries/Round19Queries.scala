@@ -57,7 +57,7 @@ object Round19Queries {
     * recursion terminates) and the per-word argmax is taken under
     * (score DESC, n_pieces ASC, segmentation ASC), exactly the
     * engine-side DP's total order. */
-  private def duckWords: String =
+  private[queries] def duckWords: String =
     """w AS (SELECT word, count(*) AS freq
             FROM (SELECT unnest(list_filter(
                     string_split(lower(coalesce(text, '')), ' '),
@@ -72,7 +72,7 @@ object Round19Queries {
     * the enumeration under TWO successive models (q_unigram_train_em2:
     * paths/best under the seed, paths2/best2 under the re-estimated
     * round-1 scores). */
-  private def duckViterbiSfx(vocabCte: String, sfx: String): String =
+  private[queries] def duckViterbiSfx(vocabCte: String, sfx: String): String =
     s"""paths$sfx(word, freq, pos, np, seg, score) AS (
           SELECT word, freq, 0, 0, '', CAST(0.0 AS DOUBLE) FROM w
           UNION ALL
@@ -90,7 +90,7 @@ object Round19Queries {
                  WHERE rn = 1)"""
 
   /** The freq-weighted M-step recount of a best-path CTE. */
-  private def duckRecount(bestCte: String, mcName: String): String =
+  private[queries] def duckRecount(bestCte: String, mcName: String): String =
     s"""$mcName AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
                  FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece
                        FROM $bestCte)
@@ -125,7 +125,7 @@ object Round19Queries {
     * renormalized log-probs. */
   /** Seed-model CTEs: substring counts (len ≤ 4) and their
     * renormalized log-prob scores. */
-  private val duckSeed: String =
+  private[queries] val duckSeed: String =
     """sp AS (SELECT freq,
                         unnest(flatten(list_transform(range(1, len(word) + 1),
                           i -> list_transform(
