@@ -1634,7 +1634,9 @@ object Bench {
     *    fertility/coverage reduce.
     *  - boilerplate line gate ([[graft.streaming.StreamingLineGate]]):
     *    frozen line census; per batch = one explode + broadcast
-    *    anti-join + per-doc reassembly. */
+    *    anti-join + per-doc reassembly. The Bloom regime beside it
+    *    (r20): freeze = hash census folded into one broadcast bitset,
+    *    per batch = scan-side probe, no join side at all. */
   def admissionBench(spark: SparkSession, sfDir: String,
       reps: Int = 3): Seq[(String, Double)] = {
     import graft.streaming.{StreamingClassifier, StreamingRetrievalDecon}
@@ -1728,6 +1730,34 @@ object Bench {
     val lgDropped = lgDroppedRow.getLong(0).toDouble
     require(lgDropped > 0,
       "re-posted corpus batch must shed frozen boilerplate lines")
+    // Bloom regime of the line gate (r20): the freeze folds the hash
+    // census into ONE broadcast bitset (cold per rep — filter memo
+    // evicted; the shared-lines frame stays warm exactly as the exact
+    // row above, so both price census-above-shared-lines), and the
+    // per-batch scrub is a codegen'd scan-side probe with no join side.
+    // Work proof: the probe may only drop MORE than the exact gate.
+    var lgBloomFrozen: Option[org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]] = None
+    val lgBloomFreezeT = timeMed(reps, "linegate_bloom_freeze") {
+      graft.extensions.Membership.evictFilters(spark)
+      lgBloomFrozen =
+        graft.streaming.StreamingLineGate.freezeBoilerplateBloom(corpus)
+    }
+    require(lgBloomFrozen.nonEmpty,
+      "corpus census must yield a non-empty frozen bitset")
+    val lgBloomT = timeMed(reps, "linegate_bloom_probe_batch") {
+      graft.streaming.StreamingLineGate.admitBatchBloom(batch, lgBloomFrozen)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val lgBloomDroppedRow = graft.streaming.StreamingLineGate
+      .admitBatchBloom(batch, lgBloomFrozen)
+      .selectExpr("sum(n_lines - n_kept)").head
+    require(!lgBloomDroppedRow.isNullAt(0),
+      "linegate bloom probe batch is empty: sum(n_lines - n_kept) is NULL")
+    val lgBloomDropped = lgBloomDroppedRow.getLong(0).toDouble
+    require(lgBloomDropped >= lgDropped,
+      s"bloom gate may only drop MORE than the exact gate " +
+        s"($lgBloomDropped < $lgDropped)")
     // soft dedup (r17 verdict #5): the dedup-adjusted source-mass input
     // of mixture planning maintained incrementally — state bootstrap at
     // refresh cadence (the whole-corpus CC, paid once) beside the
@@ -1799,6 +1829,9 @@ object Bench {
       "linegate_census_build" -> lgFreezeT,
       "linegate_probe_batch" -> lgT,
       "linegate_batch_dropped" -> lgDropped,
+      "linegate_bloom_freeze" -> lgBloomFreezeT,
+      "linegate_bloom_probe_batch" -> lgBloomT,
+      "linegate_bloom_batch_dropped" -> lgBloomDropped,
       "softdedup_state_build" -> sdBuildT,
       "softdedup_admit_batch" -> sdAdmitT,
       "softdedup_admit_batch_halfcorpus" -> sdAdmitHalfT,

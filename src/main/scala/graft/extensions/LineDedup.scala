@@ -1,7 +1,9 @@
 package graft.extensions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Line-level (document-frequency) deduplication — the FineWeb /
   * RefinedWeb boilerplate-removal recipe (Penedo et al. 2023 "The
@@ -171,20 +173,41 @@ object LineDedup {
   def dedupLinesBloom(
       documents: DataFrame, lineLen: Int = 6, maxDf: Int = 1,
       expectedDupLines: Long = 1L << 20, fpp: Double = 1e-9): DataFrame = {
-    val l = lines(documents, lineLen)
-    val dupHashes = l
+    val dupHashes = dupLineHashes(documents, lineLen, maxDf)
+    // stat.bloomFilter NPEs on zero rows (the Membership guard); an
+    // empty dup set means nothing to scrub — every line survives
+    if (dupHashes.isEmpty)
+      return rebuild(documents, lines(documents, lineLen), lineLen)
+    applyDupBloom(documents,
+      Membership.hashSetFilter(dupHashes, "_h", expectedDupLines, fpp),
+      lineLen)
+  }
+
+  /** The Bloom path's pass-1 census: dup-line keys as `_h` =
+    * xxhash64(line) — 8-byte shuffle keys, no string payload. The seam
+    * [[dedupLinesBloom]] (set from the corpus itself) and
+    * [[graft.streaming.StreamingLineGate.freezeBoilerplateBloom]] (set
+    * FROZEN from a reference corpus) share. */
+  private[graft] def dupLineHashes(
+      documents: DataFrame, lineLen: Int, maxDf: Int,
+      share: Boolean = true): DataFrame =
+    lines(documents, lineLen, share)
       .select(xxhash64(col("line")).as("_h"), col("doc_id"))
       .groupBy("_h").agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > maxDf).select("_h")
-    // stat.bloomFilter NPEs on zero rows (the Membership guard); an
-    // empty dup set means nothing to scrub — every line survives
-    if (dupHashes.isEmpty) return rebuild(documents, l, lineLen)
-    val bf = Membership.hashSetFilter(dupHashes, "_h", expectedDupLines, fpp)
+
+  /** The Bloom path's pass-2 scrub against an already-built broadcast
+    * bitset — the [[applyDupSet]] twin for the probe regime (same
+    * per-doc output contract, stateless given the filter, so
+    * batch ≡ static; the FP contract is [[dedupLinesBloom]]'s).
+    * Streaming callers pass `share = false` (the [[lines]] contract). */
+  private[graft] def applyDupBloom(
+      documents: DataFrame, bf: Broadcast[BloomFilter], lineLen: Int,
+      share: Boolean = true): DataFrame =
     rebuild(documents,
-      Membership.filterByProbe(l, bf, xxhash64(col("line")),
-        keepMembers = false),
+      Membership.filterByProbe(lines(documents, lineLen, share), bf,
+        xxhash64(col("line")), keepMembers = false),
       lineLen)
-  }
 
   /** The dictionary-encoded path of [[dedupLines]] (the
     * [[Dedup.ngramJaccard]] encodeShingles discipline): census and

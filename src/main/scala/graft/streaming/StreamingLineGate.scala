@@ -1,10 +1,12 @@
 package graft.streaming
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.util.sketch.BloomFilter
 
-import graft.extensions.LineDedup
+import graft.extensions.{LineDedup, Membership}
 
 /** Boilerplate-line scrubbing AT ADMISSION — the streaming twin of
   * [[LineDedup.dedupLines]] (q_line_dedup), under the frozen-dim
@@ -51,6 +53,49 @@ object StreamingLineGate {
       batch: DataFrame, boilerplate: DataFrame, lineLen: Int = 6): DataFrame =
     LineDedup.applyDupSet(batch, boilerplate, lineLen, share = false)
 
+  /** The frozen dim in BLOOM form — [[LineDedup.dedupLinesBloom]]'s
+    * admission twin for the decade where the reference corpus' dup-line
+    * TABLE outgrows the per-batch broadcast: the census runs on
+    * xxhash64(line) only (8-byte shuffle keys) and folds into one
+    * broadcast bitset built ONCE at freeze time; every arriving batch
+    * then pays a codegen'd scan-side probe, no per-batch join side at
+    * all. `None` when the reference census has no dup lines — nothing
+    * to scrub, [[admitBatchBloom]] admits everything (the
+    * stat.bloomFilter zero-row guard, the [[LineDedup.dedupLinesBloom]]
+    * discipline).
+    *
+    * The FP contract is [[LineDedup.dedupLinesBloom]]'s verbatim: a
+    * false positive drops an innocent line from every batch for the
+    * LIFETIME of the freeze — extra removal, never resurrection — so
+    * size `expectedDupLines`/`fpp` against the LIVE stream's distinct-
+    * line rate, not just the reference's (the filter is probed by every
+    * arriving line until the next re-freeze). */
+  def freezeBoilerplateBloom(
+      reference: DataFrame, lineLen: Int = 6, maxDf: Int = 1,
+      expectedDupLines: Long = 1L << 20, fpp: Double = 1e-9)
+      : Option[Broadcast[BloomFilter]] = {
+    val dup = LineDedup.dupLineHashes(reference, lineLen, maxDf)
+    if (dup.isEmpty) None
+    else Some(Membership.hashSetFilter(dup, "_h", expectedDupLines, fpp))
+  }
+
+  /** [[admitBatch]] for the Bloom regime: scrub one micro-batch by
+    * scan-side probe of the frozen bitset ([[LineDedup.applyDupBloom]]
+    * verbatim, so batch ≡ static given the filter); `None` (empty
+    * frozen census) admits every line unscrubbed — the same identity
+    * the exact gate reads from an empty boilerplate set. */
+  def admitBatchBloom(
+      batch: DataFrame, frozen: Option[Broadcast[BloomFilter]],
+      lineLen: Int = 6): DataFrame =
+    frozen match {
+      case Some(bf) =>
+        LineDedup.applyDupBloom(batch, bf, lineLen, share = false)
+      case None =>
+        val empty = batch.sparkSession.emptyDataFrame
+          .select(lit("").as("line")).limit(0)
+        LineDedup.applyDupSet(batch, empty, lineLen, share = false)
+    }
+
   /** The zero removal-mass report. */
   def emptyReport(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("n_docs"),
@@ -86,6 +131,24 @@ object StreamingLineGate {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val scrubbed = admitBatch(batch.toDF().localCheckpoint(),
           boilerplate, lineLen).localCheckpoint()
+        onBatch(scrubbed, mergeReports(state, batchReport(scrubbed)), batchId)
+      }
+
+  /** [[sink]] for the Bloom regime — identical replay/report contract;
+    * the per-batch scrub is the scan-side probe of the ONE frozen
+    * bitset ([[admitBatchBloom]]), so admission cost is batch-scan ∝
+    * batch with no per-batch broadcast rebuild or join side. */
+  def sinkBloom(
+      state: => DataFrame,
+      frozen: Option[Broadcast[BloomFilter]],
+      arriving: DataFrame,
+      onBatch: (DataFrame, DataFrame, Long) => Unit,
+      lineLen: Int = 6): DataStreamWriter[Row] =
+    arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val scrubbed = admitBatchBloom(batch.toDF().localCheckpoint(),
+          frozen, lineLen).localCheckpoint()
         onBatch(scrubbed, mergeReports(state, batchReport(scrubbed)), batchId)
       }
 }
