@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   * corpus size; StreamingLineGate's freshness contract). The frozen
   * set stays under the broadcast threshold, so this also isolates the
   * broadcast-anti plan the 100 TB deployment would actually run.
+  * Stage A′ (r20) repeats A through the frozen BLOOM bitset
+  * ([[graft.streaming.StreamingLineGate.admitBatchBloom]]): A − A′ is
+  * the anti-join-vs-probe gap at each decade.
   * Stage B times the full self-census path (q_line_dedup's plan) for
   * contrast; B − A ≈ what the corpus-proportional census costs.
   * Stage C (r20) times [[graft.extensions.LineDedup.dedupLinesBloom]]
@@ -47,6 +50,20 @@ object TimeLineLever {
       graft.streaming.StreamingLineGate.admitBatch(big, frozen)
         .write.format("noop").mode("overwrite").save()
       println(f"LEVER scrub_frozen_census rep=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    // Stage A′ (r20): the same bounded-census steady state through the
+    // frozen BLOOM bitset (StreamingLineGate's Bloom regime) — A − A′
+    // is what the broadcast anti-join costs over the scan-side probe at
+    // each decade. Runs BEFORE any cold() call: eviction DESTROYS the
+    // memoized broadcast this stage probes.
+    val frozenBloom = graft.streaming.StreamingLineGate
+      .freezeBoilerplateBloom(Tables.table(spark, refDir, "documents"))
+    require(frozenBloom.nonEmpty, "reference census must have dup lines")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingLineGate.admitBatchBloom(big, frozenBloom)
+        .write.format("noop").mode("overwrite").save()
+      println(f"LEVER scrub_frozen_bloom rep=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     (1 to reps).foreach { i =>
       cold()
