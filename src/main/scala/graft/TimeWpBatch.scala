@@ -34,23 +34,29 @@ object TimeWpBatch {
       counter.get()
     }
 
+    // time INSIDE the jobsDuring body: its listener-drain sleep would
+    // otherwise add a constant +0.2 s to every printed sec
     (1 to reps).foreach { i =>
       var tr: Seq[graft.extensions.WordPiece.Merge] = Seq.empty
-      val t0 = System.nanoTime()
+      var sec = 0.0
       val jobs = jobsDuring {
+        val t0 = System.nanoTime()
         tr = graft.extensions.WordPiece.learn(docs, numMerges)
+        sec = (System.nanoTime() - t0) / 1e9
       }
       println(f"LEVER wp_serial rep=$i merges=${tr.size} jobs=$jobs " +
-        f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        f"sec=$sec%.2f")
     }
     (1 to reps).foreach { i =>
       var tr: Seq[graft.extensions.WordPiece.Merge] = Seq.empty
-      val t0 = System.nanoTime()
+      var sec = 0.0
       val jobs = jobsDuring {
+        val t0 = System.nanoTime()
         tr = graft.extensions.WordPiece.learnBatched(docs, numMerges, batchSize)
+        sec = (System.nanoTime() - t0) / 1e9
       }
       println(f"LEVER wp_batched$batchSize rep=$i merges=${tr.size} jobs=$jobs " +
-        f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        f"sec=$sec%.2f")
     }
     spark.stop()
   }

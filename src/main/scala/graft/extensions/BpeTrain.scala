@@ -55,8 +55,10 @@ object BpeTrain {
     * freeing the predecessor a long vocabulary run (10k+ merges) retains
     * one materialized copy per round for the session. Defensive match:
     * if the plan isn't the expected LogicalRDD, do nothing — no worse
-    * than not freeing. */
-  private[extensions] def freeCheckpoint(df: DataFrame): Unit =
+    * than not freeing. private[graft]: the per-batch streaming paths
+    * ([[graft.streaming.StreamingBucketedMerge]]) carry the same
+    * leak shape — one retained checkpoint per micro-batch. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -266,20 +266,49 @@ object Similarity {
     val touched = b.select("label").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
-    val merged = spark.read.parquet(indexPath)
+    val existing = spark.read.parquet(indexPath)
+    if (existing.isEmpty) {
+      // day-one bootstrap: [[writeIvfIndex]] persists an EMPTY corpus as
+      // one FLAT schema-carrying file at the root; a dynamic partition
+      // write beside it would leave a mixed flat/partitioned layout that
+      // partition discovery rejects on the next read. A STATIC overwrite
+      // clears the root and establishes the partitioned layout. The
+      // batch does not read indexPath, so no lineage sever is needed.
+      withOverwriteMode(spark, "static") {
+        b.select("vec_id", "e", "nrm", "label")
+          .write.mode("overwrite").partitionBy("label").parquet(indexPath)
+      }
+      return touched
+    }
+    val merged = existing
       .filter(col("label").isin(touched: _*))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti") // batch wins
       .unionByName(b.select("vec_id", "e", "nrm", "label"))
       .localCheckpoint() // materialize BEFORE overwriting the source dirs
+    // free after the write: the per-batch steady state must not retain
+    // one touched-cell copy per applied batch (BpeTrain.freeCheckpoint)
+    try withOverwriteMode(spark, "dynamic") {
+      merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
+    } finally BpeTrain.freeCheckpoint(merged)
+    touched
+  }
+
+  /** Run `body` with spark.sql.sources.partitionOverwriteMode pinned —
+    * the upsert NEEDS dynamic (replace only the touched cell dirs) and
+    * the rebuild NEEDS static (clear every dir, so a cell emptied by
+    * re-assignment cannot keep stale files); neither may inherit
+    * whatever the session happens to carry. */
+  private def withOverwriteMode(
+      spark: org.apache.spark.sql.SparkSession, mode: String)(
+      body: => Unit): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
+    spark.conf.set(key, mode)
+    try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    touched
   }
 
   /** The drift-gated maintenance policy over [[upsertIvfIndex]]: score
@@ -307,9 +336,16 @@ object Similarity {
         .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
         .unionByName(b.select("vec_id", "e", "nrm", "label"))
         .localCheckpoint()
-      merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
-      ("rebuild", merged.select("label").distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted)
+      try {
+        // STATIC overwrite, pinned: under an inherited dynamic mode a
+        // cell whose every vec_id left it would keep its stale files —
+        // resurrecting exactly what the drift-gated rebuild purges
+        withOverwriteMode(spark, "static") {
+          merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
+        }
+        ("rebuild", merged.select("label").distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted)
+      } finally BpeTrain.freeCheckpoint(merged)
     }
   }
 

@@ -95,11 +95,16 @@ object StreamingBucketedMerge {
       // materialize BEFORE appending into the table the plan reads —
       // and so the append (a second action) doesn't recompute the merge
       .localCheckpoint()
-    if (delta.isEmpty) st.copy(gen = st.gen + 1)
-    else {
-      Layout.appendBucketed(delta, st.table, Seq(st.keyCol), st.buckets)
-      st.copy(gen = st.gen + 1, fragmented = true)
-    }
+    // free after the append: an always-on sink otherwise pins one
+    // delta's blocks per micro-batch for the session (the
+    // BpeTrain.freeCheckpoint discipline)
+    try {
+      if (delta.isEmpty) st.copy(gen = st.gen + 1)
+      else {
+        Layout.appendBucketed(delta, st.table, Seq(st.keyCol), st.buckets)
+        st.copy(gen = st.gen + 1, fragmented = true)
+      }
+    } finally graft.extensions.BpeTrain.freeCheckpoint(delta)
   }
 
   /** RESOLVING compaction: rewrite the table to latest-per-key at one
@@ -110,8 +115,10 @@ object StreamingBucketedMerge {
     val resolved = currentState(spark, st)
       .withColumn("_gen", lit(0L))
       .localCheckpoint() // sever lineage: the write replaces its input
-    Layout.writeBucketedSorted(resolved, st.table, Seq(st.keyCol), st.buckets)
-    st.copy(fragmented = false)
+    try {
+      Layout.writeBucketedSorted(resolved, st.table, Seq(st.keyCol), st.buckets)
+      st.copy(fragmented = false)
+    } finally graft.extensions.BpeTrain.freeCheckpoint(resolved)
   }
 
   /** [[applyBatch]] + policy compaction: compact when the table's file
@@ -147,9 +154,11 @@ object StreamingBucketedMerge {
         val st = state()
         if (batchId + 1 > st.gen) { // replay guard: gen N applied batch N-1
           val b = batch.toDF().localCheckpoint()
-          val next = applyBatchCompacting(
-            batch.sparkSession, st, b, dateOf(b, batchId), maxFilesPerBucket)
-          onBatch(next, batchId)
+          try {
+            val next = applyBatchCompacting(
+              batch.sparkSession, st, b, dateOf(b, batchId), maxFilesPerBucket)
+            onBatch(next, batchId)
+          } finally graft.extensions.BpeTrain.freeCheckpoint(b)
         }
       }
 }

@@ -124,6 +124,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(a2 == "rebuild", "a collapsed cell distribution must re-center")
   }
 
+  test("day-one bootstrap: upsert into an empty-corpus index establishes a clean partitioned layout") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf-bootstrap").toFile.getAbsolutePath
+    // the EmptyCorpusSpec day-one case: an empty corpus persists as one
+    // FLAT schema-carrying file; the first arriving batch must not
+    // leave a mixed flat/partitioned layout behind (partition discovery
+    // rejects those on the next read)
+    Similarity.writeIvfIndex(emb.filter(lit(false)), dir)
+    assert(spark.read.parquet(dir).isEmpty)
+    val batch = emb.filter(col("vec_id") < 50L)
+    val touched = Similarity.upsertIvfIndex(dir, batch)
+    assert(touched.nonEmpty)
+    val idx = spark.read.parquet(dir) // readable: no mixed layout
+    assert(idx.count() == batch.count())
+    // the flat bootstrap file is gone — every data file is under label=
+    assert(Layout.scannedFiles(idx).forall(_.contains("label=")),
+      "static bootstrap overwrite must clear the flat empty-corpus file")
+    // and the established layout behaves: probe equals the inline path
+    val inline = Similarity.ivfTopK(batch, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = Similarity.ivfTopKIndexed(idx, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == inline)
+    // a SECOND upsert takes the normal touched-cell path on the now-
+    // partitioned layout
+    val batch2 = emb.filter(col("vec_id") >= 50L && col("vec_id") < 80L)
+    Similarity.upsertIvfIndex(dir, batch2)
+    assert(spark.read.parquet(dir).count() == 80L)
+  }
+
   test("index build is session-memoized: one path per corpus plan, evictable") {
     val p1 = Similarity.ivfIndexPath(emb)
     val p2 = Similarity.ivfIndexPath(
