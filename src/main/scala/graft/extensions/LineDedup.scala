@@ -187,14 +187,27 @@ object LineDedup {
     * xxhash64(line) — 8-byte shuffle keys, no string payload. The seam
     * [[dedupLinesBloom]] (set from the corpus itself) and
     * [[graft.streaming.StreamingLineGate.freezeBoilerplateBloom]] (set
-    * FROZEN from a reference corpus) share. */
+    * FROZEN from a reference corpus) share.
+    *
+    * Memoized + localCheckpoint'ed via [[Dedup.sharedFrame]] (under
+    * `share`): BOTH consumers run two actions over it — the zero-row
+    * guard (stat.bloomFilter NPEs on empty input) and the filter fold
+    * itself — and without the checkpoint each action re-executed the
+    * full census aggregation, doubling exactly the cost the r20 freeze
+    * levers price. The memo key also keeps [[Membership.hashSetFilter]]'s
+    * plan-keyed filter memo stable across calls. */
   private[graft] def dupLineHashes(
       documents: DataFrame, lineLen: Int, maxDf: Int,
-      share: Boolean = true): DataFrame =
-    lines(documents, lineLen, share)
+      share: Boolean = true): DataFrame = {
+    def build = lines(documents, lineLen, share)
       .select(xxhash64(col("line")).as("_h"), col("doc_id"))
       .groupBy("_h").agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > maxDf).select("_h")
+    if (share)
+      Dedup.sharedFrame(documents, "line_dedup_dup_hashes", lineLen, maxDf)(
+        build)
+    else build
+  }
 
   /** The Bloom path's pass-2 scrub against an already-built broadcast
     * bitset — the [[applyDupSet]] twin for the probe regime (same

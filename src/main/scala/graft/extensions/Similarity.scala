@@ -262,7 +262,11 @@ object Similarity {
     * Returns the touched cell ids (sorted). */
   def upsertIvfIndex(indexPath: String, batch: DataFrame): Seq[Int] = {
     val spark = batch.sparkSession
-    val b = withNorm(batch)
+    // intra-batch dedup on the key: an at-least-once feed can emit a
+    // vec_id twice in one batch, and the anti-join only removes
+    // EXISTING copies — without this the index would carry both batch
+    // rows (the ScdMerge.applySnapshot snapshot-dedup discipline)
+    val b = withNorm(batch).dropDuplicates("vec_id")
     val touched = b.select("label").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
@@ -280,17 +284,35 @@ object Similarity {
       }
       return touched
     }
+    mergeWriteIndex(existing.filter(col("label").isin(touched: _*)),
+      b, indexPath, mode = "dynamic")
+    touched
+  }
+
+  /** The shared merge-and-write of both maintenance paths: merged =
+    * (existing rows whose vec_id the batch does NOT replace) ∪ batch,
+    * localCheckpoint'ed BEFORE the write overwrites its own source
+    * dirs, written label-partitioned under the pinned overwrite `mode`
+    * ([[withOverwriteMode]]), and the checkpoint freed after — the
+    * per-batch steady state must not retain one merged copy per
+    * applied batch ([[BpeTrain.freeCheckpoint]]). `b` must already be
+    * normalized and vec_id-unique. Returns merged's distinct labels
+    * (sorted), collected before the free. */
+  private def mergeWriteIndex(
+      existing: DataFrame, b: DataFrame, indexPath: String,
+      mode: String): Seq[Int] = {
+    val spark = existing.sparkSession
     val merged = existing
-      .filter(col("label").isin(touched: _*))
       .join(b.select("vec_id"), Seq("vec_id"), "left_anti") // batch wins
       .unionByName(b.select("vec_id", "e", "nrm", "label"))
-      .localCheckpoint() // materialize BEFORE overwriting the source dirs
-    // free after the write: the per-batch steady state must not retain
-    // one touched-cell copy per applied batch (BpeTrain.freeCheckpoint)
-    try withOverwriteMode(spark, "dynamic") {
-      merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
+      .localCheckpoint()
+    try {
+      withOverwriteMode(spark, mode) {
+        merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
+      }
+      merged.select("label").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
     } finally BpeTrain.freeCheckpoint(merged)
-    touched
   }
 
   /** Run `body` with spark.sql.sources.partitionOverwriteMode pinned —
@@ -324,6 +346,11 @@ object Similarity {
       indexPath: String, batch: DataFrame,
       jsThreshold: Double = 0.1): (String, Seq[Int]) = {
     val spark = batch.sparkSession
+    // empty batch: a quiet stream period must be a no-op. Without this
+    // the all-zero batch profile reads as MAXIMAL drift (js = ln2/2 >
+    // any sane threshold) and every empty batch would trigger a full
+    // index rewrite for zero new rows.
+    if (batch.isEmpty) return ("upsert", Seq.empty)
     val idx = spark.read.parquet(indexPath)
     val profile = EmbeddingDrift.cellProfile(
       idx.select(col("label").as("cell")))
@@ -331,21 +358,12 @@ object Similarity {
       batch.select(col("label").as("cell")), profile).head.getDouble(2)
     if (js < jsThreshold) ("upsert", upsertIvfIndex(indexPath, batch))
     else {
-      val b = withNorm(batch)
-      val merged = idx
-        .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
-        .unionByName(b.select("vec_id", "e", "nrm", "label"))
-        .localCheckpoint()
-      try {
-        // STATIC overwrite, pinned: under an inherited dynamic mode a
-        // cell whose every vec_id left it would keep its stale files —
-        // resurrecting exactly what the drift-gated rebuild purges
-        withOverwriteMode(spark, "static") {
-          merged.write.mode("overwrite").partitionBy("label").parquet(indexPath)
-        }
-        ("rebuild", merged.select("label").distinct()
-          .collect().map(_.getInt(0)).toSeq.sorted)
-      } finally BpeTrain.freeCheckpoint(merged)
+      // STATIC overwrite, pinned inside mergeWriteIndex's conf guard:
+      // under an inherited dynamic mode a cell whose every vec_id left
+      // it would keep its stale files — resurrecting exactly what the
+      // drift-gated rebuild purges
+      val b = withNorm(batch).dropDuplicates("vec_id")
+      ("rebuild", mergeWriteIndex(idx, b, indexPath, mode = "static"))
     }
   }
 

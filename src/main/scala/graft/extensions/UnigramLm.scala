@@ -269,7 +269,12 @@ object UnigramLm {
     require(shrink > 0.0 && shrink < 1.0, s"shrink must be in (0,1): $shrink")
     val spark = documents.sparkSession
     import spark.implicits._
+    // freed before every return: the returned frame is driver-built
+    // (keptSeq.toDF), so nothing reads the word table after the loop —
+    // without the free each call retains one word-table copy for the
+    // session (the BpeTrain.freeCheckpoint discipline)
     val words = wordFreqs(documents).localCheckpoint()
+    try {
     val seedMap = logProbs(seedCounts(words, maxPieceLen)).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     if (seedMap.isEmpty) // empty corpus: an empty vocabulary, not a crash
@@ -323,5 +328,6 @@ object UnigramLm {
       }
     }
     result
+    } finally BpeTrain.freeCheckpoint(words)
   }
 }

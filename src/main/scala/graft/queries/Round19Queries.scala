@@ -243,6 +243,15 @@ object Round19Queries {
   private val scdBktMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
+  /** Test seam: drop the session's memoized bucketed-state tables so
+    * the next q_merge_scd_bucketed call exercises the BUILD path —
+    * GraftSessionSpec's conf-neutrality pin is vacuous against a warm
+    * memo (the only place a reintroduced conf.set could live is the
+    * build body). */
+  private[graft] def evictBucketedState(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    scdBktMemo.keys.filter(_._1 eq s).foreach(scdBktMemo.remove)
+
   private def bucketedWideState(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     scdBktMemo.getOrElseUpdate((s, dir), {

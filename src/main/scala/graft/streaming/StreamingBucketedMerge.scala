@@ -70,7 +70,23 @@ object StreamingBucketedMerge {
     * the per-bucket sort is the price deltas accrue until compaction. */
   def currentState(spark: SparkSession, st: State): DataFrame = {
     val t = spark.table(st.table)
-    if (!st.fragmented) t.drop("_gen")
+    // The handle's fragmented flag is ADVISORY: a crash between a
+    // delta append and the caller persisting the new handle leaves
+    // fragmented=false beside a physically fragmented table, and the
+    // direct scan would return BOTH generations of every changed key —
+    // after which the replayed merge appends duplicate rows at one _gen
+    // and the state diverges permanently. Compaction resets every _gen
+    // to 0, so max(_gen) > 0 is the exact physical test; a true flag
+    // short-circuits it (trusting fragmented=true is always safe), and
+    // the small aggregate rides the column's footer stats. With the
+    // physical test, redelivery of an already-appended batch resolves
+    // to the post-batch state, its delta computes EMPTY, and the replay
+    // is idempotent even with a stale handle.
+    val fragmented = st.fragmented || {
+      val m = t.agg(max(col("_gen"))).head
+      !m.isNullAt(0) && m.getLong(0) > 0L
+    }
+    if (!fragmented) t.drop("_gen")
     else {
       val w = Window.partitionBy(col(st.keyCol)).orderBy(col("_gen").desc)
       t.withColumn("_rn", row_number().over(w))

@@ -129,8 +129,15 @@ object StreamingLineGate {
     arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val scrubbed = admitBatch(batch.toDF().localCheckpoint(),
-          boilerplate, lineLen).localCheckpoint()
+        // the input checkpoint is dead once the scrubbed frame
+        // materializes — free it, or an always-on stream retains one
+        // batch-sized cached RDD per micro-batch (the
+        // BpeTrain.freeCheckpoint discipline). The SCRUBBED checkpoint
+        // is handed to the caller, who owns its lifetime.
+        val b = batch.toDF().localCheckpoint()
+        val scrubbed =
+          try admitBatch(b, boilerplate, lineLen).localCheckpoint()
+          finally graft.extensions.BpeTrain.freeCheckpoint(b)
         onBatch(scrubbed, mergeReports(state, batchReport(scrubbed)), batchId)
       }
 
@@ -147,8 +154,10 @@ object StreamingLineGate {
     arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val scrubbed = admitBatchBloom(batch.toDF().localCheckpoint(),
-          frozen, lineLen).localCheckpoint()
+        val b = batch.toDF().localCheckpoint() // freed below, as in sink
+        val scrubbed =
+          try admitBatchBloom(b, frozen, lineLen).localCheckpoint()
+          finally graft.extensions.BpeTrain.freeCheckpoint(b)
         onBatch(scrubbed, mergeReports(state, batchReport(scrubbed)), batchId)
       }
 }

@@ -37,7 +37,12 @@ class GraftSessionSpec extends AnyFunSuite {
     val prev = s.conf.get(key, "false")
     try {
       // adversarial setting: if the row's builder still conf.set the
-      // legacy key, this would flip to "true" after the call
+      // legacy key, this would flip to "true" after the call. Evict the
+      // state memo first — against a warm memo (another spec sharing
+      // this session may already have built the table) the build body,
+      // the only place a reintroduced conf.set could live, would never
+      // run and the assertions would pass vacuously.
+      graft.queries.Round19Queries.evictBucketedState(s)
       s.conf.set(key, "false")
       val before = s.conf.getAll
       graft.queries.Registry.queries("q_merge_scd_bucketed")(

@@ -167,4 +167,43 @@ class StreamingBucketedMergeSpec extends SparkSpec {
         "the fresh batch's key landed in the state")
     } finally q.stop()
   }
+
+  test("crash between append and handle persist: a STALE handle still reads the resolved state and the replay is idempotent") {
+    // crash model: applyBatch appended its delta (and advanced the
+    // on-disk generation) but the process died BEFORE the caller
+    // persisted the new handle — on restart, state() returns the old
+    // {gen, fragmented=false} handle beside a physically fragmented
+    // table. The flag is advisory; the physical max(_gen) test must
+    // keep every read resolved and the redelivered batch a no-op.
+    val stale = StreamingBucketedMerge.init(
+      ScdMerge.emptyState(snaps.head._1), "scd_lsm_crash", "id", tracked, 4)
+    val fresh = StreamingBucketedMerge.applyBatch(
+      spark, stale, snaps(1)._1, snaps(1)._2)
+    assert(fresh.fragmented, "the batch must have appended a delta")
+
+    // reads through the STALE handle resolve: one row per key, equal
+    // to the fresh handle's view (the direct scan would return BOTH
+    // generations of every changed key)
+    val viaStale = StreamingBucketedMerge.currentState(spark, stale)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val viaFresh = StreamingBucketedMerge.currentState(spark, fresh)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(viaStale == viaFresh,
+      "stale-handle read must equal the resolved post-batch state")
+    val keyCounts = StreamingBucketedMerge.currentState(spark, stale)
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(keyCounts == 0L, "no key may surface twice through a stale handle")
+
+    // redelivery with the stale handle: the delta against the already-
+    // applied state is EMPTY, so no rows are appended (no duplicate
+    // generations) and the table is unchanged
+    val before = spark.table("scd_lsm_crash").count()
+    val replayed = StreamingBucketedMerge.applyBatch(
+      spark, stale, snaps(1)._1, snaps(1)._2)
+    assert(spark.table("scd_lsm_crash").count() == before,
+      "replaying an already-applied batch must append nothing")
+    assert(StreamingBucketedMerge.currentState(spark, replayed)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == viaFresh,
+      "post-replay state must equal the once-applied state")
+  }
 }
