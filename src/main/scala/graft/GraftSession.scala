@@ -75,10 +75,20 @@ object GraftSession {
   def tool(defaultCpus: Int, logLevel: String = "WARN"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString).toInt
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus.toString).toInt
-    val s = builder(s"local[$cpus]", shuffle)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .getOrCreate()
+    // r20: ad-hoc conf overrides for A/B measurement runs
+    // (`SPARK_GRAFT_EXTRA_CONFS="spark.x=1;spark.y=2"`) — measurement
+    // plumbing only; the shipped defaults stay in [[protectedConfs]]
+    // and nothing in the bench/verify path sets this.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONFS", "")
+      .split(';').filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('='); kv.take(i).trim -> kv.drop(i + 1).trim
+      }
+    val s = extra.foldLeft(
+      builder(s"local[$cpus]", shuffle)
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-wh").toString)) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
     s
   }

@@ -178,16 +178,28 @@ object DataCard {
     val langs = perDoc.groupBy(col("lang").as("key"))
       .agg(count(lit(1)).as("n"))
       .select(lit("lang").as("kind"), col("key"), col("n"))
-    def kmins(kind: String, hashes: DataFrame) = hashes
-      .distinct().orderBy("h").limit(k) // bounded heap (TakeOrdered)
-      .select(lit(kind).as("kind"),
-        lpad(col("h").cast("string"), 15, "0").as("key"), col("h").as("n"))
+    // r20 (guide §2.3): the k smallest DISTINCT hashes via the bounded
+    // KMinDistinct aggregate — partial buffers carry ≤ k longs per task
+    // and merge to one k-long row, replacing the old full distinct
+    // exchange of EVERY hash plus a global TakeOrdered. Same k values
+    // (set-union-then-take-k ≡ distinct-sort-limit), same row shape.
+    def kmins(kind: String, hashes: DataFrame) = {
+      val km = udaf(new graft.functions.KMinDistinct(k))
+      hashes.agg(km(col("h")).as("_mins"))
+        .select(explode(col("_mins")).as("h"))
+        .select(lit(kind).as("kind"),
+          lpad(col("h").cast("string"), 15, "0").as("key"), col("h").as("n"))
+    }
+    // r20: native one-digest kmv hash (bit-identical; see
+    // Sketches.kmvHashNative) — the per-token hex-string alloc + radix
+    // parse was the state build's hottest expression
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val kmvText = kmins("kmv_text",
-      perDoc.select(Sketches.kmvHash(col("_lt")).as("h")))
+      perDoc.select(Sketches.kmvHashNative(col("_lt")).as("h")))
     val kmvTok = kmins("kmv_tok",
       perDoc.select(explode(filter(split(col("_lt"), " "), t => t =!= ""))
           .as("tok"))
-        .select(Sketches.kmvHash(col("tok")).as("h")))
+        .select(Sketches.kmvHashNative(col("tok")).as("h")))
     sums.unionByName(sources).unionByName(langs)
       .unionByName(kmvText).unionByName(kmvTok)
   }

@@ -285,10 +285,15 @@ object DataSelection {
   private[graft] def featureRatio(
       documents: DataFrame, buckets: Int, k: Double): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val docs = tokenized(documents)
     val seen = docs
       .select(col("doc_id"), col("is_ref"), explode(col("arr")).as("tok"))
-      .withColumn("f", pmod(Sketches.kmvHash(col("tok")), lit(buckets.toLong)))
+      // r20: native one-digest kmv hash (bit-identical — see
+      // Sketches.kmvHashNative); this is the per-token inner loop of
+      // every DSIR build
+      .withColumn("f",
+        pmod(Sketches.kmvHashNative(col("tok")), lit(buckets.toLong)))
       .groupBy("f").agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_t"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("c_r"))
@@ -309,9 +314,11 @@ object DataSelection {
     * drift apart. Zero-token docs weight NULL. */
   private[graft] def scoreTokensAgainst(
       docs: DataFrame, ratio: DataFrame, buckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val scored = docs
       .select(col("doc_id"), explode(col("arr")).as("tok"))
-      .withColumn("f", pmod(Sketches.kmvHash(col("tok")), lit(buckets.toLong)))
+      .withColumn("f",
+        pmod(Sketches.kmvHashNative(col("tok")), lit(buckets.toLong)))
       .join(broadcast(ratio), Seq("f"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), round(avg(col("lr")), 4).as("llr_avg"))

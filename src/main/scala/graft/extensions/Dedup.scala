@@ -232,9 +232,13 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
       fastHash: Boolean = false): DataFrame = {
-    val probe = bandBuckets(
-      shingles(newDocs, share = false), numHashes, rowsPerBand, fastHash,
-      share = false)
+    // r20 (guide §2.4): the probe side banded ROW-LOCALLY — identical
+    // rows to the exploded path (BandBucketsParitySpec), but a pure
+    // narrow projection instead of explode + collect_set, so the
+    // arriving batch pays ZERO shuffle before the index join (the
+    // formulation StreamingDedup already used per micro-batch; batch
+    // and streaming probes now share it).
+    val probe = bandBucketsRowLocal(newDocs, numHashes, rowsPerBand, fastHash)
     index.alias("x")
       .join(probe.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -481,8 +485,14 @@ object Dedup {
     // distinct's exchange via ReuseExchange — identical subtrees dedup
     // in-flight, so no checkpoint is owed here (measured: a
     // localCheckpoint changed nothing, r13 census follow-up)
+    // r20 (guide §2.3): array_distinct BEFORE the explode — a window
+    // repeated inside one doc was md5'd once per occurrence and only
+    // then deduped by the distinct's partial aggregate; hashing the
+    // per-doc distinct set feeds the same (h, source) set with fewer
+    // digests and fewer pre-aggregate rows. The cross-doc distinct
+    // (and its shared exchange) stays — that dedup is real.
     val hs = documents.select(col("source"),
-      explode(TextAnalysis.wordNgrams(k)).as("win"))
+      explode(array_distinct(TextAnalysis.wordNgrams(k))).as("win"))
       .select(md5(col("win").cast("binary")).as("h"), col("source"))
       .distinct()
     val totals = hs.groupBy("source").agg(count(lit(1)).as("n"))
@@ -880,15 +890,21 @@ object Dedup {
       computeShingles(documents, n))
   }
 
+  // r20 (optimization round, guide §2.4): the per-doc dedup is
+  // `array_distinct` INSIDE the row, not a post-explode `.distinct()` —
+  // (doc_id, s) rows from different docs can never collide, so the old
+  // distinct's full exchange+aggregate over the exploded shingle set
+  // (the corpus × ~|doc| rows) bought nothing that a per-row O(|doc|)
+  // hash set doesn't. Identical output rows; one whole shuffle gone
+  // from every shingle consumer (plan diff in plans/r20/).
   private def computeShingles(documents: DataFrame, n: Int): DataFrame =
     documents.select(col("doc_id"), split(col("text"), " ").as("arr"))
       .select(col("doc_id"),
         explode(expr(
           s"""CASE WHEN size(arr) >= $n
-              THEN transform(sequence(1, size(arr) - ${n - 1}),
-                             i -> concat_ws(' ', slice(arr, i, $n)))
+              THEN array_distinct(transform(sequence(1, size(arr) - ${n - 1}),
+                             i -> concat_ws(' ', slice(arr, i, $n))))
               ELSE array() END""")).as("s"))
-      .distinct()
 
   /** N-gram Jaccard near-dup pairs via an inverted shingle index: candidate
     * pairs must share a shingle (equi-join on the shingle — no cross

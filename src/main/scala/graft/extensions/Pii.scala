@@ -57,8 +57,14 @@ object Pii {
     documents
       .select(col("doc_id") +: kept :+
         coalesce(col(textCol), lit("")).as("_t0"): _*)
+      // r20 (guide §1.2 step 2): counts via regexp_count — the old
+      // size(regexp_extract_all(...)) materialized every match string
+      // into an array just to take its length; regexp_count runs the
+      // same find() loop with no per-match allocation. Same values
+      // (both count non-overlapping matches left to right). The card
+      // stage keeps extract_all — its matches feed the Luhn filter.
       .withColumn("n_email",
-        size(regexp_extract_all(col("_t0"), lit(emailRe), lit(0))).cast("long"))
+        regexp_count(col("_t0"), lit(emailRe)).cast("long"))
       .withColumn("_t1", regexp_replace(col("_t0"), emailRe, "<EMAIL>"))
       .withColumn("_cand", regexp_extract_all(col("_t1"), lit(cardRe), lit(0)))
       .withColumn("_ok", expr("filter(_cand, c -> luhn_check(c))"))
@@ -70,10 +76,10 @@ object Pii {
           call_function("regexp_replace", acc,
             concat(lit("\\b"), x, lit("\\b")), lit("<CARD>"))))
       .withColumn("n_phone",
-        size(regexp_extract_all(col("_t2"), lit(phoneRe), lit(0))).cast("long"))
+        regexp_count(col("_t2"), lit(phoneRe)).cast("long"))
       .withColumn("_t3", regexp_replace(col("_t2"), phoneRe, "<PHONE>"))
       .withColumn("n_ipv4",
-        size(regexp_extract_all(col("_t3"), lit(ipv4Re), lit(0))).cast("long"))
+        regexp_count(col("_t3"), lit(ipv4Re)).cast("long"))
       .withColumn("clean", regexp_replace(col("_t3"), ipv4Re, "<IP>"))
       .select(col("doc_id") +: kept :+ col("clean") :+ col("n_email") :+
         col("n_card") :+ col("n_card_invalid") :+ col("n_phone") :+

@@ -48,9 +48,14 @@ object Postings {
     * leg from the materialized pairs with a doc_id predicate — one
     * corpus scan total instead of one per leg (r12 VERDICT #3). */
   def termPairs(documents: DataFrame, n: Int = 3): DataFrame =
+    // r20 (guide §2.4): per-doc dedup via array_distinct BEFORE the
+    // explode — (doc_id, term) pairs are unique across docs by
+    // construction, so the old post-explode `.distinct()` shuffled the
+    // whole exploded gram stream to remove only WITHIN-doc repeats a
+    // per-row hash set removes for free. Same rows, one exchange fewer
+    // in every build/delta/view leg.
     documents.select(col("doc_id"),
-      explode(TextAnalysis.wordNgrams(n)).as("term"))
-      .distinct()
+      explode(array_distinct(TextAnalysis.wordNgrams(n))).as("term"))
 
   /** Build the posting-list frame: (term, df, first_doc, last_doc,
     * postings) with postings = comma-joined delta-encoded doc ids,
@@ -74,23 +79,23 @@ object Postings {
     * distinct, and already materialized by the caller if it feeds more
     * than this build). */
   def buildFromPairs(pairs: DataFrame, maxDf: Int = 6): DataFrame = {
-    val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))
-    val under = df.filter(col("df") <= maxDf)
-    val lists = pairs
-      .join(under, Seq("term"))
-      .groupBy("term")
-      .agg(first(col("df")).as("df"),
-        sort_array(collect_list("doc_id")).as("_ids"))
+    // r20 (guide §2.3/§2.4): ONE aggregation over the pair frame —
+    // the bounded [[graft.functions.DfCappedIds]] buffer carries the
+    // exact df plus at most maxDf+1 ids, so the old shape's second
+    // full exchange of the pairs (the df-count pass followed by the
+    // under-cap semi-join feeding a second aggregation) collapses into
+    // the single groupBy the build fundamentally needs. The
+    // prune-before-materialize contract is unchanged — a stop-term's
+    // buffer never exceeds maxDf+1 longs no matter its df — it just
+    // lives inside the aggregate instead of across a join.
+    val st = udaf(new graft.functions.DfCappedIds(maxDf))
+    pairs.groupBy("term").agg(st(col("doc_id")).as("_st"))
+      .select(col("term"), col("_st._1").as("df"),
+        when(col("_st._1") <= maxDf, sort_array(col("_st._2"))).as("_ids"))
       .select(col("term"), col("df"),
         element_at(col("_ids"), 1).as("first_doc"),
         element_at(col("_ids"), size(col("_ids"))).as("last_doc"),
-        encodeIds(col("_ids")).as("postings"))
-    val capped = df.filter(col("df") > maxDf)
-      .select(col("term"), col("df"),
-        lit(null).cast("long").as("first_doc"),
-        lit(null).cast("long").as("last_doc"),
-        lit(null).cast("string").as("postings"))
-    lists.unionByName(capped)
+        when(col("_ids").isNotNull, encodeIds(col("_ids"))).as("postings"))
   }
 
   /** The fallback [[probe]]'s NULL postings signal points at: resolve
@@ -174,10 +179,16 @@ object Postings {
     * ([[buildFromPairs]]'s delta twin). */
   def appendDeltaFromPairs(
       index: DataFrame, newPairs: DataFrame, maxDf: Int = 6): DataFrame = {
+    // r20: same bounded single-pass aggregate as [[buildFromPairs]] —
+    // a batch term already past maxDf on its own is capped regardless
+    // of the stored row, so its ids are never needed and the buffer
+    // stays ≤ maxDf+1 longs (the old collect_list was unbounded in the
+    // batch's hottest term).
+    val st = udaf(new graft.functions.DfCappedIds(maxDf))
     val newAgg = newPairs
-      .groupBy("term")
-      .agg(count(lit(1)).as("df_new"),
-        sort_array(collect_list("doc_id")).as("new_ids"))
+      .groupBy("term").agg(st(col("doc_id")).as("_st"))
+      .select(col("term"), col("_st._1").as("df_new"),
+        when(col("_st._1") <= maxDf, sort_array(col("_st._2"))).as("new_ids"))
     val affectedOld = index
       .join(newAgg.select("term"), Seq("term"), "left_semi")
       .select(col("term"), col("df").as("df_old"),

@@ -185,8 +185,9 @@ object Sketches {
     * one row, `d_est` — the ungrouped form of [[kmvDistinct]]'s
     * estimator, shared by [[skewFactor]] and the data card. */
   def kmvCardinality(keys: DataFrame, k: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(keys.sparkSession)
     val agg = udaf(new graft.functions.KMinDistinct(k))
-    keys.select(kmvHash(col("tok")).as("h"))
+    keys.select(kmvHashNative(col("tok")).as("h"))
       .agg(agg(col("h")).as("mins"))
       .select(when(size(col("mins")) < k, size(col("mins")).cast("double"))
         .otherwise(lit(k - 1) * lit(HashSpace)
@@ -195,16 +196,35 @@ object Sketches {
 
   /** Per-source 48-bit shingle hashes — the KMV input stream, shared
     * with [[graft.streaming.StreamingSketch]]'s per-batch state build. */
-  def shingleHashes(documents: DataFrame, n: Int): DataFrame =
+  def shingleHashes(documents: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("source"),
         explode(TextAnalysis.wordNgrams(n)).as("s"))
-      .select(col("source"), col("s"), kmvHash(col("s")).as("h"))
+      .select(col("source"), col("s"), kmvHashNative(col("s")).as("h"))
+  }
 
   /** KMV hash: first 12 hex chars of md5(tok) as a long in [0, 16^12).
     * 48 bits — exact in a long AND in a double (≤ 2^53), so the
     * estimator's double division is bitwise cross-engine. */
   def kmvHash(tok: Column): Column =
     conv(substring(md5(tok.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** [[kmvHash]] in its hot-path native form (r20, guide §1.2 step 2):
+    * ONE md5 digest via [[graft.functions.Md5Lanes]] — no 32-char hex
+    * string allocation, no radix parse per token — with hex chars 1–12
+    * reassembled as lane₀·2¹⁶ | lane₁≫16. Bit-identical to [[kmvHash]]
+    * (hex chars [0,12) are digest bytes [0,6) big-endian; Md5LanesSpec
+    * pins the lane/hex equivalence), so every DuckDB oracle matches
+    * unchanged; SketchesSpec pins this form against the declarative
+    * one directly. The declarative [[kmvHash]] stays as the executable
+    * spec and for column-only contexts with no session in scope to
+    * register against (callers of THIS form register first — every
+    * graft-built session already carries the function via
+    * GraftExtensions). The lanes array is let-bound via the
+    * one-element-transform idiom so the digest runs once per row. */
+  private[extensions] def kmvHashNative(tok: Column): Column =
+    element_at(transform(array(call_function("md5_lanes", tok.cast("string"))),
+      l => shiftleft(element_at(l, 1), 16) + shiftright(element_at(l, 2), 16)), 1)
 
   private val HashSpace: Double = 281474976710656.0 // 16^12 = 2^48
 
@@ -385,10 +405,11 @@ object Sketches {
     // discipline): the two half-states and the exact side all slice
     // this frame, so the demonstration costs one corpus scan, not
     // three
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val hashes = documents.select(col("doc_id"), col("source"),
         explode(TextAnalysis.wordNgrams(n)).as("s"))
       .select(col("doc_id"), col("source"), col("s"),
-        kmvHash(col("s")).as("h"))
+        kmvHashNative(col("s")).as("h"))
       .localCheckpoint()
     def half(parity: Int) = hllRegisters(
       hashes.filter(pmod(col("doc_id"), lit(2L)) === parity)

@@ -144,10 +144,17 @@ object TextAnalysis {
     * is order-independent and the result bitwise-stable (SURVEY §5.1
     * discipline) — a double sum here would hash-diverge run to run. */
   def docNovelty(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
-      explode(filter(split(lower(coalesce(col("text"), lit(""))), " "),
-        t => t =!= "")).as("token"))
-    val docFreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val words = filter(split(lower(coalesce(col("text"), lit(""))), " "),
+      t => t =!= "")
+    val toks = documents.select(col("doc_id"), explode(words).as("token"))
+    // r20 (guide §2.4): df = docs-per-token needs each token once PER
+    // DOC — array_distinct inside the row replaces the old
+    // `toks.distinct()`, whose exchange shuffled the whole exploded
+    // token stream only to drop within-doc repeats. Same df values;
+    // one exchange fewer.
+    val docFreq = documents
+      .select(explode(array_distinct(words)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
     val total = documents.agg(count(lit(1)).as("n_docs"))
     val idf = docFreq.crossJoin(broadcast(total))
       .select(col("token"),
@@ -199,7 +206,13 @@ object TextAnalysis {
         val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("tok"))
         tf.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
           .select("doc_id", "tok")
-      case None => toksAll.distinct()
+      // r20 (guide §2.4): per-doc distinct via array_distinct in the
+      // row instead of a full exchange of the exploded token stream
+      // (same rows — (doc_id, tok) can only repeat within a doc).
+      case None => documents.select(col("doc_id"),
+        explode(array_distinct(filter(
+          split(lower(coalesce(col("text"), lit(""))), " "),
+          t => t =!= ""))).as("tok"))
     }
     pairStrategy match {
       case "hof" =>
@@ -345,8 +358,12 @@ object TextAnalysis {
     val corpusGrams = documents
       .select(col("doc_id").as("corpus_id"), explode(wordNgrams(n)).as("gram"))
     val benchGrams = benchmark
-      .select(col("doc_id").as("bench_id"), explode(wordNgrams(n)).as("gram"))
-      .distinct()
+      // r20 (guide §2.4): (bench_id, gram) repeats only WITHIN a doc —
+      // array_distinct in the row replaces the post-explode distinct's
+      // full exchange (same rows; benchGrams is then checkpointed by
+      // maybeBroadcastGrams exactly as before).
+      .select(col("doc_id").as("bench_id"),
+        explode(array_distinct(wordNgrams(n))).as("gram"))
     val hits = corpusGrams
       .join(maybeBroadcastGrams(benchGrams, broadcastGramLimit), "gram")
       .groupBy("bench_id")

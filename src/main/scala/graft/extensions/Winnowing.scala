@@ -38,8 +38,15 @@ object Winnowing {
   /** Per-gram 32-bit rolling hashes of the k-gram stream, in document
     * order: array<long> per doc. */
   private def gramHashes(k: Int): Column =
+    // r20 (guide §1.2 step 2): first 8 hex chars of md5 == the first
+    // 32-bit lane of the native Md5Lanes digest, bit-for-bit (lane i =
+    // hex chars [8i, 8i+8) — Md5LanesSpec) — one digest per gram, no
+    // 32-char hex string, no radix parse, in the per-gram inner loop
+    // of every fingerprint build. Callers register the function
+    // (every public entry point below does; graft-built sessions carry
+    // it via GraftExtensions anyway).
     transform(TextAnalysis.wordNgrams(k),
-      g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long"))
+      g => element_at(call_function("md5_lanes", g), 1))
 
   /** The winnowed fingerprint set: sorted distinct window minima.
     * Documents shorter than one window keep the min of what they have
@@ -78,6 +85,7 @@ object Winnowing {
     * driver-hash-verifiable. */
   def fingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     // every output field is computed inside ONE lambda scope (h and f
     // are lambda variables, so their 2-3 references cost nothing), and
     // the whole struct reaches the final projection through a
@@ -107,11 +115,13 @@ object Winnowing {
     * winnow build per side, so it is memoized like the shingle and
     * signature frames ([[Dedup.sharedFrame]]: one build, localCheckpoint,
     * session-evicted, `spark.graft.dedup.shareFrames` opt-out). */
-  def index(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+  def index(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     Dedup.sharedFrame(documents, "winnow_idx", k, w)(
       documents
         .withColumn("fps", winnowedSet(gramHashes(k), w))
         .select(col("doc_id"), explode(col("fps")).as("fp")))
+  }
 
   /** Distinct (doc_id, s) k-gram frame under the WINNOW normalization
     * (lowercased, empty-token-filtered [[TextAnalysis.wordNgrams]]) —

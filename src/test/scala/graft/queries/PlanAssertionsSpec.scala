@@ -265,9 +265,11 @@ class PlanAssertionsSpec extends SparkSpec {
     // vocab-build side + per-doc side are two distinct, legitimate uses
     assert(occurrences("q_oov_rate", "split\\(") == 2)
     assert(occurrences("q_repetition", "split\\(") == 2)
-    // gram hashing + fp digest; a third md5 means the window-min lambda
-    // lost its let-binding (the 40 s quadratic regression)
-    assert(occurrences("q_winnow", "md5\\(") == 2)
+    // gram hashing (r20: the native md5_lanes digest) + fp digest; a
+    // SECOND md5_lanes means the window-min lambda lost its
+    // let-binding (the 40 s quadratic regression)
+    assert(occurrences("q_winnow", "md5_lanes\\(") == 1)
+    assert(occurrences("q_winnow", "md5\\(") == 1)
   }
 
   test("q_pii_scrub: scan-speed pass — no join, no aggregation, no hash shuffle") {
