@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness driver parses the bench's one-line JSON contract from this
+// process's stdout. sbt's default LoggedOutput strategy prefixes every
+// forked-run line with "[info] ", which breaks a line-oriented JSON
+// parser; StdoutOutput passes the program's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -252,7 +252,6 @@ object DataSelection {
       .select(col("source"), col("n_docs"), col("loss"), col("excess"),
         round(lit(1.0 - epsilon) * col("w0").cast("double") / col("wsum") +
           lit(epsilon) / col("k"), 6).as("weight"))
-      .orderBy("source")
   }
 
   /** DSIR importance weights: hash every token into one of `buckets`

@@ -754,7 +754,6 @@ object Dedup {
         round(col("eff").cast("double"), 4).as("eff_docs"),
         round(col("eff").cast("double") / col("n_docs"), 4)
           .as("dedup_ratio"))
-      .orderBy("source")
 
   /** Leakage-safe fold assignment: every near-dup CONNECTED COMPONENT
     * lands wholly in one of `nFolds` folds, so a train/eval split drawn

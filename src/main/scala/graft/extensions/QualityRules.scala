@@ -145,6 +145,5 @@ object QualityRules {
     agg.select(explode(array((ruleNames :+ "pass").map(n =>
       struct(lit(n).as("rule"), col(n).as("n_docs"))): _*)).as("x"))
       .select(col("x.rule").as("rule"), col("x.n_docs").as("n_docs"))
-      .orderBy("rule")
   }
 }

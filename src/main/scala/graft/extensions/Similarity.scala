@@ -81,7 +81,6 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("max_cos"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
-      .orderBy("vec_id")
   }
 
   /** [[semanticDecon]] inverted to the BENCHMARK's perspective — the
@@ -114,7 +113,6 @@ object Similarity {
         coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
         col("max_cos"),
         (coalesce(col("n_leaks"), lit(0L)) > 0).as("leaked"))
-      .orderBy("bench_id")
   }
 
   /** Hybrid retrieval by Reciprocal Rank Fusion — the standard fusion
@@ -806,7 +804,6 @@ object Similarity {
       .withColumn("nrank", row_number().over(byCos).cast("long"))
       .filter(col("nrank") <= k)
       .select("anchor_id", "nrank", "vec_id", "label", "cos_r")
-      .orderBy("anchor_id", "nrank")
   }
 
   /** D4-style prototypicality pruning (Tirumala et al. 2023): per

@@ -673,7 +673,6 @@ object TextAnalysis {
         (round(coalesce(col("s").cast("double"), lit(0.0)) /
           col("n_toks"), 4) + lit(0.0)).as("score"))
       .withColumn("keep", col("score") > threshold)
-      .orderBy("doc_id")
   }
 
   def classifierScore(documents: DataFrame,

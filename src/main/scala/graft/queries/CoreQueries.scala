@@ -22,8 +22,7 @@ object CoreQueries {
   private val scanPrune = Q("q_scan_prune",
     (s, dir) => table(s, dir, "lineitem")
       .filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber"),
+      .select("l_orderkey", "l_linenumber", "l_quantity"),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
             WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber"""))
 
@@ -42,8 +41,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "orders")
       .filter(col("o_orderdate") > lit("1999-01-01").cast("timestamp"))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("snapshot_date"))
-      .agg(count(lit(1)).as("n_rows"))
-      .orderBy("snapshot_date"),
+      .agg(count(lit(1)).as("n_rows")),
     Some("""SELECT strftime(o_orderdate, '%Y-%m-%d') AS snapshot_date,
                    count(*) AS n_rows
             FROM orders WHERE o_orderdate > TIMESTAMP '1999-01-01'
@@ -65,7 +63,7 @@ object CoreQueries {
   /** P1: projection (ref ipynb cell 22 usecols / drop). */
   private val project = Q("q_project",
     (s, dir) => table(s, dir, "customer")
-      .select("c_custkey", "c_name").orderBy("c_custkey"),
+      .select("c_custkey", "c_name"),
     Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"))
 
   /** P2: boolean-flag filter (`archived == deleted`,
@@ -73,8 +71,7 @@ object CoreQueries {
   private val filterFlag = Q("q_filter_flag",
     (s, dir) => table(s, dir, "orders")
       .filter(!(col("o_orderstatus") === "F"))
-      .select("o_orderkey", "o_orderstatus")
-      .orderBy("o_orderkey"),
+      .select("o_orderkey", "o_orderstatus"),
     Some("""SELECT o_orderkey, o_orderstatus FROM orders
             WHERE NOT (o_orderstatus = 'F') ORDER BY o_orderkey"""))
 
@@ -83,7 +80,7 @@ object CoreQueries {
   private val filterMember = Q("q_filter_member",
     (s, dir) => table(s, dir, "documents")
       .filter(array_contains(split(col("text"), " "), "spark"))
-      .select("doc_id").orderBy("doc_id"),
+      .select("doc_id"),
     Some("""SELECT doc_id FROM documents
             WHERE list_contains(string_split(text, ' '), 'spark')
             ORDER BY doc_id"""))
@@ -95,8 +92,7 @@ object CoreQueries {
       .select(col("doc_id"),
         when(col("lang") === "en", lit(null)).otherwise(col("lang")).as("lang2"),
         col("source"))
-      .na.drop()
-      .orderBy("doc_id"),
+      .na.drop(),
     Some("""SELECT doc_id, lang2, source FROM
               (SELECT doc_id, nullif(lang, 'en') AS lang2, source FROM documents)
             WHERE lang2 IS NOT NULL ORDER BY doc_id"""))
@@ -106,8 +102,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
         when(col("lang") === "en", lit(null)).otherwise(col("lang")).as("lang2"))
-      .na.fill("none", Seq("lang2"))
-      .orderBy("doc_id"),
+      .na.fill("none", Seq("lang2")),
     Some("""SELECT doc_id, coalesce(nullif(lang, 'en'), 'none') AS lang2
             FROM documents ORDER BY doc_id"""))
 
@@ -118,7 +113,6 @@ object CoreQueries {
       val norm = when(length(trim(raw)) === 0, lit(null)).otherwise(raw)
       table(s, dir, "documents")
         .groupBy(norm.as("lang2")).agg(count(lit(1)).as("n"))
-        .orderBy(asc_nulls_first("lang2"))
     },
     Some("""SELECT lang2, count(*) AS n FROM
               (SELECT CASE WHEN length(trim(CASE WHEN lang = 'en' THEN '' ELSE lang END)) = 0
@@ -131,8 +125,7 @@ object CoreQueries {
   private val filterExists = Q("q_filter_exists",
     (s, dir) => table(s, dir, "part")
       .filter(exists(split(col("p_type"), " "), t => t.startsWith("S")))
-      .select("p_partkey", "p_type")
-      .orderBy("p_partkey"),
+      .select("p_partkey", "p_type"),
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type LIKE 'S%' OR p_type LIKE '% S%'
             ORDER BY p_partkey"""))
@@ -150,8 +143,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "events")
       .select(col("event_id"),
         floor(col("value")).cast("long").as("value_int"),
-        (lower(col("event_type")) === "click").as("is_click"))
-      .orderBy("event_id"),
+        (lower(col("event_type")) === "click").as("is_click")),
     Some("""SELECT event_id, CAST(floor(value) AS BIGINT) AS value_int,
                    (lower(event_type) = 'click') AS is_click
             FROM events ORDER BY event_id"""))
@@ -163,8 +155,7 @@ object CoreQueries {
   private val joinLeft = Q("q_join_left",
     (s, dir) => table(s, dir, "orders")
       .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left_outer")
-      .select("o_orderkey", "c_name", "c_mktsegment")
-      .orderBy("o_orderkey"),
+      .select("o_orderkey", "c_name", "c_mktsegment"),
     Some("""SELECT o_orderkey, c_name, c_mktsegment
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             ORDER BY o_orderkey"""))
@@ -174,8 +165,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "customer")
       .join(table(s, dir, "orders").filter(col("o_orderstatus") === "P"),
         col("c_custkey") === col("o_custkey"), "left_anti")
-      .select("c_custkey", "c_name")
-      .orderBy("c_custkey"),
+      .select("c_custkey", "c_name"),
     Some("""SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_orderstatus = 'P' AND o_custkey = c_custkey)
@@ -190,8 +180,7 @@ object CoreQueries {
       .agg(count(lit(1)))
       .select(col("l_returnflag"),
         coalesce(col("F"), lit(0L)).as("F"),
-        coalesce(col("O"), lit(0L)).as("O"))
-      .orderBy("l_returnflag"),
+        coalesce(col("O"), lit(0L)).as("O")),
     Some("""SELECT l_returnflag,
                    count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
                    count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
@@ -202,8 +191,7 @@ object CoreQueries {
   private val joinBroadcast = Q("q_join_broadcast",
     (s, dir) => table(s, dir, "lineitem")
       .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
-      .orderBy("p_brand"),
+      .groupBy("p_brand").agg(count(lit(1)).as("cnt")),
     Some("""SELECT p_brand, count(*) AS cnt
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1 ORDER BY 1"""))
@@ -212,8 +200,7 @@ object CoreQueries {
   private val joinSemi = Q("q_join_semi",
     (s, dir) => table(s, dir, "customer")
       .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
-      .select("c_custkey")
-      .orderBy("c_custkey"),
+      .select("c_custkey"),
     Some("""SELECT c_custkey FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             ORDER BY c_custkey"""))
@@ -236,7 +223,6 @@ object CoreQueries {
         .join(broadcast(brackets),
           col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
         .groupBy("bracket").agg(count(lit(1)).as("n"))
-        .orderBy("bracket")
     },
     Some("""SELECT bracket, count(*) AS n
             FROM part JOIN (VALUES (0.0, 930.0, 'low'),
@@ -251,7 +237,6 @@ object CoreQueries {
     (s, dir) => {
       val toks = TermFrequency.tokenize(table(s, dir, "documents"), "text", " ", Seq())
       TermFrequency.counts(toks, Seq())
-        .orderBy(col("cnt").desc, col("token"))
     },
     Some("""SELECT token, count(*) AS cnt FROM
               (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents)
@@ -270,7 +255,6 @@ object CoreQueries {
         table(s, dir, "documents").filter(col("lang") === "en"), "text", " ", Seq())
       toks.join(broadcast(syn), "token")
         .groupBy("canon").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("canon"))
     },
     Some("""SELECT canon, count(*) AS cnt
             FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
@@ -287,8 +271,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("yr"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
-      .orderBy("yr"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total")),
     Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                    count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -303,7 +286,6 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"))
       base.withColumn("pct",
           round(col("cnt") * 100.0 / sum("cnt").over(Window.partitionBy("yr")), 4))
-        .orderBy("yr", "pri")
     },
     Some("""WITH b AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                               o_orderpriority AS pri, count(*) AS cnt
@@ -315,8 +297,7 @@ object CoreQueries {
   /** A6: distinct-by-key dedup (get_vacancies.py:67-72 id set). */
   private val dedup = Q("q_dedup",
     (s, dir) => table(s, dir, "events")
-      .select("user_id").dropDuplicates("user_id")
-      .orderBy("user_id"),
+      .select("user_id").dropDuplicates("user_id"),
     Some("SELECT DISTINCT user_id FROM events ORDER BY user_id"))
 
   /** A7: merge change-stats (feeder_postgres.py:115-117,194) via the real
@@ -339,7 +320,6 @@ object CoreQueries {
         ScdMerge.emptyState(snapA(s, dir)), snapA(s, dir), "1998-01-01", "id", trackCols)
       ScdMerge.classify(st1, snapB(s, dir), "1998-06-01", "id", trackCols)
         .groupBy("change_type").agg(count(lit(1)).as("n"))
-        .orderBy("change_type")
     },
     Some("""WITH a AS (SELECT o_orderkey AS id FROM orders
                        WHERE o_orderdate < TIMESTAMP '1998-01-01'),
@@ -362,7 +342,6 @@ object CoreQueries {
           date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
           date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
           date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
-        .orderBy("id")
     },
     Some("""WITH a AS (SELECT o_orderkey AS id FROM orders
                        WHERE o_orderdate < TIMESTAMP '1998-01-01'),
@@ -381,8 +360,7 @@ object CoreQueries {
   private val cube = Q("q_cube",
     (s, dir) => table(s, dir, "lineitem")
       .cube(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(asc_nulls_first("rf"), asc_nulls_first("ls")),
+      .agg(count(lit(1)).as("cnt")),
     Some("""SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS cnt
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY rf NULLS FIRST, ls NULLS FIRST"""))
@@ -391,8 +369,7 @@ object CoreQueries {
   private val rollup = Q("q_rollup",
     (s, dir) => table(s, dir, "orders")
       .rollup(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(asc_nulls_first("yr"), asc_nulls_first("mon")),
+      .agg(count(lit(1)).as("cnt")),
     Some("""SELECT yr, mon, count(*) AS cnt FROM
               (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                       CAST(month(o_orderdate) AS INTEGER) AS mon FROM orders)
@@ -418,8 +395,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "events")
       .select(col("event_id"),
         unix_timestamp(col("ts")).as("epoch_s"),
-        from_unixtime(unix_timestamp(col("ts")), "yyyy-MM-dd").as("day_rt"))
-      .orderBy("event_id"),
+        from_unixtime(unix_timestamp(col("ts")), "yyyy-MM-dd").as("day_rt")),
     Some("""SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
                    strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d') AS day_rt
             FROM events ORDER BY event_id"""))
@@ -429,8 +405,7 @@ object CoreQueries {
   private val formatString = Q("q_format_string",
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
-        format_string("%s[%d]", col("source"), col("n_chars")).as("tag"))
-      .orderBy("doc_id"),
+        format_string("%s[%d]", col("source"), col("n_chars")).as("tag")),
     Some("""SELECT doc_id, printf('%s[%d]', source, n_chars) AS tag
             FROM documents ORDER BY doc_id"""))
 
@@ -462,7 +437,6 @@ object CoreQueries {
           date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
           date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
           date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
-        .orderBy("id")
     },
     Some("""WITH m AS (SELECT o_orderkey AS id,
                               max(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS in_a,
@@ -524,7 +498,6 @@ object CoreQueries {
         date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
         date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
         date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
-      .orderBy("id")
 
   /** The q_merge_scd_wide oracle, shared verbatim by
     * q_merge_scd_bucketed — the bucketed path must compute the
@@ -568,8 +541,7 @@ object CoreQueries {
   /** T1: sort by count desc with deterministic tiebreak (ipynb:752). */
   private val sortDesc = Q("q_sort_desc",
     (s, dir) => table(s, dir, "events")
-      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("event_type")),
+      .groupBy("event_type").agg(count(lit(1)).as("cnt")),
     Some("""SELECT event_type, count(*) AS cnt FROM events
             GROUP BY 1 ORDER BY cnt DESC, event_type"""))
 
@@ -583,7 +555,6 @@ object CoreQueries {
       val w = Window.partitionBy("rf").orderBy(col("cnt").desc, col("pk"))
       base.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3).drop("rn")
-        .orderBy("rf", "pk")
     },
     Some("""WITH b AS (SELECT l_returnflag AS rf, l_partkey AS pk, count(*) AS cnt
                        FROM lineitem GROUP BY 1, 2)
@@ -600,7 +571,7 @@ object CoreQueries {
         .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderpriority").as("pri"))
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("yr").orderBy(col("cnt").desc, col("pri"))
-      base.withColumn("rnk", rank().over(w)).orderBy("yr", "rnk", "pri")
+      base.withColumn("rnk", rank().over(w))
     },
     Some("""WITH b AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                               o_orderpriority AS pri, count(*) AS cnt
@@ -617,7 +588,7 @@ object CoreQueries {
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy("day").rowsBetween(-6, 0)
-      daily.withColumn("ma7", round(avg("cnt").over(w), 4)).orderBy("day")
+      daily.withColumn("ma7", round(avg("cnt").over(w), 4))
     },
     Some("""WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS cnt
                        FROM orders GROUP BY 1)
@@ -635,7 +606,6 @@ object CoreQueries {
       daily
         .withColumn("delta", col("cnt") - lag("cnt", 1).over(w))
         .withColumn("next_cnt", lead("cnt", 1).over(w))
-        .orderBy("day")
     },
     Some("""WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS cnt
                        FROM orders GROUP BY 1)
@@ -652,8 +622,7 @@ object CoreQueries {
       .groupBy(col("o_orderpriority").as("pri"))
       .agg(
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("median"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
-      .orderBy("pri"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90")),
     Some("""SELECT o_orderpriority AS pri,
                    round(quantile_cont(o_totalprice, 0.5), 2) AS median,
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90
@@ -670,7 +639,7 @@ object CoreQueries {
           .select("token").distinct()
       val both = vocab("en").intersect(vocab("de")).withColumn("op", lit("both"))
       val enOnly = vocab("en").except(vocab("de")).withColumn("op", lit("en_only"))
-      both.unionByName(enOnly).orderBy("op", "token")
+      both.unionByName(enOnly)
     },
     Some("""WITH en AS (SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS token
                         FROM documents WHERE lang = 'en'),
@@ -692,8 +661,7 @@ object CoreQueries {
       .select(col("doc_id"),
         lpad(col("source"), 8, "0").as("padded"),
         translate(col("lang"), "ne", "NE").as("xlat"),
-        reverse(col("source")).as("rev"))
-      .orderBy("doc_id"),
+        reverse(col("source")).as("rev")),
     Some("""SELECT doc_id, lpad(source, 8, '0') AS padded,
                    translate(lang, 'ne', 'NE') AS xlat,
                    reverse(source) AS rev
@@ -708,7 +676,7 @@ object CoreQueries {
         .groupBy((unix_timestamp(col("o_orderdate")) / 86400L).cast("long").as("day"))
         .agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy("day").rangeBetween(-6, 0)
-      daily.withColumn("ma7", round(avg("cnt").over(w), 4)).orderBy("day")
+      daily.withColumn("ma7", round(avg("cnt").over(w), 4))
     },
     Some("""WITH d AS (SELECT CAST(floor(epoch(o_orderdate)) / 86400 AS BIGINT) AS day,
                               count(*) AS cnt
@@ -725,8 +693,7 @@ object CoreQueries {
   private val collectSet = Q("q_collect_set",
     (s, dir) => table(s, dir, "events")
       .groupBy("user_id")
-      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
-      .orderBy("user_id"),
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types")),
     Some("""SELECT user_id,
                    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
             FROM events GROUP BY 1 ORDER BY user_id"""))
@@ -738,8 +705,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
         explode_outer(when(col("lang") =!= "en", split(col("text"), " "))).as("tok"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .orderBy("doc_id"),
+      .groupBy("doc_id").agg(count(lit(1)).as("n")),
     Some("""SELECT doc_id,
                    CASE WHEN lang <> 'en' THEN len(string_split(text, ' '))
                         ELSE 1 END AS n
@@ -754,7 +720,6 @@ object CoreQueries {
       val late = o.filter(year(col("o_orderdate")) > 1997)
       early.unionByName(late)
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-        .orderBy("o_orderstatus")
     },
     Some("""SELECT o_orderstatus, count(*) AS n FROM
               (SELECT * FROM orders WHERE year(o_orderdate) <= 1997
@@ -769,8 +734,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
         element_at(split(col("text"), " "), 1).as("first_tok"),
-        element_at(split(col("text"), " "), 2).as("second_tok"))
-      .orderBy("doc_id"),
+        element_at(split(col("text"), " "), 2).as("second_tok")),
     Some("""SELECT doc_id, string_split(text, ' ')[1] AS first_tok,
                    string_split(text, ' ')[2] AS second_tok
             FROM documents ORDER BY doc_id"""))
@@ -779,8 +743,7 @@ object CoreQueries {
   private val strJoin = Q("q_str_join",
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
-        concat_ws("|", col("lang"), col("source"), col("n_chars").cast("string")).as("joined"))
-      .orderBy("doc_id"),
+        concat_ws("|", col("lang"), col("source"), col("n_chars").cast("string")).as("joined")),
     Some("""SELECT doc_id, concat_ws('|', lang, source, CAST(n_chars AS VARCHAR)) AS joined
             FROM documents ORDER BY doc_id"""))
 
@@ -790,8 +753,7 @@ object CoreQueries {
       .select(col("doc_id"),
         when(length(col("text")) >= 80,
           concat(substring(col("text"), 1, 80), lit("...")))
-          .otherwise(col("text")).as("t"))
-      .orderBy("doc_id"),
+          .otherwise(col("text")).as("t")),
     Some("""SELECT doc_id, CASE WHEN length(text) >= 80
                                 THEN substr(text, 1, 80) || '...'
                                 ELSE text END AS t
@@ -802,8 +764,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "documents")
       .filter(col("source").rlike("^src[0-9]+$"))
       .select(col("doc_id"),
-        regexp_extract(col("source"), "[0-9]+", 0).cast("int").as("src_num"))
-      .orderBy("doc_id"),
+        regexp_extract(col("source"), "[0-9]+", 0).cast("int").as("src_num")),
     Some("""SELECT doc_id, CAST(regexp_extract(source, '[0-9]+', 0) AS INTEGER) AS src_num
             FROM documents WHERE regexp_matches(source, '^src[0-9]+$')
             ORDER BY doc_id"""))
@@ -814,8 +775,7 @@ object CoreQueries {
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
         year(col("o_orderdate")).as("yr"),
-        month(col("o_orderdate")).as("mon"))
-      .orderBy("o_orderkey"),
+        month(col("o_orderdate")).as("mon")),
     Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
                    CAST(year(o_orderdate) AS INTEGER) AS yr,
                    CAST(month(o_orderdate) AS INTEGER) AS mon
@@ -827,8 +787,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "orders")
       .select(col("o_orderkey"),
         date_format(date_add(col("o_orderdate"), 7), "yyyy-MM-dd").as("plus7"),
-        datediff(to_date(lit("2002-01-01")), col("o_orderdate")).as("days_left"))
-      .orderBy("o_orderkey"),
+        datediff(to_date(lit("2002-01-01")), col("o_orderdate")).as("days_left")),
     Some("""SELECT o_orderkey,
                    strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
                    CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_left
@@ -839,8 +798,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), t => length(t) > 4)).cast("long").as("n_long"),
-        array_max(transform(split(col("text"), " "), t => length(t))).cast("long").as("max_len"))
-      .orderBy("doc_id"),
+        array_max(transform(split(col("text"), " "), t => length(t))).cast("long").as("max_len")),
     Some("""SELECT doc_id,
                    CAST(len(list_filter(string_split(text, ' '), tok -> length(tok) > 4)) AS BIGINT) AS n_long,
                    CAST(list_max(list_transform(string_split(text, ' '), tok -> length(tok))) AS BIGINT) AS max_len
@@ -850,8 +808,7 @@ object CoreQueries {
   private val jsonFlatten = Q("q_json_flatten",
     (s, dir) => table(s, dir, "events")
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .orderBy("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")),
     Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
             FROM events ORDER BY event_id"""))
 
@@ -922,7 +879,6 @@ object CoreQueries {
           col("v.employer.id").as("employer_id"),
           col("v.employer.name").as("employer_name"),
           col("v.published_at").as("published_at"))
-        .orderBy("order_id")
     },
     Some("""WITH built AS (
               SELECT to_json(struct_pack(
@@ -970,7 +926,6 @@ object CoreQueries {
       toks.select(call_function("synonym_lookup", col("token"), dict).as("canon"))
         .filter(col("canon").isNotNull)
         .groupBy("canon").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("canon"))
     },
     Some("""SELECT canon, count(*) AS cnt
             FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
@@ -993,7 +948,6 @@ object CoreQueries {
       counted.select(new graft.functions.TopKByCount(10).toColumn)
         .flatMap(identity)
         .toDF("token", "cnt")
-        .orderBy(col("cnt").desc, col("token"))
     },
     Some("""SELECT token, count(*) AS cnt FROM
               (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents)
@@ -1006,8 +960,7 @@ object CoreQueries {
     (s, dir) => table(s, dir, "events")
       .groupBy(window(col("ts"), "7 days").as("w"))
       .agg(count(lit(1)).as("n"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"), col("n"))
-      .orderBy("wstart"),
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"), col("n")),
     Some("""SELECT strftime(time_bucket(INTERVAL 7 DAY, ts, TIMESTAMP '1970-01-01'),
                             '%Y-%m-%d') AS wstart, count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1"""))
@@ -1022,7 +975,6 @@ object CoreQueries {
       val pct = TermFrequency.withPct(counted, Seq("lang"))
       TermFrequency.topK(pct, Seq("lang"), 10)
         .select("lang", "token", "cnt", "pct", "rn")
-        .orderBy("lang", "rn")
     },
     Some("""WITH c AS (SELECT lang, token, count(*) AS cnt FROM
                          (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS token

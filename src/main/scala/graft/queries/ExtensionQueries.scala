@@ -14,12 +14,12 @@ import graft.extensions.{Dedup, Similarity, TextAnalysis}
 object ExtensionQueries {
 
   private val dedupExact = Q("q_dedup_exact",
-    (s, dir) => Dedup.exact(table(s, dir, "documents")).orderBy("keep_id"),
+    (s, dir) => Dedup.exact(table(s, dir, "documents")),
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
             GROUP BY md5(lower(coalesce(text, ''))) ORDER BY keep_id"""))
 
   private val dedupMinhash = Q("q_dedup_minhash",
-    (s, dir) => Dedup.minHashLsh(table(s, dir, "documents")).orderBy("a", "b"),
+    (s, dir) => Dedup.minHashLsh(table(s, dir, "documents")),
     Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
                           (SELECT doc_id,
                                   unnest(list_transform(
@@ -53,7 +53,6 @@ object ExtensionQueries {
       // build prices the algorithm, not a removable exchange.
       val index = Dedup.bandBucketsRowLocal(docs.filter(col("doc_id") % 7 =!= 3))
       Dedup.lshProbe(index, docs.filter(col("doc_id") % 7 === 3))
-        .orderBy("corpus_id", "new_id")
     },
     Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
                           (SELECT doc_id,
@@ -112,12 +111,12 @@ object ExtensionQueries {
               FROM halves)"""
 
   private val dedupSimhash = Q("q_dedup_simhash",
-    (s, dir) => Dedup.simHash(table(s, dir, "documents")).orderBy("doc_id"),
+    (s, dir) => Dedup.simHash(table(s, dir, "documents")),
     Some(s"WITH $simhashCtes SELECT doc_id, simhash FROM sh ORDER BY doc_id"))
 
   /** SimHash LSH: 32-bit band buckets then exact hamming filter. */
   private val dedupSimhashPairs = Q("q_dedup_simhash_pairs",
-    (s, dir) => Dedup.simHashPairs(table(s, dir, "documents")).orderBy("a", "b"),
+    (s, dir) => Dedup.simHashPairs(table(s, dir, "documents")),
     Some(s"""WITH $simhashCtes,
              bands AS (SELECT doc_id, simhash, bi.i,
                               CASE WHEN bi.i = 0 THEN simhash & 4294967295
@@ -132,7 +131,7 @@ object ExtensionQueries {
              ORDER BY a, b"""))
 
   private val dedupNgram = Q("q_dedup_ngram",
-    (s, dir) => Dedup.ngramJaccard(table(s, dir, "documents"), 0.3).orderBy("a", "b"),
+    (s, dir) => Dedup.ngramJaccard(table(s, dir, "documents"), 0.3),
     Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
                           (SELECT doc_id,
                                   unnest(list_transform(
@@ -156,7 +155,7 @@ object ExtensionQueries {
     * hash-compare verifies the encoded join end-to-end on this corpus. */
   private val dedupNgramEncoded = Q("q_dedup_ngram_encoded",
     (s, dir) => Dedup.ngramJaccard(table(s, dir, "documents"), 0.3,
-      encodeShingles = true).orderBy("a", "b"),
+      encodeShingles = true),
     Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
                           (SELECT doc_id,
                                   unnest(list_transform(
@@ -180,7 +179,7 @@ object ExtensionQueries {
     * the pruned code path end-to-end at sf0.01, not just in unit specs. */
   private val dedupNgramPruned = Q("q_dedup_ngram_pruned",
     (s, dir) => Dedup.ngramJaccard(table(s, dir, "documents"), 0.3,
-      dropUniqueShingles = true).orderBy("a", "b"),
+      dropUniqueShingles = true),
     Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
                           (SELECT doc_id,
                                   unnest(list_transform(
@@ -313,8 +312,7 @@ object ExtensionQueries {
 
   /** IVF training step: per-cell element-wise centroids. */
   private val centroidsQ = Q("q_centroids",
-    (s, dir) => Similarity.centroids(table(s, dir, "embeddings"))
-      .orderBy("label", "pos"),
+    (s, dir) => Similarity.centroids(table(s, dir, "embeddings")),
     Some("""SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 3) + 0.0 AS c FROM
               (SELECT label, unnest(embedding) AS v,
                       generate_subscripts(embedding, 1) AS pos FROM embeddings)
@@ -334,7 +332,6 @@ object ExtensionQueries {
           probe, build, Seq("user_id"), "ts", "ts",
           Map("view_eid" -> "last_view_id"))
         .select("event_id", "last_view_id")
-        .orderBy("event_id")
     },
     Some("""SELECT p.event_id, v.event_id AS last_view_id
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -355,7 +352,6 @@ object ExtensionQueries {
           probe, build, Seq("user_id"), "ts", "ts",
           Map("view_eid" -> "next_view_id"))
         .select("event_id", "next_view_id")
-        .orderBy("event_id")
     },
     Some("""SELECT p.event_id, v.event_id AS next_view_id
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -368,8 +364,7 @@ object ExtensionQueries {
     * plain GROUP BY count is the exact twin. */
   private val saltedCount = Q("q_salted_count",
     (s, dir) => graft.plans.Skew
-      .saltedCount(table(s, dir, "lineitem"), col("l_returnflag"))
-      .orderBy("key"),
+      .saltedCount(table(s, dir, "lineitem"), col("l_returnflag")),
     Some("""SELECT l_returnflag AS key, count(*) AS cnt
             FROM lineitem GROUP BY 1 ORDER BY key"""))
 
@@ -403,7 +398,6 @@ object ExtensionQueries {
       table(s, dir, "events").select(col("event_id"),
           last(when(col("value") >= 100, lit(null)).otherwise(col("value")),
             ignoreNulls = true).over(w).as("filled"))
-        .orderBy("event_id")
     },
     Some("""SELECT event_id,
                    last_value(CASE WHEN value >= 100 THEN NULL ELSE value END
@@ -435,7 +429,6 @@ object ExtensionQueries {
         .orderBy(col("tfidf").desc, col("tok"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select("doc_id", "tok", "tf", "tfidf", "rn")
-        .orderBy("doc_id", "rn")
     },
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
                           FROM documents),
@@ -502,7 +495,6 @@ object ExtensionQueries {
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"))
-        .orderBy("user_id", "session_id")
     },
     Some("""WITH g AS (SELECT user_id, ts,
                               CAST(floor(epoch(ts)) AS BIGINT)
@@ -525,7 +517,7 @@ object ExtensionQueries {
     * min-label propagation to a fixpoint; the oracle is a recursive CTE
     * computing reachability minima. */
   private val dedupCc = Q("q_dedup_cc",
-    (s, dir) => Dedup.ccLabels(table(s, dir, "documents")).orderBy("id"),
+    (s, dir) => Dedup.ccLabels(table(s, dir, "documents")),
     Some(s"""WITH RECURSIVE $duckCcReach
             SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""))
 
@@ -534,7 +526,7 @@ object ExtensionQueries {
     * query — every extension operator composed end-to-end. */
   private val corpusClean = Q("q_corpus_clean",
     (s, dir) => graft.extensions.CorpusPipeline
-      .clean(table(s, dir, "documents")).orderBy("doc_id"),
+      .clean(table(s, dir, "documents")),
     Some("""WITH q AS (SELECT doc_id FROM
                          (SELECT doc_id,
                                  len(string_split(coalesce(text, ''), ' ')) AS n_tok,
@@ -577,7 +569,6 @@ object ExtensionQueries {
       graft.extensions.CorpusPipeline.cleanFull(
         docs.filter(corpusSide(col("doc_id"))),
         docs.filter(heldOut(col("doc_id"))))
-        .orderBy("doc_id")
     },
     Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
                  q AS (SELECT doc_id FROM
@@ -667,7 +658,6 @@ object ExtensionQueries {
         .filter(col("lev") >= 0)
         .groupBy(col("a.p_brand").as("brand"))
         .agg(count(lit(1)).as("n_close"))
-        .orderBy("brand")
     },
     Some("""WITH p AS (SELECT p_partkey, p_brand, p_name,
                               string_split(p_name, ' ')[-1] AS noun
@@ -680,7 +670,7 @@ object ExtensionQueries {
             GROUP BY 1 ORDER BY 1"""))
 
   private val langId = Q("q_lang_id",
-    (s, dir) => TextAnalysis.languageId(table(s, dir, "documents")).orderBy("doc_id"),
+    (s, dir) => TextAnalysis.languageId(table(s, dir, "documents")),
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
                           FROM documents),
                  m AS (SELECT doc_id, d.cand, count(*) AS cnt
@@ -697,7 +687,7 @@ object ExtensionQueries {
             ORDER BY doc.doc_id"""))
 
   private val quality = Q("q_quality",
-    (s, dir) => TextAnalysis.qualityScore(table(s, dir, "documents")).orderBy("doc_id"),
+    (s, dir) => TextAnalysis.qualityScore(table(s, dir, "documents")),
     Some("""SELECT doc_id,
                    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok,
                    n_chars,
@@ -710,21 +700,21 @@ object ExtensionQueries {
             FROM documents ORDER BY doc_id"""))
 
   private val tokenCount = Q("q_token_count",
-    (s, dir) => TextAnalysis.tokenCounts(table(s, dir, "documents")).orderBy("doc_id"),
+    (s, dir) => TextAnalysis.tokenCounts(table(s, dir, "documents")),
     Some("""SELECT doc_id,
                    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS ws_tokens,
                    CAST(len(regexp_extract_all(coalesce(text, ''), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS re_tokens
             FROM documents ORDER BY doc_id"""))
 
   private val redactQ = Q("q_redact",
-    (s, dir) => TextAnalysis.redact(table(s, dir, "documents")).orderBy("doc_id"),
+    (s, dir) => TextAnalysis.redact(table(s, dir, "documents")),
     Some("""SELECT doc_id,
                    regexp_replace(coalesce(text, ''), '[0-9][0-9]+', '<num>', 'g') AS redacted,
                    CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9][0-9]+', 0)) AS BIGINT) AS n_redacted
             FROM documents ORDER BY doc_id"""))
 
   private val fingerprint = Q("q_fingerprint",
-    (s, dir) => TextAnalysis.fingerprint(table(s, dir, "documents")).orderBy("doc_id"),
+    (s, dir) => TextAnalysis.fingerprint(table(s, dir, "documents")),
     Some("""SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
                          list_filter(string_split(lower(coalesce(text, '')), ' '), t -> t <> ''))), ' ')) AS fp
@@ -760,7 +750,6 @@ object ExtensionQueries {
         .join(corpus.select(col("doc_id").as("b"), col("text").as("tb")), "b")
         .filter(col("ta") === col("tb"))
         .select("a", "b")
-        .orderBy("a", "b")
     },
     Some("""WITH corpus AS (
               SELECT doc_id, text FROM documents
@@ -777,8 +766,7 @@ object ExtensionQueries {
     * fixed-budget chunk range each document overlaps. */
   private val packChunks = Q("q_pack_chunks",
     (s, dir) => graft.extensions.Packing
-      .packChunks(table(s, dir, "documents"), budget = 64)
-      .orderBy("shard", "doc_id"),
+      .packChunks(table(s, dir, "documents"), budget = 64),
     Some("""WITH t AS (SELECT doc_id, lang AS shard,
                               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
                        FROM documents),
@@ -848,7 +836,6 @@ object ExtensionQueries {
       TextAnalysis.decontaminate(
         docs.filter(corpusSide(col("doc_id"))),
         docs.filter(heldOut(col("doc_id"))), n = 4)
-        .orderBy("doc_id")
     },
     Some("""WITH g AS (SELECT doc_id,
                               len(list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -874,7 +861,7 @@ object ExtensionQueries {
             ORDER BY d.doc_id"""))
 
   private val repetitionQ = Q("q_repetition",
-    (s, dir) => TextAnalysis.repetition(table(s, dir, "documents")).orderBy("doc_id"),
+    (s, dir) => TextAnalysis.repetition(table(s, dir, "documents")),
     Some("""WITH g AS (SELECT doc_id,
                               list_filter(string_split(lower(coalesce(text, '')), ' '),
                                           t -> t <> '') AS arr
@@ -905,8 +892,7 @@ object ExtensionQueries {
     * twin zips parallel unnests (positional alignment) for posexplode. */
   private val chunkOverlap = Q("q_chunk_overlap",
     (s, dir) => graft.extensions.Packing
-      .slidingChunks(table(s, dir, "documents"), win = 32, stride = 24)
-      .orderBy("doc_id", "chunk_idx"),
+      .slidingChunks(table(s, dir, "documents"), win = 32, stride = 24),
     Some("""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
                        FROM documents),
                  e AS (SELECT doc_id,
@@ -929,8 +915,7 @@ object ExtensionQueries {
   private val sampleStratified = Q("q_sample_stratified",
     (s, dir) => TextAnalysis.stratifiedSample(
       table(s, dir, "documents"),
-      rates = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "zh" -> 0.1))
-      .orderBy("doc_id"),
+      rates = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "zh" -> 0.1)),
     Some("""WITH b AS (SELECT doc_id, lang,
                               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                                    AS BIGINT) % 100 AS bucket
@@ -945,8 +930,7 @@ object ExtensionQueries {
   /** Per-language lower-quartile length cutoff: drop each language's
     * shortest quarter. */
   private val qualityCutoff = Q("q_quality_cutoff",
-    (s, dir) => TextAnalysis.qualityCutoff(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.qualityCutoff(table(s, dir, "documents")),
     Some("""WITH c AS (SELECT lang AS stratum,
                               round(quantile_cont(n_chars, 0.25), 4) AS cutoff
                        FROM documents GROUP BY 1)
@@ -956,8 +940,7 @@ object ExtensionQueries {
             ORDER BY d.doc_id"""))
 
   private val dupSpans = Q("q_dup_spans",
-    (s, dir) => TextAnalysis.duplicatedSpans(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.duplicatedSpans(table(s, dir, "documents")),
     Some("""WITH ag AS (SELECT doc_id,
                                list_filter(string_split(lower(coalesce(text, '')), ' '),
                                            t -> t <> '') AS arr
@@ -984,8 +967,7 @@ object ExtensionQueries {
             ORDER BY t.doc_id"""))
 
   private val oovRate = Q("q_oov_rate",
-    (s, dir) => TextAnalysis.oovRate(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.oovRate(table(s, dir, "documents")),
     Some("""WITH toks AS (SELECT unnest(list_filter(
                                    string_split(lower(coalesce(text, '')), ' '),
                                    t -> t <> '')) AS tok
@@ -1009,7 +991,7 @@ object ExtensionQueries {
 
   private val embLsh = Q("q_emb_lsh",
     (s, dir) => graft.extensions.Embeddings
-      .hyperplaneLsh(table(s, dir, "embeddings")).orderBy("vec_id"),
+      .hyperplaneLsh(table(s, dir, "embeddings")),
     Some("""WITH ne AS (SELECT vec_id,
                                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                         FROM embeddings)

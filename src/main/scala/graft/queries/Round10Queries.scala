@@ -144,8 +144,7 @@ object Round10Queries {
     * exactSubstrApply TEXT, so any drift between the applied scrub and
     * its budget arithmetic breaks the hash. */
   private val trainingSet = Q("q_training_set",
-    (s, dir) => graft.extensions.TrainingSet.compose(table(s, dir, "documents"))
-      .orderBy("shard", "doc_id"),
+    (s, dir) => graft.extensions.TrainingSet.compose(table(s, dir, "documents")),
     Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
              comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
              folds AS (SELECT doc_id,
@@ -209,7 +208,7 @@ object Round10Queries {
     * over the shared substr CTE chain. */
   private val substrApply = Q("q_substr_apply",
     (s, dir) => graft.extensions.TextAnalysis
-      .exactSubstrApply(table(s, dir, "documents")).orderBy("doc_id"),
+      .exactSubstrApply(table(s, dir, "documents")),
     Some(s"""WITH ${Round9Queries.duckSubstrSpans(" WHERE ww.doc_id <> own.owner")},
              sps AS (SELECT doc_id,
                             list(struct_pack(s := span_start, e := span_end)) AS spans
@@ -316,8 +315,7 @@ object Round10Queries {
     * order on odd passes). */
   private val shardAssignQ = Q("q_shard_assign",
     (s, dir) => graft.extensions.Packing
-      .shardAssign(table(s, dir, "documents"), 8)
-      .orderBy("doc_id"),
+      .shardAssign(table(s, dir, "documents"), 8),
     Some("""WITH t AS (SELECT doc_id,
                    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
                  FROM documents),
@@ -343,7 +341,7 @@ object Round10Queries {
     (s, dir) => {
       val assigned = graft.extensions.Packing
         .shardAssign(table(s, dir, "documents"), 8)
-      graft.extensions.Packing.shardBalance(assigned, 8).orderBy("shard")
+      graft.extensions.Packing.shardBalance(assigned, 8)
     },
     Some("""WITH t AS (SELECT doc_id,
                    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
@@ -374,8 +372,7 @@ object Round10Queries {
     (s, dir) => graft.plans.Layout
       .zValue(table(s, dir, "orders"), "o_custkey", "o_totalprice")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("_z").as("zval"))
-      .orderBy("o_orderkey"),
+        col("_z").as("zval")),
     Some("""WITH b AS (SELECT CAST(min(o_custkey) AS DOUBLE) AS loA,
                               CAST(max(o_custkey) AS DOUBLE) AS hiA,
                               CAST(min(o_totalprice) AS DOUBLE) AS loB,
@@ -423,8 +420,7 @@ object Round10Queries {
     * to the same scrub whose budget priced the packing. */
   private val trainingSetText = Q("q_training_set_text",
     (s, dir) => graft.extensions.TrainingSet
-      .composeText(table(s, dir, "documents"))
-      .orderBy("shard", "doc_id"),
+      .composeText(table(s, dir, "documents")),
     Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
              comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
              folds AS (SELECT doc_id,
@@ -495,8 +491,7 @@ object Round10Queries {
 
   private val trainingSetBalanced = Q("q_training_set_balanced",
     (s, dir) => graft.extensions.TrainingSet
-      .composeBalanced(table(s, dir, "documents"))
-      .orderBy("shard", "doc_id"),
+      .composeBalanced(table(s, dir, "documents")),
     Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
              comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
              folds AS (SELECT doc_id,
@@ -570,8 +565,7 @@ object Round10Queries {
     * asserts it corpus-wide; here it rides the hash). */
   private val cmsTopKQ = Q("q_cms_topk",
     (s, dir) => graft.extensions.Sketches
-      .cmsTopK(table(s, dir, "documents"), topK = 20, depth = 4, width = 16)
-      .orderBy(col("exact_cnt").desc, col("token")),
+      .cmsTopK(table(s, dir, "documents"), topK = 20, depth = 4, width = 16),
     Some("""WITH toks AS (SELECT unnest(list_filter(
                             string_split(lower(coalesce(text, '')), ' '),
                             t -> t <> '')) AS tok
@@ -606,8 +600,7 @@ object Round10Queries {
     * tri-scale. */
   private val kmvDistinctQ = Q("q_kmv_distinct",
     (s, dir) => graft.extensions.Sketches
-      .kmvDistinct(table(s, dir, "documents"), k = 64, n = 3)
-      .orderBy("source"),
+      .kmvDistinct(table(s, dir, "documents"), k = 64, n = 3),
     Some("""WITH d AS (SELECT source,
                               list_filter(string_split(lower(coalesce(text, '')), ' '),
                                           t -> t <> '') AS arr
@@ -722,8 +715,7 @@ object Round10Queries {
     * q_bigram_lm transcendental precedent). */
   private val samplePriority = Q("q_sample_priority",
     (s, dir) => graft.extensions.Sampling
-      .prioritySample(table(s, dir, "documents"), k = 5)
-      .orderBy("source", "rank"),
+      .prioritySample(table(s, dir, "documents"), k = 5),
     Some("""WITH t AS (SELECT source, doc_id,
                               CAST(len(list_filter(
                                 string_split(lower(coalesce(text, '')), ' '),
@@ -747,8 +739,7 @@ object Round10Queries {
     * arithmetic — no float crosses engines at all. */
   private val sampleSystematic = Q("q_sample_systematic",
     (s, dir) => graft.extensions.Sampling
-      .systematicSample(table(s, dir, "documents"), k = 8)
-      .orderBy("source", "doc_id"),
+      .systematicSample(table(s, dir, "documents"), k = 8),
     Some("""WITH t AS (SELECT source, doc_id,
                               CAST(len(list_filter(
                                 string_split(lower(coalesce(text, '')), ' '),
@@ -818,7 +809,7 @@ object Round10Queries {
     * whole card is bitwise. */
   private val dataCard = Q("q_data_card",
     (s, dir) => graft.extensions.DataCard
-      .build(table(s, dir, "documents")).orderBy("metric"),
+      .build(table(s, dir, "documents")),
     Some("""WITH d AS (SELECT doc_id, source, lang,
                               coalesce(n_chars, 0) AS n_chars,
                               list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -886,7 +877,7 @@ object Round10Queries {
     * card twin UNION the funnel twin with the same metric renaming. */
   private val dataCardFull = Q("q_data_card_full",
     (s, dir) => graft.extensions.DataCard
-      .buildWithFunnel(table(s, dir, "documents")).orderBy("metric"),
+      .buildWithFunnel(table(s, dir, "documents")),
     Some("""WITH d AS (SELECT doc_id, source, lang,
                               coalesce(n_chars, 0) AS n_chars,
                               list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -990,8 +981,7 @@ object Round10Queries {
     (s, dir) => table(s, dir, "events")
       .groupBy(window(col("ts"), "14 days", "7 days").as("w"))
       .agg(count(lit(1)).as("n"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"), col("n"))
-      .orderBy("wstart"),
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"), col("n")),
     Some("""SELECT strftime(time_bucket(INTERVAL 7 DAY, ts, TIMESTAMP '1970-01-01')
                               - k * INTERVAL 7 DAY, '%Y-%m-%d') AS wstart,
                    count(*) AS n
@@ -1013,7 +1003,7 @@ object Round10Queries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
         .withColumn("text", graft.extensions.Pii.synthText)
-      graft.extensions.Pii.scrub(docs).orderBy("doc_id")
+      graft.extensions.Pii.scrub(docs)
     },
     Some("""WITH s AS (SELECT doc_id, source,
                  coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -1069,7 +1059,7 @@ object Round10Queries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
         .withColumn("text", graft.extensions.Pii.synthText)
-      graft.extensions.Pii.report(docs).orderBy("source")
+      graft.extensions.Pii.report(docs)
     },
     Some("""SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,
@@ -1091,7 +1081,7 @@ object Round10Queries {
     * every sf. */
   private val filterFunnel = Q("q_filter_funnel",
     (s, dir) => graft.extensions.Funnel
-      .funnel(table(s, dir, "documents")).orderBy("stage_idx"),
+      .funnel(table(s, dir, "documents")),
     Some("""WITH m AS (SELECT doc_id, lang,
                    CAST(len(arr) AS BIGINT) AS n_tok,
                    CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
@@ -1136,7 +1126,7 @@ object Round10Queries {
     * arithmetic bitwise. */
   private val postingsQ = Q("q_postings",
     (s, dir) => graft.extensions.Postings
-      .build(table(s, dir, "documents")).orderBy("term"),
+      .build(table(s, dir, "documents")),
     Some("""WITH d AS (SELECT doc_id,
                    list_filter(string_split(lower(coalesce(text, '')), ' '),
                                t -> t <> '') AS arr
@@ -1179,7 +1169,6 @@ object Round10Queries {
       Postings.appendDeltaFromPairs(
         Postings.buildFromPairs(pairs.filter(col("doc_id") % 4 =!= 0)),
         pairs.filter(col("doc_id") % 4 === 0))
-        .orderBy("term")
     },
     Some("""WITH d AS (SELECT doc_id,
                    list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -1226,7 +1215,7 @@ object Round10Queries {
       val log = Postings
         .appendDeltaFromPairs(base, pairs.filter(col("doc_id") % 4 === 0))
         .withColumn("batch_id", lit(0L))
-      graft.streaming.StreamingPostings.view(base, log).orderBy("term")
+      graft.streaming.StreamingPostings.view(base, log)
     },
     Some("""WITH d AS (SELECT doc_id,
                    list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -1266,7 +1255,6 @@ object Round10Queries {
       graft.extensions.CorpusPipeline.funnelFull(
         docs.filter(ExtensionQueries.corpusSide(col("doc_id"))),
         docs.filter(ExtensionQueries.heldOut(col("doc_id"))))
-        .orderBy("stage_idx")
     },
     Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
                  q AS (SELECT doc_id FROM

@@ -20,8 +20,7 @@ object Round11Queries {
       .option("span", "864000")
       .option("perPage", "100").option("maxPages", "5")
       .option("minRange", "60")
-      .load()
-      .orderBy("id"),
+      .load(),
     Some("""SELECT CAST(t.id AS BIGINT) AS id,
                    CAST(1600000000 + (t.id * 2654435761) % 864000 AS BIGINT)
                      AS ts_sec,
@@ -46,7 +45,6 @@ object Round11Queries {
     (s, dir) => {
       val m = packed(s, dir)
       graft.extensions.Packing.applyDeletes(m, deletesOf(m), budget = 64)
-        .orderBy("shard", "doc_id")
     },
     Some("""WITH t AS (SELECT doc_id, lang AS shard,
                               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
@@ -72,7 +70,6 @@ object Round11Queries {
     (s, dir) => {
       val m = packed(s, dir)
       graft.extensions.Packing.repackCost(m, deletesOf(m), budget = 64)
-        .orderBy("shard")
     },
     Some("""WITH t AS (SELECT doc_id, lang AS shard,
                               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
@@ -121,7 +118,6 @@ object Round11Queries {
         .buildState(docs.filter(col("doc_id") % 2 === 1))
       graft.extensions.DataCard
         .renderMerged(graft.extensions.DataCard.mergeStates(a, b))
-        .orderBy("metric")
     },
     Some("""WITH d AS (SELECT source, lang,
                               coalesce(n_chars, 0) AS n_chars,

@@ -45,7 +45,7 @@ object Round12Queries {
       val log1 = Postings
         .appendDeltaFromPairs(compacted, pairs.filter(col("doc_id") % 4 === 0))
         .withColumn("batch_id", lit(1L))
-      StreamingPostings.view(compacted, log1).orderBy("term")
+      StreamingPostings.view(compacted, log1)
     },
     Some("""WITH d AS (SELECT doc_id,
                    list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -95,7 +95,6 @@ object Round12Queries {
         vals.filter(col("doc_id") % 2 === 1), "v", 0L, 200L, 32)
       Sketches.histQuantile(Sketches.mergeHist(a, b),
           Seq(500, 900, 990), 0L, 200L, 32)
-        .orderBy("q_permille")
     },
     Some("""WITH t AS (SELECT CAST(len(string_split(coalesce(text, ''), ' '))
                               AS BIGINT) AS v

@@ -15,8 +15,7 @@ object Round13Queries {
     * decorrelate, same seed reproduces, output is a permutation). */
   private val epochShuffleQ = Q("q_epoch_shuffle",
     (s, dir) => graft.extensions.Packing
-      .epochShuffle(table(s, dir, "documents"), seed = 7L)
-      .orderBy("epoch_rn"),
+      .epochShuffle(table(s, dir, "documents"), seed = 7L),
     Some("""SELECT doc_id,
                    CAST(row_number() OVER (
                      ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id)

@@ -61,8 +61,7 @@ object Round15Queries {
     * q_bigram_lm is the training set: self-trained scores drift as the
     * corpus grows; this one is an external yardstick (CCNet's). */
   private val pplScore = Q("q_ppl_score",
-    (s, dir) => DataSelection.perplexityScore(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => DataSelection.perplexityScore(table(s, dir, "documents")),
     Some(s"""WITH $pplCtes
              SELECT doc_id, lang, n_bigrams, avg_log2_p
              FROM base ORDER BY doc_id"""))
@@ -71,8 +70,7 @@ object Round15Queries {
     * exact per-language rank thirds over the score, best first,
     * unscorable docs ranked last into the tail. */
   private val pplPartition = Q("q_ppl_partition",
-    (s, dir) => DataSelection.perplexityPartition(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => DataSelection.perplexityPartition(table(s, dir, "documents")),
     Some(s"""WITH $pplCtes
              SELECT doc_id, lang, n_bigrams, avg_log2_p, bucket
              FROM pt ORDER BY doc_id"""))
@@ -80,8 +78,7 @@ object Round15Queries {
   /** [[DataSelection.perplexitySummary]] — the partition's governance
     * roll-up, all int64 (share in ppm, the q_shard_balance lesson). */
   private val pplSummary = Q("q_ppl_summary",
-    (s, dir) => DataSelection.perplexitySummary(table(s, dir, "documents"))
-      .orderBy("lang", "bucket"),
+    (s, dir) => DataSelection.perplexitySummary(table(s, dir, "documents")),
     Some(s"""WITH $pplCtes
              SELECT lang, bucket, count(*) AS n_docs,
                     CAST(sum(n_bigrams) AS BIGINT) AS bigram_sum,
@@ -121,8 +118,7 @@ object Round15Queries {
   /** [[DataSelection.dsirWeights]] — hashed-unigram importance weights
     * (mean log₂ p_target/p_raw per token); positive = reference-like. */
   private val dsirWeights = Q("q_dsir_weights",
-    (s, dir) => DataSelection.dsirWeights(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => DataSelection.dsirWeights(table(s, dir, "documents")),
     Some(s"""WITH $dsirCtes
              SELECT doc_id, n_tok, llr_avg FROM w ORDER BY doc_id"""))
 
@@ -139,8 +135,7 @@ object Round15Queries {
     * tiers induce: head stage first, seeded md5 shuffle within a stage
     * (the epochShuffle key), one global 0-based position. */
   private val curriculumQ = Q("q_curriculum",
-    (s, dir) => DataSelection.curriculum(table(s, dir, "documents"), seed = 7L)
-      .orderBy("doc_id"),
+    (s, dir) => DataSelection.curriculum(table(s, dir, "documents"), seed = 7L),
     Some(s"""WITH $pplCtes,
              st AS (SELECT doc_id,
                            CAST(CASE bucket WHEN 'head' THEN 0
@@ -160,8 +155,7 @@ object Round15Queries {
     * order, placement, cumsum, and chunk arithmetic. */
   private val trainerFeed = Q("q_trainer_feed",
     (s, dir) => DataSelection.trainerFeed(
-      table(s, dir, "documents"), numShards = 8, budget = 512, seed = 7L)
-      .orderBy("doc_id"),
+      table(s, dir, "documents"), numShards = 8, budget = 512, seed = 7L),
     Some(s"""WITH $pplCtes,
              st AS (SELECT doc_id,
                            CAST(CASE bucket WHEN 'head' THEN 0
@@ -237,8 +231,7 @@ object Round15Queries {
 
   private val hllDistinct = Q("q_hll_distinct",
     (s, dir) => graft.extensions.Sketches
-      .hllDistinct(table(s, dir, "documents"), n = 3)
-      .orderBy("source"),
+      .hllDistinct(table(s, dir, "documents"), n = 3),
     Some(hllSql))
 
   /** [[graft.extensions.Sketches.hllDistinctMerged]] — the SAME flat
@@ -247,8 +240,7 @@ object Round15Queries {
     * merge ∘ build ≡ build ∘ union (the q_card_merged discipline). */
   private val hllMerged = Q("q_hll_merged",
     (s, dir) => graft.extensions.Sketches
-      .hllDistinctMerged(table(s, dir, "documents"), n = 3)
-      .orderBy("source"),
+      .hllDistinctMerged(table(s, dir, "documents"), n = 3),
     Some(hllSql))
 
   /** [[DataSelection.selectionAgreement]] — the curation cross-check:
@@ -257,8 +249,7 @@ object Round15Queries {
     * concentrated in the head — is itself the diagnostic. */
   private val selectionOverlap = Q("q_selection_overlap",
     (s, dir) => DataSelection.selectionAgreement(
-      table(s, dir, "documents"), topK = 200)
-      .orderBy("bucket"),
+      table(s, dir, "documents"), topK = 200),
     Some(s"""WITH $pplCtes,
              d2 AS (SELECT doc_id,
                            list_filter(string_split(lower(coalesce(text, '')), ' '),

@@ -133,7 +133,6 @@ object Round16Queries {
             lit("both"))
             .when(col("t_hamming").isNotNull, lit("text"))
             .otherwise(lit("media")).as("channel"))
-        .orderBy("a", "b")
     },
     Some(s"""WITH $jointPairCtes
              SELECT coalesce(tp.a, mp.a) AS a, coalesce(tp.b, mp.b) AS b,
@@ -167,7 +166,6 @@ object Round16Queries {
       graft.extensions.ConnectedComponents
         .label(table(s, dir, "documents").select(col("doc_id")), pairs)
         .select(col("id"), col("comp"), (col("id") === col("comp")).as("kept"))
-        .orderBy("id")
     },
     Some(s"""WITH RECURSIVE $jointPairCtes,
              jp AS (SELECT a, b FROM tp UNION SELECT a, b FROM mp),

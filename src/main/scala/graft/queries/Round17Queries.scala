@@ -95,7 +95,6 @@ object Round17Queries {
           date_format(col("added_at"), "yyyy-MM-dd").as("added_at"),
           date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
           date_format(col("removed_at"), "yyyy-MM-dd").as("removed_at"))
-        .orderBy("id")
     },
     Some("""WITH a AS (SELECT o_orderkey AS id FROM orders
                        WHERE o_orderdate < TIMESTAMP '1997-07-01'),
@@ -342,7 +341,6 @@ object Round17Queries {
             .when(col("gram_hits") > 0, lit("gram"))
             .when(coalesce(col("sem_hits"), lit(0L)) > 0, lit("sem"))
             .otherwise(lit("none")).as("channel"))
-        .orderBy("doc_id")
     },
     Some(s"""WITH g AS (SELECT doc_id,
                               len(list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -397,7 +395,7 @@ object Round17Queries {
     * dropping. Oracle rides the shared recursive CC closure. */
   private val softDedup = Q("q_soft_dedup",
     (s, dir) => graft.extensions.Dedup
-      .softDedupWeights(table(s, dir, "documents")).orderBy("doc_id"),
+      .softDedupWeights(table(s, dir, "documents")),
     Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
              comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
              szs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
@@ -444,7 +442,6 @@ object Round17Queries {
       graft.extensions.Mixture.planFromTotals(
         graft.extensions.Mixture.effectiveTotalsOf(docs),
         Round14Queries.testWeights(s, dir))
-        .orderBy("source")
     },
     Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
              comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),

@@ -50,8 +50,7 @@ object Round18Queries {
   /** [[QualityRules.gopherFlags]] — the Gopher heuristic battery as
     * independent named booleans per document. */
   private val gopherRules = Q("q_gopher_rules",
-    (s, dir) => QualityRules.gopherFlags(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => QualityRules.gopherFlags(table(s, dir, "documents")),
     Some(s"""WITH $duckGopher
              SELECT doc_id, n_tok, r_word_count, r_mean_word_len,
                     r_stopword, r_top_token, r_distinct, pass
@@ -137,7 +136,7 @@ object Round18Queries {
       val w = DataSelection.excessLossWeights(docs)
         .select(col("source"),
           round(col("weight") * lit(1000000L)).cast("long").as("weight"))
-      graft.extensions.Mixture.plan(docs, w).orderBy("source")
+      graft.extensions.Mixture.plan(docs, w)
     },
     Some(s"""WITH ${Round15Queries.pplCtes},
                  $duckDoremi,
@@ -172,8 +171,7 @@ object Round18Queries {
   /** [[SpanCorrupt.corrupt]] — deterministic T5-style (input, target)
     * denoising pairs; md5 window coins, ordinal sentinels. */
   private val spanCorrupt = Q("q_span_corrupt",
-    (s, dir) => SpanCorrupt.corrupt(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => SpanCorrupt.corrupt(table(s, dir, "documents")),
     Some("""WITH d AS (SELECT doc_id,
                    list_filter(string_split(lower(coalesce(text, '')), ' '),
                                t -> t <> '') AS arr
@@ -262,8 +260,7 @@ object Round18Queries {
     * the 20% of each cell closest to its own centroid. */
   private val prototypePrune = Q("q_prototype_prune",
     (s, dir) => Similarity
-      .prototypicalityPrune(table(s, dir, "embeddings"))
-      .orderBy("vec_id"),
+      .prototypicalityPrune(table(s, dir, "embeddings")),
     Some(s"""WITH ${ExtensionQueries.duckNorm},
                  $duckCentroids,
                  sc AS (SELECT n.vec_id, n.label,

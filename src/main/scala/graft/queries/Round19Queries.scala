@@ -173,7 +173,7 @@ object Round19Queries {
   private val unigramSegment = Q("q_unigram_segment",
     (s, dir) => UnigramLm.viterbiSegment(
       UnigramLm.wordFreqs(table(s, dir, "documents")),
-      uniVocab.toMap, maxPieceLen = 4).orderBy("word"),
+      uniVocab.toMap, maxPieceLen = 4),
     Some(s"""WITH RECURSIVE $duckWords,
           uv(piece, lp) AS (SELECT * FROM (VALUES $uniVocabValues)),
           ${duckViterbi("uv")}
@@ -209,7 +209,7 @@ object Round19Queries {
             .as("fertility"))
           .select(lit(name).as("tokenizer"), col("n_words"),
             col("total_freq"), col("total_pieces"), col("fertility"))
-      stats("bpe", bpe).unionAll(stats("unigram", uni)).orderBy("tokenizer")
+      stats("bpe", bpe).unionAll(stats("unigram", uni))
     },
     Some(s"""WITH RECURSIVE ${Round6Queries.bpeCtes(4)},
           uv(piece, lp) AS (SELECT * FROM (VALUES $uniVocabValues)),
@@ -342,8 +342,7 @@ object Round19Queries {
     * in SQL). */
   private val wordpieceTrain = Q("q_wordpiece_train",
     (s, dir) => graft.extensions.WordPiece
-      .learnDf(s, table(s, dir, "documents"), numMerges = 4)
-      .orderBy("rank"),
+      .learnDf(s, table(s, dir, "documents"), numMerges = 4),
     Some(s"""WITH ${wpCtes(4)}
              SELECT * FROM (
                ${(1 to 4).map(i =>
@@ -362,7 +361,7 @@ object Round19Queries {
   private val wordpieceSegment = Q("q_wordpiece_segment",
     (s, dir) => graft.extensions.WordPiece.greedySegment(
       UnigramLm.wordFreqs(table(s, dir, "documents")),
-      wpVocab.toSet, maxPieceLen = 4).orderBy("word"),
+      wpVocab.toSet, maxPieceLen = 4),
     Some(s"""WITH RECURSIVE $duckWords,
           wv(piece) AS (SELECT * FROM (VALUES $wpVocabValues)),
           wb AS (SELECT piece,
@@ -549,8 +548,7 @@ object Round19Queries {
 
   private val lineDedup = Q("q_line_dedup",
     (s, dir) => graft.extensions.LineDedup
-      .dedupLines(table(s, dir, "documents"), lineLen = 6, maxDf = 1)
-      .orderBy("doc_id"),
+      .dedupLines(table(s, dir, "documents"), lineLen = 6, maxDf = 1),
     Some(duckLineDedup))
 
   /** The xxhash64-keyed path of [[graft.extensions.LineDedup
@@ -561,8 +559,7 @@ object Round19Queries {
     * end-to-end on this corpus. */
   private val lineDedupEncoded = Q("q_line_dedup_encoded",
     (s, dir) => graft.extensions.LineDedup
-      .dedupLinesEncoded(table(s, dir, "documents"), lineLen = 6, maxDf = 1)
-      .orderBy("doc_id"),
+      .dedupLinesEncoded(table(s, dir, "documents"), lineLen = 6, maxDf = 1),
     Some(duckLineDedup))
 
   /** [[graft.extensions.LineDedup.boilerplateLines]] — the census a
@@ -582,8 +579,7 @@ object Round19Queries {
     * mass: which feeds are template-heavy. */
   private val lineDedupReport = Q("q_line_dedup_report",
     (s, dir) => graft.extensions.LineDedup
-      .report(table(s, dir, "documents"), lineLen = 6, maxDf = 1)
-      .orderBy("source"),
+      .report(table(s, dir, "documents"), lineLen = 6, maxDf = 1),
     Some(s"""WITH $duckLines
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(n_lines) AS BIGINT) AS total_lines,

@@ -25,8 +25,7 @@ object Round20Queries {
     * harness lines ⇒ expected false drops ~10⁻⁴). */
   private val lineDedupBloom = Q("q_line_dedup_bloom",
     (s, dir) => graft.extensions.LineDedup
-      .dedupLinesBloom(table(s, dir, "documents"), lineLen = 6, maxDf = 1)
-      .orderBy("doc_id"),
+      .dedupLinesBloom(table(s, dir, "documents"), lineLen = 6, maxDf = 1),
     Some(Round19Queries.duckLineDedup))
 
   /** Left-to-right char-fallback sum of a piece's single characters

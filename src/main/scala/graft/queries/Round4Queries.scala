@@ -30,7 +30,6 @@ object Round4Queries {
         .agg(count(lit(1)).as("n"),
           round(min("p_retailprice"), 2).as("min_price"),
           round(max("p_retailprice"), 2).as("max_price"))
-        .orderBy("bracket")
     },
     Some("""WITH iv AS (SELECT 900 + n_nationkey * 4.0 AS lo,
                                904 + n_nationkey * 4.0 AS hi,
@@ -44,7 +43,7 @@ object Round4Queries {
 
   /** Canonical-survivor selection per SimHash cluster (Dedup.keepCanonical). */
   private val dedupKeep = Q("q_dedup_keep",
-    (s, dir) => Dedup.keepCanonical(table(s, dir, "documents")).orderBy("doc_id"),
+    (s, dir) => Dedup.keepCanonical(table(s, dir, "documents")),
     Some(s"""WITH ${ExtensionQueries.simhashCtes},
              j AS (SELECT d.doc_id, d.n_chars,
                           coalesce(s.simhash, d.doc_id) AS cluster
@@ -59,7 +58,7 @@ object Round4Queries {
   /** MinHash estimate vs exact Jaccard on the candidate pairs
     * (Dedup.jaccardEstimate) — the sketch-accuracy contract. */
   private val minhashEst = Q("q_minhash_est",
-    (s, dir) => Dedup.jaccardEstimate(table(s, dir, "documents")).orderBy("a", "b"),
+    (s, dir) => Dedup.jaccardEstimate(table(s, dir, "documents")),
     Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
                           (SELECT doc_id,
                                   unnest(list_transform(
@@ -110,7 +109,6 @@ object Round4Queries {
       val big = sh.filter(col("doc_id") % 5 =!= 0)
       Membership.bloomSemiJoin(big, ref, "s", expectedItems = 1L << 20)
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        .orderBy("doc_id")
     },
     Some("""WITH sh AS (SELECT DISTINCT doc_id, s FROM
                           (SELECT doc_id,
@@ -126,8 +124,7 @@ object Round4Queries {
 
   /** Bigram-LM quality score (TextAnalysis.bigramLmScore). */
   private val bigramLm = Q("q_bigram_lm",
-    (s, dir) => TextAnalysis.bigramLmScore(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.bigramLmScore(table(s, dir, "documents")),
     Some("""WITH d AS (SELECT doc_id,
                               list_filter(string_split(lower(coalesce(text, '')), ' '),
                                           t -> t <> '') AS arr
@@ -154,8 +151,7 @@ object Round4Queries {
   /** Zipf head profile (TextAnalysis.zipfStats). */
   private val zipf = Q("q_zipf",
     (s, dir) => TextAnalysis.zipfStats(table(s, dir, "documents"), topK = 50)
-      .withColumn("rank", col("rank").cast("long"))
-      .orderBy("rank"),
+      .withColumn("rank", col("rank").cast("long")),
     Some("""WITH c AS (SELECT tok, count(*) AS cnt FROM
                          (SELECT unnest(list_filter(
                                    string_split(lower(coalesce(text, '')), ' '),
@@ -179,8 +175,7 @@ object Round4Queries {
         col("p_size").cast("double").as("p_size"),
         col("p_retailprice").cast("double").as("p_retailprice"))
       .unpivot(Array(col("p_partkey")),
-        Array(col("p_size"), col("p_retailprice")), "metric", "val")
-      .orderBy("p_partkey", "metric"),
+        Array(col("p_size"), col("p_retailprice")), "metric", "val"),
     Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
             UNION ALL
             SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
@@ -198,7 +193,6 @@ object Round4Queries {
         ntile(4).over(w).cast("long").as("quartile"),
         round(percent_rank().over(w), 4).as("pct_rank"),
         round(cume_dist().over(w), 4).as("cum_dist"))
-        .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey,
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -210,8 +204,7 @@ object Round4Queries {
 
   /** Text canonicalization (TextAnalysis.normalizeText). */
   private val normalizeText = Q("q_normalize_text",
-    (s, dir) => TextAnalysis.normalizeText(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.normalizeText(table(s, dir, "documents")),
     Some("""WITH n AS (SELECT doc_id,
                               trim(regexp_replace(
                                 regexp_replace(lower(coalesce(text, '')),

@@ -16,8 +16,7 @@ object Round5Queries {
   /** Cluster-level train/val/test split (Dedup.splitByCluster): near-dups
     * (same SimHash cluster) always land in the same split. */
   private val splitCluster = Q("q_split_cluster",
-    (s, dir) => Dedup.splitByCluster(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => Dedup.splitByCluster(table(s, dir, "documents")),
     Some(s"""WITH ${ExtensionQueries.simhashCtes},
              cl AS (SELECT d.doc_id,
                            coalesce(s.simhash, d.doc_id) AS cluster
@@ -43,7 +42,6 @@ object Round5Queries {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
         .withColumn("dedup_rate",
           round(lit(1.0) - col("n_kept") * lit(1.0) / col("n_docs"), 4))
-        .orderBy("source")
     },
     Some(s"""WITH ${ExtensionQueries.simhashCtes},
              j AS (SELECT d.doc_id, d.source, d.n_chars,
@@ -64,8 +62,7 @@ object Round5Queries {
     * sqrt-tempered per-source sampling weights; the normalizing sum is an
     * ordered fold over the source-sorted list in BOTH engines. */
   private val mixWeights = Q("q_mix_weights",
-    (s, dir) => TextAnalysis.mixingWeights(table(s, dir, "documents"))
-      .orderBy("source"),
+    (s, dir) => TextAnalysis.mixingWeights(table(s, dir, "documents")),
     Some("""WITH per AS (SELECT source, count(*) AS n_docs,
                                 sum(n_chars) AS n_chars
                          FROM documents GROUP BY 1),
@@ -84,8 +81,7 @@ object Round5Queries {
   /** Per-document surface profile (TextAnalysis.textStats): token count,
     * distinct count, type-token ratio, mean token length. */
   private val textStats = Q("q_text_stats",
-    (s, dir) => TextAnalysis.textStats(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.textStats(table(s, dir, "documents")),
     Some("""WITH d AS (SELECT doc_id,
                               list_filter(string_split(lower(coalesce(text, '')), ' '),
                                           t -> t <> '') AS arr

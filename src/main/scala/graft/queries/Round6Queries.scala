@@ -46,8 +46,7 @@ object Round6Queries {
     * count, selected-fingerprint count, density, and the ordered-set md5
     * digest. */
   private val winnow = Q("q_winnow",
-    (s, dir) => Winnowing.fingerprints(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => Winnowing.fingerprints(table(s, dir, "documents")),
     Some(s"""WITH $winnowCtes
              SELECT doc_id,
                     CAST(n_grams AS BIGINT) AS n_grams,
@@ -63,8 +62,7 @@ object Round6Queries {
     * default maxDf=20 hot-fingerprint cap — see the operator scaladoc
     * for why min-selection makes the cap load-bearing). */
   private val winnowPairs = Q("q_winnow_pairs",
-    (s, dir) => Winnowing.sharedFingerprintPairs(table(s, dir, "documents"))
-      .orderBy("doc_a", "doc_b"),
+    (s, dir) => Winnowing.sharedFingerprintPairs(table(s, dir, "documents")),
     Some(s"""WITH $winnowCtes,
              idx0 AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
              idx AS (SELECT doc_id, fp FROM idx0
@@ -80,8 +78,7 @@ object Round6Queries {
     * per candidate pair, resemblance estimated from the capped winnowed
     * sets vs the exact distinct-trigram Jaccard. */
   private val winnowEst = Q("q_winnow_est",
-    (s, dir) => Winnowing.resemblanceEstimate(table(s, dir, "documents"))
-      .orderBy("doc_a", "doc_b"),
+    (s, dir) => Winnowing.resemblanceEstimate(table(s, dir, "documents")),
     Some(s"""WITH $winnowCtes,
              idx0 AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
              idx AS (SELECT doc_id, fp FROM idx0
@@ -117,7 +114,7 @@ object Round6Queries {
     * IVF single-cell search vs exact brute force, per query vector. */
   private val annRecall = Q("q_ann_recall",
     (s, dir) => Similarity.recallAtK(table(s, dir, "embeddings"),
-      queryIds = 0L until 8L, k = 10).orderBy("qid"),
+      queryIds = 0L until 8L, k = 10),
     Some(s"""WITH ${ExtensionQueries.duckNorm},
              q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qn
                    FROM nn WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
@@ -146,8 +143,7 @@ object Round6Queries {
   /** Per-source Jensen-Shannon drift vs the corpus distribution
     * (TextAnalysis.sourceDrift, top-50 vocab). */
   private val srcDrift = Q("q_src_drift",
-    (s, dir) => TextAnalysis.sourceDrift(table(s, dir, "documents"))
-      .orderBy("source"),
+    (s, dir) => TextAnalysis.sourceDrift(table(s, dir, "documents")),
     Some("""WITH tok AS (SELECT source,
                                 unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
                                                    t -> t <> '')) AS token
@@ -228,8 +224,7 @@ object Round6Queries {
   /** BPE vocabulary learning (BpeTrain.learn, 4 merges over the
     * word-frequency table — never the corpus). */
   private val bpeTrain = Q("q_bpe_train",
-    (s, dir) => BpeTrain.learnDf(s, table(s, dir, "documents"), numMerges = 4)
-      .orderBy("rank"),
+    (s, dir) => BpeTrain.learnDf(s, table(s, dir, "documents"), numMerges = 4),
     Some(s"""WITH ${bpeCtes(4)}
              SELECT * FROM (
                ${(1 to 4).map(i =>
@@ -245,7 +240,6 @@ object Round6Queries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       BpeTrain.segment(docs, BpeTrain.learn(docs, numMerges = 4))
-        .orderBy("word")
     },
     Some(s"""WITH ${bpeCtes(4)}
              SELECT word, freq,
@@ -257,8 +251,7 @@ object Round6Queries {
     * windows): which feeds share boilerplate/copied spans, with the
     * overlap coefficient over distinct window sets. */
   private val srcOverlap = Q("q_source_overlap",
-    (s, dir) => Dedup.sourceOverlap(table(s, dir, "documents"))
-      .orderBy("src_a", "src_b"),
+    (s, dir) => Dedup.sourceOverlap(table(s, dir, "documents")),
     Some("""WITH wt AS (SELECT source,
                                list_filter(string_split(lower(coalesce(text, '')), ' '),
                                            t -> t <> '') AS toks

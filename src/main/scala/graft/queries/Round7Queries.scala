@@ -17,8 +17,7 @@ object Round7Queries {
     * tau = 0.3): vectors with a smaller-id cosine-near-dup in their
     * cell are dropped. */
   private val semDedup = Q("q_semdedup",
-    (s, dir) => Similarity.semDedup(table(s, dir, "embeddings"), tau = 0.3)
-      .orderBy("label"),
+    (s, dir) => Similarity.semDedup(table(s, dir, "embeddings"), tau = 0.3),
     Some(s"""WITH ${ExtensionQueries.duckNorm},
              p AS (SELECT b.vec_id AS b
                    FROM nn a JOIN nn b
@@ -39,8 +38,7 @@ object Round7Queries {
   /** Per-doc unigram Shannon entropy (TextAnalysis.tokenEntropy):
     * histogram over sorted distinct tokens, one deterministic fold. */
   private val tokenEntropy = Q("q_token_entropy",
-    (s, dir) => TextAnalysis.tokenEntropy(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.tokenEntropy(table(s, dir, "documents")),
     Some("""WITH wt AS (SELECT doc_id,
                                list_filter(string_split(lower(coalesce(text, '')), ' '),
                                            t -> t <> '') AS toks
@@ -62,8 +60,7 @@ object Round7Queries {
   /** Mean-IDF novelty per doc (TextAnalysis.docNovelty): exact decimal
     * sum of 6-decimal IDFs so the distributed fold is order-free. */
   private val docNovelty = Q("q_doc_novelty",
-    (s, dir) => TextAnalysis.docNovelty(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.docNovelty(table(s, dir, "documents")),
     Some("""WITH tok AS (SELECT doc_id,
                                 unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
                                                    t -> t <> '')) AS token
@@ -92,7 +89,7 @@ object Round7Queries {
       TextAnalysis.contaminationReport(
         docs.filter(ExtensionQueries.corpusSide(col("doc_id"))),
         docs.filter(ExtensionQueries.heldOut(col("doc_id"))),
-        n = 4).orderBy("bench_id")
+        n = 4)
     },
     Some("""WITH g AS (SELECT doc_id,
                               list_filter(string_split(lower(coalesce(text, '')), ' '),
@@ -129,7 +126,6 @@ object Round7Queries {
         .groupBy("comp").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_size")
     },
     Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
              comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
@@ -143,7 +139,7 @@ object Round7Queries {
     * memoized scored frame, so the corpus is scanned once). */
   private val knnClassify = Q("q_knn_classify",
     (s, dir) => Similarity.knnClassify(table(s, dir, "embeddings"),
-      queryIds = 0L until 8L, k = 10).orderBy("qid"),
+      queryIds = 0L until 8L, k = 10),
     Some(s"""WITH ${ExtensionQueries.duckNorm},
              q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn
                    FROM nn WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
@@ -174,8 +170,7 @@ object Round7Queries {
     * q_mix_weights' target weights applied as deterministic per-source
     * admission rates. */
   private val sampleMixture = Q("q_sample_mixture",
-    (s, dir) => TextAnalysis.mixtureSample(table(s, dir, "documents"))
-      .orderBy("source"),
+    (s, dir) => TextAnalysis.mixtureSample(table(s, dir, "documents")),
     Some("""WITH per AS (SELECT source, count(*) AS n_docs,
                                 sum(n_chars) AS n_chars
                          FROM documents GROUP BY 1),

@@ -19,7 +19,7 @@ object Round8Queries {
     * exact-semantics row; this row is the guard's. */
   private val semDedupCapped = Q("q_semdedup_capped",
     (s, dir) => Similarity.semDedup(table(s, dir, "embeddings"),
-      tau = 0.3, maxCellSize = 3).orderBy("label"),
+      tau = 0.3, maxCellSize = 3),
     Some(s"""WITH ${ExtensionQueries.duckNorm},
              blkd AS (SELECT vec_id, label, e, nrm,
                              CAST((row_number() OVER (PARTITION BY label
@@ -47,7 +47,7 @@ object Round8Queries {
     * smaller-id near-dup in its cell. */
   private val semDedupKeep = Q("q_semdedup_keep",
     (s, dir) => Similarity.semDedupSurvivors(table(s, dir, "embeddings"),
-      tau = 0.3).orderBy("vec_id"),
+      tau = 0.3),
     Some(s"""WITH ${ExtensionQueries.duckNorm},
              p AS (SELECT b.vec_id AS b
                    FROM nn a JOIN nn b
@@ -87,8 +87,7 @@ object Round8Queries {
     * which side is the subset — that symmetric Jaccard can't give a
     * survivor policy. */
   private val containmentQ = Q("q_containment",
-    (s, dir) => graft.extensions.Dedup.containment(table(s, dir, "documents"))
-      .orderBy("a", "b"),
+    (s, dir) => graft.extensions.Dedup.containment(table(s, dir, "documents")),
     Some(s"""WITH $duckMinhashPairs,
              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
              inter AS (SELECT p.a, p.b, count(*) AS i
@@ -112,7 +111,7 @@ object Round8Queries {
     * bucket idiom. */
   private val splitLeakage = Q("q_split_leakage",
     (s, dir) => graft.extensions.Dedup
-      .leakageSafeSplit(table(s, dir, "documents")).orderBy("doc_id"),
+      .leakageSafeSplit(table(s, dir, "documents")),
     Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
              comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id)
              SELECT doc_id, comp,

@@ -18,7 +18,7 @@ object Round9Queries {
     * reuses q_containment's candidate/intersection CTEs verbatim. */
   private val dedupContainment = Q("q_dedup_containment",
     (s, dir) => Dedup.dedupByContainment(table(s, dir, "documents"),
-      tau = 0.97).orderBy("doc_id"),
+      tau = 0.97),
     Some(s"""WITH ${Round8Queries.duckMinhashPairs},
              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
              inter AS (SELECT p.a, p.b, count(*) AS i
@@ -47,8 +47,7 @@ object Round9Queries {
     * q_split_leakage's recursive-CC fold CTE with q_sample_mixture's
     * rate/admission machinery verbatim. */
   private val splitAssign = Q("q_split_assign",
-    (s, dir) => Dedup.trainEvalSplit(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => Dedup.trainEvalSplit(table(s, dir, "documents")),
     Some(s"""WITH RECURSIVE ${ExtensionQueries.duckCcReach},
              comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
              folds AS (SELECT doc_id,
@@ -93,7 +92,7 @@ object Round9Queries {
   private val hammingPairs = Q("q_hamming_pairs_b4",
     (s, dir) => Dedup.hammingBandPairs(
       Dedup.simHash(table(s, dir, "documents")), "doc_id", "simhash",
-      maxHamming = 3, numBands = 4).orderBy("a", "b"),
+      maxHamming = 3, numBands = 4),
     Some(s"""WITH ${ExtensionQueries.simhashCtes},
              bands AS (SELECT doc_id, simhash, bi.i,
                               (simhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS bv
@@ -195,8 +194,7 @@ object Round9Queries {
     * overlapping duplicated 6-token windows fused gaps-and-islands
     * style into disjoint [start, end) intervals. */
   private val substrSpans = Q("q_substr_spans",
-    (s, dir) => TextAnalysis.exactSubstrSpans(table(s, dir, "documents"))
-      .orderBy("doc_id", "span_start"),
+    (s, dir) => TextAnalysis.exactSubstrSpans(table(s, dir, "documents")),
     Some(s"""WITH ${duckSubstrSpans("")}
              SELECT doc_id, span_start, span_end,
                     span_end - span_start AS span_tokens, n_windows
@@ -209,8 +207,7 @@ object Round9Queries {
     * kept fraction per doc. Oracle shares q_substr_spans' CTE chain,
     * narrowing dp to non-owner positions. */
   private val substrClean = Q("q_substr_clean",
-    (s, dir) => TextAnalysis.exactSubstrClean(table(s, dir, "documents"))
-      .orderBy("doc_id"),
+    (s, dir) => TextAnalysis.exactSubstrClean(table(s, dir, "documents")),
     Some(s"""WITH ${duckSubstrSpans(" WHERE ww.doc_id <> own.owner")},
              rm AS (SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS n_removed
                     FROM sp GROUP BY doc_id),

@@ -38,8 +38,7 @@ object SqlQueries {
                          row_number() OVER (PARTITION BY lang
                                             ORDER BY cnt DESC, token) AS rn
                   FROM c)
-       SELECT lang, token, cnt, pct, rn FROM p WHERE rn <= 10
-       ORDER BY lang, rn"""
+       SELECT lang, token, cnt, pct, rn FROM p WHERE rn <= 10"""
 
   private def sqlQ(name: String, text: String, oracle: String): Q =
     Q(name,
@@ -62,7 +61,7 @@ object SqlQueries {
     """SELECT CAST(year(o_orderdate) AS INT) AS yr,
               count(1) AS n_orders,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-       FROM orders GROUP BY 1 ORDER BY 1""",
+       FROM orders GROUP BY 1""",
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
               count(*) AS n_orders,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -74,7 +73,7 @@ object SqlQueries {
                   FROM orders GROUP BY 1, 2)
        SELECT yr, pri, cnt,
               round(cnt * 100.0D / sum(cnt) OVER (PARTITION BY yr), 4) AS pct
-       FROM b ORDER BY yr, pri""",
+       FROM b""",
     """WITH b AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                          o_orderpriority AS pri, count(*) AS cnt
                   FROM orders GROUP BY 1, 2)

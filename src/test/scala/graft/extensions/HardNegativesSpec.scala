@@ -22,6 +22,7 @@ class HardNegativesSpec extends SparkSpec {
     val out = Similarity.hardNegatives(fixture, anchorMod = 4,
       nprobe = 1, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)) // hardNegatives no longer presentation-sorts (r21)
     // anchor 0 (cell 0): nearest foreign centroid is cell 1;
     // cos(e0, e4)=0.7071 > cos(e0, e5)=0.6 -> ranks (4, 5)
     assert(out.filter(_._1 == 0L).toSeq ==
